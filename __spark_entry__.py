@@ -15,8 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdal_spark import geo
+from pdal_spark.functions.dimrange import parse_range, range_sql
+from pdal_spark.functions.mongo import mongo_sql
 from pdal_spark.operators import crop as crop_op
+from pdal_spark.operators import relational as rel_op
 from pdal_spark.operators import splitter as splitter_op
+from pdal_spark.operators import stats as stats_op
 from pdal_spark.session import configure_session
 
 # ---------------------------------------------------------------------------
@@ -102,6 +106,136 @@ def q_splitter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("tile_x", "tile_y").agg(F.count("*").alias("n_pages"))
 
 
+# --- relational layer (filters.range/mongo/assign/decimation/head/tail/
+#     divider/groupby/sort/locate/merge/voxel/stats) over the TPC-H-ish
+#     tables ---
+
+RANGES = ["l_quantity[10:20]", "l_quantity[40:]", "l_discount(0.02:0.06)"]
+MONGO = {
+    "$or": [
+        {"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}},
+        {"o_totalprice": {"$gte": 250000.0}},
+    ],
+    "o_orderstatus": {"$ne": "F"},
+}
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_range_filter(spark, sf_dir):
+    """filters.range: OR within same dim, AND across dims (DimRange.cpp:129-155)."""
+    df = _table(spark, sf_dir, "lineitem")
+    out = rel_op.range_filter(df, RANGES)
+    return out.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+def q_mongo_filter(spark, sf_dir):
+    """filters.mongo: JSON predicate tree (MongoExpressionFilter.cpp)."""
+    out = rel_op.mongo_filter(_table(spark, sf_dir, "orders"), MONGO)
+    return out.select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+def q_assign_conditional(spark, sf_dir):
+    """filters.ferry + filters.assign: copy dim, conditional in-order updates."""
+    df = _table(spark, sf_dir, "lineitem")
+    df = rel_op.ferry(df, [("l_quantity", "qty_capped")])
+    df = rel_op.assign(
+        df, ["qty_capped[40:]=40", "qty_capped[:5)=0"], condition="l_discount[0:0.05]"
+    )
+    return df.select("l_orderkey", "l_linenumber", "qty_capped")
+
+
+def q_decimation(spark, sf_dir):
+    """filters.decimation: (i-offset) % step over arrival order (dense ids)."""
+    df = _table(spark, sf_dir, "documents")
+    out = rel_op.decimation(df, step=7, offset=3, order_col="doc_id", dense_index=True)
+    return out.select("doc_id", "lang")
+
+
+def q_head_tail(spark, sf_dir):
+    """filters.head + filters.tail unioned, tagged by which end."""
+    df = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = rel_op.head(df, 40, order_col="doc_id").withColumn("end", F.lit("head"))
+    t = rel_op.tail(df, 40, order_col="doc_id").withColumn("end", F.lit("tail"))
+    return rel_op.merge(h, t)
+
+
+def q_divider_round_robin(spark, sf_dir):
+    """filters.divider round_robin: view_id = i mod count (DividerFilter.cpp:141)."""
+    df = _table(spark, sf_dir, "documents")
+    out = rel_op.divider(df, count=4, mode="round_robin", order_col="doc_id")
+    return out.groupBy("view_id").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+def q_groupby_views(spark, sf_dir):
+    """filters.groupby: one view per distinct value of a dim."""
+    df = _table(spark, sf_dir, "events")
+    out = rel_op.groupby_views(df, "user_id")
+    return out.groupBy("view_id").agg(F.count("*").alias("n"))
+
+
+def q_sort_rank(spark, sf_dir):
+    """filters.sort (stable): encoded as explicit rank so an order-
+    insensitive compare still verifies total order + tiebreak."""
+    df = _table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return df.select("event_id", F.row_number().over(w).alias("sort_rank"))
+
+
+def q_locate_max(spark, sf_dir):
+    """filters.locate: single row with max of dim, first arrival wins ties."""
+    out = rel_op.locate(
+        _table(spark, sf_dir, "events"), "value", "max", arrival_col="event_id"
+    )
+    return out.select("event_id", "value")
+
+
+def q_stats_moments(spark, sf_dir):
+    """filters.stats: count/min/max/mean + SAMPLE variance/skew/excess-
+    kurtosis (StatsFilter.hpp:63-196), power-sum formulas both sides."""
+    df = _table(spark, sf_dir, "lineitem")
+    return stats_op.stats(df, ["l_quantity", "l_discount"], round_to=6)
+
+
+def q_merge_union(spark, sf_dir):
+    """filters.merge: union-all of two views."""
+    df = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    a = df.filter(F.col("lang") == "en")
+    b = df.filter(F.col("lang") == "zh")
+    return rel_op.merge(a, b)
+
+
+def q_voxel_downsize(spark, sf_dir):
+    """filters.voxeldownsize: first point (by arrival) wins per voxel
+    (VoxelDownsizeFilter.cpp:103-145)."""
+    df = _docs_geo(spark, sf_dir)
+    out = rel_op.voxel_downsize(
+        df, cell=15.0, origin=(-180.0, -90.0), order_col="doc_id"
+    )
+    return out.select("doc_id", "x", "y")
+
+
+def q_window_agg_events(spark, sf_dir):
+    """Tumbling 5-minute window per event_type (streaming-shape agg;
+    reference streaming is bounded micro-batch — SURVEY §2.10)."""
+    df = _table(spark, sf_dir, "events")
+    return (
+        df.groupBy(
+            F.dayofmonth("ts").alias("d"),
+            F.hour("ts").alias("h"),
+            F.floor(F.minute("ts") / 5).alias("m5"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crop_box": q_crop_box,
@@ -111,6 +245,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_multi_geom": q_crop_multi_geom,
         "splitter_assign": q_splitter_assign,
         "splitter_counts": q_splitter_counts,
+        "range_filter": q_range_filter,
+        "mongo_filter": q_mongo_filter,
+        "assign_conditional": q_assign_conditional,
+        "decimation": q_decimation,
+        "head_tail": q_head_tail,
+        "divider_round_robin": q_divider_round_robin,
+        "groupby_views": q_groupby_views,
+        "sort_rank": q_sort_rank,
+        "locate_max": q_locate_max,
+        "stats_moments": q_stats_moments,
+        "merge_union": q_merge_union,
+        "voxel_downsize": q_voxel_downsize,
+        "window_agg_events": q_window_agg_events,
     }
 
 
@@ -140,6 +287,84 @@ def oracle_sql() -> dict[str, str]:
         "splitter_counts": (
             f"SELECT {tx_sql} AS tile_x, {ty_sql} AS tile_y, "
             f"count(*) AS n_pages FROM ({_DOCS_GEO_SQL}) GROUP BY 1, 2"
+        ),
+        **_relational_oracles(),
+    }
+
+
+def _relational_oracles() -> dict[str, str]:
+    rq = [parse_range(r) for r in RANGES]
+    # OR within l_quantity, AND with l_discount (both non-nullable doubles;
+    # isnan() twin kept for exactness)
+    range_pred = (
+        f"(({range_sql(rq[0], 'l_quantity')}) OR ({range_sql(rq[1], 'l_quantity')}))"
+        f" AND ({range_sql(rq[2], 'l_discount')})"
+    )
+    # assign twins: condition l_discount[0:0.05]; updates in order
+    assign_expr = (
+        "CASE WHEN (l_discount >= 0 AND l_discount <= 0.05) THEN "
+        "  (CASE WHEN (CASE WHEN l_quantity >= 40 THEN 40 ELSE l_quantity END) < 5 "
+        "        THEN 0 ELSE (CASE WHEN l_quantity >= 40 THEN 40 ELSE l_quantity END) END) "
+        "ELSE l_quantity END"
+    )
+    gx = "CAST(floor((x - (-180.0)) / 15.0) AS BIGINT)"
+    gy = "CAST(floor((y - (-90.0)) / 15.0) AS BIGINT)"
+    return {
+        "range_filter": (
+            f"SELECT l_orderkey, l_linenumber, l_quantity, l_discount "
+            f"FROM lineitem WHERE {range_pred}"
+        ),
+        "mongo_filter": (
+            f"SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+            f"WHERE {mongo_sql(MONGO)}"
+        ),
+        "assign_conditional": (
+            f"SELECT l_orderkey, l_linenumber, CAST({assign_expr} AS DOUBLE) "
+            f"AS qty_capped FROM lineitem"
+        ),
+        "decimation": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE doc_id >= 3 AND (doc_id - 3) % 7 = 0"
+        ),
+        "head_tail": (
+            "(SELECT doc_id, n_chars, 'head' AS \"end\" FROM documents "
+            "ORDER BY doc_id LIMIT 40) UNION ALL "
+            "(SELECT doc_id, n_chars, 'tail' AS \"end\" FROM documents "
+            "ORDER BY doc_id DESC LIMIT 40)"
+        ),
+        "divider_round_robin": (
+            "SELECT doc_id % 4 AS view_id, count(*) AS n, "
+            "sum(n_chars) AS sum_chars FROM documents GROUP BY 1"
+        ),
+        "groupby_views": (
+            "SELECT user_id AS view_id, count(*) AS n FROM events GROUP BY 1"
+        ),
+        "sort_rank": (
+            "SELECT event_id, CAST(row_number() OVER (ORDER BY value ASC, event_id ASC) "
+            "AS INTEGER) AS sort_rank FROM events"
+        ),
+        "locate_max": (
+            "SELECT event_id, value FROM events ORDER BY value DESC, event_id ASC LIMIT 1"
+        ),
+        "stats_moments": stats_op.stats_sql(
+            "lineitem", ["l_quantity", "l_discount"], round_to=6
+        ),
+        "merge_union": (
+            "SELECT doc_id, lang FROM documents WHERE lang = 'en' "
+            "UNION ALL SELECT doc_id, lang FROM documents WHERE lang = 'zh'"
+        ),
+        "voxel_downsize": (
+            f"SELECT doc_id, x, y FROM ("
+            f"  SELECT doc_id, x, y, row_number() OVER ("
+            f"    PARTITION BY {gx}, {gy} ORDER BY doc_id"
+            f"  ) AS rn FROM ({_DOCS_GEO_SQL})"
+            f") WHERE rn = 1"
+        ),
+        "window_agg_events": (
+            "SELECT CAST(day(ts) AS INTEGER) AS d, CAST(hour(ts) AS INTEGER) AS h, "
+            "CAST(floor(minute(ts) / 5) AS BIGINT) AS m5, event_type, "
+            "count(*) AS n, round(sum(value), 6) AS sum_value "
+            "FROM events GROUP BY 1, 2, 3, 4"
         ),
     }
 
