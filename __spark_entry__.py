@@ -18,6 +18,7 @@ from pdal_spark import geo
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
 from pdal_spark.operators import crop as crop_op
+from pdal_spark.operators import hexbin as hexbin_op
 from pdal_spark.operators import relational as rel_op
 from pdal_spark.operators import splitter as splitter_op
 from pdal_spark.operators import stats as stats_op
@@ -236,6 +237,22 @@ def q_window_agg_events(spark, sf_dir):
     )
 
 
+HEX_EDGE = 12.0
+
+
+def q_hexbin_density(spark, sf_dir):
+    """filters.hexbin density: per-hex-cell counts with PDAL's exact cell
+    addressing (HexGrid::findHexagon incl. the truncated SQRT_3 width)."""
+    return hexbin_op.density(_docs_geo(spark, sf_dir), HEX_EDGE, TILE_OX, TILE_OY)
+
+
+def q_hexbin_dense(spark, sf_dir):
+    """Dense cells: count >= threshold (HexBinFilter default 15 scaled
+    down for the 500-row table)."""
+    dens = hexbin_op.density(_docs_geo(spark, sf_dir), HEX_EDGE, TILE_OX, TILE_OY)
+    return hexbin_op.dense_cells(dens, threshold=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crop_box": q_crop_box,
@@ -258,6 +275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_union": q_merge_union,
         "voxel_downsize": q_voxel_downsize,
         "window_agg_events": q_window_agg_events,
+        "hexbin_density": q_hexbin_density,
+        "hexbin_dense": q_hexbin_dense,
     }
 
 
@@ -366,6 +385,22 @@ def _relational_oracles() -> dict[str, str]:
             "count(*) AS n, round(sum(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2, 3, 4"
         ),
+        **_hexbin_oracles(),
+    }
+
+
+def _hexbin_oracles() -> dict[str, str]:
+    import math
+
+    height = HEX_EDGE * math.sqrt(3.0)
+    hx_sql, hy_sql = geo.hex_cell_sql("x", "y", TILE_OX, TILE_OY, height)
+    base = (
+        f"SELECT {hx_sql} AS hex_x, {hy_sql} AS hex_y, count(*) AS count "
+        f"FROM ({_DOCS_GEO_SQL}) GROUP BY 1, 2"
+    )
+    return {
+        "hexbin_density": base,
+        "hexbin_dense": f"SELECT * FROM ({base}) WHERE count >= 3",
     }
 
 

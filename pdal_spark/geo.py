@@ -25,6 +25,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 SQRT_3 = math.sqrt(3.0)
+# The reference hexer library uses a TRUNCATED root-3 constant for the grid
+# width (HexGrid.hpp:53 `static const double SQRT_3 = 1.732050808`) while
+# HexBinFilter computes height with the exact sqrt(3) (HexBinFilter.cpp:100).
+# Bit-parity on cell assignment requires replicating both choices exactly
+# (verified against a compiled build of the reference hexer sources).
+SQRT_3_HEXER = 1.732050808
 
 # ---------------------------------------------------------------------------
 # Geocoding: deterministic (key -> lon/lat). Two flavors:
@@ -165,8 +171,9 @@ def square_contains(
 
 
 def hex_dims(height: float) -> tuple[float, float]:
-    """(width, height) of the pointy-top hex grid (HexGrid.cpp:57)."""
-    return (3.0 / (2.0 * SQRT_3)) * height, height
+    """(width, height) of the pointy-top hex grid (HexGrid.cpp:57-59) —
+    width uses the reference's truncated SQRT_3 constant."""
+    return (3.0 / (2.0 * SQRT_3_HEXER)) * height, height
 
 
 def hex_cell_np(
@@ -179,7 +186,7 @@ def hex_cell_np(
     The grid origin is an explicit parameter (the reference uses the first
     point — order-dependent, so callers must pin it; cf. SURVEY §7.3).
     """
-    width = (3.0 / (2.0 * SQRT_3)) * height
+    width = (3.0 / (2.0 * SQRT_3_HEXER)) * height
     x0 = np.asarray(px, dtype=np.float64) - origin_x
     y0 = np.asarray(py, dtype=np.float64) - origin_y
 
@@ -218,7 +225,7 @@ def hex_cell_cols(
     px: Column, py: Column, origin_x: float, origin_y: float, height: float
 ) -> tuple[Column, Column]:
     """Column-expression twin of hex_cell_np — stays in WholeStageCodegen."""
-    width = (3.0 / (2.0 * SQRT_3)) * height
+    width = (3.0 / (2.0 * SQRT_3_HEXER)) * height
     x0 = px - F.lit(float(origin_x))
     y0 = py - F.lit(float(origin_y))
 
@@ -258,7 +265,7 @@ def hex_cell_sql(
     DuckDB gotchas handled: CAST(double AS int) rounds → use trunc();
     `%` on integers truncates (same as C) so even-tests are safe.
     """
-    width = (3.0 / (2.0 * SQRT_3)) * height
+    width = (3.0 / (2.0 * SQRT_3_HEXER)) * height
     x0 = f"({px} - {float(origin_x)!r})"
     y0 = f"({py} - {float(origin_y)!r})"
     col = f"({x0} / {width!r})"
