@@ -19,6 +19,7 @@ from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
 from pdal_spark.operators import crop as crop_op
 from pdal_spark.operators import hexbin as hexbin_op
+from pdal_spark.operators import knn as knn_op
 from pdal_spark.operators import relational as rel_op
 from pdal_spark.operators import splitter as splitter_op
 from pdal_spark.operators import stats as stats_op
@@ -253,6 +254,61 @@ def q_hexbin_dense(spark, sf_dir):
     return hexbin_op.dense_cells(dens, threshold=3)
 
 
+KNN_K = 5
+KNN_CELL = 25.0
+
+
+def _docs_classed(spark, sf_dir):
+    return _docs_geo(spark, sf_dir).withColumn(
+        "classification", (F.col("doc_id") % 5).cast("int")
+    )
+
+
+def q_knn_join(spark, sf_dir):
+    """Cell-bucketed kNN self-join (KDIndex.hpp semantics): k nearest
+    other points per point; rank ties broken by candidate id."""
+    pts = _docs_geo(spark, sf_dir).select(
+        F.col("doc_id").alias("src_id"), "x", "y"
+    )
+    cand = _docs_geo(spark, sf_dir).select(
+        F.col("doc_id").alias("cand_id"), "x", "y"
+    )
+    return knn_op.knn_join(
+        pts, cand, KNN_K, cell_size=KNN_CELL, exclude_self=True
+    ).select("src_id", "cand_id", "dist", "rank")
+
+
+def q_knn_join_salted(spark, sf_dir):
+    """Same kNN but with hot-cell salting enabled (north-rule skew path):
+    results must be identical to the unsalted plan."""
+    pts = _docs_geo(spark, sf_dir).select(F.col("doc_id").alias("src_id"), "x", "y")
+    cand = _docs_geo(spark, sf_dir).select(F.col("doc_id").alias("cand_id"), "x", "y")
+    return knn_op.knn_join(
+        pts, cand, KNN_K, cell_size=KNN_CELL, exclude_self=True,
+        salt_threshold=8, n_salts=4,
+    ).select("src_id", "cand_id", "dist", "rank")
+
+
+def q_neighbor_classify(spark, sf_dir):
+    """filters.neighborclassifier candidate-mode semantics (snapshot):
+    majority vote > k/2, smallest class wins ties
+    (NeighborClassifierFilter.cpp:108-136)."""
+    df = _docs_classed(spark, sf_dir)
+    out = knn_op.neighbor_classifier(
+        df, None, KNN_K, cell_size=KNN_CELL, id_col="doc_id"
+    )
+    return out.select("doc_id", "classification")
+
+
+def q_radial_density(spark, sf_dir):
+    """filters.radialdensity: neighbor count within radius / sphere volume."""
+    df = _docs_geo(spark, sf_dir)
+    out = knn_op.radial_density(df, radius=12.0, id_col="doc_id")
+    return out.select(
+        "doc_id", F.round(F.coalesce("radial_density", F.lit(0.0)), 9).alias("radial_density")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crop_box": q_crop_box,
@@ -277,6 +333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_agg_events": q_window_agg_events,
         "hexbin_density": q_hexbin_density,
         "hexbin_dense": q_hexbin_dense,
+        "knn_join": q_knn_join,
+        "knn_join_salted": q_knn_join_salted,
+        "neighbor_classify": q_neighbor_classify,
+        "radial_density": q_radial_density,
     }
 
 
@@ -386,6 +446,74 @@ def _relational_oracles() -> dict[str, str]:
             "FROM events GROUP BY 1, 2, 3, 4"
         ),
         **_hexbin_oracles(),
+        **_knn_oracles(),
+    }
+
+
+def _knn_oracles() -> dict[str, str]:
+    knn_core = f"""
+      WITH pts AS ({_DOCS_GEO_SQL}),
+      pairs AS (
+        SELECT s.doc_id AS src_id, c.doc_id AS cand_id,
+               sqrt((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)) AS dist,
+               CAST(row_number() OVER (
+                 PARTITION BY s.doc_id
+                 ORDER BY ((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)) ASC,
+                          c.doc_id ASC
+               ) AS INTEGER) AS rank
+        FROM pts s JOIN pts c ON s.doc_id <> c.doc_id
+      )
+      SELECT src_id, cand_id, dist, rank FROM pairs WHERE rank <= {KNN_K}
+    """
+    classify = f"""
+      WITH pts AS (
+        SELECT doc_id, x, y, CAST(doc_id % 5 AS INTEGER) AS classification
+        FROM ({_DOCS_GEO_SQL})
+      ),
+      knn AS (
+        SELECT * FROM (
+          SELECT s.doc_id AS src_id, c.doc_id AS cand_id, c.classification AS ncls,
+                 row_number() OVER (
+                   PARTITION BY s.doc_id
+                   ORDER BY ((s.x-c.x)*(s.x-c.x) + (s.y-c.y)*(s.y-c.y)) ASC,
+                            c.doc_id ASC
+                 ) AS rank
+          FROM pts s JOIN pts c ON s.doc_id <> c.doc_id
+        ) WHERE rank <= {KNN_K}
+      ),
+      votes AS (
+        SELECT src_id, ncls, count(*) AS v FROM knn GROUP BY 1, 2
+      ),
+      winner AS (
+        SELECT src_id, ncls, v,
+               sum(v) OVER (PARTITION BY src_id) AS k_actual,
+               row_number() OVER (PARTITION BY src_id ORDER BY v DESC, ncls ASC) AS rk
+        FROM votes
+      )
+      SELECT p.doc_id,
+             CASE WHEN w.v > w.k_actual / 2.0 AND w.ncls <> p.classification
+                  THEN w.ncls ELSE p.classification END AS classification
+      FROM pts p LEFT JOIN (SELECT * FROM winner WHERE rk = 1) w
+        ON p.doc_id = w.src_id
+    """
+    radial = f"""
+      WITH pts AS ({_DOCS_GEO_SQL}),
+      counts AS (
+        SELECT s.doc_id, count(*) AS n
+        FROM pts s JOIN pts c
+          ON ((s.x-c.x)*(s.x-c.x) + (s.y-c.y)*(s.y-c.y)) <= {12.0 * 12.0!r}
+        GROUP BY 1
+      )
+      SELECT p.doc_id,
+             round(coalesce(n, 0) / ((4.0/3.0) * pi() * {12.0**3!r}), 9)
+               AS radial_density
+      FROM pts p LEFT JOIN counts USING (doc_id)
+    """
+    return {
+        "knn_join": knn_core,
+        "knn_join_salted": knn_core,
+        "neighbor_classify": classify,
+        "radial_density": radial,
     }
 
 

@@ -1,0 +1,506 @@
+"""Cell-bucketed kNN / radius join primitive + the operators built on it.
+
+The reference does all neighbor searches through an exact in-memory
+KD-tree (pdal/KDIndex.hpp, nanoflann L2). The distributed equivalent here
+is a grid-bucketed join:
+
+  * candidates get a cell id (floor(x/cell), floor(y/cell))
+  * each query point joins its 3x3 cell neighborhood
+  * per-query window takes the k nearest (or all within radius)
+
+Exactness: results equal the KD-tree's whenever the true kth-neighbor
+distance (or search radius) is <= cell_size. Callers pick cell_size from
+expected density; `validate=True` asserts the invariant on the computed
+result (one extra aggregate) — the scale-safe way to *prove* exactness
+instead of hoping.
+
+Skew (the north rule's mega-cell case): candidate cells whose population
+exceeds `salt_threshold` are split into `n_salts` sub-keys; query rows
+explode over the sub-keys of hot cells only (driven by a broadcast join
+against the small hot-cell table). Cold cells pay nothing.
+
+Operators built on the primitive:
+  * neighbor_classifier — filters.neighborclassifier
+    (NeighborClassifierFilter.cpp:108-193): k-vote with
+    votes > k/2 and smallest-class tie win (std::map + max_element).
+    Candidate mode = snapshot semantics, exact parity. Self mode is
+    ALSO snapshot here — the reference mutates classifications in place
+    while scanning (order-dependent, 176-180); documented divergence.
+  * outlier — filters.outlier (OutlierFilter.cpp:96-151): statistical
+    (mean kNN distance, threshold mean + m*stdev[sample]) and radius
+    (inlier iff neighbor count within radius > min_k, self included).
+  * nn_distance — filters.nndistance: kth or avg neighbor distance.
+  * radial_density — filters.radialdensity: count within radius / volume.
+  * hausdorff / delta kernels — max-min NN distance / per-point diff.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdal_spark.functions.dimrange import parse_range, value_passes
+
+NEIGHBOR_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def _with_cell(df: DataFrame, cell_size: float, x: str, y: str) -> DataFrame:
+    return df.withColumn("_cx", F.floor(F.col(x) / cell_size).cast("long")).withColumn(
+        "_cy", F.floor(F.col(y) / cell_size).cast("long")
+    )
+
+
+def knn_join(
+    src: DataFrame,
+    cand: DataFrame,
+    k: int,
+    cell_size: float,
+    src_id: str = "src_id",
+    cand_id: str = "cand_id",
+    x: str = "x",
+    y: str = "y",
+    exclude_self: bool = False,
+    salt_threshold: int | None = None,
+    n_salts: int = 8,
+    validate: bool = False,
+) -> DataFrame:
+    """k nearest candidates per src row -> (src_id, cand_id, dist, rank).
+
+    rank is 1-based by (distance, cand_id) — the cand_id tiebreak makes
+    the result deterministic where the reference KD-tree's equal-distance
+    order is unspecified.
+
+    exclude_self: drop cand rows whose id equals the src id (self-kNN).
+    """
+    s = _with_cell(src.select(F.col(src_id), F.col(x), F.col(y)), cell_size, x, y)
+    c = _with_cell(
+        cand.select(F.col(cand_id), F.col(x).alias("_cxv"), F.col(y).alias("_cyv")),
+        cell_size,
+        "_cxv",
+        "_cyv",
+    )
+
+    if salt_threshold is not None:
+        hot = (
+            c.groupBy("_cx", "_cy")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > salt_threshold)
+            .select("_cx", "_cy", F.lit(n_salts).alias("_nsalt"))
+        )
+        c = c.join(F.broadcast(hot), ["_cx", "_cy"], "left").withColumn(
+            "_salt",
+            F.when(
+                F.col("_nsalt").isNotNull(),
+                F.pmod(F.xxhash64(F.col(cand_id)), F.col("_nsalt")).cast("int"),
+            ).otherwise(F.lit(0)),
+        ).drop("_nsalt")
+    else:
+        hot = None
+        c = c.withColumn("_salt", F.lit(0))
+
+    # explode src over the 3x3 neighborhood (arrays of struct -> explode:
+    # one narrow pass, no shuffle until the join itself)
+    offs = F.array(
+        *[
+            F.struct(
+                (F.col("_cx") + dx).alias("cx"), (F.col("_cy") + dy).alias("cy")
+            )
+            for dx, dy in NEIGHBOR_OFFSETS
+        ]
+    )
+    s = (
+        s.withColumn("_nb", F.explode(offs))
+        .withColumn("_cx", F.col("_nb.cx"))
+        .withColumn("_cy", F.col("_nb.cy"))
+        .drop("_nb")
+    )
+    if hot is not None:
+        s = s.join(F.broadcast(hot), ["_cx", "_cy"], "left").withColumn(
+            "_salts", F.coalesce(F.col("_nsalt"), F.lit(1))
+        ).drop("_nsalt")
+        s = s.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), (F.col("_salts") - 1).cast("int")))
+        ).withColumn("_salt", F.col("_salt").cast("int")).drop("_salts")
+    else:
+        s = s.withColumn("_salt", F.lit(0))
+
+    joined = s.join(c, ["_cx", "_cy", "_salt"])
+    if exclude_self:
+        joined = joined.filter(F.col(src_id) != F.col(cand_id))
+    d2 = (F.col(x) - F.col("_cxv")) ** 2 + (F.col(y) - F.col("_cyv")) ** 2
+    joined = joined.withColumn("_d2", d2)
+
+    w = Window.partitionBy(src_id).orderBy(F.col("_d2").asc(), F.col(cand_id).asc())
+    out = (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(src_id),
+            F.col(cand_id),
+            F.sqrt(F.col("_d2")).alias("dist"),
+            "rank",
+        )
+    )
+    if validate:
+        # exact iff every query found k neighbors AND its kth distance fits
+        # within one cell (then the 3x3 neighborhood provably covered the
+        # true k-disk). Fewer than k found => neighborhood exhausted before
+        # k => grid too coarse (or k > |cand|, where exact join is the tool).
+        bad = (
+            out.groupBy(src_id)
+            .agg(F.count("*").alias("_nf"), F.max("dist").alias("_md"))
+            .filter((F.col("_nf") < k) | (F.col("_md") > F.lit(float(cell_size))))
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"kNN grid too coarse: {bad} query points have < {k} neighbors "
+                f"in the 3x3 neighborhood or kth distance > cell_size="
+                f"{cell_size}; increase cell_size or use knn_join_exact"
+            )
+    return out
+
+
+def knn_join_exact(
+    src: DataFrame,
+    cand: DataFrame,
+    k: int,
+    src_id: str = "src_id",
+    cand_id: str = "cand_id",
+    x: str = "x",
+    y: str = "y",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Brute-force kNN via broadcast cross join — the small-candidate-set
+    path (hausdorff/delta kernels, tests). Same output contract."""
+    c = F.broadcast(
+        cand.select(
+            F.col(cand_id), F.col(x).alias("_cxv"), F.col(y).alias("_cyv")
+        )
+    )
+    joined = src.select(F.col(src_id), F.col(x), F.col(y)).crossJoin(c)
+    if exclude_self:
+        joined = joined.filter(F.col(src_id) != F.col(cand_id))
+    d2 = (F.col(x) - F.col("_cxv")) ** 2 + (F.col(y) - F.col("_cyv")) ** 2
+    w = Window.partitionBy(src_id).orderBy(d2.asc(), F.col(cand_id).asc())
+    return (
+        joined.withColumn("_d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(src_id), F.col(cand_id), F.sqrt(F.col("_d2")).alias("dist"), "rank")
+    )
+
+
+def radius_join(
+    src: DataFrame,
+    cand: DataFrame,
+    radius: float,
+    cell_size: float | None = None,
+    src_id: str = "src_id",
+    cand_id: str = "cand_id",
+    x: str = "x",
+    y: str = "y",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """All candidates within `radius` (inclusive, KD radius-search style)
+    per src row. cell_size defaults to radius (then the 3x3 neighborhood
+    provably covers the disk)."""
+    cell = cell_size or radius
+    if cell < radius:
+        raise ValueError("cell_size must be >= radius for exact coverage")
+    s = _with_cell(src.select(F.col(src_id), F.col(x), F.col(y)), cell, x, y)
+    c = _with_cell(
+        cand.select(F.col(cand_id), F.col(x).alias("_cxv"), F.col(y).alias("_cyv")),
+        cell,
+        "_cxv",
+        "_cyv",
+    )
+    offs = F.array(
+        *[
+            F.struct((F.col("_cx") + dx).alias("cx"), (F.col("_cy") + dy).alias("cy"))
+            for dx, dy in NEIGHBOR_OFFSETS
+        ]
+    )
+    s = (
+        s.withColumn("_nb", F.explode(offs))
+        .withColumn("_cx", F.col("_nb.cx"))
+        .withColumn("_cy", F.col("_nb.cy"))
+        .drop("_nb")
+    )
+    joined = s.join(c, ["_cx", "_cy"])
+    if exclude_self:
+        joined = joined.filter(F.col(src_id) != F.col(cand_id))
+    d2 = (F.col(x) - F.col("_cxv")) ** 2 + (F.col(y) - F.col("_cyv")) ** 2
+    return (
+        joined.withColumn("_d2", d2)
+        .filter(F.col("_d2") <= F.lit(radius * radius))
+        .select(F.col(src_id), F.col(cand_id), F.sqrt(F.col("_d2")).alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# filters.neighborclassifier
+# ---------------------------------------------------------------------------
+
+
+def neighbor_classifier(
+    src: DataFrame,
+    cand: DataFrame | None,
+    k: int,
+    cell_size: float,
+    dim: str = "classification",
+    domain: list[str] | None = None,
+    id_col: str = "page_id",
+    cand_id_col: str | None = None,
+    x: str = "x",
+    y: str = "y",
+    exact: bool = False,
+    salt_threshold: int | None = None,
+) -> DataFrame:
+    """filters.neighborclassifier (NeighborClassifierFilter.cpp:108-193).
+
+    For every src row (optionally restricted to rows passing ANY `domain`
+    DimRange, 145-152): take the k nearest candidates, count classes,
+    winner = highest count with smallest class value on ties (std::map
+    iteration order + strict max_element, 115-127); update iff
+    votes > k_actual/2 and winner != current class (131-134).
+
+    cand=None -> self mode with SNAPSHOT semantics (reference self mode
+    votes on already-updated neighbors in scan order — order-dependent;
+    non-goal, divergence documented). Candidate mode is exact parity.
+    """
+    self_mode = cand is None
+    cand_df = src if self_mode else cand
+    cid = id_col if self_mode else (cand_id_col or id_col)
+    cand_sel = cand_df.select(
+        F.col(cid).alias("_nc_cand"),
+        F.col(dim).alias("_nc_class"),
+        F.col(x),
+        F.col(y),
+    )
+
+    in_domain = None
+    if domain:
+        ftypes = dict((f.name, f.dataType.typeName()) for f in src.schema.fields)
+        for rs in domain:
+            r = parse_range(rs)
+            p = value_passes(r, F.col(r.name), ftypes.get(r.name) in ("double", "float"))
+            in_domain = p if in_domain is None else (in_domain | p)
+
+    queries = src.filter(in_domain) if in_domain is not None else src
+    q_pts = queries.select(F.col(id_col).alias("_nc_src"), F.col(x), F.col(y))
+
+    join_fn = knn_join_exact if exact else knn_join
+    kw = {} if exact else {"cell_size": cell_size, "salt_threshold": salt_threshold}
+    knn = join_fn(
+        q_pts,
+        cand_sel.select(F.col("_nc_cand"), F.col(x), F.col(y)),
+        k,
+        src_id="_nc_src",
+        cand_id="_nc_cand",
+        x=x,
+        y=y,
+        exclude_self=self_mode,
+        **kw,
+    )
+
+    # F.mode() has no deterministic tie rule, so the vote is explicit:
+    per_class = (
+        knn.join(cand_sel.select("_nc_cand", "_nc_class"), "_nc_cand")
+        .groupBy("_nc_src", "_nc_class")
+        .agg(F.count("*").alias("_votes"))
+    )
+    wv = Window.partitionBy("_nc_src").orderBy(
+        F.col("_votes").desc(), F.col("_nc_class").asc()
+    )
+    winners = (
+        per_class.withColumn("_rk", F.row_number().over(wv))
+        .filter(F.col("_rk") == 1)
+        .join(
+            per_class.groupBy("_nc_src").agg(F.sum("_votes").alias("_k_actual")),
+            "_nc_src",
+        )
+        .select("_nc_src", "_nc_class", "_votes", "_k_actual")
+    )
+
+    out = src.join(winners, src[id_col] == winners["_nc_src"], "left")
+    updated = (
+        F.col("_votes").isNotNull()
+        & (F.col("_votes") > F.col("_k_actual") / 2.0)
+        & (F.col("_nc_class") != F.col(dim))
+    )
+    return (
+        out.withColumn(dim, F.when(updated, F.col("_nc_class")).otherwise(F.col(dim)))
+        .drop("_nc_src", "_nc_class", "_votes", "_k_actual")
+    )
+
+
+# ---------------------------------------------------------------------------
+# filters.outlier / nndistance / radialdensity
+# ---------------------------------------------------------------------------
+
+
+def outlier_statistical(
+    df: DataFrame,
+    mean_k: int = 8,
+    multiplier: float = 2.0,
+    cell_size: float | None = None,
+    noise_class: int = 7,
+    id_col: str = "page_id",
+    x: str = "x",
+    y: str = "y",
+    exact: bool = False,
+) -> DataFrame:
+    """filters.outlier statistical (OutlierFilter.cpp:96-151): per-point
+    mean distance to mean_k nearest neighbors (self excluded); outlier iff
+    mean dist >= mean + multiplier * sample-stdev of all mean dists;
+    outliers get Classification = noise_class."""
+    pts = df.select(F.col(id_col).alias("_o_src"), F.col(x), F.col(y))
+    cand = df.select(F.col(id_col).alias("_o_cand"), F.col(x), F.col(y))
+    if exact:
+        knn = knn_join_exact(
+            pts, cand, mean_k, src_id="_o_src", cand_id="_o_cand", x=x, y=y,
+            exclude_self=True,
+        )
+    else:
+        knn = knn_join(
+            pts, cand, mean_k, cell_size, src_id="_o_src", cand_id="_o_cand",
+            x=x, y=y, exclude_self=True,
+        )
+    mean_d = knn.groupBy("_o_src").agg(F.avg("dist").alias("_mean_d"))
+    thr_row = mean_d.agg(
+        F.avg("_mean_d").alias("m"), F.stddev_samp("_mean_d").alias("s")
+    ).collect()[0]
+    threshold = thr_row["m"] + multiplier * thr_row["s"]
+    out = df.join(mean_d, df[id_col] == mean_d["_o_src"], "left")
+    is_noise = F.col("_mean_d") >= F.lit(threshold)
+    return out.withColumn(
+        "classification",
+        F.when(is_noise, F.lit(noise_class)).otherwise(
+            F.col("classification") if "classification" in df.columns else F.lit(0)
+        ),
+    ).drop("_o_src", "_mean_d")
+
+
+def outlier_radius(
+    df: DataFrame,
+    radius: float = 1.0,
+    min_k: int = 2,
+    noise_class: int = 7,
+    id_col: str = "page_id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """filters.outlier radius (OutlierFilter.cpp:76-94): inlier iff
+    neighbor count within radius (self INCLUDED) > min_k."""
+    pts = df.select(F.col(id_col).alias("_o_src"), F.col(x), F.col(y))
+    cand = df.select(F.col(id_col).alias("_o_cand"), F.col(x), F.col(y))
+    nb = radius_join(pts, cand, radius, src_id="_o_src", cand_id="_o_cand", x=x, y=y)
+    counts = nb.groupBy("_o_src").agg(F.count("*").alias("_n_nb"))
+    out = df.join(counts, df[id_col] == counts["_o_src"], "left")
+    is_inlier = F.coalesce(F.col("_n_nb"), F.lit(0)) > min_k
+    return out.withColumn(
+        "classification",
+        F.when(~is_inlier, F.lit(noise_class)).otherwise(
+            F.col("classification") if "classification" in df.columns else F.lit(0)
+        ),
+    ).drop("_o_src", "_n_nb")
+
+
+def nn_distance(
+    df: DataFrame,
+    k: int = 10,
+    mode: str = "kth",
+    cell_size: float | None = None,
+    id_col: str = "page_id",
+    x: str = "x",
+    y: str = "y",
+    exact: bool = False,
+) -> DataFrame:
+    """filters.nndistance (NNDistanceFilter.cpp:60-66): per-point kth or
+    average neighbor distance as a new NNDistance column."""
+    pts = df.select(F.col(id_col).alias("_n_src"), F.col(x), F.col(y))
+    cand = df.select(F.col(id_col).alias("_n_cand"), F.col(x), F.col(y))
+    if exact:
+        knn = knn_join_exact(pts, cand, k, src_id="_n_src", cand_id="_n_cand",
+                             x=x, y=y, exclude_self=True)
+    else:
+        knn = knn_join(pts, cand, k, cell_size, src_id="_n_src", cand_id="_n_cand",
+                       x=x, y=y, exclude_self=True)
+    if mode == "kth":
+        agg = knn.filter(F.col("rank") == k).select(
+            F.col("_n_src"), F.col("dist").alias("nn_distance")
+        )
+    elif mode == "avg":
+        agg = knn.groupBy("_n_src").agg(F.avg("dist").alias("nn_distance"))
+    else:
+        raise ValueError("mode must be kth|avg")
+    return df.join(agg, df[id_col] == agg["_n_src"], "left").drop("_n_src")
+
+
+def radial_density(
+    df: DataFrame,
+    radius: float = 1.0,
+    id_col: str = "page_id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """filters.radialdensity (RadialDensityFilter.cpp:61,84-85): neighbor
+    count within radius / sphere volume (reference uses 3D volume even
+    for planar data; replicated)."""
+    pts = df.select(F.col(id_col).alias("_r_src"), F.col(x), F.col(y))
+    cand = df.select(F.col(id_col).alias("_r_cand"), F.col(x), F.col(y))
+    nb = radius_join(pts, cand, radius, src_id="_r_src", cand_id="_r_cand", x=x, y=y)
+    vol = (4.0 / 3.0) * math.pi * radius**3
+    counts = nb.groupBy("_r_src").agg((F.count("*") / vol).alias("radial_density"))
+    return df.join(counts, df[id_col] == counts["_r_src"], "left").drop("_r_src")
+
+
+# ---------------------------------------------------------------------------
+# kernels.hausdorff / kernels.delta
+# ---------------------------------------------------------------------------
+
+
+def hausdorff(
+    a: DataFrame, b: DataFrame, id_a: str = "page_id", id_b: str = "page_id",
+    x: str = "x", y: str = "y",
+) -> float:
+    """kernels.hausdorff: max(max-min-dist(a->b), max-min-dist(b->a))."""
+    def one_way(s, c, ids, idc):
+        nn = knn_join_exact(
+            s.select(F.col(ids).alias("_h_src"), x, y),
+            c.select(F.col(idc).alias("_h_cand"), x, y),
+            1, src_id="_h_src", cand_id="_h_cand", x=x, y=y,
+        )
+        return nn.agg(F.max("dist")).collect()[0][0]
+
+    return max(one_way(a, b, id_a, id_b), one_way(b, a, id_b, id_a))
+
+
+def delta(
+    src: DataFrame, cand: DataFrame, id_src: str = "page_id",
+    id_cand: str = "page_id", x: str = "x", y: str = "y",
+) -> DataFrame:
+    """kernels.delta: per src point, coordinate diffs vs nearest cand."""
+    nn = knn_join_exact(
+        src.select(F.col(id_src).alias("_d_src"), x, y),
+        cand.select(F.col(id_cand).alias("_d_cand"), x, y),
+        1, src_id="_d_src", cand_id="_d_cand", x=x, y=y,
+    )
+    c = cand.select(
+        F.col(id_cand).alias("_d_cand"),
+        F.col(x).alias("_d_x"),
+        F.col(y).alias("_d_y"),
+    )
+    return (
+        src.join(nn, src[id_src] == nn["_d_src"])
+        .join(c, "_d_cand")
+        .select(
+            F.col(id_src),
+            (F.col(x) - F.col("_d_x")).alias("delta_x"),
+            (F.col(y) - F.col("_d_y")).alias("delta_y"),
+            F.col("dist").alias("delta_dist"),
+        )
+    )

@@ -1,0 +1,191 @@
+"""kNN primitive + neighborclassifier vs brute-force numpy oracles
+(FIXTURES.md F6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pdal_spark import geo
+from pdal_spark.operators import knn as K
+
+N_SRC, N_CAND, KK = 300, 400, 5
+
+
+@pytest.fixture(scope="module")
+def pts():
+    ids_s = np.arange(N_SRC)
+    xs, ys = geo.geocode_lcg_np(ids_s)
+    # compress into a smaller window so k-dists are << cell size
+    xs, ys = xs / 4.0, ys / 4.0
+    ids_c = np.arange(N_CAND)
+    xc, yc = geo.geocode_lcg_np(ids_c + 100000)
+    xc, yc = xc / 4.0, yc / 4.0
+    cls = (ids_c * 7) % 3  # candidate classes 0..2
+    return (ids_s, xs, ys), (ids_c, xc, yc, cls)
+
+
+@pytest.fixture(scope="module")
+def spark_dfs(spark, pts):
+    (ids_s, xs, ys), (ids_c, xc, yc, cls) = pts
+    src = spark.createDataFrame(
+        list(zip(ids_s.tolist(), xs.tolist(), ys.tolist())),
+        "src_id long, x double, y double",
+    )
+    cand = spark.createDataFrame(
+        list(zip(ids_c.tolist(), xc.tolist(), yc.tolist(), cls.tolist())),
+        "cand_id long, x double, y double, classification int",
+    )
+    return src, cand
+
+
+def brute_knn(pts, k):
+    (ids_s, xs, ys), (ids_c, xc, yc, cls) = pts
+    d2 = (xs[:, None] - xc[None, :]) ** 2 + (ys[:, None] - yc[None, :]) ** 2
+    out = {}
+    for i in range(len(ids_s)):
+        order = sorted(range(len(ids_c)), key=lambda j: (d2[i, j], ids_c[j]))
+        out[ids_s[i]] = [(ids_c[j], np.sqrt(d2[i, j])) for j in order[:k]]
+    return out
+
+
+def test_knn_join_matches_bruteforce(spark_dfs, pts):
+    src, cand = spark_dfs
+    want = brute_knn(pts, KK)
+    got = K.knn_join(src, cand, KK, cell_size=30.0, validate=True).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["src_id"], []).append((r["rank"], r["cand_id"], r["dist"]))
+    assert set(by_src) == set(want)
+    for sid, rows in by_src.items():
+        rows.sort()
+        assert [c for _, c, _ in rows] == [c for c, _ in want[sid]]
+        for (_, _, dg), (_, dw) in zip(rows, want[sid]):
+            assert dg == pytest.approx(dw, rel=1e-12)
+
+
+def test_knn_join_salted_same_result(spark_dfs, pts):
+    src, cand = spark_dfs
+    plain = K.knn_join(src, cand, KK, cell_size=30.0)
+    salted = K.knn_join(src, cand, KK, cell_size=30.0, salt_threshold=10, n_salts=4)
+    key = ["src_id", "rank", "cand_id"]
+    assert sorted(map(tuple, plain.select(key).collect())) == sorted(
+        map(tuple, salted.select(key).collect())
+    )
+
+
+def test_knn_exact_equals_grid(spark_dfs):
+    src, cand = spark_dfs
+    a = K.knn_join(src, cand, KK, cell_size=30.0)
+    b = K.knn_join_exact(src, cand, KK)
+    key = ["src_id", "rank", "cand_id"]
+    assert sorted(map(tuple, a.select(key).collect())) == sorted(
+        map(tuple, b.select(key).collect())
+    )
+
+
+def test_knn_validate_raises_on_coarse_grid(spark_dfs):
+    src, cand = spark_dfs
+    with pytest.raises(ValueError, match="grid too coarse"):
+        K.knn_join(src, cand, 50, cell_size=0.5, validate=True).collect()
+
+
+def test_radius_join_matches_bruteforce(spark_dfs, pts):
+    src, cand = spark_dfs
+    (ids_s, xs, ys), (ids_c, xc, yc, cls) = pts
+    R = 4.0
+    got = K.radius_join(src, cand, R).collect()
+    got_pairs = {(r["src_id"], r["cand_id"]) for r in got}
+    d2 = (xs[:, None] - xc[None, :]) ** 2 + (ys[:, None] - yc[None, :]) ** 2
+    want_pairs = {
+        (ids_s[i], ids_c[j])
+        for i in range(len(ids_s))
+        for j in range(len(ids_c))
+        if d2[i, j] <= R * R
+    }
+    assert got_pairs == want_pairs
+
+
+def brute_classify(pts, k):
+    """Oracle port of NeighborClassifierFilter::doOneNoDomain (candidate
+    mode): vote counts per class, winner = max count with smallest class
+    on ties, update iff votes > k/2."""
+    (ids_s, xs, ys), (ids_c, xc, yc, cls) = pts
+    nn = brute_knn(pts, k)
+    out = {}
+    cls_by_id = dict(zip(ids_c.tolist(), cls.tolist()))
+    for sid, neigh in nn.items():
+        counts = {}
+        for cid, _ in neigh:
+            counts[cls_by_id[cid]] = counts.get(cls_by_id[cid], 0) + 1
+        # std::map ascending + strict max_element -> smallest class wins ties
+        winner = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out[sid] = winner if winner[1] > len(neigh) / 2.0 else None
+    return out
+
+
+def test_neighbor_classifier_candidate_mode(spark_dfs, pts):
+    src, cand = spark_dfs
+    (ids_s, xs, ys), _ = pts
+    # give src a classification column (all 99 -> any win changes it)
+    src_c = src.withColumn("classification", F.lit(99))
+    got = {
+        r["src_id"]: r["classification"]
+        for r in K.neighbor_classifier(
+            src_c, cand, KK, cell_size=30.0, id_col="src_id", cand_id_col="cand_id"
+        ).collect()
+    }
+    want = brute_classify(pts, KK)
+    for sid in ids_s.tolist():
+        expect = want[sid][0] if want[sid] else 99
+        assert got[sid] == expect, sid
+
+
+def test_neighbor_classifier_domain(spark_dfs, pts):
+    src, cand = spark_dfs
+    src_c = src.withColumn("classification", F.lit(99))
+    got = {
+        r["src_id"]: r["classification"]
+        for r in K.neighbor_classifier(
+            src_c, cand, KK, cell_size=30.0, id_col="src_id", cand_id_col="cand_id",
+            domain=["x[0:]"],  # only right half-plane updates
+        ).collect()
+    }
+    (ids_s, xs, ys), _ = pts
+    want = brute_classify(pts, KK)
+    for i, sid in enumerate(ids_s.tolist()):
+        if xs[i] >= 0:
+            expect = want[sid][0] if want[sid] else 99
+        else:
+            expect = 99
+        assert got[sid] == expect, sid
+
+
+def test_outlier_statistical_matches_numpy(spark, pts):
+    (ids_s, xs, ys), _ = pts
+    df = spark.createDataFrame(
+        list(zip(ids_s.tolist(), xs.tolist(), ys.tolist())),
+        "page_id long, x double, y double",
+    )
+    got = {r["page_id"]: r["classification"] for r in
+           K.outlier_statistical(df, mean_k=8, multiplier=2.0, exact=True).collect()}
+    d2 = (xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    mean_d = np.sort(np.sqrt(d2), axis=1)[:, :8].mean(axis=1)
+    thr = mean_d.mean() + 2.0 * mean_d.std(ddof=1)
+    for i, sid in enumerate(ids_s.tolist()):
+        assert got[sid] == (7 if mean_d[i] >= thr else 0), sid
+
+
+def test_hausdorff_and_delta(spark_dfs, pts):
+    src, cand = spark_dfs
+    (ids_s, xs, ys), (ids_c, xc, yc, cls) = pts
+    d2 = (xs[:, None] - xc[None, :]) ** 2 + (ys[:, None] - yc[None, :]) ** 2
+    want = max(np.sqrt(d2.min(axis=1)).max(), np.sqrt(d2.min(axis=0)).max())
+    got = K.hausdorff(src, cand, id_a="src_id", id_b="cand_id")
+    assert got == pytest.approx(want, rel=1e-12)
+    dl = K.delta(src, cand, id_src="src_id", id_cand="cand_id")
+    row = {r["src_id"]: r["delta_dist"] for r in dl.collect()}
+    for i, sid in enumerate(ids_s.tolist()):
+        assert row[sid] == pytest.approx(np.sqrt(d2[i].min()), rel=1e-12)
