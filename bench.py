@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "pages_per_sec": ...}
+
+The flagship measurement is the north-star tile job — synthesize N
+Common-Crawl-style pages (spark.range, no UDFs), geocode (sha256 -> x,y),
+polygon crop, splitter tiling, per-tile counts — reported as pages/sec.
+Per-query timings force full materialization through the noop sink so
+column pruning cannot skip work.
+
+Scaling-efficiency evidence (local[8] vs local[32], same input) is
+produced by ``tools/scaling_bench.py`` which shells out to this file with
+``BENCH_MODE=flagship`` at two parallelism levels; results land in
+``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+FLAGSHIP_PAGES = int(os.environ.get("BENCH_PAGES", "2000000"))
+
+
+def _force(df) -> int:
+    """Materialize every column (noop sink), return row count."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def flagship(spark, n_pages: int) -> dict:
+    """North-star tile job: synth pages -> geocode -> crop -> tile -> counts."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from pdal_spark import synth
+    from pdal_spark.operators import crop as crop_op
+    from pdal_spark.operators import splitter as splitter_op
+
+    t0 = time.time()
+    pages = synth.with_coords(synth.synth_pages(spark, n_pages))
+    cropped = crop_op.crop(pages, [E.POLY], mode="stream")
+    tiled = splitter_op.split(cropped, E.TILE_LEN, E.TILE_OX, E.TILE_OY)
+    out = tiled.groupBy("tile_x", "tile_y").agg(F.count("*").alias("n_pages"))
+    n_tiles = out.count()
+    dt = time.time() - t0
+    return {"pages": n_pages, "sec": round(dt, 3), "pages_per_sec": round(n_pages / dt, 1),
+            "n_tiles": n_tiles}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    mode = os.environ.get("BENCH_MODE", "full")
+
+    from pdal_spark.session import get_spark
+
+    spark = get_spark("pdal_spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus), 8))
+
+    if mode == "flagship":
+        # scaling-bench path: only the flagship job, machine-readable line
+        res = flagship(spark, FLAGSHIP_PAGES)
+        print(json.dumps({"mode": "flagship", "cpus": int(cpus), **res}))
+        spark.stop()
+        return
+
+    import __spark_entry__ as E
+
+    timings: dict[str, float] = {}
+    total0 = time.time()
+    for name, fn in E.queries().items():
+        t0 = time.time()
+        try:
+            _force(fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # record the failure, keep the suite running
+            timings[name] = -1.0
+            print(f"# bench query {name} failed: {exc}", file=sys.stderr)
+
+    flag = flagship(spark, FLAGSHIP_PAGES)
+    total = time.time() - total0
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "suite_plus_flagship_tile_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "flagship_pages": flag["pages"],
+        "flagship_sec": flag["sec"],
+        "pages_per_sec": flag["pages_per_sec"],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -146,6 +146,44 @@ def polygon_pnp_sql(poly: Polygon, x: str = "x", y: str = "y") -> str:
     return f"((({' + '.join(terms)}) % 2) = 1)"
 
 
+def polygon_contains_col(poly: Polygon, x: Column, y: Column) -> Column:
+    """Exact even-odd PnP as a pure Column expression (JVM, codegen'd).
+
+    Unrolls the crossing-number sum over every edge — identical decision
+    procedure to pnp_even_odd_np / polygon_pnp_sql. For the typical crop
+    polygon (tens to a few hundred vertices) this stays entirely inside
+    WholeStageCodegen: no Arrow round-trip, no Python, columns untouched.
+    The bbox prefilter short-circuits the edge sum for most rows.
+    """
+    b = poly.bbox()
+    crossings: Column | None = None
+    for ring in poly.rings():
+        pts = list(ring)
+        if pts[0] == pts[-1]:
+            pts = pts[:-1]
+        n = len(pts)
+        for i in range(n):
+            x1, y1 = pts[i]
+            x2, y2 = pts[(i + 1) % n]
+            crosses = (F.lit(y1) > y) != (F.lit(y2) > y)
+            xint = (
+                F.lit(x2 - x1) * (y - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+            )
+            term = F.when(crosses & (x < xint), F.lit(1)).otherwise(F.lit(0))
+            crossings = term if crossings is None else crossings + term
+    assert crossings is not None
+    return box_contains(b, x, y) & ((crossings % 2) == 1)
+
+
+# Above this many total edges, the unrolled codegen expression gets large;
+# fall back to the Arrow/numpy kernel (which scales to arbitrary rings).
+_EXPR_EDGE_LIMIT = 512
+
+
+def _poly_edge_count(poly: Polygon) -> int:
+    return sum(len(r) for r in poly.rings())
+
+
 def polygon_contains(
     df: DataFrame, poly: Polygon, x: str = "x", y: str = "y", out: str = "_inside"
 ) -> DataFrame:
@@ -221,6 +259,10 @@ def crop(
     for i, g in simple:
         flags.append((i, contains(g)))
     for i, g in polys:
+        if _poly_edge_count(g) <= _EXPR_EDGE_LIMIT:
+            # fast path: pure column expression, stays in codegen
+            flags.append((i, polygon_contains_col(g, F.col(x), F.col(y))))
+            continue
         col = f"_pnp_{i}"
         work = polygon_contains(work, g, x=x, y=y, out=col)
         flags.append((i, F.col(col)))
