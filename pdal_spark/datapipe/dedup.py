@@ -1,0 +1,330 @@
+"""Deduplication suite for web-text corpora.
+
+  exact_dedup     hash-groupBy on content — first doc (by id) wins
+  jaccard_pairs   word-set Jaccard near-dup pairs (exact, pair join)
+  minhash_*       MinHash signatures + banded LSH candidate pairs,
+                  verified with true Jaccard — the scale path: only
+                  bucket-colliding pairs are ever joined
+  simhash_*       16-bit SimHash per doc + Hamming-ball near-dup pairs
+
+All hash arithmetic is plain ``(a*x + c) % P`` over BIGINT — identical in
+Spark Column math, DuckDB SQL, and numpy, which is what lets every
+operator ship a bit-exact SQL oracle. Word-ids come from a deterministic
+sorted-vocabulary dense rank (a join, not a hash) so both engines agree.
+
+Scale notes (100 TB): vocabulary rank join is a shuffle on word —
+replaceable by any exact 64-bit string hash when cross-engine parity
+isn't needed (xxhash64 in Spark); LSH bucket join shuffles on
+(band, signature) — bounded by bucket size, with hot buckets salted by
+the same count-based strategy as the spatial cell joins (knn.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+P31 = 2147483647  # Mersenne prime 2^31-1
+
+# deterministic (a, c) params per minhash function
+MINHASH_K = 8
+MINHASH_BANDS = 4  # rows per band = K / BANDS = 2
+
+
+def _hash_params(k: int) -> list[tuple[int, int]]:
+    return [((i * 2654435761 + 1) % P31, (i * 40503 + 7) % P31) for i in range(1, k + 1)]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the first (smallest id) document per exact text value."""
+    w = Window.partitionBy(text_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dedup_sql(table: str = "documents", text: str = "text",
+                    id_col: str = "doc_id", select: str = "*") -> str:
+    return (
+        f"SELECT {select} FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY {text} ORDER BY {id_col}) AS _rn"
+        f"  FROM {table}) WHERE _rn = 1"
+    )
+
+
+def doc_words(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, word) distinct pairs — the set representation."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("word"),
+    )
+
+
+def _doc_words_sql(table: str, text: str, id_col: str) -> str:
+    return (
+        f"SELECT {id_col} AS id, unnest(list_distinct(string_split({text}, ' '))) AS word "
+        f"FROM {table}"
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, threshold: float, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact word-set Jaccard >= threshold pairs (id1 < id2).
+
+    Pair generation by shared-word join (docs sharing no word can't be
+    near-dups). At scale, precede with a document-frequency cap: drop
+    words appearing in > df_max docs from the JOIN ONLY (they generate
+    candidates without discriminating) — the Jaccard itself is computed
+    on full sets via the size join.
+    """
+    words = doc_words(df, text_col, id_col).cache()
+    sizes = words.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        words.alias("a")
+        .join(words.alias("b"), "word")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id1", "sz": "sz1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "sz": "sz2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+    return out
+
+
+def jaccard_pairs_sql(threshold: float, table: str = "documents",
+                      text: str = "text", id_col: str = "doc_id") -> str:
+    dw = _doc_words_sql(table, text, id_col)
+    return f"""
+      WITH words AS ({dw}),
+      sizes AS (SELECT id, count(*) AS sz FROM words GROUP BY 1),
+      inter AS (
+        SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+        FROM words a JOIN words b USING (word)
+        WHERE a.id < b.id GROUP BY 1, 2
+      )
+      SELECT id1, id2,
+             round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes s1 ON s1.id = id1
+      JOIN sizes s2 ON s2.id = id2
+      WHERE round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) >= {threshold!r}
+    """
+
+
+def vocab(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic word -> dense id (sorted-vocab rank, 0-based)."""
+    w = doc_words(df, text_col, id_col).select("word").distinct()
+    return w.withColumn(
+        "wid", F.row_number().over(Window.orderBy("word")).cast("long") - 1
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = MINHASH_K, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, h, minh): k min-hash values per document."""
+    spark = df.sparkSession
+    words = doc_words(df, text_col, id_col)
+    v = vocab(df, text_col, id_col)
+    wids = words.join(v, "word").select("id", "wid")
+    params = spark.createDataFrame(
+        [(i, a, c) for i, (a, c) in enumerate(_hash_params(k))], "h int, a long, c long"
+    )
+    return (
+        wids.crossJoin(F.broadcast(params))
+        .withColumn("hv", (F.col("wid") * F.col("a") + F.col("c")) % P31)
+        .groupBy("id", "h")
+        .agg(F.min("hv").alias("minh"))
+    )
+
+
+def minhash_bands(sigs: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_K) -> DataFrame:
+    """(id, band, key): banded signature keys for the LSH bucket join."""
+    rows = k // bands
+    banded = sigs.withColumn("band", (F.col("h") / rows).cast("int"))
+    return banded.groupBy("id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", "minh"))),
+                lambda s: s.getField("minh").cast("string"),
+            ),
+            ",",
+        ).alias("key")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs (same bucket in >= 1 band), verified with true
+    Jaccard >= threshold. Only bucket-mates are ever pair-joined — the
+    100 TB path; the exact jaccard_pairs() is the small-scale oracle."""
+    sigs = minhash_signatures(df, k, text_col, id_col)
+    bnd = minhash_bands(sigs, bands, k)
+    cand = (
+        bnd.alias("a")
+        .join(bnd.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    words = doc_words(df, text_col, id_col)
+    sizes = words.groupBy("id").agg(F.count("*").alias("sz"))
+    # intersection sizes computed only over candidate pairs
+    w1 = words.select(F.col("id").alias("id1"), "word")
+    w2 = words.select(F.col("id").alias("id2"), "word")
+    inter = (
+        cand.join(w1, "id1").join(w2, ["id2", "word"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id1", "sz": "sz1"}), "id1")
+        .join(sizes.withColumnsRenamed({"id": "id2", "sz": "sz2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def minhash_dedup_pairs_sql(
+    threshold: float, k: int = MINHASH_K, bands: int = MINHASH_BANDS,
+    table: str = "documents", text: str = "text", id_col: str = "doc_id",
+) -> str:
+    rows = k // bands
+    params = ", ".join(
+        f"({i}, {a}, {c})" for i, (a, c) in enumerate(_hash_params(k))
+    )
+    dw = _doc_words_sql(table, text, id_col)
+    return f"""
+      WITH words AS ({dw}),
+      vocab AS (
+        SELECT word, row_number() OVER (ORDER BY word) - 1 AS wid
+        FROM (SELECT DISTINCT word FROM words)
+      ),
+      wids AS (SELECT id, wid FROM words JOIN vocab USING (word)),
+      params(h, a, c) AS (VALUES {params}),
+      sigs AS (
+        SELECT id, h, min((wid * a + c) % {P31}) AS minh
+        FROM wids CROSS JOIN params GROUP BY 1, 2
+      ),
+      bnd AS (
+        SELECT id, CAST(h / {rows} AS INTEGER) AS band,
+               string_agg(CAST(minh AS VARCHAR), ',' ORDER BY h) AS key
+        FROM sigs GROUP BY 1, 2
+      ),
+      cand AS (
+        SELECT DISTINCT a.id AS id1, b.id AS id2
+        FROM bnd a JOIN bnd b USING (band, key) WHERE a.id < b.id
+      ),
+      sizes AS (SELECT id, count(*) AS sz FROM words GROUP BY 1),
+      inter AS (
+        SELECT id1, id2, count(*) AS inter
+        FROM cand
+        JOIN words w1 ON w1.id = cand.id1
+        JOIN words w2 ON w2.id = cand.id2 AND w2.word = w1.word
+        GROUP BY 1, 2
+      )
+      SELECT id1, id2,
+             round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) AS jaccard
+      FROM inter JOIN sizes s1 ON s1.id = id1 JOIN sizes s2 ON s2.id = id2
+      WHERE round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 6) >= {threshold!r}
+    """
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash): 16-bit SimHash over the distinct word set.
+
+    bit b of word wid = ((wid * A_b + C_b) % P) % 2; document bit b set
+    iff the majority of its words set it (sum(2*bit-1) > 0)."""
+    spark = df.sparkSession
+    words = doc_words(df, text_col, id_col)
+    v = vocab(df, text_col, id_col)
+    wids = words.join(v, "word").select("id", "wid")
+    bits = spark.createDataFrame(
+        [(b, (b * 2654435761 + 101) % P31, (b * 40503 + 11) % P31, 1 << b)
+         for b in range(SIMHASH_BITS)],
+        "b int, a long, c long, w long",
+    )
+    contrib = (
+        wids.crossJoin(F.broadcast(bits))
+        .withColumn("v", ((F.col("wid") * F.col("a") + F.col("c")) % P31) % 2 * 2 - 1)
+        .groupBy("id", "b", "w")
+        .agg(F.sum("v").alias("s"))
+    )
+    return contrib.groupBy("id").agg(
+        F.sum(F.when(F.col("s") > 0, F.col("w")).otherwise(0)).alias("simhash")
+    )
+
+
+def simhash_sql(table: str = "documents", text: str = "text",
+                id_col: str = "doc_id") -> str:
+    dw = _doc_words_sql(table, text, id_col)
+    bits = ", ".join(
+        f"({b}, {(b * 2654435761 + 101) % P31}, {(b * 40503 + 11) % P31})"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+      WITH words AS ({dw}),
+      vocab AS (
+        SELECT word, row_number() OVER (ORDER BY word) - 1 AS wid
+        FROM (SELECT DISTINCT word FROM words)
+      ),
+      wids AS (SELECT id, wid FROM words JOIN vocab USING (word)),
+      bits(b, a, c) AS (VALUES {bits}),
+      contrib AS (
+        SELECT id, b, sum(((wid * a + c) % {P31}) % 2 * 2 - 1) AS s
+        FROM wids CROSS JOIN bits GROUP BY 1, 2
+      )
+      SELECT id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+               AS simhash
+      FROM contrib GROUP BY 1
+    """
+
+
+def simhash_pairs(sim: DataFrame, max_hamming: int) -> DataFrame:
+    """Near-dup pairs by Hamming distance over simhash values.
+
+    Small-scale exact pair join; the scale path buckets on bit-bands
+    (any (BITS/(max_hamming+1))-bit band must match exactly for distance
+    <= max_hamming — pigeonhole), then verifies. Spark keeps bit_count
+    in the JVM."""
+    a = sim.select(F.col("id").alias("id1"), F.col("simhash").alias("s1"))
+    b = sim.select(F.col("id").alias("id2"), F.col("simhash").alias("s2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -1,0 +1,197 @@
+"""Training-data pipeline suite tests.
+
+Every SQL-oracle-bearing operator is cross-checked here against DuckDB
+running the very SQL string that __spark_entry__.oracle_sql() exports —
+the same comparison the correctness driver performs, run in-repo.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdal_spark.datapipe import dedup, multimodal, simsearch, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    return con
+
+
+def _cmp(spark_df, ddb_rel, sort_cols):
+    got = spark_df.toPandas().sort_values(sort_cols).reset_index(drop=True)
+    exp = ddb_rel.df().sort_values(sort_cols).reset_index(drop=True)
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=False,
+                                  rtol=0, atol=1e-9)
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def test_token_count(docs, ddb):
+    out = textstats.token_count(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+    ws, bpe = textstats.token_count_sql()
+    exp = ddb.sql(
+        f"SELECT doc_id, {ws} AS n_ws_tokens, {bpe} AS n_bpe_tokens FROM documents"
+    )
+    _cmp(out, exp, ["doc_id"])
+
+
+def test_quality_score(docs, ddb):
+    cols = ["n_words", "mean_word_len", "punct_ratio", "stopword_ratio", "quality"]
+    out = textstats.quality_score(docs).select("doc_id", *cols)
+    sql_parts = textstats.quality_score_sql()
+    sel = ", ".join(f"{v} AS {k}" for k, v in sql_parts.items())
+    exp = ddb.sql(f"SELECT doc_id, {sel} FROM documents")
+    _cmp(out, exp, ["doc_id"])
+
+
+def test_lang_id(docs, ddb):
+    out = textstats.lang_id(docs).select("doc_id", "pred_lang")
+    exp = ddb.sql(textstats.lang_id_sql())
+    _cmp(out, exp, ["doc_id"])
+
+
+def test_fingerprint(docs, ddb):
+    out = textstats.fingerprint(docs).select("doc_id", "fp_md5", "fp_roll")
+    md5_sql, roll_sql = textstats.fingerprint_sql()
+    exp = ddb.sql(
+        f"SELECT doc_id, {md5_sql} AS fp_md5, {roll_sql} AS fp_roll FROM documents"
+    )
+    _cmp(out, exp, ["doc_id"])
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def test_exact_dedup(docs, ddb):
+    out = dedup.exact_dedup(docs).select("doc_id")
+    exp = ddb.sql(dedup.exact_dedup_sql(select="doc_id"))
+    _cmp(out, exp, ["doc_id"])
+    # synthetic duplicate check: duplicating rows must collapse back
+    dup = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    n = dedup.exact_dedup(dup).count()
+    assert n == docs.count()
+
+
+def test_jaccard_pairs(docs, ddb):
+    out = dedup.jaccard_pairs(docs, threshold=0.8)
+    exp = ddb.sql(dedup.jaccard_pairs_sql(0.8))
+    _cmp(out, exp, ["id1", "id2"])
+
+
+def test_minhash_lsh_pairs(docs, ddb):
+    out = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    exp = ddb.sql(dedup.minhash_dedup_pairs_sql(0.8))
+    _cmp(out, exp, ["id1", "id2"])
+    # LSH candidates are a subset of exact pairs post-verification:
+    exact = dedup.jaccard_pairs(docs, threshold=0.8).toPandas()
+    lsh = out.toPandas()
+    exact_keys = set(zip(exact.id1, exact.id2))
+    assert set(zip(lsh.id1, lsh.id2)) <= exact_keys
+
+
+def test_simhash(docs, ddb):
+    out = dedup.simhash(docs)
+    exp = ddb.sql(dedup.simhash_sql())
+    _cmp(out, exp, ["id"])
+    # hamming pairs behave: identical docs -> distance 0
+    sim = dedup.simhash(docs)
+    pairs = dedup.simhash_pairs(sim, max_hamming=0)
+    pdfp = pairs.toPandas()
+    assert (pdfp["hamming"] == 0).all()
+
+
+# --- similarity search -----------------------------------------------------
+
+
+def test_cosine_topk(embs, ddb):
+    out = simsearch.cosine_topk(embs, k=3)
+    exp = ddb.sql(simsearch.cosine_topk_sql(3))
+    _cmp(out, exp, ["src_id", "rank"])
+    # sanity: 3 neighbors per vector
+    cnt = out.groupBy("src_id").count().toPandas()
+    assert (cnt["count"] == 3).all()
+
+
+def test_lsh_cosine_topk(embs, ddb):
+    out = simsearch.lsh_cosine_topk(embs, k=3)
+    exp = ddb.sql(simsearch.lsh_cosine_topk_sql(3))
+    _cmp(out, exp, ["src_id", "rank"])
+
+
+def test_lsh_recall_reasonable(embs):
+    exact = simsearch.cosine_topk(embs, k=3).toPandas()
+    approx = simsearch.lsh_cosine_topk(embs, k=3).toPandas()
+    e = set(zip(exact.src_id, exact.cand_id))
+    a = set(zip(approx.src_id, approx.cand_id))
+    recall = len(e & a) / len(e)
+    assert recall > 0.2  # 6 planes, 1 table — modest by design
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+
+def test_multimodal_decode_stub_raises(spark):
+    df = multimodal.synth_binary_docs(spark, 10)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_meta(df).collect()
+
+
+def test_multimodal_fake_decode(spark):
+    df = multimodal.synth_binary_docs(spark, 50, payload_bytes=512)
+    out = multimodal.decode_image_meta(df, fake=True)
+    pdf = out.toPandas()
+    assert len(pdf) == 50
+    metas = pd.DataFrame(list(pdf["image_meta"]))
+    assert (metas["byte_len"] == 512).all()
+    assert metas["mean_intensity"].between(0, 255).all()
+    # deterministic: same input -> same metas
+    pdf2 = multimodal.decode_image_meta(df, fake=True).toPandas()
+    m2 = pd.DataFrame(list(pdf2.sort_values("doc_id")["image_meta"]))
+    m1 = pd.DataFrame(list(pdf.sort_values("doc_id")["image_meta"]))
+    pd.testing.assert_frame_equal(m1.reset_index(drop=True), m2.reset_index(drop=True))
+
+
+def test_multimodal_frame_sample(spark):
+    df = multimodal.synth_binary_docs(spark, 5, payload_bytes=1024)
+    out = multimodal.frame_sample(df, every_n=2, frame_bytes=256, fake=True)
+    pdf = out.toPandas()
+    # 1024/256 = 4 frames, every 2nd -> 2 per doc
+    assert len(pdf) == 10
+    assert set(pdf["frame_idx"]) == {0, 2}
+    assert all(len(b) == 256 for b in pdf["frame"])
+
+
+def test_multimodal_embed_stub_feeds_simsearch(spark):
+    df = multimodal.synth_binary_docs(spark, 30)
+    feats = multimodal.embed_stub(df, dim=8).select(
+        F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    out = simsearch.cosine_topk(feats, k=2).toPandas()
+    assert (out.groupby("src_id").size() == 2).all()
