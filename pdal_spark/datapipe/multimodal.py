@@ -65,15 +65,13 @@ def decode_image_meta(
     cols = df.columns
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = ["byte_len", "width", "height", "channels", "mean_intensity"]
         for pdf in batches:
-            metas = [_fake_decode(b if b is not None else b"") for b in pdf[binary_col]]
-            m = pd.DataFrame(
-                metas,
-                columns=["byte_len", "width", "height", "channels", "mean_intensity"],
-                index=pdf.index,
-            )
-            yield pd.concat([pdf, pd.DataFrame({"image_meta": m.to_dict("records")},
-                                               index=pdf.index)], axis=1)
+            metas = [
+                dict(zip(keys, _fake_decode(b if b is not None else b"")))
+                for b in pdf[binary_col]
+            ]
+            yield pdf.assign(image_meta=pd.Series(metas, index=pdf.index))
 
     schema = StructType(list(df.schema.fields) + [StructField("image_meta", IMAGE_META_SCHEMA)])
     return df.mapInPandas(kernel, schema=schema)
@@ -137,10 +135,14 @@ def synth_binary_docs(spark, n: int, payload_bytes: int = 512) -> DataFrame:
     """Deterministic binary-payload table for multimodal tests: payload =
     repeated sha2 bytes keyed by id (pure column expr, no RNG)."""
     reps = payload_bytes // 32 + 1
+    # slice the HEX string (utf-8 safe), unhex once at the end — slicing the
+    # binary directly would go through StringType and corrupt the bytes
     return spark.range(n).select(
         F.col("id").alias("doc_id"),
-        F.substring(
-            F.repeat(F.unhex(F.sha2(F.col("id").cast("string"), 256)), reps),
-            1, payload_bytes,
+        F.unhex(
+            F.substring(
+                F.repeat(F.sha2(F.col("id").cast("string"), 256), reps),
+                1, payload_bytes * 2,
+            )
         ).alias("payload"),
     )
