@@ -15,11 +15,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdal_spark import geo
+from pdal_spark.datapipe import dedup as dedup_op
+from pdal_spark.datapipe import simsearch as sim_op
+from pdal_spark.datapipe import textstats as text_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
+from pdal_spark.operators import chipper as chipper_op
 from pdal_spark.operators import crop as crop_op
 from pdal_spark.operators import hexbin as hexbin_op
 from pdal_spark.operators import knn as knn_op
+from pdal_spark.operators import raster as raster_op
 from pdal_spark.operators import relational as rel_op
 from pdal_spark.operators import splitter as splitter_op
 from pdal_spark.operators import stats as stats_op
@@ -309,6 +314,127 @@ def q_radial_density(spark, sf_dir):
     )
 
 
+# --- chipper ---------------------------------------------------------------
+
+CHIP_CAP = 40
+
+
+def q_chipper_2part(spark, sf_dir):
+    """filters.chipper terminal 2-partition case: cumulate-and-lround cut
+    in the wider (x) axis (ChipperFilter.cpp:210-233); SQL-checkable."""
+    import math
+
+    df = _docs_geo(spark, sf_dir)
+    n = df.count()
+    cap = math.ceil(n / 2)
+    out = chipper_op.chip(df, cap, order_col="doc_id")
+    return out.select("doc_id", "chip_id")
+
+
+def q_chipper_counts(spark, sf_dir):
+    """Full chipper recursion; chip sizes equal the partition-boundary
+    diffs (analytic invariant of ChipperFilter::partition)."""
+    df = _docs_geo(spark, sf_dir)
+    out = chipper_op.chip(df, CHIP_CAP, order_col="doc_id")
+    return out.groupBy("chip_id").agg(F.count("*").alias("n"))
+
+
+def q_chipper_assign(spark, sf_dir):
+    """Full chipper membership (no SQL oracle — recursive redistribution;
+    strong oracle lives in tests/test_chipper.py's literal reimplementation)."""
+    df = _docs_geo(spark, sf_dir)
+    out = chipper_op.chip(df, CHIP_CAP, order_col="doc_id")
+    return out.select("doc_id", "chip_id", "chip_rank")
+
+
+# --- rasterization ---------------------------------------------------------
+
+RGRID = raster_op.GridSpec.create(-180.0, -90.0, 12, 6, 30.0)  # radius 30*sqrt2
+
+
+def q_raster_cells(spark, sf_dir):
+    """writers.gdal rasterization: per-cell count/min/max/mean/stdev/idw
+    of n_chars over geocoded docs (GDALGrid.cpp:371-460 semantics)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        geo.geocode_lcg_x(F.col("doc_id")).alias("x"),
+        geo.geocode_lcg_y(F.col("doc_id")).alias("y"),
+    )
+    cells = raster_op.rasterize(
+        df, RGRID, "n_chars", order_col="doc_id"
+    )
+    return cells.select(
+        "col", "row", "count",
+        F.round("vmin", 6).alias("vmin"), F.round("vmax", 6).alias("vmax"),
+        F.round("mean", 6).alias("mean"), F.round("stdev", 6).alias("stdev"),
+        F.round("idw", 6).alias("idw"),
+    )
+
+
+def q_raster_pixels(spark, sf_dir):
+    """readers.gdal inverse: one row per pixel, row-major, center coords."""
+    return raster_op.raster_to_points(spark, RGRID).select("pid", "col", "row", "x", "y")
+
+
+# --- training-data pipeline ------------------------------------------------
+
+
+def q_text_tokens(spark, sf_dir):
+    df = _table(spark, sf_dir, "documents")
+    return text_op.token_count(df).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+def q_text_quality(spark, sf_dir):
+    df = _table(spark, sf_dir, "documents")
+    return text_op.quality_score(df).select(
+        "doc_id", "n_words", "mean_word_len", "punct_ratio", "stopword_ratio",
+        "quality",
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    df = _table(spark, sf_dir, "documents")
+    return text_op.lang_id(df).select("doc_id", "pred_lang")
+
+
+def q_text_fingerprint(spark, sf_dir):
+    df = _table(spark, sf_dir, "documents")
+    return text_op.fingerprint(df).select("doc_id", "fp_md5", "fp_roll")
+
+
+def q_dedup_exact(spark, sf_dir):
+    df = _table(spark, sf_dir, "documents")
+    return dedup_op.exact_dedup(df).select("doc_id", "lang")
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    df = _table(spark, sf_dir, "documents")
+    return dedup_op.jaccard_pairs(df, threshold=0.8)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    df = _table(spark, sf_dir, "documents")
+    return dedup_op.minhash_dedup_pairs(df, threshold=0.8)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    df = _table(spark, sf_dir, "documents")
+    return dedup_op.simhash(df).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    df = _table(spark, sf_dir, "embeddings")
+    return sim_op.cosine_topk(df, k=3)
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    df = _table(spark, sf_dir, "embeddings")
+    return sim_op.lsh_cosine_topk(df, k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crop_box": q_crop_box,
@@ -337,6 +463,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_salted": q_knn_join_salted,
         "neighbor_classify": q_neighbor_classify,
         "radial_density": q_radial_density,
+        "chipper_2part": q_chipper_2part,
+        "chipper_counts": q_chipper_counts,
+        "chipper_assign": q_chipper_assign,
+        "raster_cells": q_raster_cells,
+        "raster_pixels": q_raster_pixels,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
     }
 
 
@@ -368,6 +509,115 @@ def oracle_sql() -> dict[str, str]:
             f"count(*) AS n_pages FROM ({_DOCS_GEO_SQL}) GROUP BY 1, 2"
         ),
         **_relational_oracles(),
+        **_chipper_oracles(),
+        **_raster_oracles(),
+        **_datapipe_oracles(),
+    }
+
+
+def _chipper_oracles() -> dict[str, str]:
+    # chipper_2part: terminal distance-2 case — the cut is the lround'd
+    # half boundary in the wider axis (x for this geocode: 360 vs 180
+    # span). floor(total + .5) replicates lround for positive totals.
+    two_part = f"""
+      WITH pts AS ({_DOCS_GEO_SQL}),
+      r AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY x ASC, doc_id ASC) - 1 AS xr,
+               count(*) OVER () AS n
+        FROM pts
+      )
+      SELECT doc_id,
+             CAST(CASE WHEN xr < CAST(floor(CAST(n AS DOUBLE) / 2 + 0.5) AS BIGINT)
+                  THEN 0 ELSE 1 END AS BIGINT) AS chip_id
+      FROM r
+    """
+    # chipper_counts: chip k size == P[k+1]-P[k] with
+    # P[k] = floor((n/num)*k + .5) — analytic, membership-free.
+    counts = f"""
+      WITH c AS (SELECT count(*) AS n FROM documents),
+      dims AS (
+        SELECT n, n // {CHIP_CAP} + CASE WHEN n % {CHIP_CAP} <> 0 THEN 1 ELSE 0 END
+                 AS num FROM c
+      ),
+      ks AS (SELECT unnest(range(0, num)) AS chip_id, n, num FROM dims)
+      SELECT chip_id,
+             CAST(floor((CAST(n AS DOUBLE) / num) * (chip_id + 1) + 0.5) AS BIGINT)
+             - CAST(floor((CAST(n AS DOUBLE) / num) * chip_id + 0.5) AS BIGINT) AS n
+      FROM ks
+    """
+    return {"chipper_2part": two_part, "chipper_counts": counts}
+
+
+def _raster_oracles() -> dict[str, str]:
+    g = RGRID
+    docs = (
+        f"SELECT doc_id, n_chars, ({_X_SQL}) AS x, ({_Y_SQL}) AS y FROM documents"
+    )
+    cx = f"(({g.origin_x!r}) + (c.i + 0.5) * {g.edge!r})"
+    cy = f"(({g.origin_y!r}) + ({float(g.height)!r} - (c.j + 0.5)) * {g.edge!r})"
+    d = f"sqrt((p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}))"
+    cells_sql = f"""
+      WITH pts AS ({docs}),
+      cells AS (
+        SELECT a.i, b.j
+        FROM (SELECT unnest(range(0, {g.width})) AS i) a
+        CROSS JOIN (SELECT unnest(range(0, {g.height})) AS j) b
+      ),
+      hits AS (
+        SELECT c.i AS col, c.j AS row, p.doc_id, CAST(p.n_chars AS DOUBLE) AS v,
+               {d} AS dd
+        FROM pts p JOIN cells c ON {d} < {g.radius!r}
+      )
+      SELECT col, row, count(*) AS count,
+             round(min(v), 6) AS vmin, round(max(v), 6) AS vmax,
+             round(avg(v), 6) AS mean, round(stddev_pop(v), 6) AS stdev,
+             round(CASE WHEN count(*) FILTER (WHERE dd = 0) > 0
+                        THEN arg_min(v, doc_id) FILTER (WHERE dd = 0)
+                        ELSE sum(v * (1.0 / dd)) / sum(1.0 / dd) END, 6) AS idw
+      FROM hits GROUP BY 1, 2
+    """
+    pixels_sql = f"""
+      WITH px AS (SELECT unnest(range(0, {g.width * g.height})) AS pid)
+      SELECT pid, pid % {g.width} AS col, pid // {g.width} AS row,
+             ({g.origin_x!r}) + (pid % {g.width} + 0.5) * {g.edge!r} AS x,
+             ({g.origin_y!r}) + ({float(g.height)!r} - (pid // {g.width} + 0.5))
+               * {g.edge!r} AS y
+      FROM px
+    """
+    return {"raster_cells": cells_sql, "raster_pixels": pixels_sql}
+
+
+def _datapipe_oracles() -> dict[str, str]:
+    ws, bpe = text_op.token_count_sql()
+    q = text_op.quality_score_sql()
+    md5_sql, roll_sql = text_op.fingerprint_sql()
+    return {
+        "text_tokens": (
+            f"SELECT doc_id, CAST({ws} AS BIGINT) AS n_ws_tokens, "
+            f"CAST({bpe} AS BIGINT) AS n_bpe_tokens FROM documents"
+        ),
+        "text_quality": (
+            f"SELECT doc_id, CAST({q['n_words']} AS BIGINT) AS n_words, "
+            f"{q['mean_word_len']} AS mean_word_len, "
+            f"{q['punct_ratio']} AS punct_ratio, "
+            f"{q['stopword_ratio']} AS stopword_ratio, "
+            f"{q['quality']} AS quality FROM documents"
+        ),
+        "text_langid": text_op.lang_id_sql(),
+        "text_fingerprint": (
+            f"SELECT doc_id, {md5_sql} AS fp_md5, "
+            f"CAST({roll_sql} AS BIGINT) AS fp_roll FROM documents"
+        ),
+        "dedup_exact": dedup_op.exact_dedup_sql(select="doc_id, lang"),
+        "dedup_jaccard": dedup_op.jaccard_pairs_sql(0.8),
+        "dedup_minhash": dedup_op.minhash_dedup_pairs_sql(0.8),
+        "dedup_simhash": (
+            f"SELECT id AS doc_id, CAST(simhash AS BIGINT) AS simhash "
+            f"FROM ({dedup_op.simhash_sql()})"
+        ),
+        "sim_cosine_topk": sim_op.cosine_topk_sql(3),
+        "sim_lsh_topk": sim_op.lsh_cosine_topk_sql(3),
     }
 
 
