@@ -21,7 +21,7 @@ the same count-based strategy as the spatial cell joins (knn.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 P31 = 2147483647  # Mersenne prime 2^31-1
@@ -69,29 +69,81 @@ def _doc_words_sql(table: str, text: str, id_col: str) -> str:
     )
 
 
-def jaccard_pairs(
-    df: DataFrame, threshold: float, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Exact word-set Jaccard >= threshold pairs (id1 < id2).
+MASK_CHUNK_BITS = 62  # bits per mask chunk (stay clear of the sign bit)
 
-    Pair generation by shared-word join (docs sharing no word can't be
-    near-dups). At scale, precede with a document-frequency cap: drop
-    words appearing in > df_max docs from the JOIN ONLY (they generate
-    candidates without discriminating) — the Jaccard itself is computed
-    on full sets via the size join.
+
+def _doc_masks(words: DataFrame, v: DataFrame) -> tuple[DataFrame, int]:
+    """(id, sz, masks): chunked-bitmask word-set representation.
+
+    masks[c] has bit (wid % B) set for every word with wid // B == c.
+    Set intersection then becomes Σ bit_count(a & b) over zipped chunks —
+    pure integer column math, no join. Right-sized for bounded
+    vocabularies (mask bytes = vocab/8 per doc); open-vocabulary corpora
+    fall back to the shared-word verification join.
     """
-    words = doc_words(df, text_col, id_col).cache()
-    sizes = words.groupBy("id").agg(F.count("*").alias("sz"))
-    inter = (
-        words.alias("a")
-        .join(words.alias("b"), "word")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .agg(F.count("*").alias("inter"))
+    n_chunks_row = v.agg(
+        (F.floor(F.max("wid") / MASK_CHUNK_BITS) + 1).alias("nc")
+    ).collect()[0]
+    n_chunks = int(n_chunks_row.nc)
+    wids = words.join(v, "word").select("id", "wid")
+    per_chunk = (
+        wids.withColumn("chunk", (F.col("wid") / MASK_CHUNK_BITS).cast("int"))
+        .withColumn("bit", (F.col("wid") % MASK_CHUNK_BITS).cast("int"))
+        .groupBy("id", "chunk")
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("m"),
+            F.count("*").alias("nw"),
+        )
     )
-    out = (
-        inter.join(sizes.withColumnsRenamed({"id": "id1", "sz": "sz1"}), "id1")
-        .join(sizes.withColumnsRenamed({"id": "id2", "sz": "sz2"}), "id2")
+    # densify to fixed-length arrays (missing chunks -> 0)
+    chunk_map = F.map_from_arrays(F.collect_list("chunk"), F.collect_list("m"))
+    dense = per_chunk.groupBy("id").agg(
+        F.sum("nw").cast("long").alias("sz"),
+        chunk_map.alias("_cm"),
+    ).select(
+        "id", "sz",
+        F.array(*[
+            F.coalesce(F.element_at(F.col("_cm"), F.lit(c)), F.lit(0).cast("long"))
+            for c in range(n_chunks)
+        ]).alias("masks"),
+    )
+    return dense, n_chunks
+
+
+def _mask_inter(a: Column, b: Column, n_chunks: int | None = None) -> Column:
+    """Σ bit_count(a[c] & b[c]).
+
+    With a known chunk count the sum unrolls into plain element_at
+    expressions (whole-stage codegen); unknown-width arrays fall back to
+    the zip_with/aggregate HOF (interpreted — ~10x slower per row)."""
+    if n_chunks is not None:
+        terms = [
+            F.bit_count(
+                F.element_at(a, c + 1).bitwiseAND(F.element_at(b, c + 1))
+            ).cast("long")
+            for c in range(n_chunks)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _verify_pairs_bitmask(cand: DataFrame, masks: DataFrame, threshold: float,
+                          n_chunks: int | None = None) -> DataFrame:
+    """Exact Jaccard on candidate pairs via chunked-bitmask intersection."""
+    m1 = masks.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"),
+                      F.col("masks").alias("ma"))
+    m2 = masks.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"),
+                      F.col("masks").alias("mb"))
+    return (
+        cand.join(m1, "id1").join(m2, "id2")
+        .withColumn("inter", _mask_inter(F.col("ma"), F.col("mb"), n_chunks))
         .withColumn(
             "jaccard",
             F.round(
@@ -103,7 +155,59 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
-    return out
+
+
+def _prefix_candidates(words: DataFrame, v: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered candidate pairs (exact — no near-dup pair is lost).
+
+    Words globally ordered by (document frequency asc, word): any pair
+    with Jaccard >= t must share a word within each doc's first
+    sz - ceil(t*sz) + 1 words of that order (prefix-filter theorem), so
+    only rare-word prefixes are self-joined — the buckets the join fans
+    out over are the SMALLEST ones in the corpus.
+    """
+    dfreq = words.groupBy("word").agg(F.count("*").alias("df"))
+    order = dfreq.join(v, "word").select(
+        "word",
+        F.row_number().over(Window.orderBy(F.col("df").asc(), F.col("word").asc()))
+        .alias("ord"),
+    )
+    sized = words.join(F.broadcast(order), "word").withColumn(
+        "sz", F.count("*").over(Window.partitionBy("id"))
+    )
+    pref_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    prefix = (
+        sized.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("id").orderBy(F.col("ord").asc())),
+        )
+        .filter(F.col("rk") <= pref_len)
+        .select("id", "ord")
+    )
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "ord")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, threshold: float, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact word-set Jaccard >= threshold pairs (id1 < id2).
+
+    Scale shape: prefix-filtered candidate generation (rare-word buckets
+    only) + chunked-bitmask verification (integer codegen, no
+    verification join). Equivalent to the naive shared-word join — the
+    SQL oracle keeps the naive formulation as the cross-engine check.
+    """
+    words = doc_words(df, text_col, id_col)
+    v = vocab(df, text_col, id_col)
+    cand = _prefix_candidates(words, v, threshold)
+    masks, n_chunks = _doc_masks(words, v)
+    return _verify_pairs_bitmask(cand, masks, threshold, n_chunks)
 
 
 def jaccard_pairs_sql(threshold: float, table: str = "documents",
@@ -189,29 +293,8 @@ def minhash_dedup_pairs(
         .distinct()
     )
     words = doc_words(df, text_col, id_col)
-    sizes = words.groupBy("id").agg(F.count("*").alias("sz"))
-    # intersection sizes computed only over candidate pairs
-    w1 = words.select(F.col("id").alias("id1"), "word")
-    w2 = words.select(F.col("id").alias("id2"), "word")
-    inter = (
-        cand.join(w1, "id1").join(w2, ["id2", "word"])
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnsRenamed({"id": "id1", "sz": "sz1"}), "id1")
-        .join(sizes.withColumnsRenamed({"id": "id2", "sz": "sz2"}), "id2")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
-    )
+    masks, n_chunks = _doc_masks(words, vocab(df, text_col, id_col))
+    return _verify_pairs_bitmask(cand, masks, threshold, n_chunks)
 
 
 def minhash_dedup_pairs_sql(

@@ -56,42 +56,99 @@ def _norm_sql(a: str) -> str:
     )
 
 
+def _seq_dot_matrix(S: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """(m,d) x (n,d) -> (m,n) dot products accumulated in DIMENSION ORDER.
+
+    Deliberately not BLAS matmul: each element is the left-fold
+    Σ_j S[i,j]*C[k,j] in ascending j, bit-identical to the Column-HOF
+    fold and to DuckDB's list_sum — vectorized across the (m,n) plane, so
+    it's still ~two orders faster than per-pair Python."""
+    import numpy as np
+
+    acc = np.zeros((S.shape[0], C.shape[0]))
+    for j in range(S.shape[1]):
+        acc += np.multiply.outer(S[:, j], C[:, j])
+    return acc
+
+
+def _seq_norms(M: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    acc = np.zeros(M.shape[0])
+    for j in range(M.shape[1]):
+        acc += M[:, j] * M[:, j]
+    return np.sqrt(acc)
+
+
+def _round_half_up(x: "np.ndarray", digits: int = ROUND) -> "np.ndarray":
+    """HALF_UP decimal rounding (Spark round() / DuckDB round semantics;
+    numpy's round is half-even and would diverge)."""
+    import numpy as np
+
+    s = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
 def cosine_topk(
     df: DataFrame,
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per vector (excluding self).
+    """Exact brute-force top-k cosine neighbors per vector (excluding
+    self); ties broken by candidate id ascending.
 
-    Ties broken by candidate id ascending — the deterministic rank rule
-    shared with the spatial kNN join (operators/knn.py)."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("n"),
+    Scale shape: candidate matrix broadcast to executors, source vectors
+    streamed through an Arrow-batched kernel doing vectorized numpy block
+    products and per-row top-k selection — no pair join, no shuffle
+    beyond the scan. Bounded by broadcast size (~0.5 GB per 10^6 x 64-d
+    float64); beyond that, the LSH/IVF path is the ANN answer and this
+    kernel re-ranks within buckets."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    cand_rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .collect()
     )
-    a = base.select(
-        F.col("id").alias("src_id"), F.col("v").alias("va"), F.col("n").alias("na")
-    )
-    b = base.select(
-        F.col("id").alias("cand_id"), F.col("v").alias("vb"), F.col("n").alias("nb")
-    )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("src_id") != F.col("cand_id"))
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), ROUND),
-        )
-    )
-    w = Window.partitionBy("src_id").orderBy(
-        F.col("cosine").desc(), F.col("cand_id").asc()
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("src_id", "cand_id", "cosine", "rank")
+    ids_c = np.array([r.id for r in cand_rows], dtype=np.int64)
+    C = np.array([r.v for r in cand_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids_c, C, _seq_norms(C)))
+    kk = int(k)
+
+    src = df.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("v"))
+
+    def kernel(batches):
+        ids_cand, Cm, nC = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            S = np.array(list(pdf["v"]), dtype=np.float64)
+            sims = _seq_dot_matrix(S, Cm) / np.multiply.outer(_seq_norms(S), nC)
+            sims = _round_half_up(sims)
+            src_ids = pdf["src_id"].to_numpy(np.int64)
+            out_src, out_cand, out_cos, out_rank = [], [], [], []
+            for i in range(len(S)):
+                row = sims[i]
+                mask = ids_cand != src_ids[i]
+                cands = ids_cand[mask]
+                vals = row[mask]
+                order = np.lexsort((cands, -vals))[:kk]
+                out_src.extend([src_ids[i]] * len(order))
+                out_cand.extend(cands[order])
+                out_cos.extend(vals[order])
+                out_rank.extend(range(1, len(order) + 1))
+            yield pd.DataFrame({
+                "src_id": np.array(out_src, np.int64),
+                "cand_id": np.array(out_cand, np.int64),
+                "cosine": np.array(out_cos, np.float64),
+                "rank": np.array(out_rank, np.int32),
+            })
+
+    return src.mapInPandas(
+        kernel, schema="src_id long, cand_id long, cosine double, rank int"
     )
 
 
@@ -182,24 +239,33 @@ def lsh_cosine_topk(
     """Approximate top-k: exact cosine re-rank over pairs that collide in
     at least one LSH table. Deterministic — the SQL oracle reproduces it
     exactly. Recall grows with n_tables (OR), precision with n_planes."""
+    import numpy as np
+    import pandas as pd
+
     b = lsh_buckets(df, n_planes, n_tables, id_col, vec_col)
-    norms = df.select(
-        F.col(id_col).alias("id"), _norm(F.col(vec_col)).alias("n")
-    )
-    base = b.join(norms, "id")
-    a = base.select("tbl", "bucket", F.col("id").alias("src_id"),
-                    F.col("v").alias("va"), F.col("n").alias("na"))
-    c = base.select("tbl", "bucket", F.col("id").alias("cand_id"),
-                    F.col("v").alias("vb"), F.col("n").alias("nb"))
+
+    def bucket_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # all within-bucket pairs, vectorized; ordered-fold dot (see
+        # _seq_dot_matrix) keeps parity with the SQL oracle
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"src_id": [], "cand_id": [], "cosine": []}).astype(
+                {"src_id": np.int64, "cand_id": np.int64, "cosine": np.float64}
+            )
+        ids = pdf["id"].to_numpy(np.int64)
+        M = np.array(list(pdf["v"]), dtype=np.float64)
+        nm = _seq_norms(M)
+        sims = _round_half_up(_seq_dot_matrix(M, M) / np.multiply.outer(nm, nm))
+        src, cand = np.where(~np.eye(n, dtype=bool))
+        return pd.DataFrame({
+            "src_id": ids[src], "cand_id": ids[cand],
+            "cosine": sims[src, cand],
+        })
+
     pairs = (
-        a.join(c, ["tbl", "bucket"])
-        .filter(F.col("src_id") != F.col("cand_id"))
-        .select("src_id", "cand_id", "va", "vb", "na", "nb")
+        b.groupBy("tbl", "bucket")
+        .applyInPandas(bucket_pairs, schema="src_id long, cand_id long, cosine double")
         .dropDuplicates(["src_id", "cand_id"])
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), ROUND),
-        )
     )
     w = Window.partitionBy("src_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").asc()
