@@ -377,6 +377,68 @@ def q_raster_pixels(spark, sf_dir):
     return raster_op.raster_to_points(spark, RGRID).select("pid", "col", "row", "x", "y")
 
 
+# --- kNN feature family ------------------------------------------------------
+
+FEAT_K = 8
+LOF_MINPTS = 10
+
+
+def _docs_pts(spark, sf_dir):
+    return _docs_geo(spark, sf_dir).select("doc_id", "x", "y")
+
+
+def q_feat_lof(spark, sf_dir):
+    """filters.lof: KDistance / LRD / LOF over minpts+1 self-inclusive
+    neighbor lists (LOFFilter.cpp:61-133)."""
+    from pdal_spark.operators import features as feat_op
+
+    out = feat_op.lof(_docs_pts(spark, sf_dir), minpts=LOF_MINPTS,
+                      id_col="doc_id", exact=True)
+    return out.select(
+        "doc_id", F.round("kdistance", 6).alias("kdistance"),
+        F.round("lrd", 6).alias("lrd"), F.round("lof", 6).alias("lof"),
+    )
+
+
+def q_feat_reciprocity(spark, sf_dir):
+    """filters.reciprocity: % of k neighbors not reciprocating."""
+    from pdal_spark.operators import features as feat_op
+
+    out = feat_op.reciprocity(_docs_pts(spark, sf_dir), k=FEAT_K,
+                              id_col="doc_id", exact=True)
+    return out.select("doc_id", F.round("reciprocity", 6).alias("reciprocity"))
+
+
+def q_feat_eigenvalues(spark, sf_dir):
+    """filters.eigenvalues (no SQL oracle — batched 3x3 eigh; strong
+    numpy oracle in tests/test_features.py)."""
+    from pdal_spark.operators import features as feat_op
+
+    out = feat_op.eigenvalues(_docs_pts(spark, sf_dir), k=FEAT_K,
+                              id_col="doc_id", exact=True)
+    return out.select(
+        "doc_id",
+        F.round("eigenvalue0", 6).alias("eigenvalue0"),
+        F.round("eigenvalue1", 6).alias("eigenvalue1"),
+        F.round("eigenvalue2", 6).alias("eigenvalue2"),
+    )
+
+
+def q_feat_covariance(spark, sf_dir):
+    """filters.covariancefeatures Dimensionality set (tests carry oracle)."""
+    from pdal_spark.operators import features as feat_op
+
+    out = feat_op.covariance_features(_docs_pts(spark, sf_dir), k=10,
+                                      id_col="doc_id", exact=True)
+    return out.select(
+        "doc_id",
+        F.round("linearity", 6).alias("linearity"),
+        F.round("planarity", 6).alias("planarity"),
+        F.round("scattering", 6).alias("scattering"),
+        F.round("verticality", 6).alias("verticality"),
+    )
+
+
 # --- training-data pipeline ------------------------------------------------
 
 
@@ -478,6 +540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "feat_lof": q_feat_lof,
+        "feat_reciprocity": q_feat_reciprocity,
+        "feat_eigenvalues": q_feat_eigenvalues,
+        "feat_covariance": q_feat_covariance,
     }
 
 
@@ -512,7 +578,73 @@ def oracle_sql() -> dict[str, str]:
         **_chipper_oracles(),
         **_raster_oracles(),
         **_datapipe_oracles(),
+        **_feature_oracles(),
     }
+
+
+def _feature_oracles() -> dict[str, str]:
+    kk = LOF_MINPTS + 1
+    knn_self = f"""
+      knn AS (
+        SELECT * FROM (
+          SELECT s.doc_id AS src, c.doc_id AS cand,
+                 sqrt((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)) AS dist,
+                 row_number() OVER (
+                   PARTITION BY s.doc_id
+                   ORDER BY ((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)) ASC,
+                            c.doc_id ASC
+                 ) AS rank
+          FROM pts s JOIN pts c ON TRUE
+        ) WHERE rank <= {kk}
+      )
+    """
+    lof_sql = f"""
+      WITH pts AS ({_DOCS_GEO_SQL}),
+      {knn_self},
+      kd AS (SELECT src AS id, dist AS kdistance FROM knn WHERE rank = {kk}),
+      lrd AS (
+        SELECT k.src, 1.0 / avg(greatest(kdj.kdistance, k.dist)) AS lrd
+        FROM knn k JOIN kd kdj ON kdj.id = k.cand GROUP BY 1
+      ),
+      lofv AS (
+        SELECT k.src, avg(lj.lrd / li.lrd) AS lof
+        FROM knn k
+        JOIN lrd lj ON lj.src = k.cand
+        JOIN lrd li ON li.src = k.src
+        GROUP BY 1
+      )
+      SELECT kd.id AS doc_id, round(kd.kdistance, 6) AS kdistance,
+             round(lrd.lrd, 6) AS lrd, round(lofv.lof, 6) AS lof
+      FROM kd JOIN lrd ON lrd.src = kd.id JOIN lofv ON lofv.src = kd.id
+    """
+    krec = FEAT_K + 1
+    recip_sql = f"""
+      WITH pts AS ({_DOCS_GEO_SQL}),
+      knn AS (
+        SELECT * FROM (
+          SELECT s.doc_id AS src, c.doc_id AS cand,
+                 row_number() OVER (
+                   PARTITION BY s.doc_id
+                   ORDER BY ((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)) ASC,
+                            c.doc_id ASC
+                 ) AS rank
+          FROM pts s JOIN pts c ON TRUE
+        ) WHERE rank <= {krec}
+      ),
+      others AS (SELECT src, cand FROM knn WHERE src <> cand),
+      uni AS (
+        SELECT o.src, count(*) AS u
+        FROM others o
+        WHERE NOT EXISTS (
+          SELECT 1 FROM knn r WHERE r.src = o.cand AND r.cand = o.src
+        )
+        GROUP BY 1
+      )
+      SELECT p.doc_id,
+             round(coalesce(u, 0) * 100.0 / {FEAT_K}, 6) AS reciprocity
+      FROM pts p LEFT JOIN uni ON uni.src = p.doc_id
+    """
+    return {"feat_lof": lof_sql, "feat_reciprocity": recip_sql}
 
 
 def _chipper_oracles() -> dict[str, str]:
