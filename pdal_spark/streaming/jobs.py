@@ -1,0 +1,118 @@
+"""Streaming jobs: the reference's streamable stages on unbounded input.
+
+All functions take a (possibly streaming) DataFrame and return a
+DataFrame — the same operator-library contract. They are exercised both
+ways by tests: once via readStream + memory sink, once as plain batch,
+asserting equality (the reference's stream↔standard invariant,
+test/unit/StreamingTest.cpp:48-166).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdal_spark import geo
+
+
+def stream_tile_counts(
+    df: DataFrame,
+    tile_len: float,
+    origin_x: float,
+    origin_y: float,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """kernels.tile streaming shape: per-tile running counts.
+
+    On a streaming frame this is a stateful aggregation (complete/update
+    mode); on batch it's the plain splitter count. Tile math is identical
+    to operators.splitter (int-cast-then-decrement floor)."""
+    tx = geo.tile_coord(F.col(x), origin_x, tile_len)
+    ty = geo.tile_coord(F.col(y), origin_y, tile_len)
+    return (
+        df.withColumn("tile_x", tx)
+        .withColumn("tile_y", ty)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def stream_windowed_counts(
+    df: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling event-time window counts with a watermark for late data —
+    the unbounded-stream generalization the reference lacks (SURVEY
+    §2.10: no watermarks/event-time in PDAL)."""
+    # watermarks require TIMESTAMP (tz) — NTZ parquet columns are cast,
+    # identically on batch and stream so the equivalence holds
+    d = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if d.isStreaming:
+        d = d.withWatermark(ts_col, watermark)
+    return (
+        d.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"),
+            key_col, "n", "sum_value",
+        )
+    )
+
+
+def stream_stats_moments(
+    df: DataFrame, dim: str, key_col: str | None = None
+) -> DataFrame:
+    """filters.stats as a streaming aggregation: the M1-M4 accumulators
+    (StatsFilter.hpp:153-196) expressed as power sums — associative and
+    mergeable, so Spark's partial aggregation IS the streaming
+    accumulator; finalization happens in the select, like done()."""
+    v = F.col(dim).cast("double")
+    gb = df.groupBy(F.col(key_col)) if key_col else df.groupBy()
+    agg = gb.agg(
+        F.count(v).alias("n"),
+        F.min(v).alias("minimum"),
+        F.max(v).alias("maximum"),
+        F.sum(v).alias("_s1"),
+        F.sum(v * v).alias("_s2"),
+        F.sum(v * v * v).alias("_s3"),
+        F.sum(v * v * v * v).alias("_s4"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("_s1") / n
+    # central moments from power sums
+    m2 = F.col("_s2") / n - m * m
+    m3 = F.col("_s3") / n - 3 * m * F.col("_s2") / n + 2 * m * m * m
+    m4 = (
+        F.col("_s4") / n
+        - 4 * m * F.col("_s3") / n
+        + 6 * m * m * F.col("_s2") / n
+        - 3 * m * m * m * m
+    )
+    # sample variance (M2/(n-1), StatsFilter.hpp:72-75)
+    var = m2 * n / (n - 1)
+    return agg.select(
+        *([key_col] if key_col else []),
+        "n", "minimum", "maximum",
+        F.round(m, 6).alias("average"),
+        F.round(var, 6).alias("variance"),
+    ).drop("_s1", "_s2", "_s3", "_s4")
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+):
+    """Start a memory-sink query and block until the source drains —
+    test/driver harness (memory sink ≈ the reference's in-process
+    PointViewSet capture)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

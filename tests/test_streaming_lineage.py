@@ -1,0 +1,156 @@
+"""Streaming↔batch equivalence (the reference's tested invariant,
+test/unit/StreamingTest.cpp:48-166) + resumable-lineage protocol tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdal_spark import synth
+from pdal_spark.lineage import ResumableJob
+from pdal_spark.streaming import jobs as sj
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_paths(spark, tmp_path):
+    """Events table split into 4 files fed through a file stream source."""
+    src = str(tmp_path / "events_src")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(4).write.parquet(src)
+    return src
+
+
+def _stream_events(spark, src):
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches, like
+        .parquet(src)                     # FixedPointTable capacity batches
+    )
+
+
+def test_stream_equals_batch_windowed_counts(spark, events_paths):
+    stream = _stream_events(spark, events_paths)
+    q = sj.run_stream_to_memory(
+        sj.stream_windowed_counts(stream), "win_counts", "complete"
+    )
+    try:
+        got = spark.sql("SELECT * FROM win_counts").toPandas()
+    finally:
+        q.stop()
+    batch = sj.stream_windowed_counts(
+        spark.read.parquet(events_paths)
+    ).toPandas()
+    key = ["w_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[batch.columns], batch, check_dtype=False)
+
+
+def test_stream_equals_batch_tile_counts(spark, tmp_path):
+    pages = synth.with_coords(synth.synth_points(spark, 2000, 4))
+    src = str(tmp_path / "pts")
+    pages.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = sj.run_stream_to_memory(
+        sj.stream_tile_counts(stream, 30.0, -180.0, -90.0), "tiles", "complete"
+    )
+    try:
+        got = spark.sql("SELECT * FROM tiles").toPandas()
+    finally:
+        q.stop()
+    exp = sj.stream_tile_counts(
+        spark.read.parquet(src), 30.0, -180.0, -90.0
+    ).toPandas()
+    key = ["tile_x", "tile_y"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_stream_stats_moments_matches_batch(spark, events_paths):
+    stream = _stream_events(spark, events_paths)
+    q = sj.run_stream_to_memory(
+        sj.stream_stats_moments(stream, "value", key_col="event_type"),
+        "moments", "complete",
+    )
+    try:
+        got = spark.sql("SELECT * FROM moments").toPandas()
+    finally:
+        q.stop()
+    exp = sj.stream_stats_moments(
+        spark.read.parquet(events_paths), "value", key_col="event_type"
+    ).toPandas()
+    got = got.sort_values("event_type").reset_index(drop=True)
+    exp = exp.sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# --- lineage / resumability -------------------------------------------------
+
+
+def _tile_batch(spark, bid):
+    lo, hi = {"b0": (0, 500), "b1": (500, 1000), "b2": (1000, 1500),
+              "b3": (1500, 2000)}[bid]
+    pts = synth.with_coords(synth.synth_points(spark, 2000, 4))
+    return pts.filter((F.col("page_id") >= lo) & (F.col("page_id") < hi))
+
+
+def test_resumable_job_commits_and_resumes(spark, tmp_path):
+    out = str(tmp_path / "job")
+    job = ResumableJob(spark, out)
+    all_batches = ["b0", "b1", "b2", "b3"]
+
+    # first run: crash after two batches
+    crashed = []
+
+    def crashing(spark_, bid):
+        if len(crashed) >= 2:
+            raise RuntimeError("simulated crash")
+        crashed.append(bid)
+        return _tile_batch(spark_, bid)
+
+    with pytest.raises(RuntimeError):
+        job.run(all_batches, crashing)
+    assert job.committed_ids() == {"b0", "b1"}
+
+    # resume: only the remaining batches run
+    ran = []
+
+    def resuming(spark_, bid):
+        ran.append(bid)
+        return _tile_batch(spark_, bid)
+
+    job2 = ResumableJob(spark, out)
+    job2.run(all_batches, resuming)
+    assert ran == ["b2", "b3"]
+    assert job2.committed_ids() == set(all_batches)
+
+    # output complete, no duplicates; metrics ledger has all rows
+    total = job2.output().count()
+    assert total == 2000
+    led = job2.ledger().toPandas()
+    assert len(led) == 4
+    assert led["n_rows"].sum() == 2000
+    assert (led["wall_s"] > 0).all()
+
+
+def test_uncommitted_output_invisible(spark, tmp_path):
+    """A batch dir without a ledger record must not leak into output()."""
+    out = str(tmp_path / "job2")
+    job = ResumableJob(spark, out)
+    job.run(["b0"], _tile_batch)
+    # write an orphan (simulates crash after data write, before commit)
+    _tile_batch(spark, "b1").write.mode("overwrite").parquet(
+        os.path.join(out, "batch=b1")
+    )
+    assert job.output().count() == 500
+    # resume picks it up and overwrites cleanly
+    job.run(["b0", "b1"], _tile_batch)
+    assert job.output().count() == 1000
