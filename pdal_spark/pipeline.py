@@ -1,0 +1,433 @@
+"""Pipeline JSON front-end — the reference's pipeline dialect over the
+Spark operator library.
+
+Parsing rules mirror /root/reference/pdal/PipelineReaderJSON.cpp:57-165:
+  * the document is a JSON array (or {"pipeline": [...]});
+  * bare strings are filenames — a leading/non-last string infers a
+    reader, a trailing string infers a writer;
+  * objects carry "type", optional "filename", "tag", "inputs" (tag
+    refs), and stage options;
+  * stages chain linearly unless "inputs" names tags (diamond DAGs);
+  * readers may not have inputs; a writer consumes ALL accumulated
+    inputs (merged — union in our engine).
+
+Execution: tag -> DataFrame map; each stage is a function
+(spark, inputs: list[DataFrame], options) -> DataFrame. ``validate()``
+checks stage names/option spellings without running anything — the
+``pdal pipeline --validate`` analog.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdal_spark import geo, synth
+from pdal_spark.operators import chipper as chipper_op
+from pdal_spark.operators import crop as crop_op
+from pdal_spark.operators import hexbin as hexbin_op
+from pdal_spark.operators import pointcloud as pc_op
+from pdal_spark.operators import relational as rel_op
+from pdal_spark.operators import splitter as splitter_op
+from pdal_spark.operators import stats as stats_op
+
+
+class PipelineError(ValueError):
+    pass
+
+
+@dataclass
+class StageSpec:
+    type: str
+    options: dict[str, Any] = field(default_factory=dict)
+    tag: str | None = None
+    inputs: list[str] = field(default_factory=list)
+    filename: str | None = None
+
+
+# ---------------------------------------------------------------------------
+# parsing (PipelineReaderJSON.cpp rules)
+# ---------------------------------------------------------------------------
+
+_META_KEYS = {"type", "filename", "tag", "inputs"}
+
+
+def parse(doc: Any) -> list[StageSpec]:
+    if isinstance(doc, str):
+        doc = json.loads(doc)
+    if isinstance(doc, dict):
+        if "pipeline" not in doc:
+            raise PipelineError("object form requires a 'pipeline' key")
+        doc = doc["pipeline"]
+    if not isinstance(doc, list) or not doc:
+        raise PipelineError("pipeline must be a non-empty JSON array")
+
+    specs: list[StageSpec] = []
+    last = len(doc) - 1
+    for i, node in enumerate(doc):
+        if isinstance(node, str):
+            # bare filename: reader unless it's the trailing stage
+            inferred = "readers.infer" if (i == 0 or i != last) else "writers.infer"
+            specs.append(StageSpec(type=inferred, filename=node))
+            continue
+        if not isinstance(node, dict):
+            raise PipelineError(f"stage {i}: must be string or object")
+        t = node.get("type", "")
+        filename = node.get("filename")
+        if not t:
+            if filename is None:
+                raise PipelineError(f"stage {i}: missing 'type'")
+            t = "readers.infer" if i != last else "writers.infer"
+        ins = node.get("inputs", [])
+        if isinstance(ins, str):
+            ins = [ins]
+        spec = StageSpec(
+            type=t,
+            options={k: v for k, v in node.items() if k not in _META_KEYS},
+            tag=node.get("tag"),
+            inputs=list(ins),
+            filename=filename,
+        )
+        if t.startswith("readers.") and spec.inputs:
+            raise PipelineError(f"stage {i}: inputs not permitted for a reader")
+        specs.append(spec)
+    return specs
+
+
+# ---------------------------------------------------------------------------
+# stage implementations
+# ---------------------------------------------------------------------------
+
+
+def _one(inputs: list[DataFrame], t: str) -> DataFrame:
+    if len(inputs) == 0:
+        raise PipelineError(f"{t}: no input stage")
+    if len(inputs) == 1:
+        return inputs[0]
+    out = inputs[0]
+    for df in inputs[1:]:
+        out = out.unionByName(df)  # implicit merge, like Stage multi-input
+    return out
+
+
+def _infer_reader(spark, inputs, o, filename):
+    if filename is None:
+        raise PipelineError("reader requires filename")
+    if filename.endswith(".parquet"):
+        return spark.read.parquet(filename)
+    if filename.endswith((".csv", ".txt")):
+        return spark.read.csv(filename, header=True, inferSchema=True)
+    raise PipelineError(f"cannot infer reader for {filename}")
+
+
+def _r_parquet(spark, inputs, o, filename):
+    return spark.read.parquet(filename or o["filename"])
+
+
+def _r_text(spark, inputs, o, filename):
+    # readers.text: CSV/whitespace numeric text with header (TextReader.cpp)
+    sep = o.get("separator", ",")
+    return spark.read.csv(filename or o["filename"], header=True,
+                          inferSchema=True, sep=sep)
+
+
+def _r_faux(spark, inputs, o, filename):
+    """readers.faux analog: deterministic synthetic pages/points
+    (FauxReader.cpp grid/ramp modes ≈ our seeded generator)."""
+    n = int(o.get("count", 1000))
+    mode = o.get("mode", "points")
+    if mode == "pages":
+        return synth.with_coords(synth.synth_pages(spark, n))
+    return synth.synth_points(spark, n)
+
+
+def _geom_from_options(o) -> list:
+    geoms: list = []
+    b = o.get("bounds")
+    if b:
+        if isinstance(b, (list, tuple)):
+            geoms.append(crop_op.Box(*b))
+        else:
+            raise PipelineError("bounds must be [minx, miny, maxx, maxy]")
+    if "point" in o:
+        px, py = o["point"]
+        geoms.append(crop_op.Circle(px, py, float(o.get("distance", 1.0))))
+    if "polygon" in o:
+        geoms.append(crop_op.Polygon(exterior=tuple(map(tuple, o["polygon"]))))
+    if not geoms:
+        raise PipelineError("filters.crop: needs bounds/point/polygon")
+    return geoms
+
+
+def _f_crop(spark, inputs, o, filename):
+    return crop_op.crop(
+        _one(inputs, "crop"), _geom_from_options(o),
+        outside=bool(o.get("outside", False)),
+        mode=o.get("mode", "stream"),
+    )
+
+
+def _f_range(spark, inputs, o, filename):
+    limits = o["limits"]
+    if isinstance(limits, str):
+        limits = [s.strip() for s in limits.split(",")]
+    return rel_op.range_filter(_one(inputs, "range"), limits)
+
+
+def _f_mongo(spark, inputs, o, filename):
+    return rel_op.mongo_filter(_one(inputs, "mongo"), o["expression"])
+
+
+def _f_assign(spark, inputs, o, filename):
+    a = o["assignment"]
+    if isinstance(a, str):
+        a = [a]
+    return rel_op.assign(_one(inputs, "assign"), a, condition=o.get("condition"))
+
+
+def _f_ferry(spark, inputs, o, filename):
+    pairs = []
+    dims = o["dimensions"]
+    if isinstance(dims, str):
+        dims = [d.strip() for d in dims.split(",")]
+    for d in dims:
+        src, dst = [s.strip() for s in d.split("=>")]
+        pairs.append((src, dst))
+    return rel_op.ferry(_one(inputs, "ferry"), pairs)
+
+
+def _f_splitter(spark, inputs, o, filename):
+    return splitter_op.split(
+        _one(inputs, "splitter"),
+        float(o.get("length", 1000.0)),
+        float(o["origin_x"]), float(o["origin_y"]),
+        buffer=float(o.get("buffer", 0.0)),
+    )
+
+
+def _f_chipper(spark, inputs, o, filename):
+    return chipper_op.chip(
+        _one(inputs, "chipper"), int(o.get("capacity", 5000)),
+        order_col=o.get("order_col", "page_id"),
+    )
+
+
+def _f_decimation(spark, inputs, o, filename):
+    return rel_op.decimation(
+        _one(inputs, "decimation"), step=int(o.get("step", 1)),
+        offset=int(o.get("offset", 0)),
+        order_col=o.get("order_col", "page_id"),
+        dense_index=bool(o.get("dense_index", False)),
+    )
+
+
+def _f_head(spark, inputs, o, filename):
+    return rel_op.head(_one(inputs, "head"), int(o.get("count", 10)),
+                       order_col=o.get("order_col", "page_id"))
+
+
+def _f_tail(spark, inputs, o, filename):
+    return rel_op.tail(_one(inputs, "tail"), int(o.get("count", 10)),
+                       order_col=o.get("order_col", "page_id"))
+
+
+def _f_divider(spark, inputs, o, filename):
+    return rel_op.divider(
+        _one(inputs, "divider"), count=o.get("count"),
+        capacity=o.get("capacity"), mode=o.get("mode", "partition"),
+        order_col=o.get("order_col", "page_id"),
+    )
+
+
+def _f_groupby(spark, inputs, o, filename):
+    return rel_op.groupby_views(_one(inputs, "groupby"), o["dimension"])
+
+
+def _f_merge(spark, inputs, o, filename):
+    return _one(inputs, "merge")
+
+
+def _f_sort(spark, inputs, o, filename):
+    return rel_op.sort_stable(
+        _one(inputs, "sort"), o["dimension"],
+        order=o.get("order", "ASC").upper(),
+        arrival_col=o.get("order_col", "page_id"),
+    )
+
+
+def _f_locate(spark, inputs, o, filename):
+    return rel_op.locate(_one(inputs, "locate"), o["dimension"],
+                         o.get("minmax", "max"),
+                         arrival_col=o.get("order_col", "page_id"))
+
+
+def _f_stats(spark, inputs, o, filename):
+    dims = o["dimensions"]
+    if isinstance(dims, str):
+        dims = [d.strip() for d in dims.split(",")]
+    return stats_op.stats(_one(inputs, "stats"), dims)
+
+
+def _f_hexbin(spark, inputs, o, filename):
+    return hexbin_op.density(
+        _one(inputs, "hexbin"),
+        float(o["edge_length"]), float(o["origin_x"]), float(o["origin_y"]),
+    )
+
+
+def _f_voxeldownsize(spark, inputs, o, filename):
+    return rel_op.voxel_downsize(
+        _one(inputs, "voxeldownsize"), cell=float(o.get("cell", 1.0)),
+        origin=tuple(o.get("origin", (0.0, 0.0))),
+        order_col=o.get("order_col", "page_id"),
+    )
+
+
+def _f_elm(spark, inputs, o, filename):
+    return pc_op.elm(_one(inputs, "elm"), cell=float(o.get("cell", 10.0)),
+                     threshold=float(o.get("threshold", 1.0)),
+                     noise_class=int(o.get("class", 7)),
+                     order_col=o.get("order_col", "page_id"))
+
+
+def _f_cluster(spark, inputs, o, filename):
+    return pc_op.cluster(
+        _one(inputs, "cluster"), tolerance=float(o.get("tolerance", 1.0)),
+        min_points=int(o.get("min_points", 1)),
+        max_points=o.get("max_points"),
+        id_col=o.get("id_col", "page_id"),
+    )
+
+
+def _f_sample(spark, inputs, o, filename):
+    return pc_op.sample(_one(inputs, "sample"), float(o["radius"]),
+                        order_col=o.get("order_col", "page_id"))
+
+
+def _f_mortonorder(spark, inputs, o, filename):
+    return pc_op.morton_order(_one(inputs, "mortonorder"),
+                              reverse=bool(o.get("reverse", False)),
+                              order_col=o.get("order_col", "page_id"))
+
+
+def _w_parquet(spark, inputs, o, filename):
+    df = _one(inputs, "writers.parquet")
+    path = filename or o["filename"]
+    part = o.get("partition_by")
+    w = df.write.mode(o.get("mode", "overwrite"))
+    if part:
+        if isinstance(part, str):
+            part = [part]
+        w = w.partitionBy(*part)  # FlexWriter '#' per-view files analog
+    w.parquet(path)
+    return df
+
+
+def _w_csv(spark, inputs, o, filename):
+    df = _one(inputs, "writers.text")
+    (df.write.mode(o.get("mode", "overwrite"))
+       .option("header", True).csv(filename or o["filename"]))
+    return df
+
+
+def _w_null(spark, inputs, o, filename):
+    df = _one(inputs, "writers.null")
+    df.write.format("noop").mode("overwrite").save()
+    return df
+
+
+StageFn = Callable[[SparkSession, list, dict, Any], DataFrame]
+
+REGISTRY: dict[str, StageFn] = {
+    "readers.infer": _infer_reader,
+    "readers.parquet": _r_parquet,
+    "readers.text": _r_text,
+    "readers.faux": _r_faux,
+    "filters.crop": _f_crop,
+    "filters.range": _f_range,
+    "filters.mongo": _f_mongo,
+    "filters.assign": _f_assign,
+    "filters.ferry": _f_ferry,
+    "filters.splitter": _f_splitter,
+    "filters.chipper": _f_chipper,
+    "filters.decimation": _f_decimation,
+    "filters.head": _f_head,
+    "filters.tail": _f_tail,
+    "filters.divider": _f_divider,
+    "filters.groupby": _f_groupby,
+    "filters.merge": _f_merge,
+    "filters.sort": _f_sort,
+    "filters.locate": _f_locate,
+    "filters.stats": _f_stats,
+    "filters.hexbin": _f_hexbin,
+    "filters.voxeldownsize": _f_voxeldownsize,
+    "filters.elm": _f_elm,
+    "filters.cluster": _f_cluster,
+    "filters.sample": _f_sample,
+    "filters.mortonorder": _f_mortonorder,
+    "writers.infer": _w_parquet,
+    "writers.parquet": _w_parquet,
+    "writers.text": _w_csv,
+    "writers.null": _w_null,
+}
+
+_REQUIRED_OPTS = {
+    "filters.range": ["limits"],
+    "filters.mongo": ["expression"],
+    "filters.assign": ["assignment"],
+    "filters.ferry": ["dimensions"],
+    "filters.splitter": ["origin_x", "origin_y"],
+    "filters.groupby": ["dimension"],
+    "filters.sort": ["dimension"],
+    "filters.locate": ["dimension"],
+    "filters.stats": ["dimensions"],
+    "filters.hexbin": ["edge_length", "origin_x", "origin_y"],
+    "filters.sample": ["radius"],
+}
+
+
+def validate(doc: Any) -> list[StageSpec]:
+    """Name/option check without execution (`pdal pipeline --validate`)."""
+    specs = parse(doc)
+    tags: set[str] = set()
+    for i, s in enumerate(specs):
+        if s.type not in REGISTRY:
+            raise PipelineError(f"stage {i}: unknown stage type '{s.type}'")
+        for req in _REQUIRED_OPTS.get(s.type, []):
+            if req not in s.options:
+                raise PipelineError(f"stage {i} ({s.type}): missing option '{req}'")
+        for t in s.inputs:
+            if t not in tags:
+                raise PipelineError(f"stage {i}: unknown input tag '{t}'")
+        if s.tag:
+            tags.add(s.tag)
+    return specs
+
+
+def run(spark: SparkSession, doc: Any) -> DataFrame:
+    """Execute a pipeline; returns the last stage's DataFrame."""
+    specs = validate(doc)
+    tags: dict[str, DataFrame] = {}
+    chain: list[DataFrame] = []
+    out: DataFrame | None = None
+    for s in specs:
+        fn = REGISTRY[s.type]
+        if s.type.startswith("readers."):
+            ins: list[DataFrame] = []
+        elif s.inputs:
+            ins = [tags[t] for t in s.inputs]
+        else:
+            ins = list(chain)
+        out = fn(spark, ins, s.options, s.filename)
+        if s.type.startswith("readers."):
+            chain.append(out)  # readers accumulate (multi-input merge)
+        else:
+            chain = [out]
+        if s.tag:
+            tags[s.tag] = out
+    assert out is not None
+    return out

@@ -1,0 +1,129 @@
+"""Pipeline JSON front-end tests — dialect parsing rules from
+PipelineReaderJSON.cpp (bare filenames, tags/inputs, option validation)
+plus end-to-end execution equivalence with direct operator calls.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdal_spark import pipeline as pl
+from pdal_spark import synth
+from pdal_spark.operators import crop as crop_op
+from pdal_spark.operators import splitter as splitter_op
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_parse_bare_filenames():
+    specs = pl.parse([f"{SF_DIR}/documents.parquet", "out.parquet"])
+    assert specs[0].type == "readers.infer"
+    assert specs[1].type == "writers.infer"
+
+
+def test_parse_object_form_and_tags():
+    doc = {"pipeline": [
+        {"type": "readers.faux", "count": 10, "tag": "src"},
+        {"type": "filters.head", "count": 5, "inputs": ["src"]},
+    ]}
+    specs = pl.parse(doc)
+    assert specs[0].tag == "src"
+    assert specs[1].inputs == ["src"]
+
+
+def test_validate_rejects_unknown_stage():
+    with pytest.raises(pl.PipelineError, match="unknown stage type"):
+        pl.validate([{"type": "filters.nosuch"}])
+
+
+def test_validate_rejects_missing_required_option():
+    with pytest.raises(pl.PipelineError, match="missing option 'limits'"):
+        pl.validate([{"type": "readers.faux"}, {"type": "filters.range"}])
+
+
+def test_validate_rejects_reader_with_inputs():
+    with pytest.raises(pl.PipelineError, match="inputs not permitted"):
+        pl.parse([
+            {"type": "readers.faux", "tag": "a"},
+            {"type": "readers.faux", "inputs": ["a"]},
+        ])
+
+
+def test_validate_rejects_unknown_tag():
+    with pytest.raises(pl.PipelineError, match="unknown input tag"):
+        pl.validate([
+            {"type": "readers.faux"},
+            {"type": "filters.head", "inputs": ["nope"]},
+        ])
+
+
+def test_run_crop_splitter_pipeline(spark):
+    """JSON pipeline ≡ direct operator calls (crop bbox -> splitter)."""
+    doc = [
+        {"type": "readers.faux", "count": 500, "mode": "points"},
+        {"type": "filters.crop", "bounds": [-90.0, -45.0, 90.0, 45.0]},
+        {"type": "filters.splitter", "length": 30.0,
+         "origin_x": -180.0, "origin_y": -90.0},
+    ]
+    out = pl.run(spark, doc).toPandas()
+
+    direct = splitter_op.split(
+        crop_op.crop(
+            synth.synth_points(spark, 500),
+            [crop_op.Box(-90.0, -45.0, 90.0, 45.0)], mode="stream",
+        ),
+        30.0, -180.0, -90.0,
+    ).toPandas()
+    key = ["page_id"]
+    out = out.sort_values(key).reset_index(drop=True)
+    direct = direct.sort_values(key).reset_index(drop=True)
+    assert out.equals(direct)
+
+
+def test_run_reader_chain_merges(spark):
+    """Two readers accumulate and a filter consumes the union — the
+    reader-accumulation rule of PipelineReaderJSON."""
+    doc = [
+        {"type": "readers.faux", "count": 100},
+        {"type": "readers.faux", "count": 50},
+        {"type": "filters.head", "count": 120},
+    ]
+    out = pl.run(spark, doc)
+    assert out.count() == 120
+
+
+def test_run_with_writer(spark, tmp_path):
+    path = str(tmp_path / "tiles")
+    doc = [
+        {"type": "readers.faux", "count": 300},
+        {"type": "filters.splitter", "length": 90.0,
+         "origin_x": -180.0, "origin_y": -90.0},
+        {"type": "writers.parquet", "filename": path,
+         "partition_by": ["tile_x", "tile_y"]},
+    ]
+    pl.run(spark, doc)
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    assert {"tile_x", "tile_y"} <= set(back.columns)
+
+
+def test_run_range_stats_pipeline(spark):
+    doc = [
+        {"type": "readers.parquet", "filename": f"{SF_DIR}/lineitem.parquet"},
+        {"type": "filters.range", "limits": "l_quantity[10:20]"},
+        {"type": "filters.stats", "dimensions": "l_quantity"},
+    ]
+    out = pl.run(spark, doc).toPandas()
+    assert out["l_quantity_minimum"].iloc[0] >= 10
+    assert out["l_quantity_maximum"].iloc[0] <= 20
+
+
+def test_json_string_form(spark):
+    doc = json.dumps([
+        {"type": "readers.faux", "count": 50},
+        {"type": "filters.head", "count": 7},
+    ])
+    assert pl.run(spark, doc).count() == 7
