@@ -439,6 +439,107 @@ def q_feat_covariance(spark, sf_dir):
     )
 
 
+# --- pointcloud filter layer -------------------------------------------------
+
+ELM_CELL, ELM_THR = 30.0, 40.0
+RAMP = [(0, 0, 255), (0, 255, 0), (255, 0, 0), (255, 255, 0)]
+OVL_P1 = crop_op.Polygon(exterior=((-200.0, -100.0), (200.0, -100.0),
+                                   (200.0, 100.0), (-200.0, 100.0)))
+OVL_P2 = crop_op.Polygon(exterior=((0.0, -100.0), (200.0, -100.0),
+                                   (200.0, 100.0), (0.0, 100.0)))
+MORTON_BOUNDS = (-180.0, -90.0, 180.0, 90.0)
+
+
+def _docs_z(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("z"),
+        geo.geocode_lcg_x(F.col("doc_id")).alias("x"),
+        geo.geocode_lcg_y(F.col("doc_id")).alias("y"),
+    )
+
+
+def q_elm_noise(spark, sf_dir):
+    """filters.elm: low-outlier classification per grid cell
+    (ELMFilter.cpp:76-136, incl. the floor-before-divide cell formula)."""
+    from pdal_spark.operators import pointcloud as pc_op
+
+    out = pc_op.elm(_docs_z(spark, sf_dir), cell=ELM_CELL, threshold=ELM_THR,
+                    origin=(-180.0, -90.0), order_col="doc_id")
+    return out.select("doc_id", F.col("classification").cast("int").alias("classification"))
+
+
+def q_scanline_views(spark, sf_dir):
+    """filters.separatescanline: view per N flagged rows (running sum)."""
+    from pdal_spark.operators import pointcloud as pc_op
+
+    df = _table(spark, sf_dir, "events").withColumn(
+        "edge_of_flight_line", (F.col("event_id") % 7 == 6).cast("int")
+    )
+    out = pc_op.separate_scan_line(df, groupby=2, order_col="event_id")
+    return out.select("event_id", "view_id")
+
+
+def q_colorinterp(spark, sf_dir):
+    """filters.colorinterp: ramp lookup with [min,max) skip semantics
+    (ColorinterpFilter.cpp:268-288)."""
+    from pdal_spark.operators import pointcloud as pc_op
+
+    df = _table(spark, sf_dir, "events")
+    out = pc_op.colorinterp(df, RAMP, "value", vmin=0.0, vmax=100.0)
+    return out.select("event_id", "red", "green", "blue")
+
+
+def q_overlay(spark, sf_dir):
+    """filters.overlay: polygon attribute assignment, LAST match wins
+    (OverlayFilter.cpp:150-157)."""
+    from pdal_spark.operators import pointcloud as pc_op
+
+    out = pc_op.overlay(_docs_geo(spark, sf_dir), [(OVL_P1, 10), (OVL_P2, 20)], "ovl")
+    return out.select("doc_id", F.col("ovl").cast("int").alias("ovl"))
+
+
+def q_morton_forward(spark, sf_dir):
+    """filters.mortonorder: bit-interleaved Z-order key + rank
+    (MortonOrderFilter.cpp less_msb total order)."""
+    from pdal_spark.operators import pointcloud as pc_op
+
+    out = pc_op.morton_order(_docs_geo(spark, sf_dir), bounds=MORTON_BOUNDS,
+                             order_col="doc_id")
+    return out.select("doc_id", "morton_key", "morton_rank")
+
+
+def q_hag(spark, sf_dir):
+    """filters.hag: height above ground via 1/d^2 IDW over 3 nearest
+    ground points (HAGFilter.cpp:150-170)."""
+    from pdal_spark.operators import pointcloud as pc_op
+
+    df = _docs_z(spark, sf_dir).withColumn(
+        "classification", F.when(F.col("doc_id") % 3 == 0, 2).otherwise(1)
+    )
+    out = pc_op.hag(df, count=3, id_col="doc_id")
+    return out.select("doc_id", F.round("height_above_ground", 6).alias("hag"))
+
+
+def q_cluster_sizes(spark, sf_dir):
+    """filters.cluster (rows-only: union-find membership is verified by
+    the literal BFS oracle in tests/test_pointcloud.py)."""
+    from pdal_spark.operators import pointcloud as pc_op
+
+    out = pc_op.cluster(_docs_geo(spark, sf_dir), tolerance=12.0,
+                        min_points=2, id_col="doc_id")
+    return out.groupBy("cluster_id").agg(F.count("*").alias("n"))
+
+
+def q_sample_poisson(spark, sf_dir):
+    """filters.sample (rows-only: greedy order-dependent mask; literal
+    oracle in tests/test_pointcloud.py)."""
+    from pdal_spark.operators import pointcloud as pc_op
+
+    out = pc_op.sample(_docs_geo(spark, sf_dir), radius=10.0, order_col="doc_id")
+    return out.select("doc_id")
+
+
 # --- training-data pipeline ------------------------------------------------
 
 
@@ -544,6 +645,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_reciprocity": q_feat_reciprocity,
         "feat_eigenvalues": q_feat_eigenvalues,
         "feat_covariance": q_feat_covariance,
+        "elm_noise": q_elm_noise,
+        "scanline_views": q_scanline_views,
+        "colorinterp": q_colorinterp,
+        "overlay": q_overlay,
+        "morton_forward": q_morton_forward,
+        "hag": q_hag,
+        "cluster_sizes": q_cluster_sizes,
+        "sample_poisson": q_sample_poisson,
     }
 
 
@@ -579,6 +688,132 @@ def oracle_sql() -> dict[str, str]:
         **_raster_oracles(),
         **_datapipe_oracles(),
         **_feature_oracles(),
+        **_pointcloud_oracles(),
+    }
+
+
+def _pointcloud_oracles() -> dict[str, str]:
+    docs_z = (
+        f"SELECT doc_id, CAST(n_chars AS DOUBLE) AS z, "
+        f"({_X_SQL}) AS x, ({_Y_SQL}) AS y FROM documents"
+    )
+    elm = f"""
+      WITH pts AS ({docs_z}),
+      cells AS (
+        SELECT *, CAST(trunc(floor(x - (-180.0)) / {ELM_CELL!r}) AS BIGINT) AS cx,
+                  CAST(trunc(floor(y - (-90.0)) / {ELM_CELL!r}) AS BIGINT) AS cy
+        FROM pts
+      ),
+      ordd AS (
+        SELECT *, row_number() OVER (PARTITION BY cx, cy ORDER BY z, doc_id) AS rk,
+               lead(z) OVER (PARTITION BY cx, cy ORDER BY z, doc_id) AS nz
+        FROM cells
+      ),
+      flag AS (
+        SELECT *, CASE WHEN nz IS NULL THEN TRUE
+                       ELSE abs(z - nz) < {ELM_THR!r} END AS gap_small
+        FROM ordd
+      ),
+      stops AS (
+        SELECT cx, cy, min(CASE WHEN gap_small THEN rk END) AS first_stop
+        FROM flag GROUP BY 1, 2
+      )
+      SELECT f.doc_id,
+             CAST(CASE WHEN f.rk < s.first_stop THEN 7 ELSE 0 END AS INTEGER)
+               AS classification
+      FROM flag f JOIN stops s USING (cx, cy)
+    """
+    scanline = """
+      SELECT event_id,
+             CAST(coalesce(sum(CASE WHEN event_id % 7 = 6 THEN 1 ELSE 0 END)
+               OVER (ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2
+               AS BIGINT) AS view_id
+      FROM events
+    """
+    # colorinterp: pos = floor((v-min)/(max-min) * 4), skip v<0 or v>=100
+    pos = "least(CAST(trunc(floor((value - 0.0) / 100.0 * 4)) AS INTEGER), 3)"
+    reds = [str(c[0]) for c in RAMP]
+    greens = [str(c[1]) for c in RAMP]
+    blues = [str(c[2]) for c in RAMP]
+
+    def pick(vals):
+        return (
+            f"CASE {pos} WHEN 0 THEN {vals[0]} WHEN 1 THEN {vals[1]} "
+            f"WHEN 2 THEN {vals[2]} ELSE {vals[3]} END"
+        )
+
+    colorinterp = f"""
+      SELECT event_id,
+             CASE WHEN value >= 0.0 AND value < 100.0 THEN {pick(reds)} END AS red,
+             CASE WHEN value >= 0.0 AND value < 100.0 THEN {pick(greens)} END AS green,
+             CASE WHEN value >= 0.0 AND value < 100.0 THEN {pick(blues)} END AS blue
+      FROM events
+    """
+    p1 = crop_op.polygon_pnp_sql(OVL_P1)
+    p2 = crop_op.polygon_pnp_sql(OVL_P2)
+    overlay = f"""
+      SELECT doc_id,
+             CASE WHEN {p2} THEN 20 WHEN {p1} THEN 10 END AS ovl
+      FROM ({_DOCS_GEO_SQL})
+    """
+    # morton forward: xi/yi = trunc-normalized int31; x bit at 2b+1, y at 2b
+    minx, miny, maxx, maxy = MORTON_BOUNDS
+    xi = f"CAST(trunc((x - ({minx!r})) / {maxx - minx!r} * 2147483647) AS BIGINT)"
+    yi = f"CAST(trunc((y - ({miny!r})) / {maxy - miny!r} * 2147483647) AS BIGINT)"
+    terms = []
+    for b in range(31):
+        terms.append(f"((({xi} >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((({yi} >> {b}) & 1) << {2 * b})")
+    morton = f"""
+      WITH pts AS ({_DOCS_GEO_SQL}),
+      keyed AS (SELECT doc_id, ({' + '.join(terms)}) AS morton_key FROM pts)
+      SELECT doc_id, morton_key,
+             CAST(row_number() OVER (ORDER BY morton_key, doc_id) AS INTEGER)
+               AS morton_rank
+      FROM keyed
+    """
+    hag = f"""
+      WITH pts AS (
+        SELECT doc_id, x, y, z,
+               CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS cls
+        FROM ({docs_z})
+      ),
+      ground AS (SELECT * FROM pts WHERE cls = 2),
+      ng AS (SELECT * FROM pts WHERE cls <> 2),
+      knn AS (
+        SELECT * FROM (
+          SELECT q.doc_id AS src, g.doc_id AS cand, g.z AS gz,
+                 g.x AS gx, g.y AS gy, q.x AS qx, q.y AS qy,
+                 ((q.x - g.x) * (q.x - g.x) + (q.y - g.y) * (q.y - g.y)) AS d2,
+                 row_number() OVER (
+                   PARTITION BY q.doc_id
+                   ORDER BY ((q.x - g.x) * (q.x - g.x) + (q.y - g.y) * (q.y - g.y)) ASC,
+                            g.doc_id ASC
+                 ) AS rank
+          FROM ng q JOIN ground g ON TRUE
+        ) WHERE rank <= 3
+      ),
+      per AS (
+        SELECT src,
+               max(CASE WHEN rank = 1 AND qx = gx AND qy = gy THEN gz END)
+                 AS exact_z,
+               sum(gz * (1.0 / d2)) / sum(1.0 / d2) AS idw_z
+        FROM knn GROUP BY 1
+      )
+      SELECT p.doc_id,
+             round(CASE WHEN p.cls = 2 THEN 0.0
+                        ELSE p.z - coalesce(per.exact_z, per.idw_z, p.z) END, 6)
+               AS hag
+      FROM pts p LEFT JOIN per ON per.src = p.doc_id
+    """
+    return {
+        "elm_noise": elm,
+        "scanline_views": scanline,
+        "colorinterp": colorinterp,
+        "overlay": overlay,
+        "morton_forward": morton,
+        "hag": hag,
     }
 
 

@@ -69,7 +69,7 @@ print(json.dumps({{"sec": round(best,2), "pages_per_sec": round({pages}/best,1)}
     return _run_py(code)
 
 
-def run_knn(cpus: int, n: int = 400_000) -> dict:
+def run_knn(cpus: int, n: int = 700_000) -> dict:
     code = f"""
 import time, json
 from pyspark.sql import functions as F
@@ -192,7 +192,7 @@ added executor brings its own memory bandwidth and disks.
 
 ## 2. Spatial kNN join (shuffle-heavy)
 
-Cell-bucketed k=8 self-join over 400,000 points (explode 3x3
+Cell-bucketed k=8 self-join over 700,000 points (explode 3x3
 neighborhood, shuffle on cell, per-query window top-k).
 
 | config | wall (s) | points/sec |
