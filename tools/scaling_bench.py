@@ -92,7 +92,7 @@ print(json.dumps({{"sec": round(best,2), "points_per_sec": round({n}/best,1)}}))
     return _run_py(code)
 
 
-def run_skew(cpus: int = 16, n: int = 300_000) -> dict:
+def run_skew(cpus: int = 16, n: int = 60_000) -> dict:
     code = f"""
 import time, json
 from pyspark.sql import functions as F
