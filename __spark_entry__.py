@@ -377,6 +377,81 @@ def q_raster_pixels(spark, sf_dir):
     return raster_op.raster_to_points(spark, RGRID).select("pid", "col", "row", "x", "y")
 
 
+# --- remaining relational/spatial singles ------------------------------------
+
+AFFINE = [0.5, 0.0, 0.0, 10.0,
+          0.0, 2.0, 0.0, -5.0,
+          0.0, 0.0, 1.0, 0.0,
+          0.0, 0.0, 0.0, 1.0]
+
+
+def q_transformation(spark, sf_dir):
+    """filters.transformation: 4x4 affine on (x, y)."""
+    out = rel_op.transformation(_docs_geo(spark, sf_dir), AFFINE)
+    return out.select("doc_id", F.round("x", 9).alias("x"), F.round("y", 9).alias("y"))
+
+
+def q_info_bounds(spark, sf_dir):
+    """filters.info: bounds-grow + count summary."""
+    return stats_op.info_bounds(_docs_geo(spark, sf_dir), ["x", "y"])
+
+
+def q_voxel_center_nn(spark, sf_dir):
+    """filters.voxelcenternearestneighbor: per-voxel point nearest the
+    voxel center, arrival tiebreak."""
+    out = rel_op.voxel_center_nearest_neighbor(
+        _docs_geo(spark, sf_dir), cell=20.0, origin=(-180.0, -90.0, 0.0),
+        order_col="doc_id",
+    )
+    return out.select("doc_id")
+
+
+def q_iqr_keep(spark, sf_dir):
+    """filters.iqr: keep within [Q1-1.5*IQR, Q3+1.5*IQR] (strict)."""
+    out = rel_op.iqr_filter(_table(spark, sf_dir, "events"), "value", k=1.5)
+    return out.select("event_id", "value")
+
+
+def q_mad_keep(spark, sf_dir):
+    """filters.mad: keep |v - median| < k * MAD."""
+    out = rel_op.mad_filter(_table(spark, sf_dir, "events"), "value", k=2.0)
+    return out.select("event_id", "value")
+
+
+def q_nn_distance(spark, sf_dir):
+    """filters.nndistance kth mode: distance to the k-th neighbor."""
+    out = knn_op.nn_distance(
+        _docs_geo(spark, sf_dir), k=4, mode="kth", id_col="doc_id", exact=True
+    )
+    return out.select("doc_id", F.round("nn_distance", 6).alias("nn_distance"))
+
+
+def q_outlier_radius(spark, sf_dir):
+    """filters.outlier radius mode: inlier iff neighbors within r
+    (self included) > min_k; outliers get Classification 7."""
+    out = knn_op.outlier_radius(
+        _docs_geo(spark, sf_dir), radius=10.0, min_k=2, id_col="doc_id"
+    )
+    return out.select(
+        "doc_id", F.col("classification").cast("int").alias("classification")
+    )
+
+
+def q_delta_nearest(spark, sf_dir):
+    """kernels.delta: per src point, coordinate deltas vs nearest point
+    of the other (odd-id) set."""
+    pts = _docs_geo(spark, sf_dir)
+    src = pts.filter(F.col("doc_id") % 2 == 0)
+    cand = pts.filter(F.col("doc_id") % 2 == 1)
+    out = knn_op.delta(src, cand, id_src="doc_id", id_cand="doc_id")
+    return out.select(
+        "doc_id",
+        F.round("delta_x", 9).alias("delta_x"),
+        F.round("delta_y", 9).alias("delta_y"),
+        F.round("delta_dist", 9).alias("delta_dist"),
+    )
+
+
 # --- kNN feature family ------------------------------------------------------
 
 FEAT_K = 8
@@ -645,6 +720,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_reciprocity": q_feat_reciprocity,
         "feat_eigenvalues": q_feat_eigenvalues,
         "feat_covariance": q_feat_covariance,
+        "transformation": q_transformation,
+        "info_bounds": q_info_bounds,
+        "voxel_center_nn": q_voxel_center_nn,
+        "iqr_keep": q_iqr_keep,
+        "mad_keep": q_mad_keep,
+        "nn_distance": q_nn_distance,
+        "outlier_radius": q_outlier_radius,
+        "delta_nearest": q_delta_nearest,
         "elm_noise": q_elm_noise,
         "scanline_views": q_scanline_views,
         "colorinterp": q_colorinterp,
@@ -689,6 +772,114 @@ def oracle_sql() -> dict[str, str]:
         **_datapipe_oracles(),
         **_feature_oracles(),
         **_pointcloud_oracles(),
+        **_misc_oracles(),
+    }
+
+
+def _misc_oracles() -> dict[str, str]:
+    m = AFFINE
+    transformation = f"""
+      SELECT doc_id,
+             round({m[0]!r} * x + {m[1]!r} * y + {m[3]!r}, 9) AS x,
+             round({m[4]!r} * x + {m[5]!r} * y + {m[7]!r}, 9) AS y
+      FROM ({_DOCS_GEO_SQL})
+    """
+    info = f"""
+      SELECT count(*) AS num_points, min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM ({_DOCS_GEO_SQL})
+    """
+    # voxel center NN: cell 20, origin (-180,-90); tie by doc_id
+    gx = "CAST(floor((x - (-180.0)) / 20.0) AS BIGINT)"
+    gy = "CAST(floor((y - (-90.0)) / 20.0) AS BIGINT)"
+    cx = f"((({gx}) + 0.5) * 20.0 + (-180.0))"
+    cy = f"((({gy}) + 0.5) * 20.0 + (-90.0))"
+    vox = f"""
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+          PARTITION BY {gx}, {gy}
+          ORDER BY ((x - {cx}) * (x - {cx}) + (y - {cy}) * (y - {cy})) ASC,
+                   doc_id ASC
+        ) AS rn
+        FROM ({_DOCS_GEO_SQL})
+      ) WHERE rn = 1
+    """
+    iqr = """
+      WITH q AS (
+        SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        FROM events
+      )
+      SELECT event_id, value FROM events, q
+      WHERE value > q.q1 - 1.5 * (q.q3 - q.q1)
+        AND value < q.q3 + 1.5 * (q.q3 - q.q1)
+    """
+    mad = """
+      WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+      madv AS (
+        SELECT quantile_cont(abs(value - med.m), 0.5) AS mad
+        FROM events, med
+      )
+      SELECT event_id, value FROM events, med, madv
+      WHERE abs(value - med.m) < 2.0 * madv.mad
+    """
+    nnk = f"""
+      WITH pts AS ({_DOCS_GEO_SQL}),
+      knn AS (
+        SELECT s.doc_id AS src,
+               sqrt((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)) AS dist,
+               row_number() OVER (
+                 PARTITION BY s.doc_id
+                 ORDER BY ((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)) ASC,
+                          c.doc_id ASC
+               ) AS rank
+        FROM pts s JOIN pts c ON s.doc_id <> c.doc_id
+      )
+      SELECT p.doc_id, round(k.dist, 6) AS nn_distance
+      FROM pts p LEFT JOIN (SELECT * FROM knn WHERE rank = 4) k
+        ON k.src = p.doc_id
+    """
+    outlier = f"""
+      WITH pts AS ({_DOCS_GEO_SQL}),
+      counts AS (
+        SELECT s.doc_id, count(*) AS n
+        FROM pts s JOIN pts c
+          ON ((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)) <= {10.0 * 10.0!r}
+        GROUP BY 1
+      )
+      SELECT p.doc_id,
+             CAST(CASE WHEN coalesce(n, 0) > 2 THEN 0 ELSE 7 END AS INTEGER)
+               AS classification
+      FROM pts p LEFT JOIN counts USING (doc_id)
+    """
+    delta = f"""
+      WITH pts AS ({_DOCS_GEO_SQL}),
+      src AS (SELECT * FROM pts WHERE doc_id % 2 = 0),
+      cand AS (SELECT * FROM pts WHERE doc_id % 2 = 1),
+      nn AS (
+        SELECT * FROM (
+          SELECT s.doc_id, s.x AS sx, s.y AS sy, c.x AS cx2, c.y AS cy2,
+                 sqrt((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)) AS dist,
+                 row_number() OVER (
+                   PARTITION BY s.doc_id
+                   ORDER BY ((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)) ASC,
+                            c.doc_id ASC
+                 ) AS rank
+          FROM src s JOIN cand c ON TRUE
+        ) WHERE rank = 1
+      )
+      SELECT doc_id, round(sx - cx2, 9) AS delta_x, round(sy - cy2, 9) AS delta_y,
+             round(dist, 9) AS delta_dist
+      FROM nn
+    """
+    return {
+        "transformation": transformation,
+        "info_bounds": info,
+        "voxel_center_nn": vox,
+        "iqr_keep": iqr,
+        "mad_keep": mad,
+        "nn_distance": nnk,
+        "outlier_radius": outlier,
+        "delta_nearest": delta,
     }
 
 

@@ -145,25 +145,33 @@ def main() -> None:
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     ratio = hi / lo
 
-    attempts = int(os.environ.get("BENCH_ATTEMPTS", "4"))
-    best = None
+    # Methodology for a host with bursty noisy-neighbor contention (the
+    # raw probe fluctuates minute to minute): measure lo/hi BACK-TO-BACK
+    # as a pair per attempt — adjacent runs share contention conditions —
+    # and take the MEDIAN of the per-pair efficiency ratios.
+    import statistics
+
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "5"))
+    probe = cpu_probe()
+    print(f"cpu probe: {probe}", file=sys.stderr)
+    comp_pairs, knn_pairs = [], []
     for att in range(attempts):
-        probe = cpu_probe()
-        print(f"[att {att}] cpu probe: {probe}", file=sys.stderr)
         comp = {c: run_compute_tile(c, pages) for c in (lo, hi)}
-        print(f"[att {att}] compute tile: {comp}", file=sys.stderr)
         knn = {c: run_knn(c) for c in (lo, hi)}
-        print(f"[att {att}] knn: {knn}", file=sys.stderr)
         ec = (comp[hi]["pages_per_sec"] / comp[lo]["pages_per_sec"]) / ratio
         ek = (knn[hi]["points_per_sec"] / knn[lo]["points_per_sec"]) / ratio
-        print(f"[att {att}] eff compute={ec:.2f} knn={ek:.2f}", file=sys.stderr)
-        if best is None or ec > best[0]:
-            best = (ec, ek, comp, knn, probe)
-        # the sandbox host has bursty noisy-neighbor contention (the raw
-        # probe fluctuates); keep the least-contended attempt
-        if ec >= 0.85 and ek >= 0.7:
-            break
-    eff_comp, eff_knn, comp, knn, probe = best
+        comp_pairs.append((ec, comp))
+        knn_pairs.append((ek, knn))
+        print(f"[att {att}] eff compute={ec:.2f} knn={ek:.2f} "
+              f"comp={comp} knn={knn}", file=sys.stderr)
+    comp_pairs.sort(key=lambda t: t[0])
+    knn_pairs.sort(key=lambda t: t[0])
+    eff_comp, comp = comp_pairs[len(comp_pairs) // 2]   # median pair
+    eff_knn, knn = knn_pairs[len(knn_pairs) // 2]
+    eff_comp_all = [round(e, 2) for e, _ in comp_pairs]
+    eff_knn_all = [round(e, 2) for e, _ in knn_pairs]
+    print(f"medians: compute={eff_comp:.2f} of {eff_comp_all}, "
+          f"knn={eff_knn:.2f} of {eff_knn_all}", file=sys.stderr)
     skew = run_skew()
     print(f"skew: {skew}", file=sys.stderr)
 
@@ -188,7 +196,8 @@ added executor brings its own memory bandwidth and disks.
 | local[{lo}]  | {pages:,} | {comp[lo]['sec']} | {comp[lo]['pages_per_sec']:,.0f} |
 | local[{hi}] | {pages:,} | {comp[hi]['sec']} | {comp[hi]['pages_per_sec']:,.0f} |
 
-**Scaling efficiency ({ratio:.0f}x): {eff_comp:.2f}** (north rule: >= 0.8)
+**Scaling efficiency ({ratio:.0f}x): {eff_comp:.2f}** — median of
+per-attempt paired ratios {eff_comp_all} (north rule: >= 0.8)
 
 ## 2. Spatial kNN join (shuffle-heavy)
 
@@ -200,7 +209,8 @@ neighborhood, shuffle on cell, per-query window top-k).
 | local[{lo}]  | {knn[lo]['sec']} | {knn[lo]['points_per_sec']:,.0f} |
 | local[{hi}] | {knn[hi]['sec']} | {knn[hi]['points_per_sec']:,.0f} |
 
-**Scaling efficiency ({ratio:.0f}x): {eff_knn:.2f}** — shuffle-heavy work
+**Scaling efficiency ({ratio:.0f}x): {eff_knn:.2f}** (median of
+{eff_knn_all}) — shuffle-heavy work
 on a single box is bounded by SHARED memory bandwidth across all cores
 (the raw-CPU probe scales near-perfectly; the spread between it and this
 number is the bandwidth wall). On a real multi-NODE cluster the shuffle
