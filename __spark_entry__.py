@@ -385,6 +385,17 @@ AFFINE = [0.5, 0.0, 0.0, 10.0,
           0.0, 0.0, 0.0, 1.0]
 
 
+def q_reprojection(spark, sf_dir):
+    """filters.reprojection: 4326 -> Web-Mercator, drop-on-failure
+    (ReprojectionFilter.cpp:110-133; closed-form spherical Mercator)."""
+    from pdal_spark.operators import reprojection as reproj_op
+
+    out = reproj_op.reproject(_docs_geo(spark, sf_dir), "EPSG:4326", "EPSG:3857")
+    return out.select(
+        "doc_id", F.round("x", 4).alias("mx"), F.round("y", 4).alias("my")
+    )
+
+
 def q_transformation(spark, sf_dir):
     """filters.transformation: 4x4 affine on (x, y)."""
     out = rel_op.transformation(_docs_geo(spark, sf_dir), AFFINE)
@@ -720,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_reciprocity": q_feat_reciprocity,
         "feat_eigenvalues": q_feat_eigenvalues,
         "feat_covariance": q_feat_covariance,
+        "reprojection": q_reprojection,
         "transformation": q_transformation,
         "info_bounds": q_info_bounds,
         "voxel_center_nn": q_voxel_center_nn,
@@ -777,6 +789,13 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _misc_oracles() -> dict[str, str]:
+    from pdal_spark.operators import reprojection as reproj_op
+
+    mxs, mys, mw = reproj_op.reproject_sql("EPSG:4326", "EPSG:3857")
+    reproj = f"""
+      SELECT doc_id, round({mxs}, 4) AS mx, round({mys}, 4) AS my
+      FROM ({_DOCS_GEO_SQL}) WHERE {mw}
+    """
     m = AFFINE
     transformation = f"""
       SELECT doc_id,
@@ -872,6 +891,7 @@ def _misc_oracles() -> dict[str, str]:
       FROM nn
     """
     return {
+        "reprojection": reproj,
         "transformation": transformation,
         "info_bounds": info,
         "voxel_center_nn": vox,
