@@ -319,7 +319,9 @@ def minhash_dedup_pairs_sql(
         FROM wids CROSS JOIN params GROUP BY 1, 2
       ),
       bnd AS (
-        SELECT id, CAST(h / {rows} AS INTEGER) AS band,
+        -- h // rows: DuckDB '/' is float division and CAST rounds —
+        -- must truncate like Spark's cast("int")
+        SELECT id, CAST(h // {rows} AS INTEGER) AS band,
                string_agg(CAST(minh AS VARCHAR), ',' ORDER BY h) AS key
         FROM sigs GROUP BY 1, 2
       ),
