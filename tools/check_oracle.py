@@ -1,27 +1,22 @@
-"""Local stand-in for the driver's correctness gate.
+#!/usr/bin/env python
+"""Driver-contract correctness gate, run locally.
 
-Runs every ``__spark_entry__.queries()`` entry on Spark and its
-``oracle_sql()`` twin on DuckDB over the same parquet, then compares
-row count, column names/order-insensitive values. Exact comparison for
-ints/strings/bools; doubles compared bit-exact first, with a fallback
-report of max abs diff so we know when a query needs rounding.
+Mimics the external driver exactly: a VANILLA SparkSession (no repo
+tuning — queries() must not depend on session conf), every
+__spark_entry__.queries()[name] vs oracle_sql()[name] through DuckDB,
+columns sorted by name, rows sorted by all columns, floats compared to
+1e-9. Queries without an oracle are executed rows-only.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import os
 import sys
-import time
 
-sys.path.insert(0, "/root/repo")
-
-import duckdb
-import numpy as np
-import pandas as pd
-
-import __spark_entry__ as entry_mod
-from pdal_spark.session import get_spark
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -29,86 +24,67 @@ TABLES = [
 ]
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-
-
-def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
-    problems = []
-    if len(spark_pdf) != len(duck_pdf):
-        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
-    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
-    if s_cols != d_cols:
-        problems.append(f"columns spark={s_cols} duck={d_cols}")
-        return problems
-    if problems:
-        return problems
-    a, b = normalize(spark_pdf), normalize(duck_pdf)
-    for c in a.columns:
-        av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
-            av = av.astype(np.float64)
-            bv = bv.astype(np.float64)
-            both_nan = np.isnan(av) & np.isnan(bv)
-            eq = (av == bv) | both_nan
-            if not eq.all():
-                with np.errstate(invalid="ignore"):
-                    mad = np.nanmax(np.abs(av - bv))
-                problems.append(
-                    f"col {c}: {np.count_nonzero(~eq)} mismatches, max|diff|={mad:.3e}"
-                )
-        else:
-            eq = av == bv
-            if not np.asarray(eq).all():
-                problems.append(f"col {c}: {np.count_nonzero(~np.asarray(eq))} mismatches")
-    return problems
-
-
 def main() -> int:
+    import duckdb
+    import numpy as np
+    from pyspark.sql import SparkSession
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import __spark_entry__ as E
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    spark = get_spark(app_name="check_oracle", master="local[8]", shuffle_partitions=8)
-    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-
-    n_fail = 0
-    for name, fn in qs.items():
+    O, Q = E.oracle_sql(), E.queries()
+    bad: list[str] = []
+    for name in sorted(Q):
         if only and name not in only:
             continue
-        t0 = time.time()
         try:
-            spark_pdf = fn(spark, sf_dir).toPandas()
-        except Exception as e:
-            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
-            n_fail += 1
-            continue
-        sql = oracles.get(name)
-        if sql is None:
-            print(f"SKIP {name}: no oracle (rows-only check: {len(spark_pdf)} rows)")
-            continue
-        try:
-            duck_pdf = con.execute(sql).df()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
-            n_fail += 1
-            continue
-        problems = compare(name, spark_pdf, duck_pdf)
-        dt = time.time() - t0
-        if problems:
-            n_fail += 1
-            print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
-        else:
-            print(f"OK   {name} ({dt:.1f}s): {len(spark_pdf)} rows")
-    print(f"{'ALL OK' if n_fail == 0 else f'{n_fail} FAILURES'}")
-    return 1 if n_fail else 0
+            got = Q[name](spark, sf_dir).toPandas()
+            if name not in O:
+                print(f"OK   {name:<22} {len(got):>7} rows (rows-only)")
+                continue
+            exp = con.sql(O[name]).df()
+            got = got[sorted(got.columns)]
+            exp = exp[sorted(exp.columns)]
+            assert list(got.columns) == list(exp.columns), (
+                f"columns {list(got.columns)} vs {list(exp.columns)}"
+            )
+            sc = list(got.columns)
+            got = got.sort_values(sc, kind="stable").reset_index(drop=True)
+            exp = exp.sort_values(sc, kind="stable").reset_index(drop=True)
+            assert len(got) == len(exp), f"rows {len(got)} vs {len(exp)}"
+            for c in sc:
+                g, x = got[c], exp[c]
+                if np.issubdtype(np.asarray(g).dtype, np.floating) or np.issubdtype(
+                    np.asarray(x).dtype, np.floating
+                ):
+                    gg = g.astype(float).to_numpy()
+                    xx = x.astype(float).to_numpy()
+                    both_nan = np.isnan(gg) & np.isnan(xx)
+                    d = np.abs(gg - xx)
+                    d[both_nan] = 0.0
+                    assert np.nanmax(d, initial=0.0) <= 1e-9, (
+                        f"col {c}: max|diff|={np.nanmax(d):g}"
+                    )
+                else:
+                    same = g.astype(str).to_numpy() == x.astype(str).to_numpy()
+                    assert same.all(), f"col {c}: {int((~same).sum())} mismatches"
+            print(f"OK   {name:<22} {len(got):>7} rows")
+        except Exception as exc:
+            bad.append(name)
+            print(f"FAIL {name:<22} {str(exc)[:160]}")
+    print(f"\n{len(bad)} failures" + (f": {bad}" if bad else " — driver gate will pass"))
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":
