@@ -174,7 +174,7 @@ def q_divider_round_robin(spark, sf_dir):
     df = _table(spark, sf_dir, "documents")
     out = rel_op.divider(df, count=4, mode="round_robin", order_col="doc_id")
     return out.groupBy("view_id").agg(
-        F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars")
+        F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("sum_chars")
     )
 
 
@@ -1240,8 +1240,10 @@ def _relational_oracles() -> dict[str, str]:
             "ORDER BY doc_id DESC LIMIT 40)"
         ),
         "divider_round_robin": (
+            # DuckDB sum(INTEGER) is HUGEINT; cast to BIGINT to match the
+            # engine's LongType in the driver's exact value-hash compare.
             "SELECT doc_id % 4 AS view_id, count(*) AS n, "
-            "sum(n_chars) AS sum_chars FROM documents GROUP BY 1"
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY 1"
         ),
         "groupby_views": (
             "SELECT user_id AS view_id, count(*) AS n FROM events GROUP BY 1"

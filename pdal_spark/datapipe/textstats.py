@@ -51,11 +51,19 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     words = tokens(t)
     n_words = F.size(words)
     n_chars = F.length(t)
-    mean_wlen = (n_chars - (n_words - 1)).cast("double") / n_words
+    # zero guards: empty text -> ratios 0.0 on BOTH engines (Spark x/0 is
+    # NULL while DuckDB double x/0 is Inf/NaN — diverges without the guard)
+    mean_wlen = F.when(
+        n_words > 0, (n_chars - (n_words - 1)).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
     n_punct = F.size(F.regexp_extract_all(t, F.lit("[^A-Za-z0-9\\s]"), 0))
-    punct_ratio = n_punct.cast("double") / n_chars
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
     n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
-    stop_ratio = n_stop.cast("double") / n_words
+    stop_ratio = F.when(
+        n_words > 0, n_stop.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
     score = (
         F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.25
         + F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 0.25).otherwise(0.0)
@@ -75,12 +83,22 @@ def quality_score_sql(text: str = "text") -> dict[str, str]:
     words = f"string_split({text}, ' ')"
     n_words = f"len({words})"
     n_chars = f"length({text})"
-    mean_wlen = f"(CAST({n_chars} - ({n_words} - 1) AS DOUBLE) / {n_words})"
+    mean_wlen = (
+        f"(CASE WHEN {n_words} > 0 THEN "
+        f"CAST({n_chars} - ({n_words} - 1) AS DOUBLE) / {n_words} "
+        f"ELSE 0.0 END)"
+    )
     n_punct = f"len(regexp_extract_all({text}, '[^A-Za-z0-9\\s]'))"
-    punct_ratio = f"(CAST({n_punct} AS DOUBLE) / {n_chars})"
+    punct_ratio = (
+        f"(CASE WHEN {n_chars} > 0 THEN CAST({n_punct} AS DOUBLE) / {n_chars} "
+        f"ELSE 0.0 END)"
+    )
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     n_stop = f"len(list_filter({words}, w -> w IN ({stop_list})))"
-    stop_ratio = f"(CAST({n_stop} AS DOUBLE) / {n_words})"
+    stop_ratio = (
+        f"(CASE WHEN {n_words} > 0 THEN CAST({n_stop} AS DOUBLE) / {n_words} "
+        f"ELSE 0.0 END)"
+    )
     score = (
         f"(least(CAST({n_words} AS DOUBLE) / 100.0, 1.0) * 0.25"
         f" + CASE WHEN {mean_wlen} >= 3.0 AND {mean_wlen} <= 10.0 THEN 0.25 ELSE 0.0 END"

@@ -45,9 +45,11 @@ def _partitions(n: int, capacity: int) -> np.ndarray:
     """Cumulate-and-lround block boundaries (ChipperFilter.cpp:161-181)."""
     num = n // capacity + (1 if n % capacity else 0)
     size = n / num
-    # np.round is banker's rounding; C lround rounds half away from zero.
-    totals = size * np.arange(1, num + 1)
-    bounds = np.floor(totals + 0.5).astype(np.int64)  # all totals positive
+    # The reference accumulates iteratively (total += size, then lround);
+    # np.cumsum reproduces that sequential fp accumulation exactly, where
+    # size * arange could land on the other side of a half-integer.
+    totals = np.cumsum(np.full(num, size))
+    bounds = np.floor(totals + 0.5).astype(np.int64)  # lround, totals > 0
     return np.concatenate(([0], bounds))
 
 

@@ -81,7 +81,9 @@ def parse(doc: Any) -> list[StageSpec]:
         if not t:
             if filename is None:
                 raise PipelineError(f"stage {i}: missing 'type'")
-            t = "readers.infer" if i != last else "writers.infer"
+            # PipelineReaderJSON.cpp: type.empty() && (i == 0 || i != last)
+            # -> reader; a single-stage pipeline is a reader, not a writer.
+            t = "readers.infer" if (i == 0 or i != last) else "writers.infer"
         ins = node.get("inputs", [])
         if isinstance(ins, str):
             ins = [ins]
