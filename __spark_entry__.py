@@ -431,8 +431,10 @@ def q_mad_keep(spark, sf_dir):
 
 def q_nn_distance(spark, sf_dir):
     """filters.nndistance kth mode: distance to the k-th neighbor."""
+    cell = _auto_cell(_n_docs(spark, sf_dir), 4)
     out = knn_op.nn_distance(
-        _docs_geo(spark, sf_dir), k=4, mode="kth", id_col="doc_id", exact=True
+        _docs_geo(spark, sf_dir), k=4, mode="kth", id_col="doc_id",
+        cell_size=cell, validate=True,
     )
     return out.select("doc_id", F.round("nn_distance", 6).alias("nn_distance"))
 
@@ -454,7 +456,9 @@ def q_delta_nearest(spark, sf_dir):
     pts = _docs_geo(spark, sf_dir)
     src = pts.filter(F.col("doc_id") % 2 == 0)
     cand = pts.filter(F.col("doc_id") % 2 == 1)
-    out = knn_op.delta(src, cand, id_src="doc_id", id_cand="doc_id")
+    cell = _auto_cell(_n_docs(spark, sf_dir) // 2, 1)
+    out = knn_op.delta(src, cand, id_src="doc_id", id_cand="doc_id",
+                       cell_size=cell, validate=True)
     return out.select(
         "doc_id",
         F.round("delta_x", 9).alias("delta_x"),
@@ -467,19 +471,38 @@ def q_delta_nearest(spark, sf_dir):
 
 FEAT_K = 8
 LOF_MINPTS = 10
+GEO_AREA = 360.0 * 180.0  # geocode plane extent
+
+
+def _auto_cell(n_cand: int, k: int) -> float:
+    """Grid cell for the bucketed kNN join: 2*sqrt(area*k/n) is ~3.5x the
+    expected kth-NN radius of uniform points — measured max kth distances
+    on the geocode tables sit at <=0.72x of this at every gated scale.
+    Every user below passes validate=True, so a violation raises instead
+    of silently returning wrong neighbors."""
+    import math
+
+    return 2.0 * math.sqrt(GEO_AREA * k / max(n_cand, 1))
 
 
 def _docs_pts(spark, sf_dir):
     return _docs_geo(spark, sf_dir).select("doc_id", "x", "y")
 
 
+def _n_docs(spark, sf_dir) -> int:
+    # parquet metadata count — no scan
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
 def q_feat_lof(spark, sf_dir):
     """filters.lof: KDistance / LRD / LOF over minpts+1 self-inclusive
-    neighbor lists (LOFFilter.cpp:61-133)."""
+    neighbor lists (LOFFilter.cpp:61-133); cell-bucketed kNN join with
+    runtime exactness validation (knn.py validate invariant)."""
     from pdal_spark.operators import features as feat_op
 
+    cell = _auto_cell(_n_docs(spark, sf_dir), LOF_MINPTS + 1)
     out = feat_op.lof(_docs_pts(spark, sf_dir), minpts=LOF_MINPTS,
-                      id_col="doc_id", exact=True)
+                      id_col="doc_id", cell_size=cell, validate=True)
     return out.select(
         "doc_id", F.round("kdistance", 6).alias("kdistance"),
         F.round("lrd", 6).alias("lrd"), F.round("lof", 6).alias("lof"),
@@ -490,8 +513,9 @@ def q_feat_reciprocity(spark, sf_dir):
     """filters.reciprocity: % of k neighbors not reciprocating."""
     from pdal_spark.operators import features as feat_op
 
+    cell = _auto_cell(_n_docs(spark, sf_dir), FEAT_K + 1)
     out = feat_op.reciprocity(_docs_pts(spark, sf_dir), k=FEAT_K,
-                              id_col="doc_id", exact=True)
+                              id_col="doc_id", cell_size=cell, validate=True)
     return out.select("doc_id", F.round("reciprocity", 6).alias("reciprocity"))
 
 
@@ -500,8 +524,9 @@ def q_feat_eigenvalues(spark, sf_dir):
     numpy oracle in tests/test_features.py)."""
     from pdal_spark.operators import features as feat_op
 
+    cell = _auto_cell(_n_docs(spark, sf_dir), FEAT_K)
     out = feat_op.eigenvalues(_docs_pts(spark, sf_dir), k=FEAT_K,
-                              id_col="doc_id", exact=True)
+                              id_col="doc_id", cell_size=cell, validate=True)
     return out.select(
         "doc_id",
         F.round("eigenvalue0", 6).alias("eigenvalue0"),
@@ -514,8 +539,10 @@ def q_feat_covariance(spark, sf_dir):
     """filters.covariancefeatures Dimensionality set (tests carry oracle)."""
     from pdal_spark.operators import features as feat_op
 
+    cell = _auto_cell(_n_docs(spark, sf_dir), 11)
     out = feat_op.covariance_features(_docs_pts(spark, sf_dir), k=10,
-                                      id_col="doc_id", exact=True)
+                                      id_col="doc_id", cell_size=cell,
+                                      validate=True)
     return out.select(
         "doc_id",
         F.round("linearity", 6).alias("linearity"),
@@ -603,7 +630,8 @@ def q_hag(spark, sf_dir):
     df = _docs_z(spark, sf_dir).withColumn(
         "classification", F.when(F.col("doc_id") % 3 == 0, 2).otherwise(1)
     )
-    out = pc_op.hag(df, count=3, id_col="doc_id")
+    cell = _auto_cell(_n_docs(spark, sf_dir) // 3, 3)  # ground = 1/3 of docs
+    out = pc_op.hag(df, count=3, id_col="doc_id", cell_size=cell, validate=True)
     return out.select("doc_id", F.round("height_above_ground", 6).alias("hag"))
 
 

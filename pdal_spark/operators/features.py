@@ -47,7 +47,7 @@ from pdal_spark.operators.knn import knn_join, knn_join_exact
 
 def _self_knn(
     df: DataFrame, k: int, cell_size: float | None, id_col: str,
-    x: str, y: str, z: str | None, exact: bool,
+    x: str, y: str, z: str | None, exact: bool, validate: bool = False,
 ) -> DataFrame:
     """(src, cand, dist, rank) with self included (rank 1, dist 0)."""
     cols = [F.col(id_col).alias("_f_id"), F.col(x), F.col(y)]
@@ -60,16 +60,16 @@ def _self_knn(
                               src_id="_f_src", cand_id="_f_cand", x=x, y=y)
     return knn_join(pts.withColumnRenamed("_f_id", "_f_src"), cand, k,
                     cell_size=cell_size, src_id="_f_src", cand_id="_f_cand",
-                    x=x, y=y)
+                    x=x, y=y, validate=validate)
 
 
 def _neighbor_cov(
     df: DataFrame, k: int, cell_size: float | None, id_col: str,
-    x: str, y: str, z: str | None, exact: bool,
+    x: str, y: str, z: str | None, exact: bool, validate: bool = False,
 ) -> DataFrame:
     """(id, n, cxx, cxy, cxz, cyy, cyz, czz): per-point neighborhood
     covariance (self included in the k, float32 demeaning, /(n-1))."""
-    knn = _self_knn(df, k, cell_size, id_col, x, y, z, exact)
+    knn = _self_knn(df, k, cell_size, id_col, x, y, z, exact, validate)
     zc = F.col(z) if z else F.lit(0.0)
     coords = df.select(
         F.col(id_col).alias("_f_cand"),
@@ -130,8 +130,9 @@ def _eigh_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
 
 
-def _eigen_base(df, k, cell_size, id_col, x, y, z, exact) -> DataFrame:
-    cov = _neighbor_cov(df, k, cell_size, id_col, x, y, z, exact)
+def _eigen_base(df, k, cell_size, id_col, x, y, z, exact,
+                validate=False) -> DataFrame:
+    cov = _neighbor_cov(df, k, cell_size, id_col, x, y, z, exact, validate)
     return cov.mapInPandas(_eigh_kernel, schema=_EIG_OUT)
 
 
@@ -139,9 +140,10 @@ def eigenvalues(
     df: DataFrame, k: int = 8, cell_size: float | None = None,
     normalize: bool = False, id_col: str = "page_id",
     x: str = "x", y: str = "y", z: str | None = None, exact: bool = False,
+    validate: bool = False,
 ) -> DataFrame:
     """filters.eigenvalues -> Eigenvalue0/1/2 columns (ascending)."""
-    eig = _eigen_base(df, k, cell_size, id_col, x, y, z, exact)
+    eig = _eigen_base(df, k, cell_size, id_col, x, y, z, exact, validate)
     e0, e1, e2 = F.col("e0"), F.col("e1"), F.col("e2")
     if normalize:
         s = e0 + e1 + e2
@@ -158,10 +160,10 @@ def normal(
     df: DataFrame, k: int = 8, cell_size: float | None = None,
     viewpoint: tuple[float, float, float] | None = None, always_up: bool = True,
     id_col: str = "page_id", x: str = "x", y: str = "y", z: str | None = None,
-    exact: bool = False,
+    exact: bool = False, validate: bool = False,
 ) -> DataFrame:
     """filters.normal -> NormalX/Y/Z + Curvature."""
-    eig = _eigen_base(df, k, cell_size, id_col, x, y, z, exact)
+    eig = _eigen_base(df, k, cell_size, id_col, x, y, z, exact, validate)
     nx, ny, nz = F.col("v0x"), F.col("v0y"), F.col("v0z")
     s = F.col("e0") + F.col("e1") + F.col("e2")
     curv = F.when(s != 0, F.abs(F.col("e0") / s)).otherwise(0.0)
@@ -194,9 +196,10 @@ def approximate_coplanar(
     df: DataFrame, k: int = 8, thresh1: float = 25.0, thresh2: float = 6.0,
     cell_size: float | None = None, id_col: str = "page_id",
     x: str = "x", y: str = "y", z: str | None = None, exact: bool = False,
+    validate: bool = False,
 ) -> DataFrame:
     """filters.approximatecoplanar -> Coplanar 0/1."""
-    eig = _eigen_base(df, k, cell_size, id_col, x, y, z, exact)
+    eig = _eigen_base(df, k, cell_size, id_col, x, y, z, exact, validate)
     cop = (
         (F.col("e1") > thresh1 * F.col("e0"))
         & (thresh2 * F.col("e1") > F.col("e2"))
@@ -208,12 +211,12 @@ def approximate_coplanar(
 def covariance_features(
     df: DataFrame, k: int = 10, cell_size: float | None = None,
     id_col: str = "page_id", x: str = "x", y: str = "y", z: str | None = None,
-    exact: bool = False,
+    exact: bool = False, validate: bool = False,
 ) -> DataFrame:
     """filters.covariancefeatures Dimensionality set: Linearity, Planarity,
     Scattering, Verticality. Neighbors = k+1 (CovarianceFeaturesFilter
     passes knn+1)."""
-    eig = _eigen_base(df, k + 1, cell_size, id_col, x, y, z, exact)
+    eig = _eigen_base(df, k + 1, cell_size, id_col, x, y, z, exact, validate)
     # lambda desc = (e2, e1, e0) clamped at 0
     l0 = F.greatest(F.col("e2"), F.lit(0.0))
     l1 = F.greatest(F.col("e1"), F.lit(0.0))
@@ -237,10 +240,11 @@ def estimate_rank(
     df: DataFrame, k: int = 8, thresh: float = 0.01,
     cell_size: float | None = None, id_col: str = "page_id",
     x: str = "x", y: str = "y", z: str | None = None, exact: bool = False,
+    validate: bool = False,
 ) -> DataFrame:
     """filters.estimaterank: SVD rank of the neighborhood covariance with
     Eigen's relative threshold (sv > thresh * sv_max)."""
-    eig = _eigen_base(df, k, cell_size, id_col, x, y, z, exact)
+    eig = _eigen_base(df, k, cell_size, id_col, x, y, z, exact, validate)
     # covariance is PSD: singular values == |eigenvalues| == eigenvalues
     s0 = F.greatest(F.abs("e0"), F.abs("e1"), F.abs("e2"))
     t = F.lit(float(np.float32(thresh))) * s0
@@ -258,6 +262,7 @@ def estimate_rank(
 def lof(
     df: DataFrame, minpts: int = 10, cell_size: float | None = None,
     id_col: str = "page_id", x: str = "x", y: str = "y", exact: bool = False,
+    validate: bool = False,
 ) -> DataFrame:
     """filters.lof: KDistance, LocalReachabilityDistance, LocalOutlierFactor.
 
@@ -266,7 +271,8 @@ def lof(
     self entry participates in the lrd/lof means exactly as in the
     reference. Three relational passes over one cached kNN result."""
     kk = minpts + 1
-    knn = _self_knn(df, kk, cell_size, id_col, x, y, None, exact).cache()
+    knn = _self_knn(df, kk, cell_size, id_col, x, y, None, exact,
+                    validate).cache()
     kdist = knn.filter(F.col("rank") == kk).select(
         F.col("_f_src").alias("_l_id"), F.col("dist").alias("kdistance")
     )
@@ -297,10 +303,12 @@ def lof(
 def reciprocity(
     df: DataFrame, k: int = 8, cell_size: float | None = None,
     id_col: str = "page_id", x: str = "x", y: str = "y", exact: bool = False,
+    validate: bool = False,
 ) -> DataFrame:
     """filters.reciprocity: 100 * |{j in N_i : i not in N_j}| / k, where
     N are k+1 lists including self (self skipped in the count)."""
-    knn = _self_knn(df, k + 1, cell_size, id_col, x, y, None, exact).cache()
+    knn = _self_knn(df, k + 1, cell_size, id_col, x, y, None, exact,
+                    validate).cache()
     others = knn.filter(F.col("_f_src") != F.col("_f_cand")).select(
         "_f_src", "_f_cand"
     )

@@ -418,6 +418,7 @@ def nn_distance(
     x: str = "x",
     y: str = "y",
     exact: bool = False,
+    validate: bool = False,
 ) -> DataFrame:
     """filters.nndistance (NNDistanceFilter.cpp:60-66): per-point kth or
     average neighbor distance as a new NNDistance column."""
@@ -428,7 +429,7 @@ def nn_distance(
                              x=x, y=y, exclude_self=True)
     else:
         knn = knn_join(pts, cand, k, cell_size, src_id="_n_src", cand_id="_n_cand",
-                       x=x, y=y, exclude_self=True)
+                       x=x, y=y, exclude_self=True, validate=validate)
     if mode == "kth":
         agg = knn.filter(F.col("rank") == k).select(
             F.col("_n_src"), F.col("dist").alias("nn_distance")
@@ -463,16 +464,31 @@ def radial_density(
 # ---------------------------------------------------------------------------
 
 
+def _nn1(src, cand, src_id, cand_id, x, y, cell_size, validate):
+    """Nearest-1 join: bucketed grid join when cell_size is given (the
+    scale path — no broadcast of the candidate side), else broadcast
+    exact. validate=True proves grid exactness at run time."""
+    if cell_size is not None:
+        return knn_join(src, cand, 1, cell_size, src_id=src_id,
+                        cand_id=cand_id, x=x, y=y, validate=validate)
+    return knn_join_exact(src, cand, 1, src_id=src_id, cand_id=cand_id,
+                          x=x, y=y)
+
+
 def hausdorff(
     a: DataFrame, b: DataFrame, id_a: str = "page_id", id_b: str = "page_id",
-    x: str = "x", y: str = "y",
+    x: str = "x", y: str = "y", cell_size: float | None = None,
+    validate: bool = False,
 ) -> float:
-    """kernels.hausdorff: max(max-min-dist(a->b), max-min-dist(b->a))."""
+    """kernels.hausdorff: max(max-min-dist(a->b), max-min-dist(b->a)).
+
+    cell_size routes through the bucketed grid join (candidate side is a
+    full point cloud at scale — not broadcastable)."""
     def one_way(s, c, ids, idc):
-        nn = knn_join_exact(
+        nn = _nn1(
             s.select(F.col(ids).alias("_h_src"), x, y),
             c.select(F.col(idc).alias("_h_cand"), x, y),
-            1, src_id="_h_src", cand_id="_h_cand", x=x, y=y,
+            "_h_src", "_h_cand", x, y, cell_size, validate,
         )
         return nn.agg(F.max("dist")).collect()[0][0]
 
@@ -482,12 +498,13 @@ def hausdorff(
 def delta(
     src: DataFrame, cand: DataFrame, id_src: str = "page_id",
     id_cand: str = "page_id", x: str = "x", y: str = "y",
+    cell_size: float | None = None, validate: bool = False,
 ) -> DataFrame:
     """kernels.delta: per src point, coordinate diffs vs nearest cand."""
-    nn = knn_join_exact(
+    nn = _nn1(
         src.select(F.col(id_src).alias("_d_src"), x, y),
         cand.select(F.col(id_cand).alias("_d_cand"), x, y),
-        1, src_id="_d_src", cand_id="_d_cand", x=x, y=y,
+        "_d_src", "_d_cand", x, y, cell_size, validate,
     )
     c = cand.select(
         F.col(id_cand).alias("_d_cand"),

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from pdal_spark import geo
-from pdal_spark.operators.knn import knn_join_exact, radius_join
+from pdal_spark.operators.knn import knn_join, knn_join_exact, radius_join
 
 
 # ---------------------------------------------------------------------------
@@ -490,6 +490,8 @@ def hag(
     z: str = "z",
     class_col: str = "classification",
     ground_class: int = 2,
+    cell_size: float | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """HeightAboveGround: ground rows (class==2) get 0; others get
     z - z_ground where z_ground = nearest ground z (count=1) or
@@ -505,11 +507,22 @@ def hag(
     )
     q = non_ground.select(F.col(id_col).alias("_q_id"), F.col(x), F.col(y),
                           F.col(z).alias("_qz"))
-    knn = knn_join_exact(
-        q.select(F.col("_q_id").alias("src_id"), x, y),
-        g.select(F.col("_g_id").alias("cand_id"), x, y),
-        count, src_id="src_id", cand_id="cand_id", x=x, y=y,
-    )
+    # Ground points are ~1/3 of a point cloud — never broadcastable at
+    # scale. cell_size routes through the bucketed grid join (validate
+    # proves exactness); the broadcast path stays for tiny ground sets.
+    if cell_size is not None:
+        knn = knn_join(
+            q.select(F.col("_q_id").alias("src_id"), x, y),
+            g.select(F.col("_g_id").alias("cand_id"), x, y),
+            count, cell_size, src_id="src_id", cand_id="cand_id", x=x, y=y,
+            validate=validate,
+        )
+    else:
+        knn = knn_join_exact(
+            q.select(F.col("_q_id").alias("src_id"), x, y),
+            g.select(F.col("_g_id").alias("cand_id"), x, y),
+            count, src_id="src_id", cand_id="cand_id", x=x, y=y,
+        )
     nb = knn.join(
         g.select(F.col("_g_id").alias("cand_id"), F.col(x).alias("_gx"),
                  F.col(y).alias("_gy"), "_gz"),
