@@ -187,12 +187,13 @@ def q_groupby_views(spark, sf_dir):
 
 def q_sort_rank(spark, sf_dir):
     """filters.sort (stable): encoded as explicit rank so an order-
-    insensitive compare still verifies total order + tiebreak."""
+    insensitive compare still verifies total order + tiebreak; the rank
+    is computed distributed (ordered.global_rank), not via a single-task
+    global window."""
     df = _table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
-    return df.select("event_id", F.row_number().over(w).alias("sort_rank"))
+    return rel_op.sort_rank(df, "value", arrival_col="event_id").select(
+        "event_id", "sort_rank"
+    )
 
 
 def q_locate_max(spark, sf_dir):
@@ -702,6 +703,27 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via bit-band pigeonhole buckets (no
+    crossJoin in the plan); oracle is the exact all-pairs Hamming join —
+    banding is 100%-recall by construction, so the sets must be equal."""
+    df = _table(spark, sf_dir, "documents")
+    sim = dedup_op.simhash(df)
+    return dedup_op.simhash_pairs(sim, max_hamming=3).select(
+        "id1", "id2", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def q_dedup_minhash_hash(spark, sf_dir):
+    """MinHash LSH pairs with hash-domain word ids (vocab mode='hash' —
+    zero vocabulary shuffles, the open-vocabulary scale path) and the
+    shared-word verifier. Rows-only at the driver (xxhash64 has no DuckDB
+    twin); the verified-jaccard semantics are pytest-checked against the
+    exact pair set."""
+    df = _table(spark, sf_dir, "documents")
+    return dedup_op.minhash_dedup_pairs(df, threshold=0.8, word_id_mode="hash")
+
+
 def q_sim_cosine_topk(spark, sf_dir):
     df = _table(spark, sf_dir, "embeddings")
     return sim_op.cosine_topk(df, k=3)
@@ -753,6 +775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_minhash_hash": q_dedup_minhash_hash,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "feat_lof": q_feat_lof,
@@ -1008,7 +1032,7 @@ def _pointcloud_oracles() -> dict[str, str]:
       WITH pts AS ({_DOCS_GEO_SQL}),
       keyed AS (SELECT doc_id, ({' + '.join(terms)}) AS morton_key FROM pts)
       SELECT doc_id, morton_key,
-             CAST(row_number() OVER (ORDER BY morton_key, doc_id) AS INTEGER)
+             CAST(row_number() OVER (ORDER BY morton_key, doc_id) AS BIGINT)
                AS morton_rank
       FROM keyed
     """
@@ -1222,6 +1246,13 @@ def _datapipe_oracles() -> dict[str, str]:
             f"SELECT id AS doc_id, CAST(simhash AS BIGINT) AS simhash "
             f"FROM ({dedup_op.simhash_sql()})"
         ),
+        "simhash_pairs": (
+            f"WITH sim AS ({dedup_op.simhash_sql()}) "
+            f"SELECT a.id AS id1, b.id AS id2, "
+            f"CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+            f"FROM sim a JOIN sim b ON a.id < b.id "
+            f"WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
         "sim_cosine_topk": sim_op.cosine_topk_sql(3),
         "sim_lsh_topk": sim_op.lsh_cosine_topk_sql(3),
     }
@@ -1278,7 +1309,7 @@ def _relational_oracles() -> dict[str, str]:
         ),
         "sort_rank": (
             "SELECT event_id, CAST(row_number() OVER (ORDER BY value ASC, event_id ASC) "
-            "AS INTEGER) AS sort_rank FROM events"
+            "AS BIGINT) AS sort_rank FROM events"
         ),
         "locate_max": (
             "SELECT event_id, value FROM events ORDER BY value DESC, event_id ASC LIMIT 1"

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pdal_spark.operators.ordered import global_rank
+
 P31 = 2147483647  # Mersenne prime 2^31-1
 
 # deterministic (a, c) params per minhash function
@@ -167,11 +169,11 @@ def _prefix_candidates(words: DataFrame, v: DataFrame, threshold: float) -> Data
     out over are the SMALLEST ones in the corpus.
     """
     dfreq = words.groupBy("word").agg(F.count("*").alias("df"))
-    order = dfreq.join(v, "word").select(
-        "word",
-        F.row_number().over(Window.orderBy(F.col("df").asc(), F.col("word").asc()))
-        .alias("ord"),
-    )
+    order = global_rank(
+        dfreq.join(v, "word").select("word", "df"),
+        [F.col("df").asc(), F.col("word").asc()],
+        out_col="ord",
+    ).select("word", "ord")
     sized = words.join(F.broadcast(order), "word").withColumn(
         "sz", F.count("*").over(Window.partitionBy("id"))
     )
@@ -230,21 +232,36 @@ def jaccard_pairs_sql(threshold: float, table: str = "documents",
     """
 
 
-def vocab(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Deterministic word -> dense id (sorted-vocab rank, 0-based)."""
+def vocab(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    mode: str = "rank",
+) -> DataFrame:
+    """word -> id.
+
+    mode="rank": deterministic dense id (sorted-vocab rank, 0-based),
+    computed DISTRIBUTED via ordered.global_rank (range partition +
+    offsets — no single-task window). Dense ids enable the bitmask
+    verifier and are what the SQL oracles replicate.
+
+    mode="hash": wid = pmod(xxhash64(word), 2^31-1) — zero shuffles over
+    the vocabulary, the open-vocabulary 100 TB path. Ids are sparse (no
+    bitmask verifier; minhash/simhash treat them as hash-domain points)
+    and rare collisions only perturb the approximate signatures.
+    """
     w = doc_words(df, text_col, id_col).select("word").distinct()
-    return w.withColumn(
-        "wid", F.row_number().over(Window.orderBy("word")).cast("long") - 1
-    )
+    if mode == "hash":
+        return w.withColumn("wid", F.pmod(F.xxhash64("word"), F.lit(P31)))
+    return global_rank(w, [F.col("word").asc()], out_col="wid", zero_based=True)
 
 
 def minhash_signatures(
-    df: DataFrame, k: int = MINHASH_K, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, k: int = MINHASH_K, text_col: str = "text",
+    id_col: str = "doc_id", word_id_mode: str = "rank",
 ) -> DataFrame:
     """(id, h, minh): k min-hash values per document."""
     spark = df.sparkSession
     words = doc_words(df, text_col, id_col)
-    v = vocab(df, text_col, id_col)
+    v = vocab(df, text_col, id_col, mode=word_id_mode)
     wids = words.join(v, "word").select("id", "wid")
     params = spark.createDataFrame(
         [(i, a, c) for i, (a, c) in enumerate(_hash_params(k))], "h int, a long, c long"
@@ -272,6 +289,36 @@ def minhash_bands(sigs: DataFrame, bands: int = MINHASH_BANDS, k: int = MINHASH_
     )
 
 
+def _verify_pairs_wordjoin(cand: DataFrame, words: DataFrame,
+                           threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs via a shared-word join — the
+    open-vocabulary verifier (no dense ids needed). Candidate pairs are
+    few post-LSH, so the join fans out over pairs, not the corpus."""
+    sizes = words.groupBy("id").agg(F.count("*").alias("sz"))
+    w1 = words.select(F.col("id").alias("id1"), "word")
+    w2 = words.select(F.col("id").alias("id2"), "word")
+    inter = (
+        cand.join(w1, "id1").join(w2, ["id2", "word"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "id1").join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     threshold: float,
@@ -279,11 +326,16 @@ def minhash_dedup_pairs(
     bands: int = MINHASH_BANDS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    word_id_mode: str = "rank",
+    verify: str | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (same bucket in >= 1 band), verified with true
     Jaccard >= threshold. Only bucket-mates are ever pair-joined — the
-    100 TB path; the exact jaccard_pairs() is the small-scale oracle."""
-    sigs = minhash_signatures(df, k, text_col, id_col)
+    100 TB path; the exact jaccard_pairs() is the small-scale oracle.
+
+    word_id_mode="hash" removes every vocabulary shuffle (see vocab());
+    it forces the word-join verifier since hash ids aren't dense."""
+    sigs = minhash_signatures(df, k, text_col, id_col, word_id_mode)
     bnd = minhash_bands(sigs, bands, k)
     cand = (
         bnd.alias("a")
@@ -293,6 +345,10 @@ def minhash_dedup_pairs(
         .distinct()
     )
     words = doc_words(df, text_col, id_col)
+    if verify is None:
+        verify = "bitmask" if word_id_mode == "rank" else "wordjoin"
+    if verify == "wordjoin":
+        return _verify_pairs_wordjoin(cand, words, threshold)
     masks, n_chunks = _doc_masks(words, vocab(df, text_col, id_col))
     return _verify_pairs_bitmask(cand, masks, threshold, n_chunks)
 
@@ -347,14 +403,15 @@ def minhash_dedup_pairs_sql(
 SIMHASH_BITS = 16
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            word_id_mode: str = "rank") -> DataFrame:
     """(id, simhash): 16-bit SimHash over the distinct word set.
 
     bit b of word wid = ((wid * A_b + C_b) % P) % 2; document bit b set
     iff the majority of its words set it (sum(2*bit-1) > 0)."""
     spark = df.sparkSession
     words = doc_words(df, text_col, id_col)
-    v = vocab(df, text_col, id_col)
+    v = vocab(df, text_col, id_col, mode=word_id_mode)
     wids = words.join(v, "word").select("id", "wid")
     bits = spark.createDataFrame(
         [(b, (b * 2654435761 + 101) % P31, (b * 40503 + 11) % P31, 1 << b)
@@ -397,19 +454,70 @@ def simhash_sql(table: str = "documents", text: str = "text",
     """
 
 
-def simhash_pairs(sim: DataFrame, max_hamming: int) -> DataFrame:
+def _simhash_band_bounds(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """Split `bits` into n_bands contiguous (shift, width) chunks."""
+    base, rem = divmod(bits, n_bands)
+    bounds, shift = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < rem else 0)
+        bounds.append((shift, width))
+        shift += width
+    return bounds
+
+
+def simhash_pairs(
+    sim: DataFrame, max_hamming: int, banded: bool = True,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
     """Near-dup pairs by Hamming distance over simhash values.
 
-    Small-scale exact pair join; the scale path buckets on bit-bands
-    (any (BITS/(max_hamming+1))-bit band must match exactly for distance
-    <= max_hamming — pigeonhole), then verifies. Spark keeps bit_count
-    in the JVM."""
-    a = sim.select(F.col("id").alias("id1"), F.col("simhash").alias("s1"))
-    b = sim.select(F.col("id").alias("id2"), F.col("simhash").alias("s2"))
+    banded=True (default, the scale path): pigeonhole — two hashes at
+    Hamming distance <= h differ in at most h of the h+1 disjoint bit
+    bands, so at least one band matches EXACTLY. Candidates come from an
+    equi-join on (band_idx, band_value) — a hash-partitioned shuffle
+    bounded by band-bucket sizes, no crossJoin anywhere in the plan —
+    then the exact bit_count verify keeps true pairs only (100% recall
+    by the pigeonhole argument, zero false positives after the verify).
+
+    banded=False keeps the exact all-pairs join (tiny inputs, and the
+    recall oracle for the banded plan in tests)."""
+    if not banded:
+        a = sim.select(F.col("id").alias("id1"), F.col("simhash").alias("s1"))
+        b = sim.select(F.col("id").alias("id2"), F.col("simhash").alias("s2"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id1") < F.col("id2"))
+            .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id1", "id2", "hamming")
+        )
+    bounds = _simhash_band_bounds(bits, max_hamming + 1)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), shift)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bval"),
+            )
+            for i, (shift, width) in enumerate(bounds)
+        ]
+    )
+    keyed = sim.select(
+        "id", "simhash", F.explode(bands).alias("_b")
+    ).select("id", "simhash", F.col("_b.band").alias("band"),
+             F.col("_b.bval").alias("bval"))
+    a = keyed.select(F.col("id").alias("id1"), F.col("simhash").alias("s1"),
+                     "band", "bval")
+    b = keyed.select(F.col("id").alias("id2"), F.col("simhash").alias("s2"),
+                     "band", "bval")
     return (
-        a.crossJoin(b)
+        a.join(b, ["band", "bval"])
         .filter(F.col("id1") < F.col("id2"))
-        .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .select(
+            "id1", "id2",
+            F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id1", "id2", "hamming")
+        .distinct()
     )

@@ -1,0 +1,103 @@
+"""Distributed total-order primitives.
+
+PDAL semantics are frequently defined over a global scan order (arrival
+index, stable sort rank, running line counters). The naive Spark
+encoding — ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY —
+funnels the entire dataset through ONE task ("Moving all data to a
+single partition"), a scale-killer at 10^12 rows.
+
+The exact distributed equivalent implemented here is the classic
+range-partition + offset scheme (the same plan Spark uses internally for
+a global sort, plus a tiny offsets side-table):
+
+  1. ``repartitionByRange`` on the order keys — partition p holds a
+     contiguous key range, p < q  =>  every key in p sorts before q.
+  2. per-partition local rank / local prefix-sum — a window PARTITIONED
+     by the range-partition id (parallel across partitions, JVM-side).
+  3. per-partition counts/totals (one tiny aggregate, #partitions rows)
+     turned into exclusive prefix offsets on the driver and applied as a
+     literal map lookup — global = offset[pid] + local.
+
+Cost: one range shuffle + one pid-hash shuffle + an O(#partitions)
+aggregate. Wall-clock scales with cores; no single-task stage.
+
+The order keys must totally order the rows (callers append an arrival
+tiebreak column) — this is what makes the result deterministic and
+independent of the sampled range boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "_ord_pid"
+
+
+def _range_partitioned(
+    df: DataFrame, keys: list[Column], num_partitions: int | None
+) -> DataFrame:
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartitionByRange(n, *keys)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+
+
+def _offset_expr(per_pid: list[tuple[int, int]]) -> Column:
+    """Literal pid -> exclusive-prefix-offset map (#partitions entries)."""
+    offs: list[Column] = []
+    acc = 0
+    for pid, total in sorted(per_pid):
+        offs += [F.lit(pid), F.lit(acc)]
+        acc += int(total)
+    if not offs:
+        return F.lit(0).cast("long")
+    return F.coalesce(
+        F.create_map(*offs)[F.col(_PID)].cast("long"), F.lit(0).cast("long")
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    keys: list[Column],
+    out_col: str = "rank",
+    zero_based: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``row_number() OVER (ORDER BY keys)`` without the
+    single-task global window. ``keys`` must totally order the rows."""
+    work = _range_partitioned(df, keys, num_partitions)
+    counts = work.groupBy(_PID).count().collect()
+    base = F.row_number().over(Window.partitionBy(_PID).orderBy(*keys))
+    rank = (
+        base.cast("long")
+        + _offset_expr([(r[_PID], r["count"]) for r in counts])
+        - (1 if zero_based else 0)
+    )
+    return work.withColumn(out_col, rank).drop(_PID)
+
+
+def running_total(
+    df: DataFrame,
+    keys: list[Column],
+    value: Column,
+    out_col: str = "running_total",
+    inclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global prefix sum of ``value`` in key order (exclusive by
+    default: sum over rows strictly before this row)."""
+    work = _range_partitioned(df, keys, num_partitions)
+    work = work.withColumn("_ord_v", value.cast("long"))
+    totals = work.groupBy(_PID).agg(F.sum("_ord_v").alias("t")).collect()
+    hi = 0 if inclusive else -1
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    local = F.coalesce(F.sum("_ord_v").over(w), F.lit(0).cast("long"))
+    out = local + _offset_expr([(r[_PID], r["t"] or 0) for r in totals])
+    return work.withColumn(out_col, out).drop(_PID, "_ord_v")

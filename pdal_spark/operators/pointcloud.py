@@ -18,6 +18,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from pdal_spark import geo
 from pdal_spark.operators.knn import knn_join, knn_join_exact, radius_join
+from pdal_spark.operators.ordered import global_rank, running_total
 
 
 # ---------------------------------------------------------------------------
@@ -197,6 +198,7 @@ def sample(
     partitioned: bool = False,
     tile_len: float | None = None,
     origin: tuple[float, float] = (0.0, 0.0),
+    max_rows_exact: int = 2_000_000,
 ) -> DataFrame:
     """Poisson-disk subsample: scan in arrival order, keep a point iff no
     already-kept point lies within radius (masked-forever semantics).
@@ -205,7 +207,13 @@ def sample(
     partitioned=True: per-tile independent kernels (tile_len >> radius) —
     near-identical density, but points near tile borders may differ from
     the global scan (documented divergence; the reference itself is
-    order-dependent, SURVEY §7.3)."""
+    order-dependent, SURVEY §7.3).
+
+    The single-kernel mode REFUSES inputs above max_rows_exact (counting
+    is cheap vs. the kernel): a greedy global scan over more rows than
+    one executor holds is a silent scale trap — callers must opt into
+    the tile-parallel mode (or raise the cap explicitly for parity
+    runs)."""
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="stable")
@@ -222,6 +230,13 @@ def sample(
         ).withColumn("_ty", geo.tile_coord(F.col(y), origin[1], tile_len))
         out = tiled.groupBy("_tx", "_ty").applyInPandas(kernel, schema=tiled.schema)
         return out.drop("_tx", "_ty")
+    n = df.count()
+    if n > max_rows_exact:
+        raise ValueError(
+            f"sample(): {n} rows exceed max_rows_exact={max_rows_exact} for "
+            "the single-kernel parity mode; pass partitioned=True with a "
+            "tile_len (scale mode) or raise max_rows_exact explicitly"
+        )
     g = df.withColumn("_g", F.lit(0))
     return g.groupBy("_g").applyInPandas(kernel, schema=g.schema).drop("_g")
 
@@ -325,12 +340,12 @@ def morton_order(
             key = key + F.shiftleft(
                 F.shiftright(code, b).bitwiseAND(F.lit(1)).cast("long"), 31 - b
             )
-    tie = F.col(order_col).asc() if order_col else F.lit(0)
-    w = Window.orderBy(F.col("_mkey").asc(), *( [tie] if order_col else [] ))
-    return (
-        df.withColumn("_mkey", key)
-        .withColumn("morton_rank", F.row_number().over(w))
-        .withColumnRenamed("_mkey", "morton_key")
+    keyed = df.withColumn("_mkey", key)
+    rank_keys = [F.col("_mkey").asc()] + (
+        [F.col(order_col).asc()] if order_col else []
+    )
+    return global_rank(keyed, rank_keys, out_col="morton_rank").withColumnRenamed(
+        "_mkey", "morton_key"
     )
 
 
@@ -344,15 +359,15 @@ def separate_scan_line(
     order_col: str = "page_id",
 ) -> DataFrame:
     """view_id = floor(#flagged rows strictly before this row / groupby)
-    — the running line counter of the reference's sequential scan."""
-    w = (
-        Window.orderBy(F.col(order_col).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    — the running line counter of the reference's sequential scan,
+    computed as a distributed exclusive prefix sum (ordered.running_total:
+    range partition + per-partition offsets, no global window)."""
+    staged = running_total(
+        df, [F.col(order_col).asc()], F.col(flag_col), out_col="_flags_before"
     )
-    flags_before = F.coalesce(
-        F.sum(F.col(flag_col).cast("long")).over(w), F.lit(0)
-    )
-    return df.withColumn("view_id", (flags_before / groupby).cast("long"))
+    return staged.withColumn(
+        "view_id", (F.col("_flags_before") / groupby).cast("long")
+    ).drop("_flags_before")
 
 
 # ---------------------------------------------------------------------------

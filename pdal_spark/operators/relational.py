@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from pdal_spark.functions.dimrange import DimRange, compile_ranges, parse_range, value_passes
 from pdal_spark.functions.mongo import compile_mongo
+from pdal_spark.operators.ordered import global_rank
 
 # ---------------------------------------------------------------------------
 # projections / per-row updates
@@ -114,12 +115,12 @@ def mongo_filter(df: DataFrame, expr: dict) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _rn(order_col: str) -> Column:
-    # 0-based arrival rank. Window without partition = one reduce task for
-    # the ordered prefix scan; fine for view-sized data. At 10^12 scale,
-    # order_col IS the arrival index already — callers should pass
-    # use_order_as_index=True to the operators below instead.
-    return F.row_number().over(Window.orderBy(order_col)) - 1
+def _with_arrival_index(df: DataFrame, order_col: str, out: str = "_i") -> DataFrame:
+    # 0-based arrival rank, computed distributed (range partition +
+    # offsets, ordered.global_rank) — never a no-partition window. When
+    # order_col is already the dense 0..n-1 index, callers pass
+    # dense_index=True and skip even this.
+    return global_rank(df, [F.col(order_col).asc()], out_col=out, zero_based=True)
 
 
 def decimation(
@@ -134,10 +135,12 @@ def decimation(
     offset <= i < limit and (i - offset) % step == 0 over arrival order.
 
     dense_index=True treats order_col itself as the 0..n-1 arrival index
-    (no global sort, fully parallel — the 100TB path for synthetic ids).
+    (no shuffle at all — the 100TB path for synthetic ids).
     """
-    i = F.col(order_col) if dense_index else _rn(order_col)
-    staged = df.withColumn("_i", i)
+    if dense_index:
+        staged = df.withColumn("_i", F.col(order_col))
+    else:
+        staged = _with_arrival_index(df, order_col)
     ic = F.col("_i")
     keep = (ic >= offset) & (((ic - offset) % step) == 0)
     if limit is not None:
@@ -147,17 +150,17 @@ def decimation(
 
 def head(df: DataFrame, n: int, order_col: str = "page_id") -> DataFrame:
     """filters.head (HeadFilter.hpp:54-86): first n rows by arrival."""
-    return df.withColumn("_i", _rn(order_col)).filter(F.col("_i") < n).drop("_i")
+    return (
+        _with_arrival_index(df, order_col)
+        .filter(F.col("_i") < n)
+        .drop("_i")
+    )
 
 
 def tail(df: DataFrame, n: int, order_col: str = "page_id") -> DataFrame:
     """filters.tail (TailFilter.hpp:54-84): last n rows by arrival."""
-    w = Window.orderBy(F.col(order_col).desc())
-    return (
-        df.withColumn("_i", F.row_number().over(w))
-        .filter(F.col("_i") <= n)
-        .drop("_i")
-    )
+    ranked = global_rank(df, [F.col(order_col).desc()], out_col="_i")
+    return ranked.filter(F.col("_i") <= n).drop("_i")
 
 
 def divider(
@@ -177,7 +180,8 @@ def divider(
     n = df.count()
     if capacity is not None:
         count = -(-n // capacity)
-    i = _rn(order_col)
+    staged = _with_arrival_index(df, order_col)
+    i = F.col("_i")
     if mode == "partition":
         size = -(-n // count)
         vid = (i / size).cast("long")
@@ -185,7 +189,7 @@ def divider(
         vid = i % count
     else:
         raise ValueError(f"mode must be partition|round_robin, got {mode!r}")
-    return df.withColumn("view_id", vid)
+    return staged.withColumn("view_id", vid).drop("_i")
 
 
 def groupby_views(df: DataFrame, dim: str) -> DataFrame:
@@ -217,6 +221,21 @@ def sort_stable(
     return df.orderBy(F.col(dim).desc(), F.col(arrival_col).desc())
 
 
+def sort_rank(
+    df: DataFrame, dim: str, order: str = "ASC", arrival_col: str = "page_id",
+    out_col: str = "sort_rank",
+) -> DataFrame:
+    """Stable-sort order of filters.sort encoded as an explicit 1-based
+    rank column (order-insensitive compares still verify the total order
+    and the arrival tiebreak). Distributed global_rank — no single-task
+    window."""
+    if order.upper() == "ASC":
+        keys = [F.col(dim).asc(), F.col(arrival_col).asc()]
+    else:
+        keys = [F.col(dim).desc(), F.col(arrival_col).desc()]
+    return global_rank(df, keys, out_col=out_col)
+
+
 def locate(
     df: DataFrame, dim: str, minmax: str = "max", arrival_col: str = "page_id",
     view_col: str | None = None,
@@ -225,10 +244,15 @@ def locate(
     min/max of `dim` per view; strict comparisons while scanning ->
     first-seen (lowest arrival) wins ties."""
     direction = F.col(dim).desc() if minmax == "max" else F.col(dim).asc()
-    w = (
-        Window.partitionBy(view_col) if view_col else Window.partitionBy(F.lit(1))
-    ).orderBy(direction, F.col(arrival_col).asc())
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    if view_col:
+        w = Window.partitionBy(view_col).orderBy(direction, F.col(arrival_col).asc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    # single view: distributed top-1 (TakeOrdered), not a global window
+    return df.orderBy(direction, F.col(arrival_col).asc()).limit(1)
 
 
 # ---------------------------------------------------------------------------

@@ -116,6 +116,42 @@ def test_minhash_lsh_pairs(docs, ddb):
     assert set(zip(lsh.id1, lsh.id2)) <= exact_keys
 
 
+def test_minhash_hash_word_ids(docs):
+    """vocab mode='hash' (no vocabulary shuffle) + word-join verifier:
+    every returned pair must carry its TRUE jaccard (verified against the
+    exact pair set), i.e. hash ids only perturb recall, never precision."""
+    out = dedup.minhash_dedup_pairs(docs, threshold=0.8, word_id_mode="hash")
+    got = out.toPandas()
+    exact = dedup.jaccard_pairs(docs, threshold=0.8).toPandas()
+    exact_map = {(a, b): j for a, b, j in zip(exact.id1, exact.id2, exact.jaccard)}
+    assert len(got) > 0
+    for a, b, j in zip(got.id1, got.id2, got.jaccard):
+        assert (a, b) in exact_map
+        assert abs(exact_map[(a, b)] - j) < 1e-9
+    # recall sanity: the 8x4-band LSH should keep the bulk of true pairs
+    assert len(got) >= 0.8 * len(exact)
+
+
+def test_simhash_banded_pairs_equal_exact(docs):
+    """Bit-band pigeonhole join is 100%-recall: banded == exact all-pairs
+    for every max_hamming, and its plan contains no cartesian product."""
+    sim = dedup.simhash(docs).cache()
+    for h in (0, 2, 4):
+        banded = dedup.simhash_pairs(sim, max_hamming=h)
+        exact = dedup.simhash_pairs(sim, max_hamming=h, banded=False)
+        bset = {(r.id1, r.id2, r.hamming) for r in banded.collect()}
+        eset = {(r.id1, r.id2, r.hamming) for r in exact.collect()}
+        assert bset == eset
+    # plan check on the pair join alone (materialized signatures —
+    # upstream simhash() legitimately crossJoins a 16-row broadcast
+    # params table, which is not what this guards against)
+    spark = sim.sparkSession
+    sim_flat = spark.createDataFrame(sim.toPandas())
+    plan = dedup.simhash_pairs(sim_flat, max_hamming=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_simhash(docs, ddb):
     out = dedup.simhash(docs)
     exp = ddb.sql(dedup.simhash_sql())
