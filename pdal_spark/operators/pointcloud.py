@@ -81,36 +81,9 @@ def elm(
 # ---------------------------------------------------------------------------
 
 
-def cluster(
-    df: DataFrame,
-    tolerance: float = 1.0,
-    min_points: int = 1,
-    max_points: int | None = None,
-    id_col: str = "page_id",
-    x: str = "x",
-    y: str = "y",
-    max_iters: int = 50,
-) -> DataFrame:
-    """ClusterID labeling: connected components of the radius(<=tolerance)
-    graph == the reference's BFS clusters; kept clusters (size within
-    [min, max]) are numbered 1..k by their smallest member id — identical
-    to the reference's seed-scan order (ClusterFilter.cpp:66-76).
-
-    Execution: the radius graph is built distributed (cell-bucketed
-    radius join — the expensive part at scale); components are resolved
-    by union-find over the collected (src,cand) edge list on the driver.
-    The edge list is the scale bound (~10^8 edges ≈ a few GB); beyond
-    that, Euclidean clustering needs an iterative distributed CC pass —
-    out of scope for parity mode, and the reference itself is a
-    single-node BFS over the same graph.
-    """
-    pts = df.select(F.col(id_col).alias("id"), x, y)
-    edges = radius_join(
-        pts.withColumnRenamed("id", "src_id"),
-        pts.withColumnRenamed("id", "cand_id"),
-        tolerance, src_id="src_id", cand_id="cand_id", x=x, y=y,
-    ).filter(F.col("src_id") < F.col("cand_id")).select("src_id", "cand_id")
-
+def _cc_union_find(pts: DataFrame, edges: DataFrame) -> DataFrame:
+    """(id, root) via driver union-find — the small-graph parity path.
+    Root = smallest member id (union by smaller id)."""
     ids = [r.id for r in pts.select("id").collect()]
     parent = {i: i for i in ids}
 
@@ -125,34 +98,109 @@ def cluster(
     for r in edges.collect():
         ra, rb = find(r.src_id), find(r.cand_id)
         if ra != rb:
-            # union by smaller id so the root IS the min member
             if ra < rb:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
+    rows = [(int(i), int(find(i))) for i in ids]
+    spark = pts.sparkSession
+    if rows:
+        return spark.createDataFrame(rows, "id long, root long")
+    return spark.createDataFrame([], "id long, root long")
 
-    comp: dict = {}
-    for i in ids:
-        comp.setdefault(find(i), []).append(i)
-    kept = [
-        (root, members) for root, members in comp.items()
-        if len(members) >= min_points
-        and (max_points is None or len(members) <= max_points)
-    ]
-    kept.sort(key=lambda t: t[0])  # seed-scan order == min-member order
-    label_rows = [
-        (int(i), cid) for cid, (_, members) in enumerate(kept, start=1)
-        for i in members
-    ]
-    spark = df.sparkSession
-    if label_rows:
-        side = spark.createDataFrame(label_rows, "_cl_id long, cluster_id long")
+
+def _cc_min_label(pts: DataFrame, edges: DataFrame, max_iters: int) -> DataFrame:
+    """(id, root) via distributed min-label propagation with pointer
+    jumping — the scale path (no driver collect of nodes or edges).
+
+    Each round: label(v) <- min(label(v), min over neighbors label(u)),
+    then compress label <- label(label). Labels only decrease and stay
+    inside the component, so the fixpoint label IS the min member id —
+    identical output to union-find. Pointer jumping halves chain depth
+    per round (O(log diameter) rounds on paths); localCheckpoint
+    truncates the iterative lineage."""
+    sym = edges.select(
+        F.col("src_id").alias("a"), F.col("cand_id").alias("b")
+    ).union(edges.select(F.col("cand_id").alias("a"), F.col("src_id").alias("b")))
+    lab = pts.select("id", F.col("id").alias("lbl")).localCheckpoint()
+    for _ in range(max_iters):
+        nb_min = (
+            sym.join(lab.withColumnRenamed("id", "a"), "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        cand = (
+            lab.unionByName(nb_min).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        )
+        jump = cand.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
+        new = (
+            cand.join(jump, "lbl", "left")
+            .select("id", F.coalesce("lbl2", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("lbl", "_nl")
+            .join(lab, "id")
+            .filter(F.col("_nl") != F.col("lbl"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            return lab.withColumnRenamed("lbl", "root")
+    raise ValueError(f"cluster(): label propagation needs > {max_iters} rounds")
+
+
+def cluster(
+    df: DataFrame,
+    tolerance: float = 1.0,
+    min_points: int = 1,
+    max_points: int | None = None,
+    id_col: str = "page_id",
+    x: str = "x",
+    y: str = "y",
+    max_iters: int = 50,
+    driver_max_edges: int = 5_000_000,
+) -> DataFrame:
+    """ClusterID labeling: connected components of the radius(<=tolerance)
+    graph == the reference's BFS clusters; kept clusters (size within
+    [min, max]) are numbered 1..k by their smallest member id — identical
+    to the reference's seed-scan order (ClusterFilter.cpp:66-76).
+
+    Execution: the radius graph is built distributed (cell-bucketed
+    radius join). Components are resolved by driver union-find only while
+    the edge list stays under `driver_max_edges`; above it, distributed
+    min-label propagation (_cc_min_label) takes over — same roots, same
+    numbering, no driver materialization. Both paths are equivalence-
+    tested (tests/test_pointcloud.py)."""
+    pts = df.select(F.col(id_col).alias("id"), x, y)
+    edges = radius_join(
+        pts.withColumnRenamed("id", "src_id"),
+        pts.withColumnRenamed("id", "cand_id"),
+        tolerance, src_id="src_id", cand_id="cand_id", x=x, y=y,
+    ).filter(F.col("src_id") < F.col("cand_id")).select("src_id", "cand_id")
+    edges = edges.persist()
+    if edges.count() <= driver_max_edges:
+        roots = _cc_union_find(pts, edges)
     else:
-        side = spark.createDataFrame([], "_cl_id long, cluster_id long")
-    out = df.join(
-        F.broadcast(side), df[id_col] == side["_cl_id"], "left"
-    ).drop("_cl_id")
-    return out.withColumn("cluster_id", F.coalesce("cluster_id", F.lit(0)))
+        roots = _cc_min_label(pts.select("id"), edges, max_iters)
+
+    sizes = roots.groupBy("root").agg(F.count("*").alias("_sz"))
+    keep = F.col("_sz") >= min_points
+    if max_points is not None:
+        keep = keep & (F.col("_sz") <= max_points)
+    from pdal_spark.operators.ordered import global_rank
+
+    numbered = global_rank(
+        sizes.filter(keep).select("root"), [F.col("root").asc()],
+        out_col="cluster_id",
+    )
+    # numbered is one row per kept cluster — can itself be huge at scale,
+    # so this is a plain shuffled join (AQE may still broadcast it)
+    side = roots.join(numbered, "root", "left").select(
+        F.col("id").alias("_cl_id"),
+        F.coalesce("cluster_id", F.lit(0)).alias("cluster_id"),
+    )
+    return df.join(side, df[id_col] == side["_cl_id"], "left").drop("_cl_id")
 
 
 # ---------------------------------------------------------------------------

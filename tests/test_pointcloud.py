@@ -86,6 +86,12 @@ def test_cluster(pts_df):
     got = dict(zip(out["page_id"], out["cluster_id"]))
     for i in range(N):
         assert got[i] == exp.get(i, 0), i
+    # distributed min-label path (forced: edge list "exceeds" the driver
+    # cap) must label identically to the union-find parity path
+    out2 = pc.cluster(pts_df, tolerance=tol, min_points=2,
+                      id_col="page_id", driver_max_edges=-1).toPandas()
+    got2 = dict(zip(out2["page_id"], out2["cluster_id"]))
+    assert got2 == got
 
 
 def test_sample(pts_df):
