@@ -553,6 +553,38 @@ def q_feat_covariance(spark, sf_dir):
     )
 
 
+def q_voxel_centroid_nn(spark, sf_dir):
+    """filters.voxelcentroidnearestneighbor: per-voxel survivor nearest
+    the centroid (center for 2-point voxels), reference tie rules."""
+    out = rel_op.voxel_centroid_nearest_neighbor(
+        _docs_geo(spark, sf_dir), cell=20.0, origin=(-180.0, -90.0, 0.0),
+        order_col="doc_id",
+    )
+    return out.select("doc_id")
+
+
+def q_plane_fit(spark, sf_dir):
+    """filters.planefit (rows-only at the driver — eigenvector math; the
+    numpy oracle lives in tests/test_features.py)."""
+    from pdal_spark.operators import features as feat_op
+
+    cell = _auto_cell(_n_docs(spark, sf_dir), FEAT_K)
+    out = feat_op.plane_fit(_docs_z(spark, sf_dir), knn=FEAT_K, id_col="doc_id",
+                            z="z", cell_size=cell, validate=True)
+    return out.select("doc_id", F.round("plane_fit", 6).alias("plane_fit"))
+
+
+def q_miniball(spark, sf_dir):
+    """filters.miniball (rows-only at the driver — Welzl solver; the
+    exhaustive-subset oracle lives in tests/test_features.py)."""
+    from pdal_spark.operators import features as feat_op
+
+    cell = _auto_cell(_n_docs(spark, sf_dir), FEAT_K)
+    out = feat_op.miniball(_docs_z(spark, sf_dir), knn=FEAT_K, id_col="doc_id",
+                           z="z", cell_size=cell, validate=True)
+    return out.select("doc_id", F.round("miniball", 6).alias("miniball"))
+
+
 # --- pointcloud filter layer -------------------------------------------------
 
 ELM_CELL, ELM_THR = 30.0, 40.0
@@ -787,6 +819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transformation": q_transformation,
         "info_bounds": q_info_bounds,
         "voxel_center_nn": q_voxel_center_nn,
+        "voxel_centroid_nn": q_voxel_centroid_nn,
+        "plane_fit": q_plane_fit,
+        "miniball": q_miniball,
         "iqr_keep": q_iqr_keep,
         "mad_keep": q_mad_keep,
         "nn_distance": q_nn_distance,
@@ -942,11 +977,40 @@ def _misc_oracles() -> dict[str, str]:
              round(dist, 9) AS delta_dist
       FROM nn
     """
+    # voxel centroid NN: cell 20, origin (-180,-90); target = centroid,
+    # or voxel center for 2-point voxels; tie = later arrival for n==2,
+    # earlier otherwise (VoxelCentroidNearestNeighborFilter.cpp rules)
+    vcn = f"""
+      WITH pts AS ({_DOCS_GEO_SQL}),
+      g AS (SELECT *, {gx} AS gx, {gy} AS gy FROM pts),
+      a AS (
+        SELECT *, count(*) OVER (PARTITION BY gx, gy) AS n,
+               avg(x) OVER (PARTITION BY gx, gy) AS mx,
+               avg(y) OVER (PARTITION BY gx, gy) AS my
+        FROM g
+      ),
+      t AS (
+        SELECT *,
+               CASE WHEN n = 2 THEN ((gx + 0.5) * 20.0 + (-180.0)) ELSE mx END AS tx,
+               CASE WHEN n = 2 THEN ((gy + 0.5) * 20.0 + (-90.0)) ELSE my END AS ty
+        FROM a
+      ),
+      r AS (
+        SELECT doc_id, row_number() OVER (
+          PARTITION BY gx, gy
+          ORDER BY ((x - tx) * (x - tx) + (y - ty) * (y - ty)) ASC,
+                   (CASE WHEN n = 2 THEN -doc_id ELSE doc_id END) ASC
+        ) AS rn
+        FROM t
+      )
+      SELECT doc_id FROM r WHERE rn = 1
+    """
     return {
         "reprojection": reproj,
         "transformation": transformation,
         "info_bounds": info,
         "voxel_center_nn": vox,
+        "voxel_centroid_nn": vcn,
         "iqr_keep": iqr,
         "mad_keep": mad,
         "nn_distance": nnk,

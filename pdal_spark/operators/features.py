@@ -324,3 +324,205 @@ def reciprocity(
         (F.coalesce(F.col("_uni"), F.lit(0)) * 100.0 / k).alias("reciprocity"),
     )
     return df.join(side, df[id_col] == side["_r_id"], "left").drop("_r_id")
+
+
+# ---------------------------------------------------------------------------
+# filters.planefit / filters.miniball (Weyrich et al. 2004 criteria)
+# ---------------------------------------------------------------------------
+
+
+def _exclude_self_knn(
+    df: DataFrame, k: int, cell_size: float | None, id_col: str,
+    x: str, y: str, exact: bool, validate: bool,
+) -> DataFrame:
+    """(_f_src, _f_cand, dist, rank): k nearest OTHER points per point."""
+    pts = df.select(F.col(id_col).alias("_f_src"), F.col(x), F.col(y))
+    cand = df.select(F.col(id_col).alias("_f_cand"), F.col(x), F.col(y))
+    if exact or cell_size is None:
+        return knn_join_exact(pts, cand, k, src_id="_f_src", cand_id="_f_cand",
+                              x=x, y=y, exclude_self=True)
+    return knn_join(pts, cand, k, cell_size=cell_size, src_id="_f_src",
+                    cand_id="_f_cand", x=x, y=y, exclude_self=True,
+                    validate=validate)
+
+
+def plane_fit(
+    df: DataFrame, knn: int = 8, cell_size: float | None = None,
+    id_col: str = "page_id", x: str = "x", y: str = "y", z: str | None = None,
+    exact: bool = False, validate: bool = False,
+) -> DataFrame:
+    """filters.planefit (PlaneFitFilter.cpp:105-155): PCA plane through
+    the k nearest neighbors EXCLUDING the point (ni.begin()+1, :121);
+    normal = eigenvector of the smallest eigenvalue of the neighbors'
+    covariance (float32-demeaned, /(n-1), like EigenUtils); then
+
+        PlaneFit = d / (d + d_bar)
+
+    with d = |normal . (p - centroid)| and d_bar = mean neighbor plane
+    distance — the reference divides the sum by the knn PARAMETER, not
+    the actual neighbor count (:152), replicated.
+    """
+    knnp = _exclude_self_knn(df, knn, cell_size, id_col, x, y, exact, validate)
+    zc = F.col(z) if z else F.lit(0.0)
+    coords = df.select(
+        F.col(id_col).alias("_f_cand"),
+        F.col(x).alias("_px"), F.col(y).alias("_py"), zc.alias("_pz"),
+    )
+    nb = knnp.join(coords, "_f_cand")
+    cent = nb.groupBy("_f_src").agg(
+        F.avg("_px").alias("_mx"), F.avg("_py").alias("_my"),
+        F.avg("_pz").alias("_mz"), F.count("*").alias("n"),
+    )
+    j = nb.join(cent, "_f_src")
+    ax = (F.col("_px") - F.col("_mx")).cast("float").cast("double")
+    ay = (F.col("_py") - F.col("_my")).cast("float").cast("double")
+    az = (F.col("_pz") - F.col("_mz")).cast("float").cast("double")
+    d = F.col("n") - 1
+    cov = (
+        j.groupBy("_f_src", "n")
+        .agg(
+            (F.sum(ax * ax) / F.first(d)).alias("cxx"),
+            (F.sum(ax * ay) / F.first(d)).alias("cxy"),
+            (F.sum(ax * az) / F.first(d)).alias("cxz"),
+            (F.sum(ay * ay) / F.first(d)).alias("cyy"),
+            (F.sum(ay * az) / F.first(d)).alias("cyz"),
+            (F.sum(az * az) / F.first(d)).alias("czz"),
+        )
+        .withColumnRenamed("_f_src", "_f_id")
+    )
+    eig = cov.mapInPandas(_eigh_kernel, schema=_EIG_OUT)
+    normals = eig.select(
+        F.col("_f_id").alias("_f_src"),
+        F.col("v0x").alias("_nx"), F.col("v0y").alias("_ny"),
+        F.col("v0z").alias("_nz"),
+    )
+    # mean |normal . (p_j - centroid)| over neighbors, divisor = knn param
+    nbd = nb.join(cent, "_f_src").join(normals, "_f_src")
+    dj = F.abs(
+        F.col("_nx") * (F.col("_px") - F.col("_mx"))
+        + F.col("_ny") * (F.col("_py") - F.col("_my"))
+        + F.col("_nz") * (F.col("_pz") - F.col("_mz"))
+    )
+    dbar = nbd.groupBy("_f_src").agg((F.sum(dj) / knn).alias("_dbar"))
+    side = (
+        cent.join(normals, "_f_src").join(dbar, "_f_src")
+        .select("_f_src", "_mx", "_my", "_mz", "_nx", "_ny", "_nz", "_dbar")
+    )
+    out = df.join(side, df[id_col] == side["_f_src"], "left")
+    dq = F.abs(
+        F.col("_nx") * (F.col(x) - F.col("_mx"))
+        + F.col("_ny") * (F.col(y) - F.col("_my"))
+        + F.col("_nz") * (zc - F.col("_mz"))
+    )
+    denom = dq + F.col("_dbar")
+    pf = F.when(denom != 0, dq / denom).otherwise(F.lit(float("nan")))
+    return out.withColumn("plane_fit", pf).drop(
+        "_f_src", "_mx", "_my", "_mz", "_nx", "_ny", "_nz", "_dbar"
+    )
+
+
+def _seb_ball(pts: "np.ndarray") -> tuple["np.ndarray", float]:
+    """Exact smallest enclosing ball of <= a few dozen 3D points (Welzl
+    recursion with <=4 support points) — the Seb:: solver's contract
+    (MiniballFilter.cpp:121-136) for the tiny per-point neighbor sets."""
+    eps = 1e-9
+
+    def sphere_of(R: list) -> tuple["np.ndarray", float]:
+        if not R:
+            return np.zeros(3), -1.0
+        if len(R) == 1:
+            return R[0], 0.0
+        if len(R) == 2:
+            c = (R[0] + R[1]) / 2.0
+            return c, float(np.linalg.norm(R[0] - c))
+        if len(R) == 3:
+            a, b = R[1] - R[0], R[2] - R[0]
+            u = np.cross(a, b)
+            uu = float(u @ u)
+            if uu < eps:  # collinear -> ball of the farthest pair
+                pairs = [(R[0], R[1]), (R[0], R[2]), (R[1], R[2])]
+                c, r = max(
+                    (( (p + q) / 2.0, np.linalg.norm(p - q) / 2.0) for p, q in pairs),
+                    key=lambda t: t[1],
+                )
+                return c, float(r)
+            c = R[0] + (np.cross((a @ a) * b - (b @ b) * a, u)) / (2.0 * uu)
+            return c, float(np.linalg.norm(R[0] - c))
+        A = 2.0 * (np.stack(R[1:]) - R[0])
+        rhs = np.array([p @ p - R[0] @ R[0] for p in R[1:]])
+        try:
+            c = np.linalg.solve(A, rhs)
+        except np.linalg.LinAlgError:
+            c, *_ = np.linalg.lstsq(A, rhs, rcond=None)
+        return c, float(np.linalg.norm(R[0] - c))
+
+    def welzl(i: int, R: list) -> tuple["np.ndarray", float]:
+        if i == len(pts) or len(R) == 4:
+            return sphere_of(R)
+        c, r = welzl(i + 1, R)
+        p = pts[i]
+        if np.linalg.norm(p - c) <= r + eps * (1.0 + abs(r)):
+            return c, r
+        return welzl(i + 1, R + [p])
+
+    return welzl(0, [])
+
+
+def miniball(
+    df: DataFrame, knn: int = 8, cell_size: float | None = None,
+    id_col: str = "page_id", x: str = "x", y: str = "y", z: str | None = None,
+    exact: bool = False, validate: bool = False,
+) -> DataFrame:
+    """filters.miniball (MiniballFilter.cpp:107-151): smallest enclosing
+    ball of the k nearest neighbors EXCLUDING the point; then
+
+        Miniball = d / (d + 2 * radius / sqrt(3))
+
+    with d = distance from the point to the ball center.
+
+    Execution: distributed kNN -> collect_list of the k neighbor coords
+    per point (k rows -> one array row) -> Arrow-batched kernel running
+    the exact Welzl solver per point. Welzl on <=k points is inherently
+    sequential per point, but points are independent — the kernel
+    parallelizes over partitions like every other mapInPandas stage.
+    """
+    knnp = _exclude_self_knn(df, knn, cell_size, id_col, x, y, exact, validate)
+    zc = F.col(z) if z else F.lit(0.0)
+    coords = df.select(
+        F.col(id_col).alias("_f_cand"),
+        F.col(x).alias("_px"), F.col(y).alias("_py"), zc.alias("_pz"),
+    )
+    packed = (
+        knnp.join(coords, "_f_cand")
+        .groupBy("_f_src")
+        .agg(
+            F.collect_list(F.col("_px")).alias("nx"),
+            F.collect_list(F.col("_py")).alias("ny"),
+            F.collect_list(F.col("_pz")).alias("nz"),
+        )
+    )
+    q = df.select(
+        F.col(id_col).alias("_f_src"), F.col(x).alias("_qx"),
+        F.col(y).alias("_qy"), zc.alias("_qz"),
+    )
+    work = packed.join(q, "_f_src")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = np.empty(len(pdf))
+            for i, (nx, ny, nz, qx, qy, qz) in enumerate(
+                zip(pdf["nx"], pdf["ny"], pdf["nz"],
+                    pdf["_qx"], pdf["_qy"], pdf["_qz"])
+            ):
+                pts = np.column_stack([nx, ny, nz]).astype(np.float64)
+                c, r = _seb_ball(pts)
+                dd = float(np.linalg.norm(np.array([qx, qy, qz]) - c))
+                vals[i] = dd / (dd + 2.0 * r / np.sqrt(3.0))
+            yield pd.DataFrame({
+                "_f_src": pdf["_f_src"].to_numpy(np.int64), "miniball": vals,
+            })
+
+    side = work.mapInPandas(kernel, schema="_f_src long, miniball double")
+    return df.join(side, df[id_col] == side["_f_src"], "left").drop("_f_src")

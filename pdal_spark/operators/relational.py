@@ -324,6 +324,63 @@ def voxel_center_nearest_neighbor(
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def voxel_centroid_nearest_neighbor(
+    df: DataFrame,
+    cell: float,
+    origin: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    order_col: str = "page_id",
+    x: str = "x",
+    y: str = "y",
+    z: str | None = None,
+) -> DataFrame:
+    """filters.voxelcentroidnearestneighbor
+    (VoxelCentroidNearestNeighborFilter.cpp:69-160): one survivor per
+    voxel —
+      * 1 point: itself;
+      * 2 points: the one nearer the voxel CENTER (they are equidistant
+        to the centroid); `d1 < d2` keeps the first, so on a distance tie
+        the LATER arrival wins (:118-123);
+      * 3+ points: the one nearest the CENTROID; strict `<` while
+        scanning in arrival order, so the EARLIER arrival wins ties
+        (:139-150).
+    The reference keys voxels off the first point's coords
+    (order-dependent); origin is pinned explicitly, like the center-NN
+    sibling. order_col must be numeric (the n==2 tie negates it).
+    """
+    origin = origin if len(origin) == 3 else (*origin, 0.0)
+    gx, gy, gz = _voxel_cols(cell, origin, x, y, z)
+    ox, oy, oz = origin
+    work = df.withColumn("_vx", gx).withColumn("_vy", gy).withColumn("_vz", gz)
+    wv = Window.partitionBy("_vx", "_vy", "_vz")
+    n = F.count("*").over(wv)
+    # voxel center
+    cx = (F.col("_vx").cast("double") + 0.5) * cell + ox
+    cy = (F.col("_vy").cast("double") + 0.5) * cell + oy
+    # centroid
+    mx = F.avg(x).over(wv)
+    my = F.avg(y).over(wv)
+    tx = F.when(n == 2, cx).otherwise(mx)
+    ty = F.when(n == 2, cy).otherwise(my)
+    d2 = (F.col(x) - tx) ** 2 + (F.col(y) - ty) ** 2
+    if z is not None:
+        cz = (F.col("_vz").cast("double") + 0.5) * cell + oz
+        mz = F.avg(z).over(wv)
+        tz = F.when(n == 2, cz).otherwise(mz)
+        d2 = d2 + (F.col(z) - tz) ** 2
+    tie = F.when(n == 2, -F.col(order_col)).otherwise(F.col(order_col))
+    work = (
+        work.withColumn("_d2t", d2).withColumn("_tie", tie)
+    )
+    wr = Window.partitionBy("_vx", "_vy", "_vz").orderBy(
+        F.col("_d2t").asc(), F.col("_tie").asc()
+    )
+    return (
+        work.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == 1)
+        .drop("_vx", "_vy", "_vz", "_d2t", "_tie", "_rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # robust-range filters
 # ---------------------------------------------------------------------------

@@ -183,3 +183,128 @@ def test_bucketed_matches_exact(pts_df):
     )
     for c in ("eigenvalue0", "eigenvalue1", "eigenvalue2"):
         np.testing.assert_allclose(a[c], b[c], atol=1e-12)
+
+
+# --- planefit / miniball ----------------------------------------------------
+
+
+def _z_vals():
+    # deterministic non-planar z (identical in Spark column math)
+    return ((np.arange(N) * 2654435761) % 1000) / 10.0
+
+
+def _pts_z(pts_df):
+    from pyspark.sql import functions as F
+
+    return pts_df.withColumn(
+        "z", ((F.col("page_id") * 2654435761) % 1000) / 10.0
+    )
+
+
+def _knn_excl_self(xs, ys, k):
+    """k nearest EXCLUDING self (2D — the repo's planar kNN convention),
+    ties by candidate id."""
+    out = []
+    for i in range(N):
+        d2 = (xs - xs[i]) ** 2 + (ys - ys[i]) ** 2
+        order = np.lexsort((np.arange(N), d2))
+        out.append(order[order != i][:k])
+    return out
+
+
+def test_plane_fit(pts_df):
+    """Oracle: literal PlaneFitFilter.cpp loop — neighbors excl. self,
+    float32-demeaned covariance /(n-1), normal = smallest-eigenvalue
+    eigenvector, d/(d + sum|d_j|/knn)."""
+    xs, ys, _ = _coords()
+    zs = _z_vals()
+    nb = _knn_excl_self(xs, ys, K)
+    exp = np.zeros(N)
+    for i in range(N):
+        ids = nb[i]
+        pts = np.stack([xs[ids], ys[ids], zs[ids]])
+        cent = pts.mean(1)
+        A = (pts - cent[:, None]).astype(np.float32).astype(np.float64)
+        B = A @ A.T / (len(ids) - 1)
+        _, v = np.linalg.eigh(B)
+        nrm = v[:, 0]
+        d = abs(nrm @ (np.array([xs[i], ys[i], zs[i]]) - cent))
+        dbar = sum(abs(nrm @ (pts[:, j] - cent)) for j in range(len(ids))) / K
+        exp[i] = d / (d + dbar)
+    out = (
+        features.plane_fit(_pts_z(pts_df), knn=K, z="z", exact=True)
+        .toPandas().sort_values("page_id").reset_index(drop=True)
+    )
+    np.testing.assert_allclose(out["plane_fit"], exp, atol=1e-7)
+
+
+def _exhaustive_seb(pts):
+    """Independent smallest-enclosing-ball oracle: try every support
+    subset of size 1..4 (distinct linear-algebra derivation from the
+    engine's Welzl cross-product formulas), keep the smallest feasible."""
+    from itertools import combinations
+
+    n = len(pts)
+    best = (None, np.inf)
+
+    def try_ball(c, r):
+        nonlocal best
+        if r < best[1] and all(
+            np.linalg.norm(p - c) <= r + 1e-7 * (1 + r) for p in pts
+        ):
+            best = (c, r)
+
+    for i in range(n):
+        try_ball(pts[i], 0.0)
+    for i, j in combinations(range(n), 2):
+        c = (pts[i] + pts[j]) / 2
+        try_ball(c, float(np.linalg.norm(pts[i] - c)))
+    for i, j, k2 in combinations(range(n), 3):
+        p0, a, b = pts[i], pts[j] - pts[i], pts[k2] - pts[i]
+        M = np.array([[2 * a @ a, 2 * a @ b], [2 * a @ b, 2 * b @ b]])
+        rhs = np.array([a @ a, b @ b])
+        if abs(np.linalg.det(M)) < 1e-12:
+            continue
+        s, t = np.linalg.solve(M, rhs)
+        c = p0 + s * a + t * b
+        try_ball(c, float(np.linalg.norm(p0 - c)))
+    for sub in combinations(range(n), 4):
+        P = pts[list(sub)]
+        A = 2 * (P[1:] - P[0])
+        if abs(np.linalg.det(A)) < 1e-12:
+            continue
+        rhs = np.array([p @ p - P[0] @ P[0] for p in P[1:]])
+        c = np.linalg.solve(A, rhs)
+        try_ball(c, float(np.linalg.norm(P[0] - c)))
+    return best
+
+
+def test_miniball(pts_df):
+    """Oracle: brute kNN + exhaustive-subset smallest enclosing ball,
+    then MiniballFilter.cpp:148 d/(d + 2r/sqrt(3))."""
+    xs, ys, _ = _coords()
+    zs = _z_vals()
+    nb = _knn_excl_self(xs, ys, K)
+    exp = np.zeros(N)
+    for i in range(N):
+        ids = nb[i]
+        pts = np.column_stack([xs[ids], ys[ids], zs[ids]])
+        c, r = _exhaustive_seb(pts)
+        d = float(np.linalg.norm(np.array([xs[i], ys[i], zs[i]]) - c))
+        exp[i] = d / (d + 2 * r / np.sqrt(3.0))
+    out = (
+        features.miniball(_pts_z(pts_df), knn=K, z="z", exact=True)
+        .toPandas().sort_values("page_id").reset_index(drop=True)
+    )
+    np.testing.assert_allclose(out["miniball"], exp, atol=1e-7)
+
+
+def test_planefit_miniball_bucketed_match_exact(pts_df):
+    df = _pts_z(pts_df)
+    for fn, col in ((features.plane_fit, "plane_fit"),
+                    (features.miniball, "miniball")):
+        ex = fn(df, knn=K, z="z", exact=True).toPandas() \
+            .sort_values("page_id").reset_index(drop=True)
+        bu = fn(df, knn=K, z="z", cell_size=80.0, validate=True).toPandas() \
+            .sort_values("page_id").reset_index(drop=True)
+        np.testing.assert_allclose(bu[col], ex[col], atol=1e-9)

@@ -179,3 +179,28 @@ def test_transformation_affine(spark):
     m = [1, 0, 0, 10, 0, 1, 0, 20, 0, 0, 1, 0, 0, 0, 0, 1]
     r = R.transformation(df, [float(v) for v in m]).collect()[0]
     assert (r["x"], r["y"]) == (11.0, 22.0)
+
+
+def test_voxel_centroid_nn_tie_rules(spark):
+    """Literal VoxelCentroidNearestNeighborFilter.cpp cases: singleton
+    kept; 2-point voxel -> nearer the CENTER, later arrival on ties
+    (:118-123 `d1 < d2` else second); 3+ -> nearer the CENTROID, earlier
+    arrival on ties (:139-150 strict `<` scan)."""
+    from pdal_spark.operators.relational import voxel_centroid_nearest_neighbor
+
+    rows = [
+        (0, 1.0, 1.0),    # voxel (0,0): alone -> kept
+        (1, 12.0, 4.0),   # voxel (1,0): equidistant to center (15,5)
+        (2, 18.0, 6.0),   #   -> LATER arrival (id 2) wins
+        (3, 21.0, 1.0),   # voxel (2,0): centroid (25,1)
+        (4, 25.0, 1.0),   #   -> id 4 exactly at centroid wins
+        (5, 29.0, 1.0),
+        (6, 31.0, 1.0),   # voxel (3,0): centroid (35, 11/3); min-dist tie
+        (7, 39.0, 1.0),   #   between 6 and 7 -> EARLIER arrival (id 6)
+        (8, 35.0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "page_id long, x double, y double")
+    out = voxel_centroid_nearest_neighbor(
+        df, cell=10.0, origin=(0.0, 0.0, 0.0), order_col="page_id"
+    )
+    assert {r.page_id for r in out.collect()} == {0, 2, 4, 6}
