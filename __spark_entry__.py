@@ -668,6 +668,27 @@ def q_hag(spark, sf_dir):
     return out.select("doc_id", F.round("height_above_ground", 6).alias("hag"))
 
 
+def q_ground_smrf(spark, sf_dir):
+    """filters.smrf ground segmentation (rows-only at the driver —
+    iterative morphology; literal + semantic oracles in
+    tests/test_ground.py). Terrain = tilted plane from the geocode x,
+    'buildings' = deterministic id-keyed z spikes."""
+    from pdal_spark.operators import ground as ground_op
+
+    df = _docs_geo(spark, sf_dir).withColumn(
+        "z",
+        0.05 * (F.col("x") + 180.0)
+        + F.when(F.col("doc_id") % 5 == 0, 12.0).otherwise(0.0),
+    )
+    out = ground_op.smrf(
+        df, cell=15.0, slope=0.05, threshold=0.5, window=30.0, scalar=1.25,
+        bounds=(-180.0, -90.0, 180.0, 90.0),
+    )
+    return out.select(
+        "doc_id", F.col("classification").cast("int").alias("classification")
+    )
+
+
 def q_cluster_sizes(spark, sf_dir):
     """filters.cluster (rows-only: union-find membership is verified by
     the literal BFS oracle in tests/test_pointcloud.py)."""
@@ -833,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay": q_overlay,
         "morton_forward": q_morton_forward,
         "hag": q_hag,
+        "ground_smrf": q_ground_smrf,
         "cluster_sizes": q_cluster_sizes,
         "sample_poisson": q_sample_poisson,
     }
