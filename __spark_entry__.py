@@ -553,6 +553,20 @@ def q_feat_covariance(spark, sf_dir):
     )
 
 
+def q_tindex(spark, sf_dir):
+    """kernels.tindex analog: per-tile manifest (count + exact bbox; the
+    hexer boundary WKT column is pytest-goldened — float-to-string
+    formatting has no cross-engine twin)."""
+    from pdal_spark.operators import tindex as tindex_op
+
+    out = tindex_op.tindex(
+        _docs_geo(spark, sf_dir), TILE_LEN, TILE_OX, TILE_OY, hex_edge=HEX_EDGE
+    )
+    return out.select(
+        "tile_x", "tile_y", "n_points", "minx", "miny", "maxx", "maxy"
+    )
+
+
 def q_voxel_centroid_nn(spark, sf_dir):
     """filters.voxelcentroidnearestneighbor: per-voxel survivor nearest
     the centroid (center for 2-point voxels), reference tie rules."""
@@ -841,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "info_bounds": q_info_bounds,
         "voxel_center_nn": q_voxel_center_nn,
         "voxel_centroid_nn": q_voxel_centroid_nn,
+        "tindex": q_tindex,
         "plane_fit": q_plane_fit,
         "miniball": q_miniball,
         "iqr_keep": q_iqr_keep,
@@ -1027,12 +1042,21 @@ def _misc_oracles() -> dict[str, str]:
       )
       SELECT doc_id FROM r WHERE rn = 1
     """
+    tx_sql = geo.tile_coord_sql("x", repr(TILE_OX), TILE_LEN)
+    ty_sql = geo.tile_coord_sql("y", repr(TILE_OY), TILE_LEN)
+    tind = f"""
+      SELECT {tx_sql} AS tile_x, {ty_sql} AS tile_y,
+             count(*) AS n_points,
+             min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy
+      FROM ({_DOCS_GEO_SQL}) GROUP BY 1, 2
+    """
     return {
         "reprojection": reproj,
         "transformation": transformation,
         "info_bounds": info,
         "voxel_center_nn": vox,
         "voxel_centroid_nn": vcn,
+        "tindex": tind,
         "iqr_keep": iqr,
         "mad_keep": mad,
         "nn_distance": nnk,

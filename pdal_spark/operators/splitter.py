@@ -102,12 +102,18 @@ def tile_job(
     x: str = "x",
     y: str = "y",
     mode: str = "overwrite",
+    tindex_path: str | None = None,
+    tindex_hex_edge: float | None = None,
 ) -> None:
     """kernels.tile (/root/reference/kernels/TileKernel.cpp:90-310): the
     flagship throughput job — tile every page and write one directory per
     tile. PDAL streams with one open writer per live tile; the Spark
     equivalent is a single shuffle on the tile key feeding a partitioned
     parquet write (each task owns whole tiles → no tiny-file explosion).
+
+    tindex_path: optionally also write the kernels.tindex-style per-tile
+    boundary manifest (operators.tindex) as a sidecar parquet — the
+    small catalog later scans prune against.
     """
     tiled = split(df, length, origin_x, origin_y, buffer, x=x, y=y)
     (
@@ -116,3 +122,11 @@ def tile_job(
         .partitionBy("tile_x", "tile_y")
         .parquet(out_path)
     )
+    if tindex_path is not None:
+        from pdal_spark.operators.tindex import tindex as tindex_op
+
+        manifest = tindex_op(
+            df, length, origin_x, origin_y,
+            tindex_hex_edge or length / 8.0, x=x, y=y,
+        )
+        manifest.write.mode(mode).parquet(tindex_path)

@@ -1,0 +1,99 @@
+"""kernels.tindex analog — per-tile boundary manifest.
+
+Reference: /root/reference/kernels/TIndexKernel.cpp (createFile/
+FileInfo loop): for every input FILE it records location, point count,
+and a boundary geometry (hexbin-derived, or the bbox with
+--fast_boundary) into one small index layer that later merge/crop runs
+prune against.
+
+Here the file unit is the splitter TILE (the FlexWriter '#' unit that
+tile_job writes): the manifest has one row per tile with its point
+count, exact bbox, and the hexer-exact union outline of the tile's
+occupied hex cells (hexbin.boundary_wkt) — or the bbox polygon in
+fast mode (TIndexKernel.cpp --fast_boundary twin).
+
+Execution shape: per-(tile, hexcell) counts are one distributed
+aggregate over the points (map-side combine); ring-building runs per
+tile over its OWN cell list via applyInPandas — thousands of tiny
+independent kernels, no driver collect. The manifest is tile-count
+sized, i.e. the small table a 100 TB catalog scan prunes with.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdal_spark import geo
+from pdal_spark.operators.hexbin import boundary_wkt
+
+
+def tindex(
+    df: DataFrame,
+    tile_len: float,
+    origin_x: float,
+    origin_y: float,
+    hex_edge: float,
+    x: str = "x",
+    y: str = "y",
+    fast_boundary: bool = False,
+) -> DataFrame:
+    """One manifest row per occupied tile:
+    (tile_x, tile_y, n_points, minx, miny, maxx, maxy, boundary WKT)."""
+    height = hex_edge * math.sqrt(3.0)
+    hx, hy = geo.hex_cell_cols(F.col(x), F.col(y), origin_x, origin_y, height)
+    tiled = (
+        df.withColumn("tile_x", geo.tile_coord(F.col(x), origin_x, tile_len))
+        .withColumn("tile_y", geo.tile_coord(F.col(y), origin_y, tile_len))
+        .withColumn("_hx", hx)
+        .withColumn("_hy", hy)
+    )
+    cells = tiled.groupBy("tile_x", "tile_y", "_hx", "_hy").agg(
+        F.count("*").alias("_n"),
+        F.min(x).alias("_minx"), F.min(y).alias("_miny"),
+        F.max(x).alias("_maxx"), F.max(y).alias("_maxy"),
+    )
+
+    if fast_boundary:
+        per_tile = cells.groupBy("tile_x", "tile_y").agg(
+            F.sum("_n").alias("n_points"),
+            F.min("_minx").alias("minx"), F.min("_miny").alias("miny"),
+            F.max("_maxx").alias("maxx"), F.max("_maxy").alias("maxy"),
+        )
+        ring = F.concat_ws(
+            "",
+            F.lit("POLYGON (("),
+            F.col("minx"), F.lit(" "), F.col("miny"), F.lit(", "),
+            F.col("maxx"), F.lit(" "), F.col("miny"), F.lit(", "),
+            F.col("maxx"), F.lit(" "), F.col("maxy"), F.lit(", "),
+            F.col("minx"), F.lit(" "), F.col("maxy"), F.lit(", "),
+            F.col("minx"), F.lit(" "), F.col("miny"),
+            F.lit("))"),
+        )
+        return per_tile.withColumn("boundary", ring)
+
+    schema = (
+        "tile_x long, tile_y long, n_points long, minx double, miny double, "
+        "maxx double, maxy double, boundary string"
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        wkt = boundary_wkt(
+            list(zip(pdf["_hx"].astype(int), pdf["_hy"].astype(int))),
+            hex_edge, origin_x, origin_y,
+        )
+        return pd.DataFrame({
+            "tile_x": [tx], "tile_y": [ty],
+            "n_points": [int(pdf["_n"].sum())],
+            "minx": [float(pdf["_minx"].min())],
+            "miny": [float(pdf["_miny"].min())],
+            "maxx": [float(pdf["_maxx"].max())],
+            "maxy": [float(pdf["_maxy"].max())],
+            "boundary": [wkt],
+        })
+
+    return cells.groupBy("tile_x", "tile_y").applyInPandas(kernel, schema=schema)

@@ -120,3 +120,56 @@ def test_split_partition_invariance(spark):
     assert sorted(map(tuple, a.select(key).collect())) == sorted(
         map(tuple, b.select(key).collect())
     )
+
+
+def test_tindex_manifest(spark, tmp_path):
+    """kernels.tindex analog: per-tile counts/bbox + hexer boundary WKT
+    (literal golden via a direct boundary_wkt call on the same cells),
+    and the fast_boundary bbox-polygon twin."""
+    import math
+
+    import pandas as pd
+
+    from pdal_spark.operators import tindex as ti
+    from pdal_spark.operators.hexbin import boundary_wkt
+    from pdal_spark import geo as geo_mod
+
+    rows = [
+        (0, 1.0, 1.0), (1, 2.0, 2.0), (2, 8.0, 9.0),   # tile (0,0)
+        (3, 12.0, 1.0), (4, 17.0, 7.0),                 # tile (1,0)
+    ]
+    df = spark.createDataFrame(rows, "page_id long, x double, y double")
+    out = ti.tindex(df, tile_len=10.0, origin_x=0.0, origin_y=0.0,
+                    hex_edge=2.0).toPandas().sort_values("tile_x")
+    assert list(out.tile_x) == [0, 1]
+    assert list(out.n_points) == [3, 2]
+    t0 = out[out.tile_x == 0].iloc[0]
+    assert (t0.minx, t0.miny, t0.maxx, t0.maxy) == (1.0, 1.0, 8.0, 9.0)
+    # literal golden: boundary == boundary_wkt over this tile's hex cells
+    height = 2.0 * math.sqrt(3.0)
+    cells = set()
+    for _, px, py in rows[:3]:
+        hx, hy = geo_mod.hex_cell_np(
+            pd.Series([px]).to_numpy(), pd.Series([py]).to_numpy(),
+            0.0, 0.0, height,
+        )
+        cells.add((int(hx[0]), int(hy[0])))
+    assert t0.boundary == boundary_wkt(sorted(cells), 2.0, 0.0, 0.0)
+
+    fast = ti.tindex(df, 10.0, 0.0, 0.0, hex_edge=2.0,
+                     fast_boundary=True).toPandas().sort_values("tile_x")
+    b0 = fast[fast.tile_x == 0].iloc[0].boundary
+    assert b0 == "POLYGON ((1.0 1.0, 8.0 1.0, 8.0 9.0, 1.0 9.0, 1.0 1.0))"
+
+
+def test_tile_job_tindex_sidecar(spark, tmp_path):
+    from pdal_spark import synth
+    from pdal_spark.operators.splitter import tile_job
+
+    df = synth.synth_points(spark, 300, num_partitions=4)
+    tile_job(df, str(tmp_path / "tiles"), 30.0, -180.0, -90.0,
+             tindex_path=str(tmp_path / "tindex"))
+    man = spark.read.parquet(str(tmp_path / "tindex"))
+    assert man.count() > 0
+    assert man.agg({"n_points": "sum"}).collect()[0][0] == 300
+    assert set(man.columns) >= {"tile_x", "tile_y", "n_points", "boundary"}
