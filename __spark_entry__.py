@@ -397,6 +397,19 @@ def q_reprojection(spark, sf_dir):
     )
 
 
+def q_reprojection_utm(spark, sf_dir):
+    """filters.reprojection to WGS84 UTM zone 31N (EPSG:32631): the
+    second registry pair (Snyder transverse-Mercator series, pure column
+    math); rows beyond the series cutoff drop, like the reference's
+    transform-failure drop."""
+    from pdal_spark.operators import reprojection as reproj_op
+
+    out = reproj_op.reproject(_docs_geo(spark, sf_dir), "EPSG:4326", "EPSG:32631")
+    return out.select(
+        "doc_id", F.round("x", 4).alias("ue"), F.round("y", 4).alias("un")
+    )
+
+
 def q_transformation(spark, sf_dir):
     """filters.transformation: 4x4 affine on (x, y)."""
     out = rel_op.transformation(_docs_geo(spark, sf_dir), AFFINE)
@@ -851,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_eigenvalues": q_feat_eigenvalues,
         "feat_covariance": q_feat_covariance,
         "reprojection": q_reprojection,
+        "reprojection_utm": q_reprojection_utm,
         "transformation": q_transformation,
         "info_bounds": q_info_bounds,
         "voxel_center_nn": q_voxel_center_nn,
@@ -919,6 +933,11 @@ def _misc_oracles() -> dict[str, str]:
     reproj = f"""
       SELECT doc_id, round({mxs}, 4) AS mx, round({mys}, 4) AS my
       FROM ({_DOCS_GEO_SQL}) WHERE {mw}
+    """
+    uxs, uys, uw = reproj_op.reproject_sql("EPSG:4326", "EPSG:32631")
+    reproj_utm = f"""
+      SELECT doc_id, round({uxs}, 4) AS ue, round({uys}, 4) AS un
+      FROM ({_DOCS_GEO_SQL}) WHERE {uw}
     """
     m = AFFINE
     transformation = f"""
@@ -1052,6 +1071,7 @@ def _misc_oracles() -> dict[str, str]:
     """
     return {
         "reprojection": reproj,
+        "reprojection_utm": reproj_utm,
         "transformation": transformation,
         "info_bounds": info,
         "voxel_center_nn": vox,

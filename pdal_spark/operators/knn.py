@@ -52,6 +52,9 @@ def _with_cell(df: DataFrame, cell_size: float, x: str, y: str) -> DataFrame:
     )
 
 
+AUTO_SALT_FLOOR = 65_536
+
+
 def knn_join(
     src: DataFrame,
     cand: DataFrame,
@@ -62,7 +65,7 @@ def knn_join(
     x: str = "x",
     y: str = "y",
     exclude_self: bool = False,
-    salt_threshold: int | None = None,
+    salt_threshold: int | None | str = "auto",
     n_salts: int = 8,
     validate: bool = False,
 ) -> DataFrame:
@@ -73,6 +76,14 @@ def knn_join(
     order is unspecified.
 
     exclude_self: drop cand rows whose id equals the src id (self-kNN).
+
+    salt_threshold="auto" (default): count-based heuristic — a cell is
+    hot when its candidate population exceeds
+    max(AUTO_SALT_FLOOR, 8 * |cand| / shuffle_partitions), i.e. when one
+    cell alone would dominate a reduce task. Costs one extra map-side-
+    combined aggregate; on well-spread data the hot table is empty and
+    the plan degenerates to the unsalted one. Pass an int to pin the
+    threshold, or None to disable salting entirely.
     """
     s = _with_cell(src.select(F.col(src_id), F.col(x), F.col(y)), cell_size, x, y)
     c = _with_cell(
@@ -81,6 +92,12 @@ def knn_join(
         "_cxv",
         "_cyv",
     )
+
+    if salt_threshold == "auto":
+        spark = src.sparkSession
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        n_cand = cand.count()
+        salt_threshold = max(AUTO_SALT_FLOOR, (8 * n_cand) // max(parts, 1))
 
     if salt_threshold is not None:
         hot = (

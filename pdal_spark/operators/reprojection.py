@@ -42,6 +42,83 @@ def _to_4326(x: Column, y: Column) -> tuple[Column, Column, Column]:
     return lon, lat, F.lit(True)
 
 
+# --- WGS84 UTM (EPSG:326xx north / 327xx south) ----------------------------
+# Transverse-Mercator series (Snyder 1987, "Map Projections — A Working
+# Manual", eqs. 3-21, 8-9..8-15; public formulas). Pure Column math —
+# trig + polynomials in whole-stage codegen, ~0.1 mm series accuracy in
+# zone. Proves the transform-registry seam with a second real pair.
+
+_A_WGS84 = 6378137.0
+_F_WGS84 = 1.0 / 298.257223563
+_E2 = _F_WGS84 * (2.0 - _F_WGS84)
+_EP2 = _E2 / (1.0 - _E2)
+_K0 = 0.9996
+UTM_MAX_DLON_DEG = 45.0  # pragmatic series cutoff; out-of-range rows drop
+
+# meridian-arc series coefficients (Snyder eq. 3-21)
+_M0 = 1.0 - _E2 / 4.0 - 3.0 * _E2**2 / 64.0 - 5.0 * _E2**3 / 256.0
+_M2 = 3.0 * _E2 / 8.0 + 3.0 * _E2**2 / 32.0 + 45.0 * _E2**3 / 1024.0
+_M4 = 15.0 * _E2**2 / 256.0 + 45.0 * _E2**3 / 1024.0
+_M6 = 35.0 * _E2**3 / 3072.0
+
+
+def _utm_zone(out_srs: str) -> tuple[int, bool] | None:
+    """EPSG:326zz / EPSG:327zz -> (zone, is_north), else None."""
+    if not out_srs.startswith("EPSG:") or len(out_srs) != 10:
+        return None
+    code = out_srs[5:]
+    if code[:3] == "326":
+        north = True
+    elif code[:3] == "327":
+        north = False
+    else:
+        return None
+    zone = int(code[3:])
+    return (zone, north) if 1 <= zone <= 60 else None
+
+
+def _to_utm_factory(zone: int, north: bool):
+    lon0 = math.radians(-183.0 + 6.0 * zone)
+
+    def _to_utm(x: Column, y: Column) -> tuple[Column, Column, Column]:
+        lam = x * F.lit(math.pi / 180.0)
+        phi = y * F.lit(math.pi / 180.0)
+        sin_p, cos_p, tan_p = F.sin(phi), F.cos(phi), F.tan(phi)
+        n_rad = F.lit(_A_WGS84) / F.sqrt(F.lit(1.0) - F.lit(_E2) * sin_p * sin_p)
+        t = tan_p * tan_p
+        c = F.lit(_EP2) * cos_p * cos_p
+        a_ = (lam - F.lit(lon0)) * cos_p
+        m = F.lit(_A_WGS84) * (
+            F.lit(_M0) * phi
+            - F.lit(_M2) * F.sin(phi * 2.0)
+            + F.lit(_M4) * F.sin(phi * 4.0)
+            - F.lit(_M6) * F.sin(phi * 6.0)
+        )
+        easting = F.lit(500000.0) + F.lit(_K0) * n_rad * (
+            a_
+            + (F.lit(1.0) - t + c) * a_**3 / 6.0
+            + (F.lit(5.0) - t * 18.0 + t * t + c * 72.0 - F.lit(58.0 * _EP2))
+            * a_**5 / 120.0
+        )
+        northing = F.lit(0.0 if north else 10000000.0) + F.lit(_K0) * (
+            m
+            + n_rad * tan_p * (
+                a_**2 / 2.0
+                + (F.lit(5.0) - t + c * 9.0 + c * c * 4.0) * a_**4 / 24.0
+                + (F.lit(61.0) - t * 58.0 + t * t + c * 600.0
+                   - F.lit(330.0 * _EP2)) * a_**6 / 720.0
+            )
+        )
+        dlon = x - F.lit(math.degrees(lon0))
+        ok = (
+            (F.abs(dlon) < F.lit(UTM_MAX_DLON_DEG))
+            & (y > F.lit(-MERC_MAX_LAT_DEG)) & (y < F.lit(MERC_MAX_LAT_DEG))
+        )
+        return easting, northing, ok
+
+    return _to_utm
+
+
 _TRANSFORMS = {
     ("EPSG:4326", "EPSG:3857"): _to_3857,
     ("EPSG:3857", "EPSG:4326"): _to_4326,
@@ -59,6 +136,10 @@ def reproject(
     if in_srs == out_srs:
         return df
     fn = _TRANSFORMS.get((in_srs, out_srs))
+    if fn is None and in_srs == "EPSG:4326":
+        utm = _utm_zone(out_srs)
+        if utm is not None:
+            fn = _to_utm_factory(*utm)
     if fn is None:
         raise ValueError(
             f"no built-in transform {in_srs} -> {out_srs}; register a "
@@ -84,6 +165,42 @@ def reproject_sql(in_srs: str, out_srs: str, x: str = "x", y: str = "y"):
         xs = f"({x} / {R!r} * {180.0 / math.pi!r})"
         ys = f"((atan(exp({y} / {R!r})) * 2.0 - {math.pi / 2.0!r}) * {180.0 / math.pi!r})"
         return xs, ys, "TRUE"
+    if in_srs == "EPSG:4326":
+        utm = _utm_zone(out_srs)
+        if utm is not None:
+            zone, north = utm
+            lon0 = math.radians(-183.0 + 6.0 * zone)
+            lam = f"({x} * {math.pi / 180.0!r})"
+            phi = f"({y} * {math.pi / 180.0!r})"
+            sp, cp, tp = f"sin({phi})", f"cos({phi})", f"tan({phi})"
+            nr = f"({_A_WGS84!r} / sqrt(1.0 - {_E2!r} * {sp} * {sp}))"
+            t = f"({tp} * {tp})"
+            c = f"({_EP2!r} * {cp} * {cp})"
+            a_ = f"(({lam} - {lon0!r}) * {cp})"
+            m = (
+                f"({_A_WGS84!r} * ({_M0!r} * {phi} - {_M2!r} * sin({phi} * 2.0)"
+                f" + {_M4!r} * sin({phi} * 4.0) - {_M6!r} * sin({phi} * 6.0)))"
+            )
+            xs = (
+                f"(500000.0 + {_K0!r} * {nr} * ({a_}"
+                f" + (1.0 - {t} + {c}) * power({a_}, 3) / 6.0"
+                f" + (5.0 - {t} * 18.0 + {t} * {t} + {c} * 72.0"
+                f" - {58.0 * _EP2!r}) * power({a_}, 5) / 120.0))"
+            )
+            fn0 = 0.0 if north else 10000000.0
+            ys = (
+                f"({fn0!r} + {_K0!r} * ({m} + {nr} * {tp} * ("
+                f"power({a_}, 2) / 2.0"
+                f" + (5.0 - {t} + {c} * 9.0 + {c} * {c} * 4.0)"
+                f" * power({a_}, 4) / 24.0"
+                f" + (61.0 - {t} * 58.0 + {t} * {t} + {c} * 600.0"
+                f" - {330.0 * _EP2!r}) * power({a_}, 6) / 720.0)))"
+            )
+            w = (
+                f"(abs({x} - {math.degrees(lon0)!r}) < {UTM_MAX_DLON_DEG!r}"
+                f" AND {y} > {-MERC_MAX_LAT_DEG!r} AND {y} < {MERC_MAX_LAT_DEG!r})"
+            )
+            return xs, ys, w
     raise ValueError((in_srs, out_srs))
 
 
@@ -96,4 +213,32 @@ def reproject_np(xs, ys, in_srs: str = "EPSG:4326", out_srs: str = "EPSG:3857"):
         mx = xs * (math.pi / 180.0) * R
         my = np.log(np.tan(math.pi / 4.0 + ys * (math.pi / 360.0))) * R
         return mx[ok], my[ok], ok
+    utm = _utm_zone(out_srs) if in_srs == "EPSG:4326" else None
+    if utm is not None:
+        zone, north = utm
+        lon0 = math.radians(-183.0 + 6.0 * zone)
+        lam, phi = np.radians(xs), np.radians(ys)
+        sp, cp, tp = np.sin(phi), np.cos(phi), np.tan(phi)
+        nr = _A_WGS84 / np.sqrt(1.0 - _E2 * sp * sp)
+        t, c = tp * tp, _EP2 * cp * cp
+        a_ = (lam - lon0) * cp
+        m = _A_WGS84 * (
+            _M0 * phi - _M2 * np.sin(2 * phi) + _M4 * np.sin(4 * phi)
+            - _M6 * np.sin(6 * phi)
+        )
+        e = 500000.0 + _K0 * nr * (
+            a_ + (1 - t + c) * a_**3 / 6.0
+            + (5 - 18 * t + t * t + 72 * c - 58 * _EP2) * a_**5 / 120.0
+        )
+        n = (0.0 if north else 10000000.0) + _K0 * (
+            m + nr * tp * (
+                a_**2 / 2.0 + (5 - t + 9 * c + 4 * c * c) * a_**4 / 24.0
+                + (61 - 58 * t + t * t + 600 * c - 330 * _EP2) * a_**6 / 720.0
+            )
+        )
+        ok = (
+            (np.abs(xs - math.degrees(lon0)) < UTM_MAX_DLON_DEG)
+            & (ys > -MERC_MAX_LAT_DEG) & (ys < MERC_MAX_LAT_DEG)
+        )
+        return e[ok], n[ok], ok
     raise ValueError((in_srs, out_srs))

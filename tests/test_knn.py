@@ -67,11 +67,22 @@ def test_knn_join_matches_bruteforce(spark_dfs, pts):
 
 def test_knn_join_salted_same_result(spark_dfs, pts):
     src, cand = spark_dfs
-    plain = K.knn_join(src, cand, KK, cell_size=30.0)
+    plain = K.knn_join(src, cand, KK, cell_size=30.0, salt_threshold=None)
     salted = K.knn_join(src, cand, KK, cell_size=30.0, salt_threshold=10, n_salts=4)
     key = ["src_id", "rank", "cand_id"]
     assert sorted(map(tuple, plain.select(key).collect())) == sorted(
         map(tuple, salted.select(key).collect())
+    )
+    # default-on "auto" heuristic (count-based threshold) — identical too
+    auto = K.knn_join(src, cand, KK, cell_size=30.0)
+    assert sorted(map(tuple, plain.select(key).collect())) == sorted(
+        map(tuple, auto.select(key).collect())
+    )
+    # forced-low auto floor would also be identical; here assert the
+    # resolved threshold actually salts when pinned under the hot count
+    hot = K.knn_join(src, cand, KK, cell_size=30.0, salt_threshold=1, n_salts=3)
+    assert sorted(map(tuple, plain.select(key).collect())) == sorted(
+        map(tuple, hot.select(key).collect())
     )
 
 

@@ -43,5 +43,76 @@ def test_roundtrip_identity(spark):
 
 def test_unknown_pair_raises(spark):
     df = synth.synth_points(spark, 5)
+    # UTM zones (326xx/327xx) are registered now — a non-UTM projected
+    # CRS (LCC, EPSG:2154) still routes to the pyproj-kernel error
     with pytest.raises(ValueError, match="no built-in transform"):
-        rp.reproject(df, "EPSG:4326", "EPSG:32633")
+        rp.reproject(df, "EPSG:4326", "EPSG:2154")
+
+
+# --- UTM (EPSG:326xx/327xx) --------------------------------------------------
+
+
+def test_utm_meridian_arc_independent_oracle():
+    """Northing on the central meridian == k0 * meridian arc, where the
+    arc comes from direct numeric integration of the ellipsoid integral
+    — independent of the Snyder series the kernel uses."""
+    import math
+
+    import numpy as np
+
+    from pdal_spark.operators import reprojection as rp
+
+    a, e2 = 6378137.0, rp._E2
+
+    def arc(phi_deg):
+        t = np.linspace(0, math.radians(phi_deg), 400001)
+        f = a * (1 - e2) / np.power(1 - e2 * np.sin(t) ** 2, 1.5)
+        return np.trapz(f, t)
+
+    for lat in (15.0, 45.0, 70.0):
+        _, n, _ = rp.reproject_np(
+            np.array([3.0]), np.array([lat]), "EPSG:4326", "EPSG:32631"
+        )
+        assert abs(n[0] - 0.9996 * arc(lat)) < 1e-2
+    # equator/CM anchor + symmetry about the CM
+    e, n, _ = rp.reproject_np(np.array([3.0]), np.array([0.0]),
+                              "EPSG:4326", "EPSG:32631")
+    assert e[0] == 500000.0 and n[0] == 0.0
+    e1, n1, _ = rp.reproject_np(np.array([5.0]), np.array([40.0]),
+                                "EPSG:4326", "EPSG:32631")
+    e2_, n2, _ = rp.reproject_np(np.array([1.0]), np.array([40.0]),
+                                 "EPSG:4326", "EPSG:32631")
+    assert abs((e1[0] - 500000.0) - (500000.0 - e2_[0])) < 1e-9
+    assert n1[0] == n2[0]
+
+
+def test_utm_spark_matches_numpy_and_drops(spark):
+    import numpy as np
+    import pandas as pd
+
+    from pdal_spark import geo as geo_mod
+    from pdal_spark.operators import reprojection as rp
+
+    ids = np.arange(300)
+    xs, ys = geo_mod.geocode_lcg_np(ids)
+    df = spark.createDataFrame(pd.DataFrame({"page_id": ids, "x": xs, "y": ys}))
+    out = (
+        rp.reproject(df, "EPSG:4326", "EPSG:32631")
+        .toPandas().sort_values("page_id")
+    )
+    ee, nn, ok = rp.reproject_np(xs, ys, "EPSG:4326", "EPSG:32631")
+    assert list(out.page_id) == list(ids[ok])  # drop-on-failure rows
+    np.testing.assert_allclose(out.x, ee, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(out.y, nn, rtol=0, atol=1e-6)
+
+
+def test_utm_south_zone_false_northing():
+    import numpy as np
+
+    from pdal_spark.operators import reprojection as rp
+
+    _, n_n, _ = rp.reproject_np(np.array([3.0]), np.array([-30.0]),
+                                "EPSG:4326", "EPSG:32631")
+    _, n_s, _ = rp.reproject_np(np.array([3.0]), np.array([-30.0]),
+                                "EPSG:4326", "EPSG:32731")
+    assert abs((n_s[0] - n_n[0]) - 10000000.0) < 1e-6
