@@ -716,6 +716,125 @@ def q_ground_smrf(spark, sf_dir):
     )
 
 
+def q_ground_pmf(spark, sf_dir):
+    """filters.pmf (rows-only — iterative morphology; the literal
+    sequential-loop oracle lives in tests/test_ground.py)."""
+    from pdal_spark.operators import ground as ground_op
+
+    df = _docs_geo(spark, sf_dir).withColumn(
+        "z",
+        F.when(F.col("doc_id") % 5 == 0, 12.0).otherwise(0.0),
+    )
+    out = ground_op.pmf(
+        df, cell=15.0, max_window=60.0, slope=0.05, initial_distance=0.5,
+        max_distance=3.0, bounds=(-180.0, -90.0, 180.0, 90.0),
+    )
+    return out.select(
+        "doc_id", F.col("classification").cast("int").alias("classification")
+    )
+
+
+def q_skewness_balance(spark, sf_dir):
+    """filters.skewnessbalancing: ground = everything before the LAST
+    <=0 -> >0 running-skewness crossing in ascending-z order; prefix
+    moments computed distributed (ordered.prefix_sums)."""
+    from pdal_spark.operators import ground as ground_op
+
+    df = _table(spark, sf_dir, "events").select("event_id", "value")
+    out = ground_op.skewness_balancing(df, z="value", arrival_col="event_id")
+    return out.select(
+        "event_id", F.col("classification").cast("int").alias("classification")
+    )
+
+
+def q_feat_normal(spark, sf_dir):
+    """filters.normal (rows-only — eigenvector math; numpy oracle in
+    tests/test_features.py)."""
+    from pdal_spark.operators import features as feat_op
+
+    cell = _auto_cell(_n_docs(spark, sf_dir), FEAT_K)
+    out = feat_op.normal(_docs_z(spark, sf_dir), k=FEAT_K, id_col="doc_id",
+                         z="z", cell_size=cell, validate=True)
+    return out.select(
+        "doc_id",
+        F.round("normal_x", 6).alias("normal_x"),
+        F.round("normal_y", 6).alias("normal_y"),
+        F.round("normal_z", 6).alias("normal_z"),
+        F.round("curvature", 6).alias("curvature"),
+    )
+
+
+def q_feat_coplanar(spark, sf_dir):
+    """filters.approximatecoplanar (rows-only; numpy oracle in tests)."""
+    from pdal_spark.operators import features as feat_op
+
+    cell = _auto_cell(_n_docs(spark, sf_dir), FEAT_K)
+    out = feat_op.approximate_coplanar(_docs_z(spark, sf_dir), k=FEAT_K,
+                                       id_col="doc_id", z="z",
+                                       cell_size=cell, validate=True)
+    return out.select("doc_id", F.col("coplanar").cast("int").alias("coplanar"))
+
+
+def q_feat_rank(spark, sf_dir):
+    """filters.estimaterank (rows-only; numpy oracle in tests)."""
+    from pdal_spark.operators import features as feat_op
+
+    cell = _auto_cell(_n_docs(spark, sf_dir), FEAT_K)
+    out = feat_op.estimate_rank(_docs_z(spark, sf_dir), k=FEAT_K,
+                                id_col="doc_id", z="z",
+                                cell_size=cell, validate=True)
+    return out.select("doc_id", F.col("rank").cast("int").alias("est_rank"))
+
+
+def q_fps(spark, sf_dir):
+    """filters.fps — farthest point sampling (rows-only; literal numpy
+    oracle in tests/test_pointcloud.py)."""
+    from pdal_spark.operators import pointcloud as pc_op
+
+    out = pc_op.fps(_docs_geo(spark, sf_dir), count=50, order_col="doc_id")
+    return out.select("doc_id", "fps_order")
+
+
+def q_dem_keep(spark, sf_dir):
+    """filters.dem: keep rows whose z is within [band+lo, band+hi] of
+    the rasterized idw band at the row's cell (DEMFilter.cpp:83-130)."""
+    from pdal_spark.operators import pointcloud as pc_op
+
+    df = _docs_z(spark, sf_dir)
+    cells = raster_op.rasterize(df.withColumnRenamed("z", "n_chars"), RGRID,
+                                "n_chars", order_col="doc_id")
+    out = pc_op.dem_filter(df, cells, RGRID, band="idw",
+                           limits=(-150.0, 150.0))
+    return out.select("doc_id")
+
+
+def q_colorization(spark, sf_dir):
+    """filters.colorization: sample a raster band at each point's cell,
+    write band*scale (ColorizationFilter.cpp:204-226)."""
+    from pdal_spark.operators import pointcloud as pc_op
+
+    df = _docs_z(spark, sf_dir)
+    cells = raster_op.rasterize(df.withColumnRenamed("z", "n_chars"), RGRID,
+                                "n_chars", order_col="doc_id")
+    out = pc_op.colorization(df, cells, RGRID, [("idw", "idw_sample", 0.01)])
+    return out.select(
+        "doc_id", F.round("idw_sample", 6).alias("idw_sample")
+    )
+
+
+def q_returns(spark, sf_dir):
+    """filters.returns: first/last/intermediate/only labeling from
+    synthesized ReturnNumber/NumberOfReturns."""
+    df = _table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 3 + 1).cast("int").alias("ReturnNumber"),
+        (F.when(F.col("event_id") % 5 == 0, 1).otherwise(3))
+        .cast("int").alias("NumberOfReturns"),
+    )
+    out = rel_op.returns_filter(df, ["first", "only"])
+    return out.select("event_id", "return_group")
+
+
 def q_cluster_sizes(spark, sf_dir):
     """filters.cluster (rows-only: union-find membership is verified by
     the literal BFS oracle in tests/test_pointcloud.py)."""
@@ -884,6 +1003,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morton_forward": q_morton_forward,
         "hag": q_hag,
         "ground_smrf": q_ground_smrf,
+        "ground_pmf": q_ground_pmf,
+        "skewness_balance": q_skewness_balance,
+        "feat_normal": q_feat_normal,
+        "feat_coplanar": q_feat_coplanar,
+        "feat_rank": q_feat_rank,
+        "fps": q_fps,
+        "dem_keep": q_dem_keep,
+        "colorization": q_colorization,
+        "returns": q_returns,
         "cluster_sizes": q_cluster_sizes,
         "sample_poisson": q_sample_poisson,
     }
@@ -1200,7 +1328,66 @@ def _pointcloud_oracles() -> dict[str, str]:
                AS hag
       FROM pts p LEFT JOIN per ON per.src = p.doc_id
     """
+    # skewness balancing: cumulative power sums in (value, event_id)
+    # order; skew_prev derived by subtracting the row's own contribution
+    def _skw(n, s1, s2, s3):
+        m1 = f"({s1} / {n})"
+        m2 = f"({s2} - {s1} * {s1} / {n})"
+        m3 = f"({s3} - 3.0 * {m1} * {s2} + 2.0 * {n} * {m1} * {m1} * {m1})"
+        return f"(CASE WHEN {m2} > 0 THEN sqrt({n}) * {m3} / power({m2}, 1.5) END)"
+
+    skew_cur = _skw("n", "s1", "s2", "s3")
+    skew_prev = _skw("(n - 1.0)", "(s1 - value)", "(s2 - value * value)",
+                     "(s3 - value * value * value)")
+    skewness = f"""
+      WITH r AS (
+        SELECT event_id, value,
+               CAST(count(*) OVER w AS DOUBLE) AS n,
+               sum(value) OVER w AS s1,
+               sum(value * value) OVER w AS s2,
+               sum(value * value * value) OVER w AS s3
+        FROM events
+        WINDOW w AS (ORDER BY value, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ),
+      sk AS (
+        SELECT event_id, n, {skew_cur} AS skew,
+               CASE WHEN n > 1 THEN {skew_prev} END AS skew_prev
+        FROM r
+      ),
+      lf AS (
+        SELECT max(CASE WHEN skew > 0 AND coalesce(skew_prev <= 0, FALSE)
+                        THEN n END) AS v
+        FROM sk
+      ),
+      fin AS (SELECT skew FROM sk ORDER BY n DESC LIMIT 1)
+      SELECT sk.event_id,
+             CAST(CASE WHEN lf.v IS NULL
+                       THEN (CASE WHEN fin.skew > 0 THEN 1 ELSE 2 END)
+                       WHEN sk.n < lf.v THEN 2 ELSE 1 END AS INTEGER)
+               AS classification
+      FROM sk, lf, fin
+    """
+    returns_sql = """
+      WITH r AS (
+        SELECT event_id, CAST(event_id % 3 + 1 AS INTEGER) AS rn,
+               CAST(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 3 END AS INTEGER)
+                 AS nr
+        FROM events
+      ),
+      lab AS (
+        SELECT event_id,
+               CASE WHEN nr = 1 THEN 'only' WHEN rn = 1 THEN 'first'
+                    WHEN rn = nr THEN 'last' ELSE 'intermediate' END
+                 AS return_group
+        FROM r
+      )
+      SELECT event_id, return_group FROM lab
+      WHERE return_group IN ('first', 'only')
+    """
     return {
+        "skewness_balance": skewness,
+        "returns": returns_sql,
         "elm_noise": elm,
         "scanline_views": scanline,
         "colorinterp": colorinterp,
@@ -1309,6 +1496,36 @@ def _chipper_oracles() -> dict[str, str]:
     return {"chipper_2part": two_part, "chipper_counts": counts}
 
 
+def _raster_rc_sql() -> str:
+    """Raw (unrounded) per-cell raster table — the CTE body the dem /
+    colorization oracles join against; mirrors rasterize() exactly."""
+    g = RGRID
+    docs = (
+        f"SELECT doc_id, n_chars, ({_X_SQL}) AS x, ({_Y_SQL}) AS y FROM documents"
+    )
+    cx = f"(({g.origin_x!r}) + (c.i + 0.5) * {g.edge!r})"
+    cy = f"(({g.origin_y!r}) + ({float(g.height)!r} - (c.j + 0.5)) * {g.edge!r})"
+    d = f"sqrt((p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}))"
+    return f"""
+      WITH pts AS ({docs}),
+      cells AS (
+        SELECT a.i, b.j
+        FROM (SELECT unnest(range(0, {g.width})) AS i) a
+        CROSS JOIN (SELECT unnest(range(0, {g.height})) AS j) b
+      ),
+      hits AS (
+        SELECT c.i AS col, c.j AS row, p.doc_id, CAST(p.n_chars AS DOUBLE) AS v,
+               {d} AS dd
+        FROM pts p JOIN cells c ON {d} < {g.radius!r}
+      )
+      SELECT col, row,
+             CASE WHEN count(*) FILTER (WHERE dd = 0) > 0
+                  THEN arg_min(v, doc_id) FILTER (WHERE dd = 0)
+                  ELSE sum(v * (1.0 / dd)) / sum(1.0 / dd) END AS idw
+      FROM hits GROUP BY 1, 2
+    """
+
+
 def _raster_oracles() -> dict[str, str]:
     g = RGRID
     docs = (
@@ -1345,7 +1562,37 @@ def _raster_oracles() -> dict[str, str]:
                * {g.edge!r} AS y
       FROM px
     """
-    return {"raster_cells": cells_sql, "raster_pixels": pixels_sql}
+    # point cell key (raster_col/raster_row twins; Spark cast truncates)
+    pcol = f"CAST(trunc(({_X_SQL} - ({g.origin_x!r})) / {g.edge!r}) AS BIGINT)"
+    prow = (
+        f"({g.height} - CAST(trunc(({_Y_SQL} - ({g.origin_y!r})) / {g.edge!r})"
+        f" AS BIGINT) - 1)"
+    )
+    dem_sql = f"""
+      WITH rc AS ({_raster_rc_sql()}),
+      pts AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS z,
+               {pcol} AS col, {prow} AS row
+        FROM documents
+      )
+      SELECT doc_id
+      FROM pts JOIN rc USING (col, row)
+      WHERE z >= rc.idw + (-150.0) AND z <= rc.idw + 150.0
+    """
+    colorization_sql = f"""
+      WITH rc AS ({_raster_rc_sql()}),
+      pts AS (
+        SELECT doc_id, {pcol} AS col, {prow} AS row FROM documents
+      )
+      SELECT doc_id, round(rc.idw * 0.01, 6) AS idw_sample
+      FROM pts LEFT JOIN rc USING (col, row)
+    """
+    return {
+        "raster_cells": cells_sql,
+        "raster_pixels": pixels_sql,
+        "dem_keep": dem_sql,
+        "colorization": colorization_sql,
+    }
 
 
 def _datapipe_oracles() -> dict[str, str]:

@@ -195,21 +195,99 @@ def _prefix_candidates(words: DataFrame, v: DataFrame, threshold: float) -> Data
     )
 
 
+def _fused_verified_pairs(
+    keyed: DataFrame, join_keys: list[str], threshold: float,
+    n_chunks: int | None, n_salts: int = 16,
+) -> DataFrame:
+    """Self-join candidate rows that CARRY their own (sz, masks), verify
+    Jaccard inline, and only then deduplicate.
+
+    `keyed` = (id, <join_keys...>, sz, masks). The fusion matters at
+    scale: candidate pairs exist only inside the join stage (map-side
+    filter to true pairs before any further exchange) — no candidate
+    `distinct()` and no per-side mask joins over the candidate blow-up,
+    which dominated the unfused plan (measured 4x the true-pair count on
+    the degenerate small-vocab tables).
+
+    keyed is PERSISTED (tiny — prefix/band rows — but its lineage of
+    windows/ranks/signature aggregates would otherwise recompute for
+    both join sides), and the self-join is SALTED (triangle-join
+    salting): candidate keys are few and huge (rare-word prefix ords /
+    hot LSH buckets), so a plain equi-join pins each key's quadratic
+    blow-up on one task. Side b gets salt = hash(id) % n_salts, side a
+    explodes over all salts — every pair meets exactly once and
+    parallelism grows n_salts-fold."""
+    keyed = keyed.persist()
+    jk = [*join_keys, "_salt"]
+    a = keyed.select(
+        *join_keys, F.col("id").alias("id1"), F.col("sz").alias("sz1"),
+        F.col("masks").alias("ma"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    b = keyed.select(
+        *join_keys, F.col("id").alias("id2"), F.col("sz").alias("sz2"),
+        F.col("masks").alias("mb"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)).cast("int")
+        .alias("_salt"),
+    )
+    joined = (
+        a.join(b, jk)
+        .filter(F.col("id1") < F.col("id2"))
+        # length filter: j >= t forces min(sz) >= t * max(sz)
+        .filter(
+            F.least("sz1", "sz2")
+            >= F.lit(threshold) * F.greatest("sz1", "sz2")
+        )
+        .withColumn("inter", _mask_inter(F.col("ma"), F.col("mb"), n_chunks))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return joined.select("id1", "id2", "jaccard").distinct()
+
+
 def jaccard_pairs(
     df: DataFrame, threshold: float, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact word-set Jaccard >= threshold pairs (id1 < id2).
 
-    Scale shape: prefix-filtered candidate generation (rare-word buckets
-    only) + chunked-bitmask verification (integer codegen, no
-    verification join). Equivalent to the naive shared-word join — the
-    SQL oracle keeps the naive formulation as the cross-engine check.
+    Scale shape: prefix-filtered candidate generation (rare-word prefix
+    buckets only) with the chunked bitmask CARRIED through the self-join
+    — verification is inline integer codegen on the joined rows plus a
+    length filter, and only verified pairs reach the final distinct.
+    Equivalent to the naive shared-word join — the SQL oracle keeps the
+    naive formulation as the cross-engine check.
     """
     words = doc_words(df, text_col, id_col)
     v = vocab(df, text_col, id_col)
-    cand = _prefix_candidates(words, v, threshold)
     masks, n_chunks = _doc_masks(words, v)
-    return _verify_pairs_bitmask(cand, masks, threshold, n_chunks)
+
+    dfreq = words.groupBy("word").agg(F.count("*").alias("df"))
+    order = global_rank(
+        dfreq.join(v, "word").select("word", "df"),
+        [F.col("df").asc(), F.col("word").asc()],
+        out_col="ord",
+    ).select("word", "ord")
+    sized = words.join(F.broadcast(order), "word").withColumn(
+        "sz", F.count("*").over(Window.partitionBy("id"))
+    )
+    pref_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    prefix = (
+        sized.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("id").orderBy(F.col("ord").asc())),
+        )
+        .filter(F.col("rk") <= pref_len)
+        .select("id", "ord")
+    )
+    keyed = prefix.join(masks, "id")  # prefix rows only — small join
+    return _fused_verified_pairs(keyed, ["ord"], threshold, n_chunks)
 
 
 def jaccard_pairs_sql(threshold: float, table: str = "documents",
@@ -334,23 +412,79 @@ def minhash_dedup_pairs(
     100 TB path; the exact jaccard_pairs() is the small-scale oracle.
 
     word_id_mode="hash" removes every vocabulary shuffle (see vocab());
-    it forces the word-join verifier since hash ids aren't dense."""
+    its verifier carries each doc's sorted word ARRAY through the bucket
+    join (array_intersect on the raw strings — exact, open-vocabulary,
+    no dense ids, no 4-way join). rank mode carries the chunked bitmask
+    instead (8 bytes/chunk vs the full word array). Both verify inline
+    on the joined rows; only true pairs reach the final distinct.
+
+    verify: None (mode default), "bitmask", "wordarray", or "wordjoin"
+    (the legacy join verifier, kept for tests)."""
     sigs = minhash_signatures(df, k, text_col, id_col, word_id_mode)
     bnd = minhash_bands(sigs, bands, k)
-    cand = (
-        bnd.alias("a")
-        .join(bnd.alias("b"), ["band", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
-    )
     words = doc_words(df, text_col, id_col)
     if verify is None:
-        verify = "bitmask" if word_id_mode == "rank" else "wordjoin"
+        verify = "bitmask" if word_id_mode == "rank" else "wordarray"
     if verify == "wordjoin":
+        cand = (
+            bnd.alias("a")
+            .join(bnd.alias("b"), ["band", "key"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .distinct()
+        )
         return _verify_pairs_wordjoin(cand, words, threshold)
+    if verify == "wordarray":
+        sets = words.groupBy("id").agg(
+            F.sort_array(F.collect_list("word")).alias("masks"),
+            F.count("*").alias("sz"),
+        )
+        keyed = bnd.join(sets, "id")
+        return _fused_verified_pairs_arrays(keyed, ["band", "key"], threshold)
     masks, n_chunks = _doc_masks(words, vocab(df, text_col, id_col))
-    return _verify_pairs_bitmask(cand, masks, threshold, n_chunks)
+    keyed = bnd.join(masks, "id")
+    return _fused_verified_pairs(keyed, ["band", "key"], threshold, n_chunks)
+
+
+def _fused_verified_pairs_arrays(
+    keyed: DataFrame, join_keys: list[str], threshold: float,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Open-vocabulary twin of _fused_verified_pairs: `masks` is the
+    sorted word array; intersection = size(array_intersect) on the raw
+    strings (JVM built-in, exact). Persisted + salted the same way."""
+    keyed = keyed.persist()
+    jk = [*join_keys, "_salt"]
+    a = keyed.select(
+        *join_keys, F.col("id").alias("id1"), F.col("sz").alias("sz1"),
+        F.col("masks").alias("ma"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    b = keyed.select(
+        *join_keys, F.col("id").alias("id2"), F.col("sz").alias("sz2"),
+        F.col("masks").alias("mb"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)).cast("int")
+        .alias("_salt"),
+    )
+    joined = (
+        a.join(b, jk)
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(
+            F.least("sz1", "sz2")
+            >= F.lit(threshold) * F.greatest("sz1", "sz2")
+        )
+        .withColumn("inter", F.size(F.array_intersect("ma", "mb")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return joined.select("id1", "id2", "jaccard").distinct()
 
 
 def minhash_dedup_pairs_sql(

@@ -240,3 +240,204 @@ def smrf(
                F.lit(NOT_GROUND)).otherwise(F.lit(GROUND)),
     ).otherwise(base)
     return joined.withColumn(class_col, cls).drop("_sc", "_sr", "_dem", "_thr")
+
+
+# ---------------------------------------------------------------------------
+# filters.pmf — progressive morphological filter (PMFFilter.cpp:241-373)
+# ---------------------------------------------------------------------------
+
+
+def pmf_windows(
+    cell: float, max_window: float, slope: float, initial_distance: float,
+    max_distance: float, exponential: bool = True,
+) -> list[tuple[float, float]]:
+    """(window size, height threshold) series (PMFFilter.cpp:305-330).
+    The while-check uses the PREVIOUS ws, so the last appended window may
+    exceed max_window — replicated."""
+    out: list[tuple[float, float]] = []
+    ws, it = 0.0, 0
+    while ws < max_window:
+        if exponential:
+            ws = cell * (2.0 * 2.0**it + 1.0)
+        else:
+            ws = cell * (2.0 * (it + 1) * 2 + 1.0)
+        if it == 0:
+            ht = initial_distance
+        else:
+            ht = slope * (ws - out[it - 1][0]) * cell + initial_distance
+        ht = min(ht, max_distance)
+        out.append((ws, ht))
+        it += 1
+    return out
+
+
+def pmf(
+    df: DataFrame,
+    cell: float = 1.0,
+    max_window: float = 33.0,
+    slope: float = 1.0,
+    initial_distance: float = 0.15,
+    max_distance: float = 2.5,
+    exponential: bool = True,
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+    class_col: str = "classification",
+    bounds: tuple[float, float, float, float] | None = None,
+) -> DataFrame:
+    """filters.pmf: progressive morphological opening of the min-Z grid;
+    a point stays ground iff it survives EVERY iteration's test
+    ``z - opened_j[cell] < ht_j`` (PMFFilter.cpp:344-360). Because the
+    per-point test at step j depends only on its cell, the progressive
+    set-shrinking is equivalent to one closed-form predicate
+
+        z < min_j(opened_j[cell] + ht_j)
+
+    — so the distributed classify is a single broadcast join of a
+    per-cell threshold table (grid-sized), no per-iteration point pass.
+    Ground -> class 2; non-ground keeps its input class (the reference
+    only labels ground returns; absent column -> 1).
+
+    Reference quirks replicated: grid build cell key floors BEFORE the
+    divide (:243-244) while the classify key floors AFTER (:350-353);
+    void cells inpaint from the single nearest populated cell (:274-290).
+    """
+    if bounds is None:
+        b = df.agg(F.min(x), F.min(y), F.max(x), F.max(y)).collect()[0]
+        bounds = (b[0], b[1], b[2], b[3])
+    minx, miny, maxx, maxy = bounds
+    n_cols = int((maxx - minx) / cell) + 1
+    n_rows = int((maxy - miny) / cell) + 1
+
+    gcol = (F.floor(F.col(x) - F.lit(minx)) / cell).cast("int")
+    grow = (F.floor(F.col(y) - F.lit(miny)) / cell).cast("int")
+    cells = (
+        df.withColumn("_pc", gcol).withColumn("_pr", grow)
+        .groupBy("_pc", "_pr").agg(F.min(z).alias("_zmin")).collect()
+    )
+    zimin = np.full((n_rows, n_cols), np.nan)
+    for r in cells:
+        zimin[r["_pr"], r["_pc"]] = r["_zmin"]
+    zimin = nn1fill(zimin)
+
+    limit = np.full(zimin.shape, np.inf)
+    for ws, ht in pmf_windows(cell, max_window, slope, initial_distance,
+                              max_distance, exponential):
+        iters = int(0.5 * (ws - 1))
+        opened = dilate_diamond(erode_diamond(zimin, iters), iters)
+        limit = np.minimum(limit, opened + ht)
+        zimin = opened
+
+    rr, cc = np.nonzero(np.isfinite(limit))
+    side_rows = [
+        (int(cc[i]), int(rr[i]), float(limit[rr[i], cc[i]]))
+        for i in range(len(rr))
+    ]
+    spark = df.sparkSession
+    side = spark.createDataFrame(side_rows, "_pc int, _pr int, _zlim double")
+    # classify key: floor AFTER the divide (PMFFilter.cpp:350-353)
+    kcol = F.floor((F.col(x) - F.lit(minx)) / cell).cast("int")
+    krow = F.floor((F.col(y) - F.lit(miny)) / cell).cast("int")
+    work = df.withColumn("_pc", kcol).withColumn("_pr", krow)
+    joined = work.join(F.broadcast(side), ["_pc", "_pr"], "left")
+    base = F.col(class_col) if class_col in df.columns else F.lit(1)
+    cls = F.when(F.col(z) < F.col("_zlim"), F.lit(GROUND)).otherwise(base)
+    return joined.withColumn(class_col, cls).drop("_pc", "_pr", "_zlim")
+
+
+def nn1fill(g: np.ndarray) -> np.ndarray:
+    """Fill NaN cells with the value of the single nearest populated
+    cell by center distance (PMFFilter.cpp:274-290); ties pinned by
+    column-major linear index like knnfill."""
+    rows, cols = g.shape
+    rr, cc = np.nonzero(~np.isnan(g))
+    if len(rr) == 0:
+        return g.copy()
+    vals = g[rr, cc]
+    lin = cc.astype(np.int64) * rows + rr
+    out = g.copy()
+    for r, c in np.argwhere(np.isnan(g)):
+        d2 = (rr - r) ** 2 + (cc - c) ** 2
+        i = np.lexsort((lin, d2))[0]
+        out[r, c] = vals[i]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# filters.skewnessbalancing (SkewnessBalancingFilter.cpp:60-110)
+# ---------------------------------------------------------------------------
+
+
+def skewness_balancing(
+    df: DataFrame,
+    z: str = "z",
+    arrival_col: str = "page_id",
+    class_col: str = "classification",
+) -> DataFrame:
+    """Bartels & Wei skewness balancing: scan points in ascending-z
+    order maintaining running skewness of the prefix; each time the
+    skewness crosses from <=0 to >0, everything before the crossing is
+    (re)marked ground — net effect: ground = all points BEFORE the LAST
+    crossing (everything from it on is non-ground); no crossing at all
+    -> all ground iff the final skewness <= 0.
+
+    Distributed shape: prefix skewness comes from exact global prefix
+    power sums (ordered.prefix_sums — range partition + offsets, no
+    single-task window); the "previous" skewness is derived by
+    subtracting the row's own contribution, so no cross-partition lag is
+    needed. The last crossing is one scalar aggregate.
+
+    Pinned divergences: z-ties ordered by arrival (the reference's
+    std::sort order on ties is unspecified), and the running central
+    moments come from power sums (algebraically equal to the reference's
+    incremental M1/M2/M3, fp-rounding aside — sign tests use the raw
+    doubles, like the reference)."""
+    from pdal_spark.operators.ordered import prefix_sums
+
+    zc = F.col(z).cast("double")
+    keys = [F.col(z).asc(), F.col(arrival_col).asc()]
+    work = prefix_sums(
+        df,
+        keys,
+        {"_n": F.lit(1.0), "_s1": zc, "_s2": zc * zc, "_s3": zc * zc * zc},
+        inclusive=True,
+    )
+
+    def skew(n, s1, s2, s3):
+        m1 = s1 / n
+        m2 = s2 - s1 * s1 / n
+        m3 = s3 - 3.0 * m1 * s2 + 2.0 * n * m1 * m1 * m1
+        # m2 == 0 -> the reference's 0/0 NaN; NULL here compares the same
+        # way (every >/<= test false) and survives ANSI mode
+        return F.when(m2 > 0, F.sqrt(n) * m3 / F.pow(m2, 1.5))
+
+    n = F.col("_n")
+    cur = skew(n, F.col("_s1"), F.col("_s2"), F.col("_s3"))
+    prev = F.when(
+        n > 1,
+        skew(n - 1, F.col("_s1") - zc, F.col("_s2") - zc * zc,
+             F.col("_s3") - zc * zc * zc),
+    )
+    # crossing: skew > 0 after this point AND <= 0 before it (first row's
+    # "before" is NaN in the reference -> no crossing; NULL here -> false)
+    flip = (cur > 0) & F.coalesce(prev <= 0, F.lit(False))
+    work = work.withColumn("_flip", flip).withColumn("_skew", cur)
+    work = work.persist()
+    last_flip_row = work.agg(
+        F.max(F.when(F.col("_flip"), F.col("_n"))).alias("lf"),
+        F.max(F.struct(F.col("_n"), F.col("_skew"))).alias("fin"),
+    ).collect()[0]
+    last_flip = last_flip_row["lf"]
+    final_skew = last_flip_row["fin"]["_skew"]
+    base = F.col(class_col) if class_col in df.columns else F.lit(NOT_GROUND)
+    if last_flip is None:
+        lbl = F.lit(GROUND) if (final_skew is None or final_skew <= 0 or
+                                final_skew != final_skew) else F.lit(NOT_GROUND)
+        out = work.withColumn(class_col, lbl)
+    else:
+        out = work.withColumn(
+            class_col,
+            F.when(F.col("_n") < F.lit(float(last_flip)), F.lit(GROUND))
+            .otherwise(F.lit(NOT_GROUND)),
+        )
+    return out.drop("_n", "_s1", "_s2", "_s3", "_flip", "_skew")

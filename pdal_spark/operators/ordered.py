@@ -79,6 +79,43 @@ def global_rank(
     return work.withColumn(out_col, rank).drop(_PID)
 
 
+def prefix_sums(
+    df: DataFrame,
+    keys: list[Column],
+    values: dict[str, Column],
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global prefix sums of several DOUBLE expressions in key
+    order, sharing one range partitioning (the multi-column sibling of
+    running_total; used by running-moment scans like
+    filters.skewnessbalancing)."""
+    work = _range_partitioned(df, keys, num_partitions)
+    for name, col in values.items():
+        work = work.withColumn(f"_ps{name}", col.cast("double"))
+    aggs = [F.sum(f"_ps{name}").alias(name) for name in values]
+    totals = work.groupBy(_PID).agg(*aggs).collect()
+    hi = 0 if inclusive else -1
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    for name in values:
+        local = F.coalesce(F.sum(f"_ps{name}").over(w), F.lit(0.0))
+        offs: list[Column] = []
+        acc = 0.0
+        for r in sorted(totals, key=lambda t: t[_PID]):
+            offs += [F.lit(r[_PID]), F.lit(acc)]
+            acc += float(r[name] or 0.0)
+        off = (
+            F.coalesce(F.create_map(*offs)[F.col(_PID)], F.lit(0.0))
+            if offs else F.lit(0.0)
+        )
+        work = work.withColumn(name, local + off)
+    return work.drop(_PID, *[f"_ps{n}" for n in values])
+
+
 def running_total(
     df: DataFrame,
     keys: list[Column],

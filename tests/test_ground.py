@@ -127,3 +127,123 @@ def test_smrf_net_cut_path():
     out = ground.smrf(df, cell=1.0, window=10.0, cut=6.0).toPandas()
     assert (out[out.z == 8.0].classification == ground.NOT_GROUND).all()
     assert (out[out.z == 0.0].classification == ground.GROUND).mean() > 0.95
+
+
+# --- PMF ---------------------------------------------------------------------
+
+
+def _pmf_reference_loop(xs, ys, zs, cell, max_window, slope, init_d, max_d,
+                        exponential=True):
+    """Literal PMFFilter::processGround loop (sequential groundIdx
+    shrinking) — independent oracle for the engine's closed-form
+    min-threshold transform."""
+    minx, miny = xs.min(), ys.min()
+    n_cols = int((xs.max() - minx) / cell) + 1
+    n_rows = int((ys.max() - miny) / cell) + 1
+    zi = np.full((n_rows, n_cols), np.nan)
+    for i in range(len(xs)):
+        c = int(np.floor(xs[i] - minx) / cell)
+        r = int(np.floor(ys[i] - miny) / cell)
+        if np.isnan(zi[r, c]) or zs[i] < zi[r, c]:
+            zi[r, c] = zs[i]
+    zi = ground.nn1fill(zi)
+    wins = ground.pmf_windows(cell, max_window, slope, init_d, max_d,
+                              exponential)
+    gidx = list(range(len(xs)))
+    for ws, ht in wins:
+        iters = int(0.5 * (ws - 1))
+        mo = ground.dilate_diamond(ground.erode_diamond(zi, iters), iters)
+        keep = []
+        for i in gidx:
+            c = int(np.floor((xs[i] - minx) / cell))
+            r = int(np.floor((ys[i] - miny) / cell))
+            if zs[i] - mo[r, c] < ht:
+                keep.append(i)
+        zi, gidx = mo, keep
+    return set(gidx)
+
+
+def test_pmf_windows_series():
+    # exponential: ws_i = cell*(2*2^i+1) -> 3, 5, 9, 17, 33; stops when
+    # prev ws >= max_window (the last may exceed it)
+    wins = ground.pmf_windows(1.0, 33.0, 1.0, 0.15, 2.5)
+    assert [w for w, _ in wins] == [3.0, 5.0, 9.0, 17.0, 33.0]
+    assert wins[0][1] == 0.15
+    assert wins[1][1] == min(1.0 * (5.0 - 3.0) * 1.0 + 0.15, 2.5)
+    assert wins[-1][1] == 2.5  # capped by max_distance
+
+
+def test_pmf_matches_reference_loop(scene):
+    pdf = scene.toPandas().sort_values("page_id")
+    xs = pdf.x.to_numpy()
+    ys = pdf.y.to_numpy()
+    zs = pdf.z.to_numpy()
+    want = _pmf_reference_loop(xs, ys, zs, 1.0, 17.0, 1.0, 0.5, 3.0)
+    out = ground.pmf(scene, cell=1.0, max_window=17.0, slope=1.0,
+                     initial_distance=0.5, max_distance=3.0).toPandas()
+    got = set(out.loc[out.classification == ground.GROUND, "page_id"])
+    assert got == want
+    # semantic: building is non-ground, plane overwhelmingly ground
+    assert not (set(pdf.loc[pdf.z == 10.0, "page_id"]) & got)
+    flat = set(pdf.loc[pdf.z == 0.0, "page_id"])
+    assert len(flat & got) / len(flat) > 0.99
+
+
+# --- skewness balancing ------------------------------------------------------
+
+
+def _skew_reference_loop(zs_sorted):
+    """Literal SkewnessBalancingFilter::processGround incremental-moment
+    scan (M1/M2/M3 update formulas, :76-103)."""
+    n = 0
+    M1 = M2 = M3 = 0.0
+    last_positive = 0
+    skew = 0.0
+    last_skew = float("nan")
+    cls = np.full(len(zs_sorted), 0)
+    for i, zv in enumerate(zs_sorted):
+        n1 = n
+        n += 1
+        delta = zv - M1
+        delta_n = delta / n
+        term1 = delta * delta_n * n1
+        M1 += delta_n
+        M3 += term1 * delta_n * (n - 2) - 3 * delta_n * M2
+        M2 += term1
+        skew = np.sqrt(n) * M3 / M2**1.5 if M2 > 0 else float("nan")
+        if skew > 0 and last_skew <= 0:
+            cls[last_positive:i] = ground.GROUND
+            last_positive = i
+        last_skew = skew
+    if last_positive == 0 and not skew > 0:
+        cls[:] = ground.GROUND
+    else:
+        cls[last_positive:] = ground.NOT_GROUND
+    return cls
+
+
+def test_skewness_balancing_matches_reference(spark):
+    rng = np.random.default_rng(11)
+    # terrain-ish: symmetric low mass + a positive-skew tail of highs
+    zs = np.concatenate([rng.normal(10, 1, 400), rng.exponential(8, 100) + 12])
+    import pandas as pd
+
+    pdf = pd.DataFrame({"page_id": np.arange(len(zs)), "z": zs})
+    df = spark.createDataFrame(pdf).repartition(7)
+    out = ground.skewness_balancing(df, z="z", arrival_col="page_id") \
+        .toPandas().sort_values(["z", "page_id"]).reset_index(drop=True)
+    order = np.lexsort((pdf.page_id.to_numpy(), pdf.z.to_numpy()))
+    want = _skew_reference_loop(zs[order])
+    assert list(out.classification) == list(want)
+    # sanity: both classes present and ground is the low-z prefix
+    assert set(want) == {ground.GROUND, ground.NOT_GROUND}
+
+
+def test_skewness_balancing_all_ground(spark):
+    # symmetric data: skewness never goes positive -> everything ground
+    import pandas as pd
+
+    zs = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    df = spark.createDataFrame(pd.DataFrame({"page_id": np.arange(6), "z": zs}))
+    out = ground.skewness_balancing(df, z="z", arrival_col="page_id").toPandas()
+    assert (out.classification == ground.GROUND).all()
