@@ -242,3 +242,19 @@ def reproject_np(xs, ys, in_srs: str = "EPSG:4326", out_srs: str = "EPSG:3857"):
         )
         return e[ok], n[ok], ok
     raise ValueError((in_srs, out_srs))
+
+
+def proj_pipeline(
+    df: DataFrame, steps: list[tuple[str, str]], x: str = "x", y: str = "y"
+) -> DataFrame:
+    """filters.projpipeline (ProjPipelineFilter.cpp:60-121): apply a
+    CHAIN of coordinate operations in order (the reference hands a
+    pipeline string to PROJ; here each step is a registered pair, and
+    the chain composes the same drop-on-failure semantics per stage).
+
+    steps = [(in_srs, out_srs), ...] — e.g. 3857 -> 4326 -> UTM 31N.
+    """
+    out = df
+    for in_srs, out_srs in steps:
+        out = reproject(out, in_srs, out_srs, x=x, y=y)
+    return out

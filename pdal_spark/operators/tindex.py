@@ -97,3 +97,20 @@ def tindex(
         })
 
     return cells.groupBy("tile_x", "tile_y").applyInPandas(kernel, schema=schema)
+
+
+def tindex_prune(
+    manifest: DataFrame,
+    bbox: tuple[float, float, float, float],
+) -> DataFrame:
+    """readers.tindex consumer (TIndexKernel.cpp mergeFile: each index
+    feature's geometry is tested against the query region and only
+    intersecting files are read): keep manifest rows whose tile bbox
+    intersects the query bbox. Join the surviving (tile_x, tile_y) keys
+    against a partitioned tile store and the parquet source prunes those
+    directories — the catalog-scan shape for 100 TB."""
+    qminx, qminy, qmaxx, qmaxy = bbox
+    return manifest.filter(
+        (F.col("minx") <= qmaxx) & (F.col("maxx") >= qminx)
+        & (F.col("miny") <= qmaxy) & (F.col("maxy") >= qminy)
+    )

@@ -116,3 +116,28 @@ def test_utm_south_zone_false_northing():
     _, n_s, _ = rp.reproject_np(np.array([3.0]), np.array([-30.0]),
                                 "EPSG:4326", "EPSG:32731")
     assert abs((n_s[0] - n_n[0]) - 10000000.0) < 1e-6
+
+
+def test_proj_pipeline_chain(spark):
+    """projpipeline: 4326 -> 3857 -> 4326 -> UTM31N chain equals the
+    direct UTM transform (round-trip via Mercator is closed-form exact
+    up to fp)."""
+    import numpy as np
+    import pandas as pd
+
+    from pdal_spark import geo as geo_mod
+
+    ids = np.arange(200)
+    xs, ys = geo_mod.geocode_lcg_np(ids)
+    df = spark.createDataFrame(pd.DataFrame({"page_id": ids, "x": xs, "y": ys}))
+    chained = rp.proj_pipeline(
+        df, [("EPSG:4326", "EPSG:3857"), ("EPSG:3857", "EPSG:4326"),
+             ("EPSG:4326", "EPSG:32631")]
+    ).toPandas().sort_values("page_id")
+    direct = rp.reproject(df, "EPSG:4326", "EPSG:32631") \
+        .toPandas().sort_values("page_id")
+    # chained drops |lat|>=85.05 rows first (Mercator stage), direct does
+    # too (UTM ok-gate includes the same cutoff) -> same row set
+    assert list(chained.page_id) == list(direct.page_id)
+    np.testing.assert_allclose(chained.x, direct.x, atol=1e-6)
+    np.testing.assert_allclose(chained.y, direct.y, atol=1e-6)

@@ -173,3 +173,13 @@ def test_tile_job_tindex_sidecar(spark, tmp_path):
     assert man.count() > 0
     assert man.agg({"n_points": "sum"}).collect()[0][0] == 300
     assert set(man.columns) >= {"tile_x", "tile_y", "n_points", "boundary"}
+
+
+def test_tindex_prune(spark):
+    from pdal_spark.operators import tindex as ti
+
+    rows = [(0, 1.0, 1.0), (1, 8.0, 9.0), (2, 12.0, 1.0), (3, 25.0, 25.0)]
+    df = spark.createDataFrame(rows, "page_id long, x double, y double")
+    man = ti.tindex(df, 10.0, 0.0, 0.0, hex_edge=2.0, fast_boundary=True)
+    kept = ti.tindex_prune(man, (5.0, 0.0, 15.0, 10.0)).toPandas()
+    assert set(zip(kept.tile_x, kept.tile_y)) == {(0, 0), (1, 0)}
