@@ -146,3 +146,143 @@ def synth_binary_docs(spark, n: int, payload_bytes: int = 512) -> DataFrame:
             )
         ).alias("payload"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders — formats decodable with numpy alone (no PIL/ffmpeg):
+# binary PPM (P6) and uncompressed 24-bit BMP. These upgrade the decode
+# path from stub to real for the formats the sandbox can actually
+# produce; JPEG/PNG still route to the NotImplementedError stub.
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(buf: bytes) -> "np.ndarray":
+    """Binary PPM (P6): 'P6' <ws> width <ws> height <ws> maxval <single
+    ws> raw RGB rows. Returns (h, w, 3) uint8. Comments (#...) allowed
+    in the header per the netpbm spec."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        vals.append(int(buf[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    need = w * h * 3
+    data = np.frombuffer(buf, dtype=np.uint8, count=need, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def decode_bmp(buf: bytes) -> "np.ndarray":
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): rows bottom-up,
+    4-byte padded, BGR order. Returns (h, w, 3) uint8 in RGB."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    comp = int.from_bytes(buf[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    flip = h > 0  # positive height = bottom-up rows
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        img = img[::-1]
+    return img[:, :, ::-1]  # BGR -> RGB
+
+
+def decode_any(buf: bytes) -> "np.ndarray":
+    if buf[:2] == b"P6":
+        return decode_ppm(buf)
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
+    raise NotImplementedError(
+        "real decode supports P6 PPM and 24-bit BMP here; JPEG/PNG need "
+        "PIL/turbojpeg (not in this environment)"
+    )
+
+
+def decode_image_meta_real(
+    df: DataFrame, binary_col: str = "payload"
+) -> DataFrame:
+    """Real decode path: IMAGE_META_SCHEMA from actual pixels (PPM/BMP).
+    Same Arrow-batched kernel signature as the stub/fake paths."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = ["byte_len", "width", "height", "channels", "mean_intensity"]
+        for pdf in batches:
+            metas = []
+            for b in pdf[binary_col]:
+                img = decode_any(bytes(b))
+                metas.append(dict(zip(keys, (
+                    len(b), int(img.shape[1]), int(img.shape[0]),
+                    int(img.shape[2]), float(img.mean()),
+                ))))
+            yield pdf.assign(image_meta=pd.Series(metas, index=pdf.index))
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField("image_meta", IMAGE_META_SCHEMA)]
+    )
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def resize_image(
+    df: DataFrame, out_w: int, out_h: int, binary_col: str = "payload",
+    out_col: str = "resized",
+) -> DataFrame:
+    """Real nearest-neighbor resize: decode (PPM/BMP) -> index-sample ->
+    re-encode as P6 PPM. The canonical shape of a decode/transform/
+    re-encode stage over opaque binary columns."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[binary_col]:
+                img = decode_any(bytes(b))
+                h, w = img.shape[:2]
+                yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+                xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+                small = img[yi][:, xi]
+                header = f"P6\n{out_w} {out_h}\n255\n".encode()
+                out.append(header + small.tobytes())
+            yield pdf.assign(**{out_col: out})
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, BinaryType())]
+    )
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def synth_ppm_docs(spark, n: int, w: int = 12, h: int = 8) -> DataFrame:
+    """Deterministic REAL P6 images keyed by id (gradient + id offset) —
+    the fixture for the real decode/resize kernels."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bufs = []
+            for i in pdf["doc_id"]:
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = (xx * 7 + yy * 13 + int(i)) % 256
+                rgb = np.stack(
+                    [img, (img + 85) % 256, (img + 170) % 256], -1
+                ).astype(np.uint8)
+                bufs.append(f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes())
+            yield pdf.assign(payload=bufs)
+
+    base = spark.range(n).select(F.col("id").alias("doc_id"))
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return base.mapInPandas(kernel, schema=schema)

@@ -232,3 +232,85 @@ def test_multimodal_embed_stub_feeds_simsearch(spark):
     )
     out = simsearch.cosine_topk(feats, k=2).toPandas()
     assert (out.groupby("src_id").size() == 2).all()
+
+
+# --- real multimodal decoders (PPM / BMP — numpy-only formats) ---------------
+
+
+def _tiny_ppm():
+    import numpy as np
+
+    px = np.array([[[255, 0, 0], [0, 255, 0]],
+                   [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8)
+    return b"P6\n# comment\n2 2\n255\n" + px.tobytes(), px
+
+
+def _tiny_bmp():
+    """Hand-built 2x2 24-bit BMP (bottom-up rows, 4-byte padded, BGR)."""
+    import numpy as np
+
+    px = np.array([[[255, 0, 0], [0, 255, 0]],
+                   [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8)
+    stride = (2 * 3 + 3) & ~3  # 8
+    rows = b""
+    for r in (1, 0):  # bottom-up
+        row = b"".join(bytes(px[r, c, ::-1]) for c in (0, 1))
+        rows += row + b"\x00" * (stride - len(row))
+    info = (
+        (40).to_bytes(4, "little") + (2).to_bytes(4, "little", signed=True)
+        + (2).to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+        + (len(rows)).to_bytes(4, "little") + b"\x00" * 16
+    )
+    off = 14 + 40
+    head = b"BM" + (off + len(rows)).to_bytes(4, "little") + b"\x00" * 4 \
+        + off.to_bytes(4, "little")
+    return head + info + rows, px
+
+
+def test_decode_ppm_and_bmp_exact():
+    import numpy as np
+
+    ppm, px = _tiny_ppm()
+    np.testing.assert_array_equal(multimodal.decode_ppm(ppm), px)
+    bmp, px2 = _tiny_bmp()
+    np.testing.assert_array_equal(multimodal.decode_bmp(bmp), px2)
+    # dispatch + honest stub for undecodable formats
+    np.testing.assert_array_equal(multimodal.decode_any(ppm), px)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_any(b"\x89PNG....")
+
+
+def test_decode_image_meta_real_spark(spark):
+    import numpy as np
+
+    df = multimodal.synth_ppm_docs(spark, 20, w=12, h=8)
+    out = multimodal.decode_image_meta_real(df).select(
+        "doc_id", "image_meta.*"
+    ).toPandas().sort_values("doc_id")
+    assert (out.width == 12).all() and (out.height == 8).all()
+    assert (out.channels == 3).all()
+    # oracle: recompute mean from the same deterministic generator
+    yy, xx = np.mgrid[0:8, 0:12]
+    for i in (0, 7, 19):
+        img = ((xx * 7 + yy * 13 + i) % 256).astype(np.float64)
+        want = np.stack([img, (img + 85) % 256, (img + 170) % 256], -1).mean()
+        got = float(out.loc[out.doc_id == i, "mean_intensity"].iloc[0])
+        assert abs(got - want) < 1e-9
+
+
+def test_resize_image_roundtrip(spark):
+    import numpy as np
+
+    df = multimodal.synth_ppm_docs(spark, 5, w=12, h=8)
+    out = multimodal.resize_image(df, out_w=6, out_h=4).toPandas()
+    for _, row in out.iterrows():
+        big = multimodal.decode_ppm(bytes(row.payload))
+        small = multimodal.decode_ppm(bytes(row.resized))
+        assert small.shape == (4, 6, 3)
+        # nearest-neighbor oracle
+        yi = (np.arange(4) * 8 // 4)
+        xi = (np.arange(6) * 12 // 6)
+        np.testing.assert_array_equal(small, big[yi][:, xi])
