@@ -435,8 +435,12 @@ def minhash_dedup_pairs(
         )
         return _verify_pairs_wordjoin(cand, words, threshold)
     if verify == "wordarray":
+        # carry sorted 64-bit word hashes, not the strings: long
+        # array_intersect is ~an order of magnitude cheaper per pair and
+        # a same-doc-pair xxhash64 collision (< 2^-64 per word pair)
+        # is far below the minhash approximation error already accepted
         sets = words.groupBy("id").agg(
-            F.sort_array(F.collect_list("word")).alias("masks"),
+            F.sort_array(F.collect_list(F.xxhash64("word"))).alias("masks"),
             F.count("*").alias("sz"),
         )
         keyed = bnd.join(sets, "id")
@@ -640,13 +644,21 @@ def simhash_pairs(
     keyed = sim.select(
         "id", "simhash", F.explode(bands).alias("_b")
     ).select("id", "simhash", F.col("_b.band").alias("band"),
-             F.col("_b.bval").alias("bval"))
-    a = keyed.select(F.col("id").alias("id1"), F.col("simhash").alias("s1"),
-                     "band", "bval")
-    b = keyed.select(F.col("id").alias("id2"), F.col("simhash").alias("s2"),
-                     "band", "bval")
+             F.col("_b.bval").alias("bval")).persist()
+    # salted self-join (band x bval keys are FEW — e.g. 4 x 16 for a
+    # 16-bit hash — so unsalted parallelism caps at the key count)
+    n_salts = 16
+    a = keyed.select(
+        F.col("id").alias("id1"), F.col("simhash").alias("s1"), "band", "bval",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    b = keyed.select(
+        F.col("id").alias("id2"), F.col("simhash").alias("s2"), "band", "bval",
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)).cast("int")
+        .alias("_salt"),
+    )
     return (
-        a.join(b, ["band", "bval"])
+        a.join(b, ["band", "bval", "_salt"])
         .filter(F.col("id1") < F.col("id2"))
         .select(
             "id1", "id2",
