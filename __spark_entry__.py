@@ -464,6 +464,19 @@ def q_outlier_radius(spark, sf_dir):
     )
 
 
+def q_outlier_stat(spark, sf_dir):
+    """filters.outlier statistical mode: mean kNN distance threshold
+    mean + m*stdev_samp (OutlierFilter.cpp:96-151)."""
+    cell = _auto_cell(_n_docs(spark, sf_dir), 4)
+    out = knn_op.outlier_statistical(
+        _docs_geo(spark, sf_dir), mean_k=4, multiplier=1.5, cell_size=cell,
+        id_col="doc_id", validate=True,
+    )
+    return out.select(
+        "doc_id", F.col("classification").cast("int").alias("classification")
+    )
+
+
 def q_delta_nearest(spark, sf_dir):
     """kernels.delta: per src point, coordinate deltas vs nearest point
     of the other (odd-id) set."""
@@ -995,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_keep": q_mad_keep,
         "nn_distance": q_nn_distance,
         "outlier_radius": q_outlier_radius,
+        "outlier_stat": q_outlier_stat,
         "delta_nearest": q_delta_nearest,
         "elm_noise": q_elm_noise,
         "scanline_views": q_scanline_views,
@@ -1197,9 +1211,32 @@ def _misc_oracles() -> dict[str, str]:
              min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy
       FROM ({_DOCS_GEO_SQL}) GROUP BY 1, 2
     """
+    outlier_stat = f"""
+      WITH pts AS ({_DOCS_GEO_SQL}),
+      knn AS (
+        SELECT * FROM (
+          SELECT s.doc_id AS src,
+                 sqrt((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y))
+                   AS dist,
+                 row_number() OVER (
+                   PARTITION BY s.doc_id
+                   ORDER BY ((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)) ASC,
+                            c.doc_id ASC
+                 ) AS rank
+          FROM pts s JOIN pts c ON s.doc_id <> c.doc_id
+        ) WHERE rank <= 4
+      ),
+      md AS (SELECT src, avg(dist) AS mean_d FROM knn GROUP BY 1),
+      thr AS (SELECT avg(mean_d) + 1.5 * stddev_samp(mean_d) AS t FROM md)
+      SELECT p.doc_id,
+             CAST(CASE WHEN md.mean_d >= thr.t THEN 7 ELSE 0 END AS INTEGER)
+               AS classification
+      FROM pts p JOIN md ON md.src = p.doc_id CROSS JOIN thr
+    """
     return {
         "reprojection": reproj,
         "reprojection_utm": reproj_utm,
+        "outlier_stat": outlier_stat,
         "transformation": transformation,
         "info_bounds": info,
         "voxel_center_nn": vox,

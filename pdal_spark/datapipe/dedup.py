@@ -9,14 +9,19 @@
 
 All hash arithmetic is plain ``(a*x + c) % P`` over BIGINT — identical in
 Spark Column math, DuckDB SQL, and numpy, which is what lets every
-operator ship a bit-exact SQL oracle. Word-ids come from a deterministic
-sorted-vocabulary dense rank (a join, not a hash) so both engines agree.
+operator ship a bit-exact SQL oracle. Word-ids default to a deterministic
+sorted-vocabulary dense rank (distributed: ordered.global_rank) so both
+engines agree; ``word_id_mode="hash"`` swaps in xxhash64 ids — zero
+vocabulary shuffles, the open-vocabulary 100 TB path (no SQL twin).
 
-Scale notes (100 TB): vocabulary rank join is a shuffle on word —
-replaceable by any exact 64-bit string hash when cross-engine parity
-isn't needed (xxhash64 in Spark); LSH bucket join shuffles on
-(band, signature) — bounded by bucket size, with hot buckets salted by
-the same count-based strategy as the spatial cell joins (knn.py).
+Execution shape (100 TB): every near-dup pair pipeline is
+candidate-generate -> FUSED verify — each candidate row CARRIES its own
+(set size, chunked bitmask | hashed word array), the exact-Jaccard /
+Hamming test runs inside the self-join stage, and only true pairs reach
+an exchange. Candidate self-joins are SALTED (side b = hash(id) % s,
+side a explodes over s) because candidate keys are few and hot
+(rare-word prefix ords, LSH buckets, simhash bit-bands) — one hot key
+must not pin its quadratic blow-up on one task.
 """
 
 from __future__ import annotations

@@ -254,3 +254,46 @@ def hexbin_summary(
         }
     finally:
         dens.unpersist()
+
+
+def density_layer(
+    df: DataFrame,
+    edge_length: float,
+    origin_x: float,
+    origin_y: float,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """kernels.density output layer (/root/reference/kernels/
+    DensityKernel.cpp:103-123 writeHexbinOutput): one feature per
+    occupied hex cell — COUNT + the cell's hexagon POLYGON WKT (the
+    reference writes these into an OGR layer; here it is a DataFrame a
+    writer can sink anywhere). Corner math stays a pure Column
+    expression via the shared hex anchor formulas — no per-row Python.
+    """
+    height = edge_length * SQRT_3
+    width = (3.0 / (2.0 * SQRT_3_HEXER)) * height
+    dens = density(df, edge_length, origin_x, origin_y, x, y)
+    ax = F.col("hex_x") * width + origin_x
+    ay = (
+        F.col("hex_y") * height
+        + F.when(F.col("hex_x") % 2 != 0, height / 2.0).otherwise(0.0)
+        + origin_y
+    )
+    offs = [
+        (0.0, 0.0),
+        (-width / 3.0, height / 2.0),
+        (0.0, height),
+        (2.0 * width / 3.0, height),
+        (width, height / 2.0),
+        (2.0 * width / 3.0, 0.0),
+    ]
+    pts = [
+        F.concat_ws(" ", F.format_number(ax + dx, 9), F.format_number(ay + dy, 9))
+        for dx, dy in offs
+    ]
+    ring = F.concat_ws(", ", *pts, pts[0])
+    return dens.select(
+        "hex_x", "hex_y", "count",
+        F.concat(F.lit("POLYGON (("), ring, F.lit("))")).alias("wkt"),
+    )

@@ -369,6 +369,7 @@ def outlier_statistical(
     x: str = "x",
     y: str = "y",
     exact: bool = False,
+    validate: bool = False,
 ) -> DataFrame:
     """filters.outlier statistical (OutlierFilter.cpp:96-151): per-point
     mean distance to mean_k nearest neighbors (self excluded); outlier iff
@@ -384,7 +385,7 @@ def outlier_statistical(
     else:
         knn = knn_join(
             pts, cand, mean_k, cell_size, src_id="_o_src", cand_id="_o_cand",
-            x=x, y=y, exclude_self=True,
+            x=x, y=y, exclude_self=True, validate=validate,
         )
     mean_d = knn.groupBy("_o_src").agg(F.avg("dist").alias("_mean_d"))
     thr_row = mean_d.agg(
