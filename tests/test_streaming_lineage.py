@@ -154,3 +154,34 @@ def test_uncommitted_output_invisible(spark, tmp_path):
     # resume picks it up and overwrites cleanly
     job.run(["b0", "b1"], _tile_batch)
     assert job.output().count() == 1000
+
+
+def test_stream_exact_dedup_first_arrival_wins(spark, tmp_path):
+    """Cross-micro-batch duplicate suppression: duplicates planted in a
+    LATER file batch never reach the sink; result equals batch
+    exact_dedup when ingestion is id-ordered."""
+    import pandas as pd
+
+    from pdal_spark.streaming.jobs import run_stream_to_memory, stream_exact_dedup
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    b1 = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["aa", "bb", "cc"]})
+    b2 = pd.DataFrame({"doc_id": [3, 4, 5], "text": ["bb", "dd", "aa"]})
+    spark.createDataFrame(b1).write.parquet(str(d / "b1"))
+    spark.createDataFrame(b2).write.parquet(str(d / "b2"))
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(d) + "/*")
+    q = run_stream_to_memory(
+        stream_exact_dedup(stream), "dedup_sink", output_mode="append"
+    )
+    try:
+        got = {(r.doc_id, r.text)
+               for r in spark.sql("SELECT * FROM dedup_sink").collect()}
+    finally:
+        q.stop()
+    # one row per distinct text; 'bb'/'aa' duplicates suppressed
+    assert {t for _, t in got} == {"aa", "bb", "cc", "dd"}
+    assert len(got) == 4
