@@ -903,6 +903,14 @@ def q_dedup_jaccard(spark, sf_dir):
     return dedup_op.jaccard_pairs(df, threshold=0.8)
 
 
+def q_dedup_jaccard_3gram(spark, sf_dir):
+    """n-gram Jaccard: 3-word shingle sets (phrasing-sensitive near-dup;
+    word-level saturates on shared vocabulary). Same fused+salted
+    pipeline, shingle elements instead of words."""
+    df = _table(spark, sf_dir, "documents")
+    return dedup_op.jaccard_pairs(df, threshold=0.5, shingle=3)
+
+
 def q_dedup_minhash(spark, sf_dir):
     df = _table(spark, sf_dir, "documents")
     return dedup_op.minhash_dedup_pairs(df, threshold=0.8)
@@ -985,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1655,6 +1664,7 @@ def _datapipe_oracles() -> dict[str, str]:
         ),
         "dedup_exact": dedup_op.exact_dedup_sql(select="doc_id, lang"),
         "dedup_jaccard": dedup_op.jaccard_pairs_sql(0.8),
+        "dedup_jaccard_3gram": dedup_op.jaccard_pairs_sql(0.5, shingle=3),
         "dedup_minhash": dedup_op.minhash_dedup_pairs_sql(0.8),
         "dedup_simhash": (
             f"SELECT id AS doc_id, CAST(simhash AS BIGINT) AS simhash "

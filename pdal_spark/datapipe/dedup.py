@@ -61,18 +61,46 @@ def exact_dedup_sql(table: str = "documents", text: str = "text",
     )
 
 
-def doc_words(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, word) distinct pairs — the set representation."""
+def doc_words(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle: int = 1,
+) -> DataFrame:
+    """(id, word) distinct pairs — the set representation.
+
+    shingle > 1 switches the set elements from single words to n-word
+    shingles (space-joined n-grams) — the standard near-dup unit for web
+    text (word-level Jaccard saturates on shared vocabulary; shingles
+    key on phrasing). Pure column math: slice+array_join over the token
+    array, no UDF."""
+    toks = F.split(F.col(text_col), " ")
+    if shingle <= 1:
+        elems = F.array_distinct(toks)
+    else:
+        n_sh = F.greatest(F.size(toks) - (shingle - 1), F.lit(0))
+        elems = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.array_join(F.slice(toks, i, shingle), " "),
+            )
+        )
     return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("word"),
+        F.col(id_col).alias("id"), F.explode(elems).alias("word")
     )
 
 
-def _doc_words_sql(table: str, text: str, id_col: str) -> str:
+def _doc_words_sql(table: str, text: str, id_col: str, shingle: int = 1) -> str:
+    if shingle <= 1:
+        return (
+            f"SELECT {id_col} AS id, unnest(list_distinct(string_split({text}, ' '))) AS word "
+            f"FROM {table}"
+        )
+    toks = f"string_split({text}, ' ')"
+    sh = (
+        f"list_transform(range(1, greatest(len({toks}) - {shingle - 1}, 0) + 1), "
+        f"i -> array_to_string({toks}[i:i+{shingle - 1}], ' '))"
+    )
     return (
-        f"SELECT {id_col} AS id, unnest(list_distinct(string_split({text}, ' '))) AS word "
-        f"FROM {table}"
+        f"SELECT {id_col} AS id, unnest(list_distinct({sh})) AS word FROM {table}"
     )
 
 
@@ -258,7 +286,8 @@ def _fused_verified_pairs(
 
 
 def jaccard_pairs(
-    df: DataFrame, threshold: float, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, threshold: float, text_col: str = "text",
+    id_col: str = "doc_id", shingle: int = 1,
 ) -> DataFrame:
     """Exact word-set Jaccard >= threshold pairs (id1 < id2).
 
@@ -269,8 +298,8 @@ def jaccard_pairs(
     Equivalent to the naive shared-word join — the SQL oracle keeps the
     naive formulation as the cross-engine check.
     """
-    words = doc_words(df, text_col, id_col)
-    v = vocab(df, text_col, id_col)
+    words = doc_words(df, text_col, id_col, shingle)
+    v = vocab(df, text_col, id_col, shingle=shingle)
     masks, n_chunks = _doc_masks(words, v)
 
     dfreq = words.groupBy("word").agg(F.count("*").alias("df"))
@@ -296,8 +325,9 @@ def jaccard_pairs(
 
 
 def jaccard_pairs_sql(threshold: float, table: str = "documents",
-                      text: str = "text", id_col: str = "doc_id") -> str:
-    dw = _doc_words_sql(table, text, id_col)
+                      text: str = "text", id_col: str = "doc_id",
+                      shingle: int = 1) -> str:
+    dw = _doc_words_sql(table, text, id_col, shingle)
     return f"""
       WITH words AS ({dw}),
       sizes AS (SELECT id, count(*) AS sz FROM words GROUP BY 1),
@@ -317,7 +347,7 @@ def jaccard_pairs_sql(threshold: float, table: str = "documents",
 
 def vocab(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    mode: str = "rank",
+    mode: str = "rank", shingle: int = 1,
 ) -> DataFrame:
     """word -> id.
 
@@ -331,7 +361,7 @@ def vocab(
     bitmask verifier; minhash/simhash treat them as hash-domain points)
     and rare collisions only perturb the approximate signatures.
     """
-    w = doc_words(df, text_col, id_col).select("word").distinct()
+    w = doc_words(df, text_col, id_col, shingle).select("word").distinct()
     if mode == "hash":
         return w.withColumn("wid", F.pmod(F.xxhash64("word"), F.lit(P31)))
     return global_rank(w, [F.col("word").asc()], out_col="wid", zero_based=True)

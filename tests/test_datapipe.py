@@ -314,3 +314,34 @@ def test_resize_image_roundtrip(spark):
         yi = (np.arange(4) * 8 // 4)
         xi = (np.arange(6) * 12 // 6)
         np.testing.assert_array_equal(small, big[yi][:, xi])
+
+
+def test_shingle_sets_literal(spark):
+    """3-word shingles: exact set construction + jaccard on a literal
+    pair (docs sharing a phrase but little vocabulary overlap score HIGH
+    on words... the point of shingles is they score LOW unless phrasing
+    matches)."""
+    import pandas as pd
+
+    rows = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["the cat sat on the mat", "on the mat the cat sat"],
+    })
+    df = spark.createDataFrame(rows)
+    sets = {
+        r.id: set()
+        for r in dedup.doc_words(df, shingle=3).select("id").distinct().collect()
+    }
+    for r in dedup.doc_words(df, shingle=3).collect():
+        sets[r.id].add(r.word)
+    assert sets[0] == {"the cat sat", "cat sat on", "sat on the", "on the mat"}
+    assert sets[1] == {"on the mat", "the mat the", "mat the cat", "the cat sat"}
+    inter = len(sets[0] & sets[1])
+    union = len(sets[0] | sets[1])
+    pairs = dedup.jaccard_pairs(df, threshold=0.0 + 1e-9, shingle=3).collect()
+    assert len(pairs) == 1
+    assert abs(pairs[0].jaccard - round(inter / union, 6)) < 1e-9
+    # word-level jaccard on the same pair is 1.0 (same vocabulary) —
+    # shingles discriminate where words cannot
+    wp = dedup.jaccard_pairs(df, threshold=0.9).collect()
+    assert len(wp) == 1 and wp[0].jaccard == 1.0
