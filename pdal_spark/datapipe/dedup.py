@@ -228,9 +228,34 @@ def _prefix_candidates(words: DataFrame, v: DataFrame, threshold: float) -> Data
     )
 
 
+def _first_match_band(sig1: Column, sig2: Column, bands: int, rows: int) -> Column:
+    """Smallest band index whose signature slices agree — lets the fused
+    verifier test each candidate pair in exactly ONE band even when the
+    pair collides in several (near-identical docs collide in all bands,
+    so verifying per joined row would redo the set intersection once per
+    band; with this filter the final distinct() is unnecessary too).
+
+    Unrolled to a scalar CASE chain over array getItems on purpose:
+    the equivalent higher-order F.filter over slices runs interpreted
+    (no whole-stage codegen for lambda functions) and measured ~8x
+    slower end-to-end on the joined-row stream."""
+    def band_match(b: int) -> Column:
+        conds = [sig1[b * rows + j] == sig2[b * rows + j] for j in range(rows)]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    expr = F.lit(bands - 1)
+    for b in range(bands - 2, -1, -1):
+        expr = F.when(band_match(b), F.lit(b)).otherwise(expr)
+    return expr
+
+
 def _fused_verified_pairs(
     keyed: DataFrame, join_keys: list[str], threshold: float,
     n_chunks: int | None, n_salts: int = 16,
+    band_dedup: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Self-join candidate rows that CARRY their own (sz, masks), verify
     Jaccard inline, and only then deduplicate.
@@ -249,17 +274,25 @@ def _fused_verified_pairs(
     hot LSH buckets), so a plain equi-join pins each key's quadratic
     blow-up on one task. Side b gets salt = hash(id) % n_salts, side a
     explodes over all salts — every pair meets exactly once and
-    parallelism grows n_salts-fold."""
+    parallelism grows n_salts-fold.
+
+    band_dedup=(bands, rows): keyed rows also carry `sig` (the full
+    k-element signature — k longs, far smaller than the masks) and a
+    pair is verified only in its FIRST matching band (see
+    _first_match_band); each pair then reaches the output exactly once,
+    so the trailing distinct() exchange is dropped."""
     keyed = keyed.persist()
     jk = [*join_keys, "_salt"]
+    sig1 = [F.col("sig").alias("sig1")] if band_dedup else []
+    sig2 = [F.col("sig").alias("sig2")] if band_dedup else []
     a = keyed.select(
         *join_keys, F.col("id").alias("id1"), F.col("sz").alias("sz1"),
-        F.col("masks").alias("ma"),
+        F.col("masks").alias("ma"), *sig1,
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
     ).withColumn("_salt", F.col("_salt").cast("int"))
     b = keyed.select(
         *join_keys, F.col("id").alias("id2"), F.col("sz").alias("sz2"),
-        F.col("masks").alias("mb"),
+        F.col("masks").alias("mb"), *sig2,
         F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)).cast("int")
         .alias("_salt"),
     )
@@ -271,6 +304,15 @@ def _fused_verified_pairs(
             F.least("sz1", "sz2")
             >= F.lit(threshold) * F.greatest("sz1", "sz2")
         )
+    )
+    if band_dedup:
+        bands_n, rows_n = band_dedup
+        joined = joined.filter(
+            F.col("band")
+            == _first_match_band(F.col("sig1"), F.col("sig2"), bands_n, rows_n)
+        )
+    joined = (
+        joined
         .withColumn("inter", _mask_inter(F.col("ma"), F.col("mb"), n_chunks))
         .withColumn(
             "jaccard",
@@ -282,7 +324,8 @@ def _fused_verified_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return joined.select("id1", "id2", "jaccard").distinct()
+    out = joined.select("id1", "id2", "jaccard")
+    return out if band_dedup else out.distinct()
 
 
 def jaccard_pairs(
@@ -367,23 +410,44 @@ def vocab(
     return global_rank(w, [F.col("word").asc()], out_col="wid", zero_based=True)
 
 
+def minhash_signature_arrays(
+    df: DataFrame, k: int = MINHASH_K, text_col: str = "text",
+    id_col: str = "doc_id", word_id_mode: str = "rank",
+) -> DataFrame:
+    """(id, sig): the k-element minhash signature as one array<long>.
+
+    One groupBy(id) with k map-side-combining min aggregates — the
+    per-word hash values never fan out k-fold into a shuffle (the naive
+    (id, h) shape shuffles k x corpus-words rows). In hash mode the word
+    id is computed inline (pmod(xxhash64(word), P31)): zero vocabulary
+    shuffles — no distinct, no join — the open-vocabulary 100 TB path."""
+    words = doc_words(df, text_col, id_col)
+    if word_id_mode == "hash":
+        wids = words.select(
+            "id", F.pmod(F.xxhash64("word"), F.lit(P31)).alias("wid")
+        )
+    else:
+        v = vocab(df, text_col, id_col, mode=word_id_mode)
+        wids = words.join(v, "word").select("id", "wid")
+    mins = wids.groupBy("id").agg(*[
+        F.min((F.col("wid") * F.lit(a) + F.lit(c)) % P31).alias(f"_m{i}")
+        for i, (a, c) in enumerate(_hash_params(k))
+    ])
+    return mins.select(
+        "id", F.array(*[f"_m{i}" for i in range(k)]).alias("sig")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, k: int = MINHASH_K, text_col: str = "text",
     id_col: str = "doc_id", word_id_mode: str = "rank",
 ) -> DataFrame:
-    """(id, h, minh): k min-hash values per document."""
-    spark = df.sparkSession
-    words = doc_words(df, text_col, id_col)
-    v = vocab(df, text_col, id_col, mode=word_id_mode)
-    wids = words.join(v, "word").select("id", "wid")
-    params = spark.createDataFrame(
-        [(i, a, c) for i, (a, c) in enumerate(_hash_params(k))], "h int, a long, c long"
-    )
-    return (
-        wids.crossJoin(F.broadcast(params))
-        .withColumn("hv", (F.col("wid") * F.col("a") + F.col("c")) % P31)
-        .groupBy("id", "h")
-        .agg(F.min("hv").alias("minh"))
+    """(id, h, minh): k min-hash values per document (exploded view of
+    minhash_signature_arrays — the explode happens AFTER aggregation, so
+    it fans out docs x k rows, not corpus-words x k)."""
+    arr = minhash_signature_arrays(df, k, text_col, id_col, word_id_mode)
+    return arr.select("id", F.posexplode("sig")).select(
+        "id", F.col("pos").cast("int").alias("h"), F.col("col").alias("minh")
     )
 
 
@@ -455,8 +519,23 @@ def minhash_dedup_pairs(
 
     verify: None (mode default), "bitmask", "wordarray", or "wordjoin"
     (the legacy join verifier, kept for tests)."""
-    sigs = minhash_signatures(df, k, text_col, id_col, word_id_mode)
-    bnd = minhash_bands(sigs, bands, k)
+    rows_n = k // bands
+    sigarr = minhash_signature_arrays(df, k, text_col, id_col, word_id_mode)
+    # band rows built straight off the signature array, which rides along
+    # so the verifier can first-band-filter (see _first_match_band)
+    bnd = sigarr.select(
+        "id", "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "key",
+        F.array_join(
+            F.transform(
+                F.slice(F.col("sig"), F.col("band") * rows_n + 1, F.lit(rows_n)),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ),
+    )
     words = doc_words(df, text_col, id_col)
     if verify is None:
         verify = "bitmask" if word_id_mode == "rank" else "wordarray"
@@ -479,29 +558,39 @@ def minhash_dedup_pairs(
             F.count("*").alias("sz"),
         )
         keyed = bnd.join(sets, "id")
-        return _fused_verified_pairs_arrays(keyed, ["band", "key"], threshold)
+        return _fused_verified_pairs_arrays(
+            keyed, ["band", "key"], threshold, band_dedup=(bands, rows_n)
+        )
     masks, n_chunks = _doc_masks(words, vocab(df, text_col, id_col))
     keyed = bnd.join(masks, "id")
-    return _fused_verified_pairs(keyed, ["band", "key"], threshold, n_chunks)
+    return _fused_verified_pairs(
+        keyed, ["band", "key"], threshold, n_chunks,
+        band_dedup=(bands, rows_n)
+    )
 
 
 def _fused_verified_pairs_arrays(
     keyed: DataFrame, join_keys: list[str], threshold: float,
-    n_salts: int = 16,
+    n_salts: int = 16, band_dedup: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Open-vocabulary twin of _fused_verified_pairs: `masks` is the
-    sorted word array; intersection = size(array_intersect) on the raw
-    strings (JVM built-in, exact). Persisted + salted the same way."""
+    sorted word-hash array; intersection = size(array_intersect) (JVM
+    built-in, exact). Persisted + salted + band-deduped the same way —
+    first-band filtering matters even more here because the per-pair
+    verify cost (array intersection) is an order of magnitude above the
+    bitmask popcount."""
     keyed = keyed.persist()
     jk = [*join_keys, "_salt"]
+    sig1 = [F.col("sig").alias("sig1")] if band_dedup else []
+    sig2 = [F.col("sig").alias("sig2")] if band_dedup else []
     a = keyed.select(
         *join_keys, F.col("id").alias("id1"), F.col("sz").alias("sz1"),
-        F.col("masks").alias("ma"),
+        F.col("masks").alias("ma"), *sig1,
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
     ).withColumn("_salt", F.col("_salt").cast("int"))
     b = keyed.select(
         *join_keys, F.col("id").alias("id2"), F.col("sz").alias("sz2"),
-        F.col("masks").alias("mb"),
+        F.col("masks").alias("mb"), *sig2,
         F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)).cast("int")
         .alias("_salt"),
     )
@@ -512,6 +601,15 @@ def _fused_verified_pairs_arrays(
             F.least("sz1", "sz2")
             >= F.lit(threshold) * F.greatest("sz1", "sz2")
         )
+    )
+    if band_dedup:
+        bands_n, rows_n = band_dedup
+        joined = joined.filter(
+            F.col("band")
+            == _first_match_band(F.col("sig1"), F.col("sig2"), bands_n, rows_n)
+        )
+    joined = (
+        joined
         .withColumn("inter", F.size(F.array_intersect("ma", "mb")).cast("long"))
         .withColumn(
             "jaccard",
@@ -523,7 +621,8 @@ def _fused_verified_pairs_arrays(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return joined.select("id1", "id2", "jaccard").distinct()
+    out = joined.select("id1", "id2", "jaccard")
+    return out if band_dedup else out.distinct()
 
 
 def minhash_dedup_pairs_sql(
