@@ -107,19 +107,21 @@ def _doc_words_sql(table: str, text: str, id_col: str, shingle: int = 1) -> str:
 MASK_CHUNK_BITS = 62  # bits per mask chunk (stay clear of the sign bit)
 
 
-def _doc_masks(words: DataFrame, v: DataFrame) -> tuple[DataFrame, int]:
+def _doc_masks(words: DataFrame, v: DataFrame,
+               n_chunks: int | None = None) -> tuple[DataFrame, int]:
     """(id, sz, masks): chunked-bitmask word-set representation.
 
     masks[c] has bit (wid % B) set for every word with wid // B == c.
     Set intersection then becomes Σ bit_count(a & b) over zipped chunks —
     pure integer column math, no join. Right-sized for bounded
     vocabularies (mask bytes = vocab/8 per doc); open-vocabulary corpora
-    fall back to the shared-word verification join.
-    """
-    n_chunks_row = v.agg(
-        (F.floor(F.max("wid") / MASK_CHUNK_BITS) + 1).alias("nc")
-    ).collect()[0]
-    n_chunks = int(n_chunks_row.nc)
+    fall back to the shared-word verification join. Pass n_chunks when
+    the caller already measured the vocab width — skips a job over v."""
+    if n_chunks is None:
+        n_chunks_row = v.agg(
+            (F.floor(F.max("wid") / MASK_CHUNK_BITS) + 1).alias("nc")
+        ).collect()[0]
+        n_chunks = int(n_chunks_row.nc)
     wids = words.join(v, "word").select("id", "wid")
     per_chunk = (
         wids.withColumn("chunk", (F.col("wid") / MASK_CHUNK_BITS).cast("int"))
@@ -145,23 +147,32 @@ def _doc_masks(words: DataFrame, v: DataFrame) -> tuple[DataFrame, int]:
     return dense, n_chunks
 
 
+MASK_UNROLL_MAX = 512  # widest mask the codegen unroll is worth
+
+
 def _mask_inter(a: Column, b: Column, n_chunks: int | None = None) -> Column:
     """Σ bit_count(a[c] & b[c]).
 
-    With a known chunk count the sum unrolls into plain element_at
-    expressions (whole-stage codegen); unknown-width arrays fall back to
-    the zip_with/aggregate HOF (interpreted — ~10x slower per row)."""
-    if n_chunks is not None:
+    With a known, bounded chunk count the sum unrolls into plain
+    element_at expressions combined as a BALANCED tree (a left fold
+    nests n_chunks deep and overflows the converter stack for wide
+    shingle vocabularies). Beyond MASK_UNROLL_MAX chunks — or with
+    unknown width — fall back to the zip_with/aggregate HOF
+    (interpreted, ~10x slower per row, but giant unrolls lose codegen
+    to the 64KB method limit anyway)."""
+    if n_chunks is not None and n_chunks <= MASK_UNROLL_MAX:
         terms = [
             F.bit_count(
                 F.element_at(a, c + 1).bitwiseAND(F.element_at(b, c + 1))
             ).cast("long")
             for c in range(n_chunks)
         ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
+        while len(terms) > 1:
+            terms = [
+                terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+                for i in range(0, len(terms), 2)
+            ]
+        return terms[0]
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long")),
         F.lit(0).cast("long"),
@@ -179,6 +190,35 @@ def _verify_pairs_bitmask(cand: DataFrame, masks: DataFrame, threshold: float,
     return (
         cand.join(m1, "id1").join(m2, "id2")
         .withColumn("inter", _mask_inter(F.col("ma"), F.col("mb"), n_chunks))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def _verify_pairs_arrays(cand: DataFrame, sets: DataFrame,
+                         threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs via sorted word-hash arrays —
+    the wide-vocabulary verifier (doc-sized payload, not vocab-sized).
+    cand = slim (id1, id2) distinct pairs; sets = (id, masks, sz)."""
+    m1 = sets.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"),
+                     F.col("masks").alias("ma"))
+    m2 = sets.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"),
+                     F.col("masks").alias("mb"))
+    return (
+        cand.join(m1, "id1").join(m2, "id2")
+        .filter(
+            F.least("sz1", "sz2")
+            >= F.lit(threshold) * F.greatest("sz1", "sz2")
+        )
+        .withColumn("inter", F.size(F.array_intersect("ma", "mb")).cast("long"))
         .withColumn(
             "jaccard",
             F.round(
@@ -283,16 +323,17 @@ def _fused_verified_pairs(
     so the trailing distinct() exchange is dropped."""
     keyed = keyed.persist()
     jk = [*join_keys, "_salt"]
-    sig1 = [F.col("sig").alias("sig1")] if band_dedup else []
-    sig2 = [F.col("sig").alias("sig2")] if band_dedup else []
+    extra = ["sig"] if band_dedup else []
     a = keyed.select(
         *join_keys, F.col("id").alias("id1"), F.col("sz").alias("sz1"),
-        F.col("masks").alias("ma"), *sig1,
+        F.col("masks").alias("ma"),
+        *[F.col(c).alias(f"{c}1") for c in extra],
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
     ).withColumn("_salt", F.col("_salt").cast("int"))
     b = keyed.select(
         *join_keys, F.col("id").alias("id2"), F.col("sz").alias("sz2"),
-        F.col("masks").alias("mb"), *sig2,
+        F.col("masks").alias("mb"),
+        *[F.col(c).alias(f"{c}2") for c in extra],
         F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)).cast("int")
         .alias("_salt"),
     )
@@ -341,9 +382,15 @@ def jaccard_pairs(
     Equivalent to the naive shared-word join — the SQL oracle keeps the
     naive formulation as the cross-engine check.
     """
-    words = doc_words(df, text_col, id_col, shingle)
-    v = vocab(df, text_col, id_col, shingle=shingle)
-    masks, n_chunks = _doc_masks(words, v)
+    # doc_words is the most expensive leaf of this plan for shingle mode
+    # (per-doc slice/join HOFs) and feeds vocab, dfreq, the prefix build
+    # and the verifier — compute it ONCE
+    words = doc_words(df, text_col, id_col, shingle).persist()
+    v = vocab(df, text_col, id_col, shingle=shingle, words=words).persist()
+    n_chunks_row = v.agg(
+        (F.floor(F.max("wid") / MASK_CHUNK_BITS) + 1).alias("nc")
+    ).collect()[0]
+    n_chunks = int(n_chunks_row.nc)
 
     dfreq = words.groupBy("word").agg(F.count("*").alias("df"))
     order = global_rank(
@@ -363,6 +410,34 @@ def jaccard_pairs(
         .filter(F.col("rk") <= pref_len)
         .select("id", "ord")
     )
+    # Representation + plan switch on how the per-doc payload would
+    # ride through the candidate self-join. Narrow vocab (word mode):
+    # the chunked bitmask is tiny (vocab/8 bytes per doc), so carry it
+    # FUSED through the salted self-join with codegen popcount verify —
+    # no candidate distinct() exchange. Wide vocab (shingles): the
+    # bitmask balloons past the doc's own set size (and the fused join
+    # replicates payloads n_salts-fold — measured OOM at 3-gram scale);
+    # switch to the unfused plan: slim (id, ord)-only candidate join ->
+    # distinct pairs -> per-side join of sorted word-hash arrays ->
+    # array_intersect verify. Pairs post-prefix-filter are few relative
+    # to the corpus there, so the two pair-side joins are the cheap
+    # part. Threshold: mask chunks vs ~2x the average doc set size
+    # (the array payload), capped at the codegen unroll width.
+    avg_sz = words.count() / max(df.count(), 1)
+    if n_chunks > min(MASK_UNROLL_MAX, max(2 * avg_sz, 16)):
+        sets = words.groupBy("id").agg(
+            F.sort_array(F.collect_list(F.xxhash64("word"))).alias("masks"),
+            F.count("*").alias("sz"),
+        )
+        cand = (
+            prefix.alias("a")
+            .join(prefix.alias("b"), "ord")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .distinct()
+        )
+        return _verify_pairs_arrays(cand, sets, threshold)
+    masks, _ = _doc_masks(words, v, n_chunks)
     keyed = prefix.join(masks, "id")  # prefix rows only — small join
     return _fused_verified_pairs(keyed, ["ord"], threshold, n_chunks)
 
@@ -390,7 +465,7 @@ def jaccard_pairs_sql(threshold: float, table: str = "documents",
 
 def vocab(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    mode: str = "rank", shingle: int = 1,
+    mode: str = "rank", shingle: int = 1, words: DataFrame | None = None,
 ) -> DataFrame:
     """word -> id.
 
@@ -404,7 +479,9 @@ def vocab(
     bitmask verifier; minhash/simhash treat them as hash-domain points)
     and rare collisions only perturb the approximate signatures.
     """
-    w = doc_words(df, text_col, id_col, shingle).select("word").distinct()
+    if words is None:
+        words = doc_words(df, text_col, id_col, shingle)
+    w = words.select("word").distinct()
     if mode == "hash":
         return w.withColumn("wid", F.pmod(F.xxhash64("word"), F.lit(P31)))
     return global_rank(w, [F.col("word").asc()], out_col="wid", zero_based=True)
@@ -413,6 +490,7 @@ def vocab(
 def minhash_signature_arrays(
     df: DataFrame, k: int = MINHASH_K, text_col: str = "text",
     id_col: str = "doc_id", word_id_mode: str = "rank",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig): the k-element minhash signature as one array<long>.
 
@@ -421,13 +499,14 @@ def minhash_signature_arrays(
     (id, h) shape shuffles k x corpus-words rows). In hash mode the word
     id is computed inline (pmod(xxhash64(word), P31)): zero vocabulary
     shuffles — no distinct, no join — the open-vocabulary 100 TB path."""
-    words = doc_words(df, text_col, id_col)
+    if words is None:
+        words = doc_words(df, text_col, id_col)
     if word_id_mode == "hash":
         wids = words.select(
             "id", F.pmod(F.xxhash64("word"), F.lit(P31)).alias("wid")
         )
     else:
-        v = vocab(df, text_col, id_col, mode=word_id_mode)
+        v = vocab(df, text_col, id_col, mode=word_id_mode, words=words)
         wids = words.join(v, "word").select("id", "wid")
     mins = wids.groupBy("id").agg(*[
         F.min((F.col("wid") * F.lit(a) + F.lit(c)) % P31).alias(f"_m{i}")
@@ -520,7 +599,10 @@ def minhash_dedup_pairs(
     verify: None (mode default), "bitmask", "wordarray", or "wordjoin"
     (the legacy join verifier, kept for tests)."""
     rows_n = k // bands
-    sigarr = minhash_signature_arrays(df, k, text_col, id_col, word_id_mode)
+    words = doc_words(df, text_col, id_col).persist()
+    sigarr = minhash_signature_arrays(
+        df, k, text_col, id_col, word_id_mode, words=words
+    )
     # band rows built straight off the signature array, which rides along
     # so the verifier can first-band-filter (see _first_match_band)
     bnd = sigarr.select(
@@ -536,7 +618,6 @@ def minhash_dedup_pairs(
             ",",
         ),
     )
-    words = doc_words(df, text_col, id_col)
     if verify is None:
         verify = "bitmask" if word_id_mode == "rank" else "wordarray"
     if verify == "wordjoin":
@@ -561,7 +642,9 @@ def minhash_dedup_pairs(
         return _fused_verified_pairs_arrays(
             keyed, ["band", "key"], threshold, band_dedup=(bands, rows_n)
         )
-    masks, n_chunks = _doc_masks(words, vocab(df, text_col, id_col))
+    masks, n_chunks = _doc_masks(
+        words, vocab(df, text_col, id_col, words=words)
+    )
     keyed = bnd.join(masks, "id")
     return _fused_verified_pairs(
         keyed, ["band", "key"], threshold, n_chunks,
@@ -581,16 +664,17 @@ def _fused_verified_pairs_arrays(
     bitmask popcount."""
     keyed = keyed.persist()
     jk = [*join_keys, "_salt"]
-    sig1 = [F.col("sig").alias("sig1")] if band_dedup else []
-    sig2 = [F.col("sig").alias("sig2")] if band_dedup else []
+    extra = ["sig"] if band_dedup else []
     a = keyed.select(
         *join_keys, F.col("id").alias("id1"), F.col("sz").alias("sz1"),
-        F.col("masks").alias("ma"), *sig1,
+        F.col("masks").alias("ma"),
+        *[F.col(c).alias(f"{c}1") for c in extra],
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
     ).withColumn("_salt", F.col("_salt").cast("int"))
     b = keyed.select(
         *join_keys, F.col("id").alias("id2"), F.col("sz").alias("sz2"),
-        F.col("masks").alias("mb"), *sig2,
+        F.col("masks").alias("mb"),
+        *[F.col(c).alias(f"{c}2") for c in extra],
         F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)).cast("int")
         .alias("_salt"),
     )
