@@ -593,6 +593,23 @@ def q_tindex(spark, sf_dir):
     )
 
 
+def q_ogr_multipoint(spark, sf_dir):
+    """writers.ogr analog (OGRWriter.cpp:115-184): MULTIPOINT Z feature
+    per 4 consecutive docs in arrival order (dense doc_id), trailing
+    partial group emitted — the vector-feature export product."""
+    from pdal_spark.operators import ogr as ogr_op
+
+    df = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        geo.geocode_lcg_x(F.col("doc_id")).alias("x"),
+        geo.geocode_lcg_y(F.col("doc_id")).alias("y"),
+        F.col("n_chars").cast("double").alias("z"),
+    )
+    return ogr_op.ogr_features(
+        df, z="z", multicount=4, order_col="doc_id", dense_index=True
+    )
+
+
 def q_voxel_centroid_nn(spark, sf_dir):
     """filters.voxelcentroidnearestneighbor: per-voxel survivor nearest
     the centroid (center for 2-point voxels), reference tie rules."""
@@ -1011,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voxel_center_nn": q_voxel_center_nn,
         "voxel_centroid_nn": q_voxel_centroid_nn,
         "tindex": q_tindex,
+        "ogr_multipoint": q_ogr_multipoint,
         "plane_fit": q_plane_fit,
         "miniball": q_miniball,
         "iqr_keep": q_iqr_keep,
@@ -1090,6 +1108,13 @@ def _misc_oracles() -> dict[str, str]:
       SELECT doc_id, round({uxs}, 4) AS ue, round({uys}, 4) AS un
       FROM ({_DOCS_GEO_SQL}) WHERE {uw}
     """
+    from pdal_spark.operators import ogr as ogr_op
+
+    ogr_mp = ogr_op.ogr_features_sql(
+        f"(SELECT doc_id, ({_X_SQL}) AS x, ({_Y_SQL}) AS y, "
+        f"CAST(n_chars AS DOUBLE) AS z FROM documents) t",
+        z="z", multicount=4, order_col="doc_id",
+    )
     m = AFFINE
     transformation = f"""
       SELECT doc_id,
@@ -1251,6 +1276,7 @@ def _misc_oracles() -> dict[str, str]:
         "voxel_center_nn": vox,
         "voxel_centroid_nn": vcn,
         "tindex": tind,
+        "ogr_multipoint": ogr_mp,
         "iqr_keep": iqr,
         "mad_keep": mad,
         "nn_distance": nnk,

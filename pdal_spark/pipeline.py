@@ -342,6 +342,19 @@ def _w_null(spark, inputs, o, filename):
     return df
 
 
+def _w_ogr(spark, inputs, o, filename):
+    # writers.ogr (OGRWriter.cpp): vector-feature product as GeoJSONSeq
+    from pdal_spark.operators import ogr as ogr_op
+
+    df = _one(inputs, "writers.ogr")
+    ogr_op.write_geojson_seq(
+        df, filename or o["filename"],
+        x=o.get("x", "x"), y=o.get("y", "y"), z=o.get("z"),
+        properties=o.get("properties"), order_col=o.get("order_col"),
+    )
+    return df
+
+
 StageFn = Callable[[SparkSession, list, dict, Any], DataFrame]
 
 REGISTRY: dict[str, StageFn] = {
@@ -375,6 +388,7 @@ REGISTRY: dict[str, StageFn] = {
     "writers.parquet": _w_parquet,
     "writers.text": _w_csv,
     "writers.null": _w_null,
+    "writers.ogr": _w_ogr,
 }
 
 _REQUIRED_OPTS = {
