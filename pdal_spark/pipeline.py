@@ -316,6 +316,32 @@ def _f_mortonorder(spark, inputs, o, filename):
                               order_col=o.get("order_col", "page_id"))
 
 
+def _f_shell(spark, inputs, o, filename):
+    """filters.shell (ShellFilter.cpp): run a driver-side command between
+    stages; the view passes through unchanged. Gated on PDAL_ALLOW_SHELL
+    exactly like the reference (ShellFilter.cpp:69-73); non-zero exit
+    raises with the captured output (:84-89). Deliberately OUTSIDE the
+    Spark plan — a shell hook has no distributed meaning."""
+    import os
+    import subprocess
+
+    if os.environ.get("PDAL_ALLOW_SHELL") is None:
+        raise PipelineError(
+            "PDAL_ALLOW_SHELL environment variable not set, "
+            "shell access is not allowed"
+        )
+    cmd = o["command"]
+    proc = subprocess.run(
+        cmd, shell=True, capture_output=True, text=True
+    )
+    if proc.returncode:
+        raise PipelineError(
+            f"Command '{cmd}' failed to execute with output "
+            f"'{proc.stdout + proc.stderr}'"
+        )
+    return _one(inputs, "shell")
+
+
 def _w_parquet(spark, inputs, o, filename):
     df = _one(inputs, "writers.parquet")
     path = filename or o["filename"]
@@ -384,6 +410,7 @@ REGISTRY: dict[str, StageFn] = {
     "filters.cluster": _f_cluster,
     "filters.sample": _f_sample,
     "filters.mortonorder": _f_mortonorder,
+    "filters.shell": _f_shell,
     "writers.infer": _w_parquet,
     "writers.parquet": _w_parquet,
     "writers.text": _w_csv,
@@ -403,6 +430,7 @@ _REQUIRED_OPTS = {
     "filters.stats": ["dimensions"],
     "filters.hexbin": ["edge_length", "origin_x", "origin_y"],
     "filters.sample": ["radius"],
+    "filters.shell": ["command"],
 }
 
 

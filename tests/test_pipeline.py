@@ -127,3 +127,32 @@ def test_json_string_form(spark):
         {"type": "filters.head", "count": 7},
     ])
     assert pl.run(spark, doc).count() == 7
+
+
+def test_shell_filter_gated_and_passthrough(spark, tmp_path, monkeypatch):
+    # ShellFilter.cpp:69-73 — refuses without PDAL_ALLOW_SHELL
+    monkeypatch.delenv("PDAL_ALLOW_SHELL", raising=False)
+    doc = [
+        {"type": "readers.faux", "count": 10},
+        {"type": "filters.shell", "command": "true"},
+    ]
+    with pytest.raises(pl.PipelineError, match="PDAL_ALLOW_SHELL"):
+        pl.run(spark, doc)
+
+    monkeypatch.setenv("PDAL_ALLOW_SHELL", "1")
+    marker = tmp_path / "ran.txt"
+    doc = [
+        {"type": "readers.faux", "count": 10},
+        {"type": "filters.shell", "command": f"echo hi > {marker}"},
+        {"type": "filters.head", "count": 4},
+    ]
+    assert pl.run(spark, doc).count() == 4  # view passes through
+    assert marker.read_text().strip() == "hi"
+
+    # non-zero exit raises with output (ShellFilter.cpp:84-89)
+    doc = [
+        {"type": "readers.faux", "count": 10},
+        {"type": "filters.shell", "command": "echo boom >&2; false"},
+    ]
+    with pytest.raises(pl.PipelineError, match="failed to execute.*boom"):
+        pl.run(spark, doc)
