@@ -961,6 +961,15 @@ def q_dedup_minhash_hash(spark, sf_dir):
     return dedup_op.minhash_dedup_pairs(df, threshold=0.8, word_id_mode="hash")
 
 
+def q_dedup_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH bucket join + inline exact
+    cosine verify, one verification per pair (first colliding table).
+    The oracle replicates the collision condition and the ordered-fold
+    dot bit-for-bit."""
+    df = _table(spark, sf_dir, "embeddings")
+    return sim_op.cosine_dedup_pairs(df, threshold=0.3)
+
+
 def q_sim_cosine_topk(spark, sf_dir):
     df = _table(spark, sf_dir, "embeddings")
     return sim_op.cosine_topk(df, k=3)
@@ -1015,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dedup_minhash_hash": q_dedup_minhash_hash,
+        "dedup_cosine": q_dedup_cosine,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "feat_lof": q_feat_lof,
@@ -1703,6 +1713,7 @@ def _datapipe_oracles() -> dict[str, str]:
             f"FROM sim a JOIN sim b ON a.id < b.id "
             f"WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
+        "dedup_cosine": sim_op.cosine_dedup_pairs_sql(0.3),
         "sim_cosine_topk": sim_op.cosine_topk_sql(3),
         "sim_lsh_topk": sim_op.lsh_cosine_topk_sql(3),
     }

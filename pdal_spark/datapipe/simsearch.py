@@ -319,3 +319,111 @@ def lsh_cosine_topk_sql(
       )
       SELECT src_id, cand_id, cosine, rank FROM rk WHERE rank <= {k}
     """
+
+
+def _first_match_table(b1: Column, b2: Column, n_tables: int) -> Column:
+    """Smallest table index whose buckets collide — scalar CASE chain
+    (same rationale as dedup._first_match_band: interpreted lambda HOFs
+    are ~8x slower on the joined-row stream). Lets the pair verifier
+    test each candidate exactly once and drop the trailing distinct."""
+    expr = F.lit(n_tables - 1)
+    for t in range(n_tables - 2, -1, -1):
+        expr = F.when(b1[t] == b2[t], F.lit(t)).otherwise(expr)
+    return expr
+
+
+def cosine_dedup_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id1 < id2, cosine >= threshold).
+
+    Scale path: random-hyperplane LSH buckets (multi-table OR
+    amplification), SALTED same-bucket self-join, exact cosine verified
+    INLINE on the joined rows (JVM ordered-fold dot), and each pair
+    verified only in its FIRST colliding table — no candidate distinct,
+    no trailing dedup exchange. exact=True runs the all-pairs broadcast
+    join instead (the small-scale oracle; recall tests compare the two).
+    """
+    v = F.col(vec_col)
+    if exact:
+        base = df.select(
+            F.col(id_col).alias("id"), v.alias("v"), _norm(v).alias("n")
+        )
+        a = base.select(
+            F.col("id").alias("id1"), F.col("v").alias("va"), F.col("n").alias("na")
+        )
+        b = base.select(
+            F.col("id").alias("id2"), F.col("v").alias("vb"), F.col("n").alias("nb")
+        )
+        joined = a.join(b, F.col("id1") < F.col("id2"))
+    else:
+        tagged = df.select(
+            F.col(id_col).alias("id"), v.alias("v"), _norm(v).alias("n"),
+            F.array(
+                *[_bucket_col(v, t, n_planes) for t in range(n_tables)]
+            ).alias("bks"),
+        ).persist()
+        a = tagged.select(
+            F.col("id").alias("id1"), F.col("v").alias("va"),
+            F.col("n").alias("na"), F.col("bks").alias("b1"),
+            F.posexplode("bks").alias("tbl", "bucket"),
+        ).select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+        )
+        b = tagged.select(
+            F.col("id").alias("id2"), F.col("v").alias("vb"),
+            F.col("n").alias("nb"), F.col("bks").alias("b2"),
+            F.posexplode("bks").alias("tbl", "bucket"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)).cast("int")
+            .alias("_salt"),
+        )
+        joined = (
+            a.join(b, ["tbl", "bucket", "_salt"])
+            .filter(F.col("id1") < F.col("id2"))
+            .filter(
+                F.col("tbl")
+                == _first_match_table(F.col("b1"), F.col("b2"), n_tables)
+            )
+        )
+    out = joined.withColumn(
+        "cosine",
+        F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), ROUND),
+    ).filter(F.col("cosine") >= threshold)
+    return out.select("id1", "id2", "cosine")
+
+
+def cosine_dedup_pairs_sql(
+    threshold: float,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> str:
+    """DuckDB twin: same collision condition, same fold, same rounding."""
+    bucket_cols = ", ".join(
+        f"({_bucket_sql(t, n_planes)}) AS b{t}" for t in range(n_tables)
+    )
+    collide = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    cond = "TRUE" if exact else f"({collide})"
+    sel_buckets = "" if exact else f", {bucket_cols}"
+    dot = _dot_sql("a.v", "b.v")
+    return f"""
+      WITH base AS (
+        SELECT {id_col} AS id, {vec_col} AS v, {_norm_sql(vec_col)} AS n
+               {sel_buckets}
+        FROM {table}
+      )
+      SELECT a.id AS id1, b.id AS id2,
+             round(({dot}) / (a.n * b.n), {ROUND}) AS cosine
+      FROM base a JOIN base b ON a.id < b.id AND {cond}
+      WHERE round(({dot}) / (a.n * b.n), {ROUND}) >= {threshold!r}
+    """

@@ -190,6 +190,27 @@ def test_lsh_recall_reasonable(embs):
     assert recall > 0.2  # 6 planes, 1 table — modest by design
 
 
+def test_cosine_dedup_pairs(embs, ddb):
+    out = simsearch.cosine_dedup_pairs(embs, threshold=0.3)
+    exp = ddb.sql(simsearch.cosine_dedup_pairs_sql(0.3))
+    _cmp(out, exp, ["id1", "id2"])
+    # first-colliding-table filter leaves exactly one row per pair
+    pdfp = out.toPandas()
+    assert not pdfp.duplicated(["id1", "id2"]).any()
+
+
+def test_cosine_dedup_exact_superset(embs, ddb):
+    # exact mode == brute-force oracle; LSH pairs are a subset of it
+    exact = simsearch.cosine_dedup_pairs(embs, threshold=0.3, exact=True)
+    exp = ddb.sql(simsearch.cosine_dedup_pairs_sql(0.3, exact=True))
+    _cmp(exact, exp, ["id1", "id2"])
+    e = {(r.id1, r.id2) for r in exact.collect()}
+    a = {(r.id1, r.id2)
+         for r in simsearch.cosine_dedup_pairs(embs, threshold=0.3).collect()}
+    assert a <= e
+    assert len(a) / len(e) > 0.2  # OR-amplified recall, modest by design
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 
