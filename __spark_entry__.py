@@ -593,6 +593,21 @@ def q_tindex(spark, sf_dir):
     )
 
 
+def q_delaunay_mesh(spark, sf_dir):
+    """filters.delaunay analog (DelaunayFilter.cpp:61-110): tiled 2D
+    Delaunay with halo duplication, hull-band driver completion, and a
+    runtime exactness certificate (robust-incircle verification + the
+    Euler face-count identity 2n-2-h). Rows-only at the driver (no SQL
+    engine triangulates); the pytest oracle is the reference's 6-point
+    golden plus tiled==single equivalence."""
+    from pdal_spark.operators import mesh as mesh_op
+
+    return mesh_op.delaunay(
+        _docs_geo(spark, sf_dir), id_col="doc_id", mode="tiled",
+        tile_len=90.0, halo=45.0, origin=(-180.0, -90.0),
+    )
+
+
 def q_ogr_multipoint(spark, sf_dir):
     """writers.ogr analog (OGRWriter.cpp:115-184): MULTIPOINT Z feature
     per 4 consecutive docs in arrival order (dense doc_id), trailing
@@ -1039,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voxel_centroid_nn": q_voxel_centroid_nn,
         "tindex": q_tindex,
         "ogr_multipoint": q_ogr_multipoint,
+        "delaunay_mesh": q_delaunay_mesh,
         "plane_fit": q_plane_fit,
         "miniball": q_miniball,
         "iqr_keep": q_iqr_keep,

@@ -316,6 +316,25 @@ def _f_mortonorder(spark, inputs, o, filename):
                               order_col=o.get("order_col", "page_id"))
 
 
+def _f_delaunay(spark, inputs, o, filename):
+    # filters.delaunay (DelaunayFilter.cpp): faces table replaces the
+    # side-channel mesh of the reference
+    from pdal_spark.operators import mesh as mesh_op
+
+    df = _one(inputs, "delaunay")
+    kw = {}
+    if "tile_len" in o:
+        kw.update(
+            mode="tiled", tile_len=float(o["tile_len"]),
+            halo=float(o["halo"]),
+            origin=(float(o.get("origin_x", 0.0)), float(o.get("origin_y", 0.0))),
+        )
+    return mesh_op.delaunay(
+        df, x=o.get("x", "x"), y=o.get("y", "y"),
+        id_col=o.get("order_col", "page_id"), **kw,
+    )
+
+
 def _f_shell(spark, inputs, o, filename):
     """filters.shell (ShellFilter.cpp): run a driver-side command between
     stages; the view passes through unchanged. Gated on PDAL_ALLOW_SHELL
@@ -411,6 +430,7 @@ REGISTRY: dict[str, StageFn] = {
     "filters.sample": _f_sample,
     "filters.mortonorder": _f_mortonorder,
     "filters.shell": _f_shell,
+    "filters.delaunay": _f_delaunay,
     "writers.infer": _w_parquet,
     "writers.parquet": _w_parquet,
     "writers.text": _w_csv,
