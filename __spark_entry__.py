@@ -608,6 +608,31 @@ def q_delaunay_mesh(spark, sf_dir):
     )
 
 
+def q_hag_delaunay(spark, sf_dir):
+    """filters.hag delaunay mode (HAGFilter.cpp:102-146, 294-296): HAG
+    against the global ground TIN — tiled delaunay + tile-bucketed
+    point-in-triangle join + codegen barycentric interpolation; nearest
+    ground z outside the hull. Rows-only (no SQL engine triangulates);
+    the pytest oracle is an exact planar-surface invariant."""
+    from pdal_spark.operators import mesh as mesh_op
+
+    df = _docs_geo(spark, sf_dir).join(
+        _table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("n_chars").cast("double").alias("z")
+        ),
+        "doc_id",
+    ).withColumn(
+        "classification", F.when(F.col("doc_id") % 3 == 0, 2).otherwise(1)
+    )
+    out = mesh_op.hag_delaunay(
+        df, tile_len=90.0, halo=45.0, origin=(-180.0, -90.0),
+        id_col="doc_id",
+    )
+    return out.select(
+        "doc_id", F.round("height_above_ground", 6).alias("hag")
+    )
+
+
 def q_ogr_multipoint(spark, sf_dir):
     """writers.ogr analog (OGRWriter.cpp:115-184): MULTIPOINT Z feature
     per 4 consecutive docs in arrival order (dense doc_id), trailing
@@ -1055,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tindex": q_tindex,
         "ogr_multipoint": q_ogr_multipoint,
         "delaunay_mesh": q_delaunay_mesh,
+        "hag_delaunay": q_hag_delaunay,
         "plane_fit": q_plane_fit,
         "miniball": q_miniball,
         "iqr_keep": q_iqr_keep,

@@ -480,3 +480,132 @@ def delaunay(
                 f"(n={n}, hull={h}); increase halo"
             )
     return faces
+
+
+def hag_delaunay(
+    df: DataFrame,
+    tile_len: float,
+    halo: float,
+    origin: tuple[float, float] = (0.0, 0.0),
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+    classification: str = "classification",
+    ground_class: int = 2,
+    id_col: str = "page_id",
+    nn_cell: float | None = None,
+) -> DataFrame:
+    """filters.hag delaunay mode (HAGFilter.cpp:102-146, 294-296):
+    HeightAboveGround = z - TIN-interpolated ground z; ground points get
+    HAG = 0 (HAGFilter.cpp:240); points outside the ground TIN fall back
+    to the nearest ground point's z (HAGFilter.cpp:143-146).
+
+    The reference triangulates each point's local k-neighbor fan (its
+    own comment calls it a "locally-computed surface"); the Spark-first
+    shape computes the GLOBAL ground TIN once (tiled delaunay above) and
+    barycentric-interpolates in pure codegen column math: faces explode
+    to the tiles their bbox overlaps, points bucket by tile, the
+    containing face is found by sign tests, z by barycentric weights.
+    Deterministic: if a point sits on a shared edge both planes agree
+    analytically; min(face) is used so the float result is stable too.
+    """
+    spark = df.sparkSession
+    ox, oy = origin
+    ground = df.filter(F.col(classification) == ground_class)
+    non_ground = df.filter(F.col(classification) != ground_class)
+    gpts = ground.select(
+        F.col(id_col).alias("gid"), F.col(x).alias("gx"),
+        F.col(y).alias("gy"), F.col(z).alias("gz"),
+    ).persist()
+    faces = delaunay(
+        ground, x=x, y=y, id_col=id_col, mode="tiled",
+        tile_len=tile_len, halo=halo, origin=origin,
+    )
+    v = lambda n: gpts.select(  # noqa: E731
+        F.col("gid").alias(n),
+        F.col("gx").alias(f"{n}x"), F.col("gy").alias(f"{n}y"),
+        F.col("gz").alias(f"{n}z"),
+    )
+    fc = (
+        faces.join(v("a"), "a").join(v("b"), "b").join(v("c"), "c")
+    )
+    # face -> every tile its bbox overlaps (faces are halo-bounded so
+    # the overlap ring is small); point -> its tile; equi-join on tile
+    fminx = F.least("ax", "bx", "cx")
+    fmaxx = F.greatest("ax", "bx", "cx")
+    fminy = F.least("ay", "by", "cy")
+    fmaxy = F.greatest("ay", "by", "cy")
+    tx0 = F.floor((fminx - ox) / tile_len).cast("long")
+    tx1 = F.floor((fmaxx - ox) / tile_len).cast("long")
+    ty0 = F.floor((fminy - oy) / tile_len).cast("long")
+    ty1 = F.floor((fmaxy - oy) / tile_len).cast("long")
+    f_tiled = (
+        fc.withColumn("gxs", F.sequence(tx0, tx1))
+        .withColumn("gys", F.sequence(ty0, ty1))
+        .withColumn("tgx", F.explode("gxs"))
+        .withColumn("tgy", F.explode("gys"))
+        .drop("gxs", "gys")
+    )
+    p = non_ground.select(
+        F.col(id_col).alias("pid"), F.col(x).alias("px"),
+        F.col(y).alias("py"), F.col(z).alias("pz"),
+    ).withColumn(
+        "tgx", F.floor((F.col("px") - ox) / tile_len).cast("long")
+    ).withColumn(
+        "tgy", F.floor((F.col("py") - oy) / tile_len).cast("long")
+    )
+    det = (F.col("bx") - F.col("ax")) * (F.col("cy") - F.col("ay")) \
+        - (F.col("by") - F.col("ay")) * (F.col("cx") - F.col("ax"))
+    l2 = (
+        (F.col("px") - F.col("ax")) * (F.col("cy") - F.col("ay"))
+        - (F.col("py") - F.col("ay")) * (F.col("cx") - F.col("ax"))
+    ) / det
+    l3 = (
+        (F.col("bx") - F.col("ax")) * (F.col("py") - F.col("ay"))
+        - (F.col("by") - F.col("ay")) * (F.col("px") - F.col("ax"))
+    ) / det
+    l1 = F.lit(1.0) - l2 - l3
+    hit = (
+        p.join(f_tiled, ["tgx", "tgy"])
+        .withColumn("_l1", l1).withColumn("_l2", l2).withColumn("_l3", l3)
+        .filter(
+            (F.col("_l1") >= 0) & (F.col("_l2") >= 0) & (F.col("_l3") >= 0)
+        )
+        .withColumn(
+            "_gz",
+            F.col("_l1") * F.col("az") + F.col("_l2") * F.col("bz")
+            + F.col("_l3") * F.col("cz"),
+        )
+        .groupBy("pid")
+        .agg(
+            F.min_by(
+                F.col("_gz"), F.struct("a", "b", "c")
+            ).alias("_ground_z")
+        )
+    )
+    # outside-TIN fallback: nearest ground point's z (HAGFilter.cpp:146).
+    # Outside-hull points are few (hull fringe) but can be arbitrarily
+    # far from any ground point, so no bucketed ring search is safe —
+    # broadcast the small missed side across one streaming pass of the
+    # ground table (min_by with a gid tiebreak keeps it deterministic).
+    missed = p.join(hit, "pid", "left_anti").select("pid", "px", "py")
+    d2 = (F.col("gx") - F.col("px")) * (F.col("gx") - F.col("px")) \
+        + (F.col("gy") - F.col("py")) * (F.col("gy") - F.col("py"))
+    fb = (
+        gpts.crossJoin(F.broadcast(missed))
+        .groupBy("pid")
+        .agg(
+            F.min_by(F.col("gz"), F.struct(d2.alias("d2"), F.col("gid")))
+            .alias("_ground_z")
+        )
+    )
+    ground_z = hit.unionByName(fb)
+    out_ng = (
+        non_ground.join(
+            ground_z.withColumnRenamed("pid", id_col), id_col
+        )
+        .withColumn("height_above_ground", F.col(z) - F.col("_ground_z"))
+        .drop("_ground_z")
+    )
+    out_g = ground.withColumn("height_above_ground", F.lit(0.0))
+    return out_ng.unionByName(out_g)

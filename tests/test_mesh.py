@@ -102,3 +102,59 @@ def test_single_mode_size_cap(spark):
     pts = synth.synth_points(spark, 50)
     with pytest.raises(ValueError, match="use mode='tiled'"):
         mesh.delaunay(pts, id_col="page_id", max_rows_single=10)
+
+
+def test_hag_delaunay_plane_exact(spark):
+    # ground = lattice on the plane z = 2 + 0.5x - 0.25y; any TIN of a
+    # planar surface interpolates it exactly, so HAG must equal
+    # z - plane(x, y) for every in-hull point regardless of which
+    # triangles the TIN picked
+    import itertools
+
+    # deterministic jitter keeps the lattice out of the exactly-
+    # cocircular degenerate case (DT uniqueness contract)
+    g = []
+    for i, (gx, gy) in enumerate(
+        itertools.product(range(0, 11, 2), range(0, 11, 2))
+    ):
+        jx = gx + ((i * 37 + 11) % 97) / 997.0
+        jy = gy + ((i * 61 + 5) % 89) / 911.0
+        g.append((i, jx, jy, 2.0 + 0.5 * jx - 0.25 * jy, 2))
+    ng = [
+        (100 + j, xx, yy, 50.0 + j, 1)
+        for j, (xx, yy) in enumerate([(1.3, 1.7), (5.1, 5.9), (9.2, 3.4)])
+    ]
+    df = spark.createDataFrame(
+        g + ng, "pid long, x double, y double, z double, classification int"
+    )
+    out = mesh.hag_delaunay(
+        df, tile_len=6.0, halo=6.0, origin=(0.0, 0.0), id_col="pid"
+    ).collect()
+    got = {r.pid: r.height_above_ground for r in out}
+    for j, (xx, yy) in enumerate([(1.3, 1.7), (5.1, 5.9), (9.2, 3.4)]):
+        want = (50.0 + j) - (2.0 + 0.5 * xx - 0.25 * yy)
+        assert abs(got[100 + j] - want) < 1e-9, (j, got[100 + j], want)
+    # ground points carry HAG = 0 (HAGFilter.cpp:240)
+    assert all(got[i] == 0.0 for i, *_ in g)
+
+
+def test_hag_delaunay_outside_hull_fallback(spark):
+    # a point beyond the ground hull uses the nearest ground z
+    # (HAGFilter.cpp:143-146)
+    rows = [
+        (0, 0.0, 0.0, 10.0, 2),
+        (1, 4.0, 0.0, 20.0, 2),
+        (2, 0.0, 4.0, 30.0, 2),
+        (3, 100.0, 100.0, 99.0, 1),  # far outside; nearest ground = id 1|2
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, x double, y double, z double, classification int"
+    )
+    out = {r.pid: r.height_above_ground
+           for r in mesh.hag_delaunay(
+               df, tile_len=50.0, halo=50.0, origin=(0.0, 0.0), id_col="pid"
+           ).collect()}
+    # nearest of (4,0) and (0,4) to (100,100): (0,4)? dist equal by
+    # symmetry? (96^2+100^2) vs (100^2+96^2) — tie; knn tiebreak is
+    # smallest cand_id -> id 1 (z=20)
+    assert out[3] == 99.0 - 20.0
