@@ -292,6 +292,36 @@ def _first_match_band(sig1: Column, sig2: Column, bands: int, rows: int) -> Colu
     return expr
 
 
+AUTO_SALT_FLOOR = 512  # min bucket size worth splitting
+
+
+def _with_hot_salt(keyed: DataFrame, join_keys: list[str],
+                   n_salts: int) -> DataFrame:
+    """Tag keyed rows with `_hot` = this candidate key's population
+    exceeds max(AUTO_SALT_FLOOR, 8 * rows / shuffle_partitions) — the
+    same count-based heuristic as knn_join's auto salting. Only hot
+    keys are salt-exploded: unconditional n_salts-fold replication of
+    every candidate row is O(n * bands * n_salts) with array payloads
+    and measured 10 GB+ of shuffle on corpora with NO collisions at
+    all (1M disjoint docs), while a dup-dense corpus genuinely needs
+    the split. Costs one map-side-combined aggregate; on well-spread
+    keys the hot table is empty and the plan degenerates to the
+    unsalted join."""
+    spark = keyed.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    total = keyed.count()  # keyed is persisted by the caller
+    thr = max(AUTO_SALT_FLOOR, (8 * total) // max(parts, 1))
+    hot = (
+        keyed.groupBy(*join_keys).agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > thr)
+        .select(*join_keys)
+        .withColumn("_hot", F.lit(True))
+    )
+    return keyed.join(F.broadcast(hot), join_keys, "left").withColumn(
+        "_hot", F.coalesce(F.col("_hot"), F.lit(False))
+    )
+
+
 def _fused_verified_pairs(
     keyed: DataFrame, join_keys: list[str], threshold: float,
     n_chunks: int | None, n_salts: int = 16,
@@ -309,33 +339,37 @@ def _fused_verified_pairs(
 
     keyed is PERSISTED (tiny — prefix/band rows — but its lineage of
     windows/ranks/signature aggregates would otherwise recompute for
-    both join sides), and the self-join is SALTED (triangle-join
-    salting): candidate keys are few and huge (rare-word prefix ords /
-    hot LSH buckets), so a plain equi-join pins each key's quadratic
-    blow-up on one task. Side b gets salt = hash(id) % n_salts, side a
-    explodes over all salts — every pair meets exactly once and
-    parallelism grows n_salts-fold.
+    both join sides), and HOT keys are SALTED (triangle-join salting,
+    count-gated — see _with_hot_salt): a hot key's quadratic blow-up
+    must not pin one task, but cold keys must not pay the n_salts-fold
+    row replication. Side b gets salt = hash(id) % n_salts, side a
+    explodes over all salts (hot keys only) — every pair meets exactly
+    once.
 
     band_dedup=(bands, rows): keyed rows also carry `sig` (the full
     k-element signature — k longs, far smaller than the masks) and a
     pair is verified only in its FIRST matching band (see
     _first_match_band); each pair then reaches the output exactly once,
     so the trailing distinct() exchange is dropped."""
-    keyed = keyed.persist()
+    keyed = _with_hot_salt(keyed.persist(), join_keys, n_salts)
     jk = [*join_keys, "_salt"]
     extra = ["sig"] if band_dedup else []
     a = keyed.select(
         *join_keys, F.col("id").alias("id1"), F.col("sz").alias("sz1"),
         F.col("masks").alias("ma"),
         *[F.col(c).alias(f"{c}1") for c in extra],
-        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
+        F.explode(
+            F.when(F.col("_hot"),
+                   F.sequence(F.lit(0), F.lit(n_salts - 1)))
+            .otherwise(F.array(F.lit(0)))
+        ).alias("_salt"),
     ).withColumn("_salt", F.col("_salt").cast("int"))
     b = keyed.select(
         *join_keys, F.col("id").alias("id2"), F.col("sz").alias("sz2"),
         F.col("masks").alias("mb"),
         *[F.col(c).alias(f"{c}2") for c in extra],
-        F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)).cast("int")
-        .alias("_salt"),
+        F.when(F.col("_hot"), F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)))
+        .otherwise(F.lit(0)).cast("int").alias("_salt"),
     )
     joined = (
         a.join(b, jk)
@@ -662,21 +696,25 @@ def _fused_verified_pairs_arrays(
     first-band filtering matters even more here because the per-pair
     verify cost (array intersection) is an order of magnitude above the
     bitmask popcount."""
-    keyed = keyed.persist()
+    keyed = _with_hot_salt(keyed.persist(), join_keys, n_salts)
     jk = [*join_keys, "_salt"]
     extra = ["sig"] if band_dedup else []
     a = keyed.select(
         *join_keys, F.col("id").alias("id1"), F.col("sz").alias("sz1"),
         F.col("masks").alias("ma"),
         *[F.col(c).alias(f"{c}1") for c in extra],
-        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
+        F.explode(
+            F.when(F.col("_hot"),
+                   F.sequence(F.lit(0), F.lit(n_salts - 1)))
+            .otherwise(F.array(F.lit(0)))
+        ).alias("_salt"),
     ).withColumn("_salt", F.col("_salt").cast("int"))
     b = keyed.select(
         *join_keys, F.col("id").alias("id2"), F.col("sz").alias("sz2"),
         F.col("masks").alias("mb"),
         *[F.col(c).alias(f"{c}2") for c in extra],
-        F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)).cast("int")
-        .alias("_salt"),
+        F.when(F.col("_hot"), F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)))
+        .otherwise(F.lit(0)).cast("int").alias("_salt"),
     )
     joined = (
         a.join(b, jk)

@@ -92,6 +92,40 @@ print(json.dumps({{"sec": round(best,2), "points_per_sec": round({n}/best,1)}}))
     return _run_py(code)
 
 
+def run_dedup(cpus: int, docs: int) -> dict:
+    """Open-vocabulary minhash dedup pipeline (word_id_mode='hash' —
+    zero vocabulary shuffles). The synthetic corpus uses a sliding
+    window over a doc-count-sized word space so overlap (and therefore
+    pair volume) stays sparse: the measurement tracks the LINEAR
+    pipeline (tokenize -> signatures -> bands -> bucket join), not a
+    quadratic verify blow-up."""
+    code = f"""
+import time, json
+from pyspark.sql import functions as F
+from pdal_spark.session import get_spark
+from pdal_spark.datapipe import dedup
+sp = get_spark(master="local[{cpus}]", shuffle_partitions={cpus})
+n = {docs}
+df = sp.range(0, n, 1, {cpus}*2).select(
+    F.col("id").alias("doc_id"),
+    F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(29)),
+                    lambda j: F.concat(F.lit("w"), (F.col("id") * 37 + j).cast("string"))),
+        " ").alias("text"),
+).cache()
+df.count()
+best = None
+for rep in range(3):
+    t0 = time.time()
+    dedup.minhash_dedup_pairs(df, 0.8, word_id_mode="hash").write\\
+        .format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({{"sec": round(best,2), "docs_per_sec": round({docs}/best,1)}}))
+"""
+    return _run_py(code)
+
+
 def run_skew(cpus: int = 16, n: int = 60_000) -> dict:
     code = f"""
 import time, json
