@@ -1020,6 +1020,15 @@ def q_sim_lsh_topk(spark, sf_dir):
     return sim_op.lsh_cosine_topk(df, k=3)
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF ANN: spherical-k-means inverted lists + probe-join re-rank.
+    Full probe (nprobe=nlist) makes it exact, so the brute-force SQL is
+    a bit-exact oracle while the query still exercises the train /
+    index / probe / list-join machinery end-to-end."""
+    df = _table(spark, sf_dir, "embeddings")
+    return sim_op.ivf_topk(df, k=3, nlist=8, nprobe=8, n_iters=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crop_box": q_crop_box,
@@ -1067,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine": q_dedup_cosine,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "feat_lof": q_feat_lof,
         "feat_reciprocity": q_feat_reciprocity,
         "feat_eigenvalues": q_feat_eigenvalues,
@@ -1758,6 +1768,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_cosine": sim_op.cosine_dedup_pairs_sql(0.3),
         "sim_cosine_topk": sim_op.cosine_topk_sql(3),
         "sim_lsh_topk": sim_op.lsh_cosine_topk_sql(3),
+        "sim_ivf_topk": sim_op.ivf_topk_sql(3),
     }
 
 

@@ -321,6 +321,240 @@ def lsh_cosine_topk_sql(
     """
 
 
+IVF_NLIST = 8
+IVF_ITERS = 2
+
+
+def ivf_train(
+    df: DataFrame,
+    nlist: int = IVF_NLIST,
+    n_iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> "np.ndarray":
+    """Deterministic spherical k-means: (nlist, d) unit-norm centroids.
+
+    Init = the nlist vectors with smallest ids (no RNG). Each Lloyd
+    iteration is one map-side pass (broadcast centroids, Arrow-batched
+    argmax-cosine assignment emitting PARTIAL per-list sums/counts) plus
+    one tiny shuffle of <= num_partitions * nlist partial rows reduced by
+    a 64-column codegen aggregate — the scan streams, nothing wide is
+    collected. Centroid components are rounded HALF_UP to 9 decimals
+    each iteration so float summation order (which Spark does not fix
+    across runs) cannot leak into assignments.
+
+    100 TB shape: training never needs the full table — pass sample_mod
+    to train on the deterministic slice pmod(xxhash64(id), sample_mod)=0
+    (hash-sampling, no shuffle); assignment of the full table stays
+    map-side in ivf_assign. Empty lists keep their previous centroid.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if sample_mod is not None and sample_mod > 1:
+        base = base.filter(F.pmod(F.xxhash64(F.col("id")), sample_mod) == 0)
+
+    seed_rows = base.orderBy("id").limit(nlist).collect()
+    cents = np.array([r.v for r in seed_rows], dtype=np.float64)
+    if len(cents) < nlist:
+        raise ValueError(f"nlist={nlist} exceeds {len(cents)} training vectors")
+    cents = cents / _seq_norms(cents)[:, None]
+    d = cents.shape[1]
+
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def partials(batches):
+            import pandas as pd
+
+            C = bc.value
+            sums = np.zeros((C.shape[0], C.shape[1]))
+            cnts = np.zeros(C.shape[0], dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.array(list(pdf["v"]), dtype=np.float64)
+                sims = _seq_dot_matrix(M, C) / _seq_norms(M)[:, None]
+                # argmax with smallest-list-id tie-break (np.argmax takes
+                # the first max, which is the smallest index)
+                a = np.argmax(sims, axis=1)
+                for lst in np.unique(a):
+                    mask = a == lst
+                    sums[lst] += M[mask].sum(axis=0)
+                    cnts[lst] += int(mask.sum())
+            nz = np.nonzero(cnts)[0]
+            yield pd.DataFrame({
+                "list_id": nz.astype(np.int32),
+                "cnt": cnts[nz],
+                "sums": [sums[i] for i in nz],
+            })
+
+        part = base.mapInPandas(
+            partials, schema="list_id int, cnt long, sums array<double>"
+        )
+        agg = (
+            part.groupBy("list_id")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                *[
+                    F.sum(F.col("sums")[j]).alias(f"s{j}")
+                    for j in range(d)
+                ],
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in agg:
+            if r.cnt:
+                mean = np.array([r[f"s{j}"] for j in range(d)]) / r.cnt
+                nrm = float(np.sqrt((mean * mean).sum()))
+                if nrm > 0:
+                    new[r.list_id] = mean / nrm
+        cents = _round_half_up(new, 9)
+        bc.destroy()
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, list_id): each vector tagged with its nprobe
+    highest-cosine centroid lists (ties -> smaller list_id). nprobe=1 is
+    index build (one row per vector); nprobe>1 is the query-side probe
+    expansion. Pure map-side: broadcast centroids, Arrow kernel, no
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    npb = int(nprobe)
+
+    def kernel(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(list(pdf["v"]), dtype=np.float64)
+            sims = _seq_dot_matrix(M, C) / _seq_norms(M)[:, None]
+            lists = np.arange(C.shape[0])
+            ids = pdf["id"].to_numpy(np.int64)
+            out_id, out_v, out_l = [], [], []
+            for i in range(len(M)):
+                order = np.lexsort((lists, -sims[i]))[:npb]
+                out_id.extend([ids[i]] * len(order))
+                out_v.extend([pdf["v"].iloc[i]] * len(order))
+                out_l.extend(lists[order])
+            yield pd.DataFrame({
+                "id": np.array(out_id, np.int64),
+                "v": out_v,
+                "list_id": np.array(out_l, np.int32),
+            })
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return src.mapInPandas(kernel, schema="id long, v array<float>, list_id int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NLIST,
+    n_iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k cosine self-search: spherical-k-means
+    inverted lists, query probes its nprobe nearest lists, exact cosine
+    re-rank over probed members only.
+
+    Plan shape (the 100 TB one): centroid train is map-side + an
+    nlist-row aggregate; index build and probe expansion are map-side
+    with broadcast centroids; the single real exchange hashes on
+    list_id, where an Arrow kernel emits per-(query, list) LOCAL top-k
+    (<= nprobe*k rows per query leave the kernel — the global top-k is
+    provably inside the union of per-list top-ks since rank comparators
+    match); a final window on src_id ranks the survivors. No all-pairs
+    join anywhere. List skew at scale: raise nlist (finer lists) or
+    reuse the count-gated salting from operators/knn.py on list_id.
+
+    nprobe >= nlist probes every list, making the result EXACT — equal
+    to cosine_topk row-for-row (same fold, same rounding, same
+    tie-break); ivf_topk_sql exports that oracle. Recall at nprobe <
+    nlist is covered by tests against the exact path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = ivf_train(df, nlist, n_iters, id_col, vec_col, sample_mod)
+    members = ivf_assign(df, cents, 1, id_col, vec_col).withColumn(
+        "role", F.lit(0)
+    )
+    probes = ivf_assign(df, cents, nprobe, id_col, vec_col).withColumn(
+        "role", F.lit(1)
+    )
+    both = members.unionByName(probes)
+    kk = int(k)
+
+    def list_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src_id": [], "cand_id": [], "cosine": []}).astype(
+            {"src_id": np.int64, "cand_id": np.int64, "cosine": np.float64}
+        )
+        q = pdf[pdf["role"] == 1]
+        m = pdf[pdf["role"] == 0]
+        if not len(q) or not len(m):
+            return empty
+        Q = np.array(list(q["v"]), dtype=np.float64)
+        M = np.array(list(m["v"]), dtype=np.float64)
+        qids = q["id"].to_numpy(np.int64)
+        mids = m["id"].to_numpy(np.int64)
+        sims = _round_half_up(
+            _seq_dot_matrix(Q, M)
+            / np.multiply.outer(_seq_norms(Q), _seq_norms(M))
+        )
+        out_s, out_c, out_v = [], [], []
+        for i in range(len(Q)):
+            mask = mids != qids[i]
+            cands, vals = mids[mask], sims[i][mask]
+            order = np.lexsort((cands, -vals))[:kk]
+            out_s.extend([qids[i]] * len(order))
+            out_c.extend(cands[order])
+            out_v.extend(vals[order])
+        return pd.DataFrame({
+            "src_id": np.array(out_s, np.int64),
+            "cand_id": np.array(out_c, np.int64),
+            "cosine": np.array(out_v, np.float64),
+        })
+
+    pairs = both.groupBy("list_id").applyInPandas(
+        list_pairs, schema="src_id long, cand_id long, cosine double"
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("src_id", "cand_id", "cosine", "rank")
+    )
+
+
+def ivf_topk_sql(
+    k: int, table: str = "embeddings", id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle for the FULL-PROBE configuration (nprobe >= nlist), where
+    IVF search is exact and equals brute-force top-k."""
+    return cosine_topk_sql(k, table, id_col, vec_col)
+
+
 def cosine_dedup_pairs(
     df: DataFrame,
     threshold: float,

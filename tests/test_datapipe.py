@@ -190,6 +190,61 @@ def test_lsh_recall_reasonable(embs):
     assert recall > 0.2  # 6 planes, 1 table — modest by design
 
 
+def test_ivf_full_probe_is_exact(embs, ddb):
+    # nprobe = nlist probes every inverted list -> exact top-k; the
+    # driver oracle (ivf_topk_sql == brute-force SQL) relies on this
+    out = simsearch.ivf_topk(embs, k=3, nlist=8, nprobe=8, n_iters=2)
+    exp = ddb.sql(simsearch.ivf_topk_sql(3))
+    _cmp(out, exp, ["src_id", "rank"])
+
+
+def test_ivf_recall_at_low_probe(embs):
+    exact = simsearch.cosine_topk(embs, k=3).toPandas()
+    approx = simsearch.ivf_topk(embs, k=3, nlist=8, nprobe=3, n_iters=2).toPandas()
+    e = set(zip(exact.src_id, exact.cand_id))
+    a = set(zip(approx.src_id, approx.cand_id))
+    assert len(e & a) / len(e) > 0.5
+    # every source still gets k answers (probed lists are never all empty)
+    assert approx.groupby("src_id")["rank"].max().min() >= 1
+
+
+def test_ivf_train_deterministic(embs):
+    import numpy as np
+
+    c1 = simsearch.ivf_train(embs, nlist=6, n_iters=2)
+    c2 = simsearch.ivf_train(embs, nlist=6, n_iters=2)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (6, 64)
+    # spherical centroids are unit-norm (to rounding)
+    assert np.allclose((c1 * c1).sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_ivf_assign_partitions_everything(embs):
+    cents = simsearch.ivf_train(embs, nlist=6, n_iters=1)
+    a = simsearch.ivf_assign(embs, cents, nprobe=1).toPandas()
+    assert len(a) == embs.count()
+    assert a["list_id"].between(0, 5).all()
+
+
+def test_ivf_empty_list_keeps_seed(spark):
+    # 3 tight clusters but nlist=5: >=2 lists go empty during Lloyd;
+    # their centroids must stay finite and assignment must still work
+    import numpy as np
+
+    rows = []
+    for cid in range(3):
+        base = np.zeros(8)
+        base[cid] = 1.0
+        for i in range(10):
+            v = base + 0.01 * np.array([((i * 7 + j) % 5) / 10 for j in range(8)])
+            rows.append((cid * 10 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = simsearch.ivf_train(df, nlist=5, n_iters=3)
+    assert np.isfinite(cents).all()
+    out = simsearch.ivf_topk(df, k=2, nlist=5, nprobe=5, n_iters=3).toPandas()
+    assert set(out.src_id) == set(range(30))
+
+
 def test_cosine_dedup_pairs(embs, ddb):
     out = simsearch.cosine_dedup_pairs(embs, threshold=0.3)
     exp = ddb.sql(simsearch.cosine_dedup_pairs_sql(0.3))
