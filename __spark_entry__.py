@@ -671,6 +671,35 @@ def q_plane_fit(spark, sf_dir):
     return out.select("doc_id", F.round("plane_fit", 6).alias("plane_fit"))
 
 
+def q_icp_register(spark, sf_dir):
+    """filters.icp (rows-only at the driver — iterative SVD registration;
+    the literal reference-loop oracle lives in tests/test_icp.py).
+
+    Fixed cloud = geocoded documents; moving cloud = the same points
+    pushed through a known small rigid transform. ICP must recover the
+    inverse; we return the re-registered coordinates."""
+    from pdal_spark.operators import icp as icp_op
+
+    pts = _docs_z(spark, sf_dir)
+    # deterministic "scan misalignment": rotate 1 deg about z, shift
+    moving = rel_op.transformation(
+        pts,
+        [0.9998476951563913, -0.01745240643728351, 0.0, 0.7,
+         0.01745240643728351, 0.9998476951563913, 0.0, -0.4,
+         0.0, 0.0, 1.0, 0.25,
+         0.0, 0.0, 0.0, 1.0],
+    )
+    out, _meta = icp_op.icp(
+        pts, moving, max_iter=5, id_col="doc_id", compute_fitness=False,
+    )
+    return out.select(
+        "doc_id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("z", 6).alias("z"),
+    )
+
+
 def q_miniball(spark, sf_dir):
     """filters.miniball (rows-only at the driver — Welzl solver; the
     exhaustive-subset oracle lives in tests/test_features.py)."""
@@ -1092,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delaunay_mesh": q_delaunay_mesh,
         "hag_delaunay": q_hag_delaunay,
         "plane_fit": q_plane_fit,
+        "icp_register": q_icp_register,
         "miniball": q_miniball,
         "iqr_keep": q_iqr_keep,
         "mad_keep": q_mad_keep,
