@@ -204,6 +204,18 @@ def q_locate_max(spark, sf_dir):
     return out.select("event_id", "value")
 
 
+def q_randomize(spark, sf_dir):
+    """filters.randomize: seed-deterministic pseudo-random permutation
+    (affine cipher mod 2^31-1) materialized as a rank column via the
+    distributed range-partition scheme. std::shuffle/mt19937 bit parity
+    is implementation-defined in the reference itself (RandomizeFilter
+    .hpp:63-70), so the contract is the deterministic uniform shuffle."""
+    df = _table(spark, sf_dir, "events")
+    return rel_op.randomize(df, seed=42, order_col="event_id").select(
+        "event_id", "shuffle_rank"
+    )
+
+
 def q_stats_moments(spark, sf_dir):
     """filters.stats: count/min/max/mean + SAMPLE variance/skew/excess-
     kurtosis (StatsFilter.hpp:63-196), power-sum formulas both sides."""
@@ -1076,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_views": q_groupby_views,
         "sort_rank": q_sort_rank,
         "locate_max": q_locate_max,
+        "randomize": q_randomize,
         "stats_moments": q_stats_moments,
         "merge_union": q_merge_union,
         "voxel_downsize": q_voxel_downsize,
@@ -1857,6 +1870,11 @@ def _relational_oracles() -> dict[str, str]:
         ),
         "locate_max": (
             "SELECT event_id, value FROM events ORDER BY value DESC, event_id ASC LIMIT 1"
+        ),
+        "randomize": (
+            "SELECT event_id, CAST(row_number() OVER (ORDER BY "
+            f"{rel_op.shuffle_key_sql(42, 'event_id')} ASC, event_id ASC) "
+            "AS BIGINT) AS shuffle_rank FROM events"
         ),
         "stats_moments": stats_op.stats_sql(
             "lineitem", ["l_quantity", "l_discount"], round_to=6

@@ -426,3 +426,66 @@ def returns_filter(df: DataFrame, groups: list[str]) -> DataFrame:
     )
     out = df.withColumn("return_group", label)
     return out.filter(F.col("return_group").isin(groups))
+
+
+# ---------------------------------------------------------------------------
+# filters.randomize
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_P = 2_147_483_647  # Mersenne prime 2^31 - 1
+
+
+def shuffle_params(seed: int) -> tuple[int, int]:
+    """Derive the affine-permutation coefficients (a, b) from a seed via
+    two splitmix64 steps (public-domain Steele et al. mixer). a is in
+    [1, p-1] (invertible mod prime p), b in [0, p-1]."""
+    mask = (1 << 64) - 1
+
+    def mix(z: int) -> int:
+        z = (z + 0x9E3779B97F4A7C15) & mask
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        return z ^ (z >> 31)
+
+    s1 = mix(seed & mask)
+    s2 = mix(s1)
+    return (s1 % (_SHUFFLE_P - 1)) + 1, s2 % _SHUFFLE_P
+
+
+def shuffle_key_sql(seed: int, rid: str) -> str:
+    """The shuffle sort key as an ANSI-SQL expression over integer row
+    id column `rid` — identical arithmetic in Spark SQL and DuckDB
+    (all intermediates < 2^62, no BIGINT overflow)."""
+    a, b = shuffle_params(seed)
+    return f"(({a} * ({rid} % {_SHUFFLE_P}) + {b}) % {_SHUFFLE_P})"
+
+
+def randomize(
+    df: DataFrame,
+    seed: int,
+    order_col: str = "page_id",
+    out_col: str = "shuffle_rank",
+) -> DataFrame:
+    """filters.randomize (RandomizeFilter.hpp:63-70): shuffle the view
+    into a deterministic pseudo-random order given `seed`.
+
+    The reference runs std::shuffle with std::mt19937(seed) — whose
+    output is *implementation-defined* (std::shuffle's draw sequence is
+    not specified by the standard), so bit-level parity is not even
+    well-defined across the reference's own builds. The contract kept
+    here is the meaningful one: a uniform-looking, seed-deterministic
+    permutation of the view.
+
+    Spark-first shape: the permutation is an affine cipher
+    ``key = (a*rid + b) mod p`` over the Mersenne prime p = 2^31-1 —
+    a bijection on [0, p) for any a != 0, so for views under ~2.1 B rows
+    every row gets a distinct key (beyond that the arrival id breaks the
+    rare collisions deterministically). The new order is materialized as
+    a 1-based rank column computed with the distributed range-partition
+    scheme (ordered.global_rank) — one range shuffle, no single-task
+    window, no RNG state to carry across partitions.
+    """
+    key = F.expr(shuffle_key_sql(seed, order_col))
+    return global_rank(
+        df, [key.asc(), F.col(order_col).asc()], out_col=out_col
+    )

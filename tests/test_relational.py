@@ -204,3 +204,40 @@ def test_voxel_centroid_nn_tie_rules(spark):
         df, cell=10.0, origin=(0.0, 0.0, 0.0), order_col="page_id"
     )
     assert {r.page_id for r in out.collect()} == {0, 2, 4, 6}
+
+
+# ---------------------------------------------------------------------------
+# filters.randomize
+# ---------------------------------------------------------------------------
+
+def test_randomize_is_permutation_and_deterministic(spark):
+    from pdal_spark.operators.relational import randomize
+
+    n = 500
+    df = spark.range(n).withColumnRenamed("id", "page_id")
+    out = randomize(df, seed=7, order_col="page_id")
+    ranks = [r.shuffle_rank for r in out.collect()]
+    assert sorted(ranks) == list(range(1, n + 1))  # exact permutation
+
+    # partition-count invariance (the rank must not depend on layout)
+    again = randomize(df.repartition(13), seed=7, order_col="page_id")
+    m1 = {r.page_id: r.shuffle_rank for r in out.collect()}
+    m2 = {r.page_id: r.shuffle_rank for r in again.collect()}
+    assert m1 == m2
+
+    # a different seed produces a different order, and the shuffle is
+    # not the identity / reverse
+    other = randomize(df, seed=8, order_col="page_id")
+    m3 = {r.page_id: r.shuffle_rank for r in other.collect()}
+    assert m3 != m1
+    assert any(m1[i] != i + 1 for i in range(n))
+    assert any(m1[i] != n - i for i in range(n))
+
+
+def test_randomize_params_bijective():
+    from pdal_spark.operators.relational import _SHUFFLE_P, shuffle_params
+
+    a, b = shuffle_params(123)
+    assert 1 <= a < _SHUFFLE_P and 0 <= b < _SHUFFLE_P
+    keys = {(a * i + b) % _SHUFFLE_P for i in range(20000)}
+    assert len(keys) == 20000
