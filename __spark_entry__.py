@@ -605,6 +605,36 @@ def q_tindex(spark, sf_dir):
     )
 
 
+def q_gltf_manifest(spark, sf_dir):
+    """writers.gltf analog (GltfWriter.cpp:49-52, 118-141): one GLB per
+    tile, encoded + written inside each cogrouped task (FlexWriter-'#'
+    shape). The manifest's byte_length is measured from the ACTUAL
+    bytes written, so the oracle's closed-form size
+    (5028 + 12*n_vertices + 12*n_faces) cross-checks the binary layout
+    — 12-byte header, 8+5000 JSON chunk, 8-byte BIN header, uint32
+    indices, float32 vertices — not just the counts."""
+    import tempfile
+
+    from pdal_spark.operators import gltf as gltf_op
+
+    pts = (
+        splitter_op.split(_docs_geo(spark, sf_dir), TILE_LEN, TILE_OX, TILE_OY)
+        .withColumn(
+            "tile_id", F.col("tile_x") * F.lit(100000) + F.col("tile_y")
+        )
+        .withColumn("z", F.lit(0.0))
+    )
+    faces = gltf_op.soup_faces(pts, tile_col="tile_id", id_col="doc_id")
+    man = gltf_op.write_gltf_tiles(
+        pts, faces, tempfile.mkdtemp(prefix="glb_"), tile_col="tile_id",
+        id_col="doc_id",
+    )
+    return man.select(
+        F.col("tile").alias("tile_id"), "n_vertices", "n_faces",
+        "byte_length",
+    )
+
+
 def q_delaunay_mesh(spark, sf_dir):
     """filters.delaunay analog (DelaunayFilter.cpp:61-110): tiled 2D
     Delaunay with halo duplication, hull-band driver completion, and a
@@ -1130,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voxel_center_nn": q_voxel_center_nn,
         "voxel_centroid_nn": q_voxel_centroid_nn,
         "tindex": q_tindex,
+        "gltf_manifest": q_gltf_manifest,
         "ogr_multipoint": q_ogr_multipoint,
         "delaunay_mesh": q_delaunay_mesh,
         "hag_delaunay": q_hag_delaunay,
@@ -1372,6 +1403,13 @@ def _misc_oracles() -> dict[str, str]:
                AS classification
       FROM pts p JOIN md ON md.src = p.doc_id CROSS JOIN thr
     """
+    gltf_man = f"""
+      SELECT CAST({tx_sql} * 100000 + {ty_sql} AS BIGINT) AS tile_id,
+             count(*) AS n_vertices,
+             count(*) // 3 AS n_faces,
+             5028 + 12 * count(*) + 12 * (count(*) // 3) AS byte_length
+      FROM ({_DOCS_GEO_SQL}) GROUP BY 1 HAVING count(*) >= 3
+    """
     return {
         "reprojection": reproj,
         "reprojection_utm": reproj_utm,
@@ -1381,6 +1419,7 @@ def _misc_oracles() -> dict[str, str]:
         "voxel_center_nn": vox,
         "voxel_centroid_nn": vcn,
         "tindex": tind,
+        "gltf_manifest": gltf_man,
         "ogr_multipoint": ogr_mp,
         "iqr_keep": iqr,
         "mad_keep": mad,
