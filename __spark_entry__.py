@@ -1021,6 +1021,17 @@ def q_text_fingerprint(spark, sf_dir):
     return text_op.fingerprint(df).select("doc_id", "fp_md5", "fp_roll")
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (arXiv:2112.11446 §A1.1): modal
+    and duplicate n-gram word-position fractions (n=1,2,3) + word
+    entropy. One (doc_id, gram) shuffle per n — doc-local keys, no hot
+    key beyond one document's length."""
+    from pdal_spark.datapipe import repetition as rep_op
+
+    df = _table(spark, sf_dir, "documents")
+    return rep_op.repetition_signals(df)
+
+
 def q_dedup_exact(spark, sf_dir):
     df = _table(spark, sf_dir, "documents")
     return dedup_op.exact_dedup(df).select("doc_id", "lang")
@@ -1138,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
@@ -1812,10 +1824,13 @@ def _raster_oracles() -> dict[str, str]:
 
 
 def _datapipe_oracles() -> dict[str, str]:
+    from pdal_spark.datapipe import repetition as rep_op
+
     ws, bpe = text_op.token_count_sql()
     q = text_op.quality_score_sql()
     md5_sql, roll_sql = text_op.fingerprint_sql()
     return {
+        "text_repetition": rep_op.repetition_sql(),
         "text_tokens": (
             f"SELECT doc_id, CAST({ws} AS BIGINT) AS n_ws_tokens, "
             f"CAST({bpe} AS BIGINT) AS n_bpe_tokens FROM documents"

@@ -421,3 +421,59 @@ def test_shingle_sets_literal(spark):
     # shingles discriminate where words cannot
     wp = dedup.jaccard_pairs(df, threshold=0.9).collect()
     assert len(wp) == 1 and wp[0].jaccard == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (datapipe/repetition.py)
+# ---------------------------------------------------------------------------
+
+def test_repetition_signals_literal(spark):
+    import math
+
+    from pdal_spark.datapipe import repetition as rep
+
+    # "a b a b a" -> words: a x3, b x2 (5 positions)
+    #   top1 = 3/5, dup1 = 5/5 (every word repeats)
+    #   2-grams: "a b" x2, "b a" x2 (4 positions) -> top2=2/4, dup2=4/4
+    #   3-grams: "a b a" x2, "b a b" x1 -> top3=2/3, dup3=2/3
+    df = spark.createDataFrame([(0, "a b a b a"), (1, "x y z w")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in rep.repetition_signals(df).collect()}
+    r0 = got[0]
+    assert r0.top1_frac == 3 / 5 and r0.dup1_frac == 1.0
+    assert r0.top2_frac == 2 / 4 and r0.dup2_frac == 1.0
+    assert r0.top3_frac == 2 / 3 and r0.dup3_frac == 2 / 3
+    h = -(3 / 5) * math.log2(3 / 5) - (2 / 5) * math.log2(2 / 5)
+    assert abs(r0.word_entropy - round(h, 6)) < 1e-12
+    # all-distinct doc: no repetition, maximal entropy
+    r1 = got[1]
+    assert r1.top1_frac == 1 / 4 and r1.dup1_frac == 0.0
+    assert r1.dup2_frac == 0.0 and r1.word_entropy == 2.0
+
+
+def test_repetition_short_doc_degenerate(spark):
+    from pdal_spark.datapipe import repetition as rep
+
+    # 2-word doc has no 3-grams: the doc must drop from the n=3 join
+    # (inner join semantics) — document that and check n<=2 signals
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    assert rep.repetition_signals(df, ns=(1, 2)).count() == 1
+    assert rep.repetition_signals(df, ns=(1, 3)).count() == 0
+
+
+def test_repetition_sql_twin_matches(spark):
+    import duckdb
+
+    from pdal_spark.datapipe import repetition as rep
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "x y z w"), (2, "q q q q q q")],
+        "doc_id long, text string")
+    got = (rep.repetition_signals(df).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    exp = (con.sql(rep.repetition_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
