@@ -1032,6 +1032,27 @@ def q_text_repetition(spark, sf_dir):
     return rep_op.repetition_signals(df)
 
 
+def q_text_contamination(spark, sf_dir):
+    """Eval-decontamination screen (GPT-3 appx C shape): per-doc 8-gram
+    hit rate against a broadcast probe n-gram set (probe = doc_id%97
+    rows of the same table, deterministic). key='gram' is the oracle
+    mode; the 100 TB path joins on xxhash64 (parity-pinned in tests)."""
+    from pdal_spark.datapipe import contamination as cont_op
+
+    df = _table(spark, sf_dir, "documents")
+    probe = df.filter(F.expr("doc_id % 97 = 0"))
+    return cont_op.ngram_contamination(df, probe, n=8)
+
+
+def q_source_mixture(spark, sf_dir):
+    """Mixture balancing: per-(source, lang) corpus stats + temperature
+    alpha=0.5 sampling weights (w ∝ tokens^alpha, normalized)."""
+    from pdal_spark.datapipe import contamination as cont_op
+
+    df = _table(spark, sf_dir, "documents")
+    return cont_op.source_mixture(df)
+
+
 def q_dedup_exact(spark, sf_dir):
     df = _table(spark, sf_dir, "documents")
     return dedup_op.exact_dedup(df).select("doc_id", "lang")
@@ -1150,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "text_contamination": q_text_contamination,
+        "source_mixture": q_source_mixture,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
@@ -1824,6 +1847,7 @@ def _raster_oracles() -> dict[str, str]:
 
 
 def _datapipe_oracles() -> dict[str, str]:
+    from pdal_spark.datapipe import contamination as cont_op
     from pdal_spark.datapipe import repetition as rep_op
 
     ws, bpe = text_op.token_count_sql()
@@ -1831,6 +1855,8 @@ def _datapipe_oracles() -> dict[str, str]:
     md5_sql, roll_sql = text_op.fingerprint_sql()
     return {
         "text_repetition": rep_op.repetition_sql(),
+        "text_contamination": cont_op.contamination_sql(),
+        "source_mixture": cont_op.source_mixture_sql(),
         "text_tokens": (
             f"SELECT doc_id, CAST({ws} AS BIGINT) AS n_ws_tokens, "
             f"CAST({bpe} AS BIGINT) AS n_bpe_tokens FROM documents"

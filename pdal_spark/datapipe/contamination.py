@@ -1,0 +1,162 @@
+"""Benchmark decontamination + mixture weighting for training corpora.
+
+`ngram_contamination`: the standard eval-decontamination screen (as in
+GPT-3 appx C / PaLM §Datasheet): a document is contaminated to the
+degree its word n-grams collide with a benchmark's n-gram set. The
+benchmark side is tiny by construction (eval sets), so the scale shape
+is: distinct probe n-grams -> BROADCAST hash-join against the exploded
+corpus n-grams -> per-doc hit rollup. One doc-local shuffle, no
+benchmark-side skew possible.
+
+Two join keys:
+  key="gram"  joins on the n-gram string — SQL-twinnable, the oracle
+              mode.
+  key="hash"  joins on xxhash64(gram) — the 100 TB path (8-byte keys
+              instead of arbitrary-length strings in the broadcast
+              map); results are identical short of a 2^-64 collision,
+              which the parity test pins at small scale.
+
+`source_mixture`: per-(source, lang) corpus stats + temperature-scaled
+sampling weights w ∝ tokens^alpha (multinomial mixture balancing, as in
+multilingual-corpus sampling). Pure two-level aggregate: map-side
+partial counts, one tiny final reduce; the weight normalization is a
+broadcast of G group sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdal_spark.datapipe.repetition import _ngrams
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    probe: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: str = "gram",
+) -> DataFrame:
+    """Per-document (n_grams, n_contaminated, contamination_frac)
+    against the probe corpus's distinct n-gram set."""
+    if key not in ("gram", "hash"):
+        raise ValueError(f"key must be 'gram' or 'hash', got {key!r}")
+    pg = (
+        probe.select(
+            F.explode(_ngrams(F.split(F.col(text_col), " "), n)).alias("gram")
+        ).distinct()
+    )
+    dg = docs.select(
+        F.col(id_col),
+        F.explode(_ngrams(F.split(F.col(text_col), " "), n)).alias("gram"),
+    )
+    if key == "hash":
+        pg = pg.select(F.xxhash64("gram").alias("gram")).distinct()
+        dg = dg.select(id_col, F.xxhash64("gram").alias("gram"))
+    hits = (
+        dg.join(F.broadcast(pg.withColumn("_hit", F.lit(1))), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_frac", F.col("n_contaminated") / F.col("n_grams")
+        )
+    )
+    # docs shorter than n words have no n-grams: report 0/0/0.0
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.coalesce("contamination_frac", F.lit(0.0)).alias(
+                "contamination_frac"
+            ),
+        )
+    )
+
+
+def contamination_sql(
+    table: str = "documents",
+    probe_where: str = "doc_id % 97 = 0",
+    n: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin (key="gram") with the probe defined by a WHERE
+    clause over the same table."""
+    grams = (
+        f"list_transform(range(1, greatest(len(string_split({text}, ' ')) - "
+        f"{n - 1}, 0) + 1), i -> array_to_string(string_split({text}, ' ')"
+        f"[i:i+{n - 1}], ' '))"
+    )
+    return f"""
+      WITH pg AS (
+        SELECT DISTINCT unnest({grams}) AS gram
+        FROM {table} WHERE {probe_where}
+      ),
+      dg AS (
+        SELECT {id_col}, unnest({grams}) AS gram FROM {table}
+      ),
+      hits AS (
+        SELECT dg.{id_col},
+               count(*) AS n_grams,
+               CAST(sum(CASE WHEN pg.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated
+        FROM dg LEFT JOIN pg ON dg.gram = pg.gram
+        GROUP BY dg.{id_col}
+      )
+      SELECT t.{id_col},
+             coalesce(h.n_grams, 0) AS n_grams,
+             coalesce(h.n_contaminated, 0) AS n_contaminated,
+             coalesce(h.n_contaminated / CAST(h.n_grams AS DOUBLE), 0.0)
+               AS contamination_frac
+      FROM {table} t LEFT JOIN hits h USING ({id_col})
+    """
+
+
+def source_mixture(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    by: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus stats + temperature-alpha sampling weights
+    (w_g = tokens_g^alpha / sum_g tokens_g^alpha, rounded 1e-9)."""
+    g = docs.groupBy(*by).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"),
+    )
+    p = g.withColumn("_pw", F.pow(F.col("n_tokens").cast("double"), alpha))
+    tot = p.agg(F.sum("_pw").alias("_tot"))
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .withColumn("weight", F.round(F.col("_pw") / F.col("_tot"), 9))
+        .drop("_pw", "_tot")
+    )
+
+
+def source_mixture_sql(
+    table: str = "documents",
+    alpha: float = 0.5,
+    by: tuple[str, ...] = ("source", "lang"),
+    text: str = "text",
+) -> str:
+    keys = ", ".join(by)
+    return f"""
+      WITH g AS (
+        SELECT {keys}, count(*) AS n_docs,
+               sum(len(string_split({text}, ' '))) AS n_tokens
+        FROM {table} GROUP BY {keys}
+      )
+      SELECT {keys}, n_docs, n_tokens,
+             round(pow(CAST(n_tokens AS DOUBLE), {alpha!r})
+                   / sum(pow(CAST(n_tokens AS DOUBLE), {alpha!r})) OVER (),
+                   9) AS weight
+      FROM g
+    """

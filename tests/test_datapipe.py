@@ -477,3 +477,71 @@ def test_repetition_sql_twin_matches(spark):
            .sort_values("doc_id").reset_index(drop=True))
     for c in got.columns:
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+# ---------------------------------------------------------------------------
+# decontamination + mixture weights (datapipe/contamination.py)
+# ---------------------------------------------------------------------------
+
+def test_contamination_literal(spark):
+    from pyspark.sql import functions as F
+
+    from pdal_spark.datapipe import contamination as cont
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c x y"), (2, "p q r s t"), (3, "a b")],
+        "doc_id long, text string")
+    probe = docs.filter(F.col("doc_id") == 0)
+    out = {r.doc_id: r for r in
+           cont.ngram_contamination(docs, probe, n=3).collect()}
+    # doc0: all 3 of its 3-grams are in the probe (itself)
+    assert out[0].n_grams == 3 and out[0].contamination_frac == 1.0
+    # doc1 shares only "a b c"
+    assert out[1].n_grams == 3 and out[1].n_contaminated == 1
+    assert out[1].contamination_frac == 1 / 3
+    # doc2 shares nothing; doc3 too short for any 3-gram -> 0/0/0.0
+    assert out[2].n_contaminated == 0
+    assert out[3].n_grams == 0 and out[3].contamination_frac == 0.0
+
+
+def test_contamination_hash_key_parity(spark):
+    from pyspark.sql import functions as F
+
+    from pdal_spark.datapipe import contamination as cont
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    probe = docs.filter(F.expr("doc_id % 97 = 0"))
+    a = cont.ngram_contamination(docs, probe, n=8).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = cont.ngram_contamination(docs, probe, n=8, key="hash").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (a["n_contaminated"] == b["n_contaminated"]).all()
+    assert (a["n_grams"] == b["n_grams"]).all()
+    assert int((a["n_contaminated"] > 0).sum()) >= 5  # probe really hits
+
+
+def test_contamination_probe_is_broadcast(spark):
+    from pyspark.sql import functions as F
+
+    from pdal_spark.datapipe import contamination as cont
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    probe = docs.filter(F.expr("doc_id % 97 = 0"))
+    plan = cont.ngram_contamination(docs, probe, n=8, key="hash") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_source_mixture_weights_sum_to_one(spark):
+    from pdal_spark.datapipe import contamination as cont
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = cont.source_mixture(docs, alpha=0.5).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-6
+    # alpha=0 flattens to uniform over groups
+    flat = cont.source_mixture(docs, alpha=0.0).collect()
+    assert all(abs(r.weight - 1.0 / len(flat)) < 1e-9 for r in flat)
+    # alpha=1 is proportional to token counts
+    prop = cont.source_mixture(docs, alpha=1.0).collect()
+    tot = sum(r.n_tokens for r in prop)
+    assert all(abs(r.weight - r.n_tokens / tot) < 1e-6 for r in prop)
