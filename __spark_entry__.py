@@ -646,7 +646,7 @@ def q_delaunay_mesh(spark, sf_dir):
 
     return mesh_op.delaunay(
         _docs_geo(spark, sf_dir), id_col="doc_id", mode="tiled",
-        tile_len=90.0, halo=45.0, origin=(-180.0, -90.0),
+        tile_len=45.0, halo=45.0, origin=(-180.0, -90.0),
     )
 
 
@@ -667,7 +667,7 @@ def q_hag_delaunay(spark, sf_dir):
         "classification", F.when(F.col("doc_id") % 3 == 0, 2).otherwise(1)
     )
     out = mesh_op.hag_delaunay(
-        df, tile_len=90.0, halo=45.0, origin=(-180.0, -90.0),
+        df, tile_len=45.0, halo=45.0, origin=(-180.0, -90.0),
         id_col="doc_id",
     )
     return out.select(
