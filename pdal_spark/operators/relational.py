@@ -149,18 +149,20 @@ def decimation(
 
 
 def head(df: DataFrame, n: int, order_col: str = "page_id") -> DataFrame:
-    """filters.head (HeadFilter.hpp:54-86): first n rows by arrival."""
-    return (
-        _with_arrival_index(df, order_col)
-        .filter(F.col("_i") < n)
-        .drop("_i")
-    )
+    """filters.head (HeadFilter.hpp:54-86): first n rows by arrival.
+
+    Arrival order is total on order_col, so the first n rows ARE the n
+    smallest keys — sort+limit, which Spark plans as
+    TakeOrderedAndProject (per-partition top-n, one tiny merge; no
+    full-table shuffle, scale-safe for the small n this filter is for).
+    """
+    return df.orderBy(F.col(order_col).asc()).limit(n)
 
 
 def tail(df: DataFrame, n: int, order_col: str = "page_id") -> DataFrame:
-    """filters.tail (TailFilter.hpp:54-84): last n rows by arrival."""
-    ranked = global_rank(df, [F.col(order_col).desc()], out_col="_i")
-    return ranked.filter(F.col("_i") <= n).drop("_i")
+    """filters.tail (TailFilter.hpp:54-84): last n rows by arrival —
+    the n largest keys, same TakeOrderedAndProject plan as head."""
+    return df.orderBy(F.col(order_col).desc()).limit(n)
 
 
 def divider(
