@@ -803,24 +803,36 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     bit b of word wid = ((wid * A_b + C_b) % P) % 2; document bit b set
     iff the majority of its words set it (sum(2*bit-1) > 0)."""
-    spark = df.sparkSession
     words = doc_words(df, text_col, id_col)
-    v = vocab(df, text_col, id_col, mode=word_id_mode)
-    wids = words.join(v, "word").select("id", "wid")
-    bits = spark.createDataFrame(
-        [(b, (b * 2654435761 + 101) % P31, (b * 40503 + 11) % P31, 1 << b)
-         for b in range(SIMHASH_BITS)],
-        "b int, a long, c long, w long",
-    )
-    contrib = (
-        wids.crossJoin(F.broadcast(bits))
-        .withColumn("v", ((F.col("wid") * F.col("a") + F.col("c")) % P31) % 2 * 2 - 1)
-        .groupBy("id", "b", "w")
-        .agg(F.sum("v").alias("s"))
-    )
-    return contrib.groupBy("id").agg(
-        F.sum(F.when(F.col("s") > 0, F.col("w")).otherwise(0)).alias("simhash")
-    )
+    if word_id_mode == "hash":
+        # open-vocabulary path: wid directly from the word bytes — no
+        # vocabulary materialization, no join
+        wids = words.select(
+            "id", F.pmod(F.xxhash64("word"), F.lit(P31)).alias("wid")
+        )
+    else:
+        # rank (oracle-parity) mode: the ranked vocab is a dimension
+        # table — broadcast it rather than shuffling the exploded words
+        v = vocab(df, text_col, id_col, mode=word_id_mode, words=words)
+        wids = words.join(F.broadcast(v), "word").select("id", "wid")
+    # all SIMHASH_BITS ±1 contributions as flat codegen columns — one
+    # map-side-combined groupBy(id), no ×bits row explosion
+    coeffs = [
+        ((b * 2654435761 + 101) % P31, (b * 40503 + 11) % P31)
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = [
+        F.sum(
+            ((F.col("wid") * F.lit(a) + F.lit(c)) % P31) % 2 * 2 - 1
+        ).alias(f"_s{b}")
+        for b, (a, c) in enumerate(coeffs)
+    ]
+    per_doc = wids.groupBy("id").agg(*sums)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(0)
+        sig = term if sig is None else sig + term
+    return per_doc.select("id", sig.cast("long").alias("simhash"))
 
 
 def simhash_sql(table: str = "documents", text: str = "text",

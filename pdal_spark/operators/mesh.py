@@ -165,29 +165,31 @@ def _bowyer_watson(pts: np.ndarray, scale: float) -> np.ndarray:
     ]).astype(np.float64)
     T = np.array([[n, n + 1, n + 2]], np.int64)
     cxs, cys, r2s = _circumcircles(P, T)
+    nk = np.int64(n + 3)  # 1-D edge-key base (vertex ids < n+3)
     for i in range(n):
         px, py = P[i]
         dx, dy = cxs - px, cys - py
         bad = dx * dx + dy * dy < r2s
         if not bad.any():  # numerically outside everything: skip point
             continue
+        good = ~bad
         bad_t = T[bad]
-        # cavity boundary = undirected edges appearing exactly once
+        # cavity boundary = undirected edges appearing exactly once;
+        # encode each edge as one int64 (min*base+max) so uniqueness
+        # runs on a 1-D sort, not np.unique(axis=0)'s void view
         e = np.concatenate([bad_t[:, [0, 1]], bad_t[:, [1, 2]], bad_t[:, [2, 0]]])
-        ek = np.sort(e, axis=1)
-        _, first, counts = np.unique(
-            ek, axis=0, return_index=True, return_counts=True
-        )
+        ek = np.minimum(e[:, 0], e[:, 1]) * nk + np.maximum(e[:, 0], e[:, 1])
+        _, first, counts = np.unique(ek, return_index=True, return_counts=True)
         boundary = e[first[counts == 1]]  # original orientation preserved
         new_t = np.column_stack([
             boundary,
             np.full(len(boundary), i, np.int64),
         ])
-        T = np.vstack([T[~bad], new_t])
+        T = np.vstack([T[good], new_t])
         ncx, ncy, nr2 = _circumcircles(P, new_t)
-        cxs = np.concatenate([cxs[~bad], ncx])
-        cys = np.concatenate([cys[~bad], ncy])
-        r2s = np.concatenate([r2s[~bad], nr2])
+        cxs = np.concatenate([cxs[good], ncx])
+        cys = np.concatenate([cys[good], ncy])
+        r2s = np.concatenate([r2s[good], nr2])
     T = T[(T < n).all(axis=1)]
     return _canonical(P, T)
 
@@ -388,7 +390,6 @@ def delaunay(
         .persist()
     )
     interior = tagged.filter("owned AND proven").select("a", "b", "c")
-    interior_keys = {(r.a, r.b, r.c) for r in interior.collect()}
 
     # ---- hull-band completion --------------------------------------
     # Candidate faces that could not be locally proven come from two
@@ -400,10 +401,17 @@ def delaunay(
     # the definition of globally Delaunay — and the final Euler count
     # (2n - 2 - h) certifies joint completeness. Exact or raise, never
     # a silent approximation.
+    #
+    # Only the hull BAND ever reaches the driver: interior faces are
+    # O(n) and stay distributed (the dedup against them is an anti-join
+    # here and a band-restricted semi-join collect below), so driver
+    # memory is bounded by the band size, not the triangulation.
     unproven = {
         (r.a, r.b, r.c)
-        for r in tagged.filter("NOT proven").select("a", "b", "c").collect()
-        if (r.a, r.b, r.c) not in interior_keys
+        for r in tagged.filter("NOT proven").select("a", "b", "c")
+        .distinct()
+        .join(interior, ["a", "b", "c"], "left_anti")
+        .collect()
     }
     hull_rows = _hull_points(pts)
     band_ids = {i for f in unproven for i in f} | {pid for pid, _ in hull_rows}
@@ -423,9 +431,20 @@ def delaunay(
         uid = np.array(sorted(upts), np.int64)
         UP = np.array([upts[i] for i in uid], np.float64)
         if len(uid) >= 3:
+            # interior faces fully inside the band id set — the only
+            # interior faces the band DT can re-derive
+            band_interior = interior
+            for col in ("a", "b", "c"):
+                band_interior = band_interior.join(
+                    F.broadcast(bid_df.withColumnRenamed("pid", col)),
+                    col, "left_semi",
+                )
+            interior_band_keys = {
+                (r.a, r.b, r.c) for r in band_interior.collect()
+            }
             for t in _delaunay_np(UP):
                 key2 = (int(uid[t[0]]), int(uid[t[1]]), int(uid[t[2]]))
-                if key2 not in interior_keys:
+                if key2 not in interior_band_keys:
                     cand_keys.add(key2)
     verified: list[tuple[int, int, int]] = []
     if cand_keys:
