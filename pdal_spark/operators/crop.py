@@ -165,6 +165,11 @@ def polygon_contains_col(poly: Polygon, x: Column, y: Column) -> Column:
         for i in range(n):
             x1, y1 = pts[i]
             x2, y2 = pts[(i + 1) % n]
+            if y1 == y2:
+                # horizontal edge: (y1 > py) != (y2 > py) is identically
+                # false — contributes no crossing, so skip it at build
+                # time (also keeps identical-AST noise out of the plan)
+                continue
             crosses = (F.lit(y1) > y) != (F.lit(y2) > y)
             xint = (
                 F.lit(x2 - x1) * (y - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
