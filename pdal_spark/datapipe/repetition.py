@@ -44,43 +44,6 @@ def _ngrams(words: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _per_n(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    g = df.select(
-        F.col(id_col),
-        F.explode(_ngrams(F.split(F.col(text_col), " "), n)).alias("gram"),
-    )
-    counts = g.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
-    return counts.groupBy(id_col).agg(
-        (F.max("cnt") / F.sum("cnt")).alias(f"top{n}_frac"),
-        (
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
-            / F.sum("cnt")
-        ).alias(f"dup{n}_frac"),
-    )
-
-
-def _entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    w = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), " ")).alias("gram"),
-    )
-    counts = w.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
-    tot = counts.groupBy(id_col).agg(F.sum("cnt").alias("tot"))
-    return (
-        counts.join(tot, id_col)
-        .groupBy(id_col)
-        .agg(
-            F.round(
-                -F.sum(
-                    (F.col("cnt") / F.col("tot"))
-                    * F.log2(F.col("cnt") / F.col("tot"))
-                ),
-                6,
-            ).alias("word_entropy")
-        )
-    )
-
-
 def repetition_signals(
     df: DataFrame,
     text_col: str = "text",
@@ -89,11 +52,69 @@ def repetition_signals(
     entropy: bool = True,
 ) -> DataFrame:
     """Per-document repetition signal table: id, top{n}_frac /
-    dup{n}_frac per n, and word_entropy (bits, rounded to 1e-6)."""
-    parts = [_per_n(df, id_col, text_col, n) for n in ns]
+    dup{n}_frac per n, and word_entropy (bits, rounded to 1e-6).
+
+    Fused plan: ONE explode over all n (grams tagged with their n) and
+    TWO shuffles total — (id, n, gram) counts, then one conditional
+    aggregate per signal in a single groupBy(id) (map-side partials on
+    both). Entropy shares the n=1 counts via the algebraic identity
+    -sum(p*log2 p) = log2(tot) - sum(cnt*log2 cnt)/tot; the SQL twin
+    (repetition_sql) uses the identical formula so the rounded doubles
+    compare bit-for-bit."""
+    words = F.split(F.col(text_col), " ")
+    ns_all = ns if (not entropy or 1 in ns) else (1, *ns)
+
+    def _tag(n: int):
+        # single-arg lambda only: F.transform treats a 2-arg callable as
+        # (element, index) and would pass the array INDEX as the second
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.flatten(
+        F.array(*[F.transform(_ngrams(words, n), _tag(n)) for n in ns_all])
+    )
+    g = df.select(F.col(id_col), F.explode(tagged).alias("_t")).select(
+        id_col, F.col("_t.n").alias("n"), F.col("_t.gram").alias("gram")
+    )
+    counts = g.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
+    cnt_n = lambda n: F.when(F.col("n") == n, F.col("cnt"))  # noqa: E731
+    aggs = []
+    for n in ns:
+        tot = F.sum(cnt_n(n))
+        aggs.append((F.max(cnt_n(n)) / tot).alias(f"top{n}_frac"))
+        aggs.append(
+            (
+                F.sum(
+                    F.when(
+                        (F.col("n") == n) & (F.col("cnt") > 1), F.col("cnt")
+                    ).otherwise(F.lit(0))
+                )
+                / tot
+            ).alias(f"dup{n}_frac")
+        )
     if entropy:
-        parts.append(_entropy(df, id_col, text_col))
-    return reduce(lambda a, b: a.join(b, id_col), parts)
+        tot = F.sum(cnt_n(1)).cast("double")  # word level
+        aggs.append(
+            F.round(
+                F.log2(tot)
+                - F.sum(
+                    F.when(
+                        F.col("n") == 1,
+                        F.col("cnt").cast("double")
+                        * F.log2(F.col("cnt").cast("double")),
+                    )
+                )
+                / tot,
+                6,
+            ).alias("word_entropy")
+        )
+    out = counts.groupBy(id_col).agg(*aggs)
+    # inner-join contract of the per-n formulation (and the SQL twin):
+    # a doc too short to have any n-gram at the largest n drops out
+    keep = reduce(
+        lambda a, b: a & b,
+        [F.col(f"top{n}_frac").isNotNull() for n in ns],
+    )
+    return out.filter(keep)
 
 
 def repetition_sql(
@@ -131,12 +152,10 @@ def repetition_sql(
         subs.append(
             f"""xe AS (
               SELECT {id_col},
-                     round(-sum((cnt / tot) * log2(cnt / tot)), 6)
-                       AS word_entropy
+                     round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt),
+                           6) AS word_entropy
               FROM (
-                SELECT {id_col}, gram, CAST(count(*) AS DOUBLE) AS cnt,
-                       CAST(sum(count(*)) OVER (PARTITION BY {id_col})
-                            AS DOUBLE) AS tot
+                SELECT {id_col}, gram, CAST(count(*) AS DOUBLE) AS cnt
                 FROM (SELECT {id_col},
                              unnest(string_split({text}, ' ')) AS gram
                       FROM {table})
