@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched pandas UDFs.
 
-The decode kernels themselves are STUBS (no PIL/ffmpeg/librosa in this
-environment): ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (bytes -> size
-/ channel stats) stands in so the Spark-side plumbing — schema,
-``mapInPandas`` batch shape, partition sizing, metadata propagation — is
-real and tested end-to-end. Swapping in a real decoder is a one-function
-change.
+Formats numpy alone can handle get REAL kernels: binary PPM (P6) and
+uncompressed 24-bit BMP images (decode / meta / nearest-neighbor
+resize), and 16-bit PCM WAV audio (decode / meta / FFT band energies).
+Everything else (JPEG/PNG, mp3/aac, video containers — they need
+PIL/ffmpeg, absent here) keeps the honest STUB contract:
+NotImplementedError unless ``fake=True``, where a deterministic fake
+decoder stands in so the Spark-side plumbing — schema, ``mapInPandas``
+batch shape, partition sizing, metadata propagation — is real and
+tested end-to-end. Swapping in a real decoder is a one-function change.
 
 Scale notes: binary payloads dominate row size — ``maxRecordsPerBatch``
 must be tuned down (here per-call via the ``batch_rows`` hint) so Arrow
@@ -279,6 +281,154 @@ def synth_ppm_docs(spark, n: int, w: int = 12, h: int = 8) -> DataFrame:
                     [img, (img + 85) % 256, (img + 170) % 256], -1
                 ).astype(np.uint8)
                 bufs.append(f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes())
+            yield pdf.assign(payload=bufs)
+
+    base = spark.range(n).select(F.col("id").alias("doc_id"))
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return base.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio — WAV (RIFF) PCM is fully parseable with numpy alone, so the
+# audio modality gets a real decode/feature path like PPM/BMP above:
+# decode -> typed metadata -> spectral band energies (np.fft), with
+# JPEG-era formats (mp3/aac/ogg) still routed to the honest stub.
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = StructType([
+    StructField("byte_len", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_s", DoubleType()),
+    StructField("rms", DoubleType()),
+])
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """(n, ch) int16 -> canonical 16-bit PCM WAV bytes (RIFF/fmt/data)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    n, ch = samples.shape
+    data = samples.tobytes()  # interleaved row-major == WAV frame order
+    block = ch * 2
+    fmt = (
+        (1).to_bytes(2, "little")            # PCM
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")         # bits per sample
+    )
+    chunks = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
+        + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+
+
+def decode_wav(buf: bytes) -> tuple["np.ndarray", int]:
+    """16-bit PCM WAV -> ((n, ch) int16, sample_rate). Walks the RIFF
+    chunk list (so extra chunks like LIST/fact are skipped), supports
+    any channel count, rejects non-PCM / non-16-bit honestly."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    pos, end = 12, 8 + int.from_bytes(buf[4:8], "little")
+    rate = ch = None
+    data = None
+    while pos + 8 <= min(end, len(buf)):
+        cid = buf[pos:pos + 4]
+        sz = int.from_bytes(buf[pos + 4:pos + 8], "little")
+        body = buf[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            if int.from_bytes(body[0:2], "little") != 1:
+                raise ValueError("only PCM (format 1) supported")
+            ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            if int.from_bytes(body[14:16], "little") != 16:
+                raise ValueError("only 16-bit samples supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt / data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, ch), rate
+
+
+def decode_audio_meta_real(
+    df: DataFrame, binary_col: str = "payload"
+) -> DataFrame:
+    """Attach AUDIO_META_SCHEMA struct decoded from real WAV bytes."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys = [f.name for f in AUDIO_META_SCHEMA.fields]
+        for pdf in batches:
+            metas = []
+            for b in pdf[binary_col]:
+                s, rate = decode_wav(bytes(b))
+                x = s.astype(np.float64) / 32768.0
+                metas.append(dict(zip(keys, (
+                    len(b), int(rate), int(s.shape[1]), int(s.shape[0]),
+                    s.shape[0] / rate,
+                    float(np.sqrt((x * x).mean())) if s.size else 0.0,
+                ))))
+            yield pdf.assign(audio_meta=pd.Series(metas, index=pdf.index))
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField("audio_meta", AUDIO_META_SCHEMA)]
+    )
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def audio_band_energies(
+    df: DataFrame, n_bands: int = 8, frame: int = 512,
+    binary_col: str = "payload", out_col: str = "band_energy",
+) -> DataFrame:
+    """Real spectral features: mono-mix -> non-overlapping frames ->
+    |rfft| magnitude averaged over frames -> n_bands equal-width band
+    means (array<double>). The audio twin of embed_stub, but computed
+    from actual signal content — downstream simsearch-compatible."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for b in pdf[binary_col]:
+                s, _rate = decode_wav(bytes(b))
+                mono = s.astype(np.float64).mean(axis=1) / 32768.0
+                n_frames = len(mono) // frame
+                if n_frames == 0:
+                    vecs.append([0.0] * n_bands)
+                    continue
+                fr = mono[: n_frames * frame].reshape(n_frames, frame)
+                mag = np.abs(np.fft.rfft(fr, axis=1)).mean(axis=0)
+                bands = np.array_split(mag[1:], n_bands)  # drop DC
+                vecs.append([float(bd.mean()) if len(bd) else 0.0
+                             for bd in bands])
+            yield pdf.assign(**{out_col: vecs})
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def synth_wav_docs(
+    spark, n: int, sample_rate: int = 8000, n_samples: int = 2048,
+) -> DataFrame:
+    """Deterministic REAL WAV payloads keyed by id: a pure sine whose
+    frequency bin is id-dependent (bin 4 + id % 8 of the `frame`-point
+    spectrum) — the fixture for the real audio kernels."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bufs = []
+            for i in pdf["doc_id"]:
+                k = 4 + int(i) % 8
+                t = np.arange(n_samples, dtype=np.float64)
+                x = np.sin(2.0 * np.pi * k * t / 512.0)
+                pcm = np.round(x * 16384.0).astype(np.int16)
+                bufs.append(encode_wav(pcm, sample_rate))
             yield pdf.assign(payload=bufs)
 
     base = spark.range(n).select(F.col("id").alias("doc_id"))

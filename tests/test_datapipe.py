@@ -392,6 +392,83 @@ def test_resize_image_roundtrip(spark):
         np.testing.assert_array_equal(small, big[yi][:, xi])
 
 
+# --- real audio decoder (WAV PCM — numpy-only format) ------------------------
+
+
+def test_decode_wav_literal_golden():
+    """Hand-assembled 4-frame stereo WAV decodes to the exact int16
+    samples and sample rate; encode_wav(decode_wav(x)) round-trips to
+    the identical bytes."""
+    import numpy as np
+
+    samples = np.array(
+        [[0, 1], [-32768, 32767], [100, -100], [12345, -12345]], np.int16
+    )
+    buf = multimodal.encode_wav(samples, 8000)
+    # header layout sanity: RIFF id, WAVE tag, PCM fmt, 16-bit, data size
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+    assert int.from_bytes(buf[20:22], "little") == 1
+    assert int.from_bytes(buf[34:36], "little") == 16
+    out, rate = multimodal.decode_wav(buf)
+    assert rate == 8000
+    np.testing.assert_array_equal(out, samples)
+    assert multimodal.encode_wav(out, rate) == buf
+    # chunk walker skips unknown chunks (e.g. LIST) between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    buf2 = buf[:fmt_end] + extra + buf[fmt_end:]
+    buf2 = b"RIFF" + (len(buf2) - 8).to_bytes(4, "little") + buf2[8:]
+    out2, rate2 = multimodal.decode_wav(buf2)
+    np.testing.assert_array_equal(out2, samples)
+
+
+def test_decode_audio_meta_real_spark(spark):
+    """Real WAV metas through the Arrow kernel: rate/channels/samples
+    exact, duration and rms match numpy recomputation."""
+    import numpy as np
+
+    df = multimodal.synth_wav_docs(spark, 12, sample_rate=8000,
+                                   n_samples=2048)
+    rows = multimodal.decode_audio_meta_real(df).select(
+        "doc_id", "audio_meta.*"
+    ).collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert r.sample_rate == 8000 and r.channels == 1
+        assert r.n_samples == 2048
+        assert abs(r.duration_s - 2048 / 8000) < 1e-12
+        # pure sine at amplitude 16384/32768 -> rms ~ 0.5/sqrt(2)
+        assert abs(r.rms - 0.5 / np.sqrt(2)) < 0.01
+
+
+def test_audio_band_energies_peak_bin(spark):
+    """The id-dependent sine frequency must put the spectral peak in the
+    analytically expected band: frame=512 -> bin k (exact FFT bin by
+    fixture construction), 8 bands over bins 1..256."""
+    import numpy as np
+
+    df = multimodal.synth_wav_docs(spark, 8, n_samples=2048)
+    out = multimodal.audio_band_energies(df, n_bands=8, frame=512)
+    got = {r.doc_id: list(r.band_energy) for r in out.collect()}
+    for i in range(8):
+        k = 4 + i % 8  # fixture bin
+        # bands are np.array_split over bins 1..256 -> band 0 = bins 1..32
+        expected_band = (k - 1) * 8 // 256  # == 0 for all fixture bins
+        vec = got[i]
+        assert len(vec) == 8
+        assert int(np.argmax(vec)) == expected_band
+        assert vec[expected_band] > 10 * (sum(vec) - vec[expected_band] + 1e-9) / 7
+
+
+def test_decode_wav_rejects_non_pcm():
+    import numpy as np
+
+    buf = bytearray(multimodal.encode_wav(np.zeros(4, np.int16), 8000))
+    buf[20:22] = (3).to_bytes(2, "little")  # IEEE float format tag
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(bytes(buf))
+
+
 def test_shingle_sets_literal(spark):
     """3-word shingles: exact set construction + jaccard on a literal
     pair (docs sharing a phrase but little vocabulary overlap score HIGH
