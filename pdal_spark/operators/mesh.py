@@ -164,32 +164,49 @@ def _bowyer_watson(pts: np.ndarray, scale: float) -> np.ndarray:
         [[cx0 - 2.0 * m, cy0 - m], [cx0 + 2.0 * m, cy0 - m], [cx0, cy0 + 2.0 * m]],
     ]).astype(np.float64)
     T = np.array([[n, n + 1, n + 2]], np.int64)
-    cxs, cys, r2s = _circumcircles(P, T)
-    nk = np.int64(n + 3)  # 1-D edge-key base (vertex ids < n+3)
+    cx0s, cy0s, r20s = _circumcircles(P, T)
+    # C holds (cx, cy, r2) per live triangle — one array so the per-
+    # insertion compaction is a single fancy-index, not three
+    C = np.column_stack([cx0s, cy0s, r20s])
+    Px, Py = P[:, 0], P[:, 1]
     for i in range(n):
         px, py = P[i]
-        dx, dy = cxs - px, cys - py
-        bad = dx * dx + dy * dy < r2s
+        dx = C[:, 0] - px
+        dy = C[:, 1] - py
+        bad = dx * dx + dy * dy < C[:, 2]
         if not bad.any():  # numerically outside everything: skip point
             continue
         good = ~bad
         bad_t = T[bad]
-        # cavity boundary = undirected edges appearing exactly once;
-        # encode each edge as one int64 (min*base+max) so uniqueness
-        # runs on a 1-D sort, not np.unique(axis=0)'s void view
-        e = np.concatenate([bad_t[:, [0, 1]], bad_t[:, [1, 2]], bad_t[:, [2, 0]]])
-        ek = np.minimum(e[:, 0], e[:, 1]) * nk + np.maximum(e[:, 0], e[:, 1])
-        _, first, counts = np.unique(ek, return_index=True, return_counts=True)
-        boundary = e[first[counts == 1]]  # original orientation preserved
-        new_t = np.column_stack([
-            boundary,
-            np.full(len(boundary), i, np.int64),
-        ])
+        # cavity boundary = undirected edges appearing exactly once —
+        # the cavity is a handful of triangles, so a plain dict count
+        # beats numpy's sort-based unique at this size
+        cnt: dict[tuple[int, int], int] = {}
+        edges = []
+        for a_, b_, c_ in bad_t.tolist():
+            for u_, v_ in ((a_, b_), (b_, c_), (c_, a_)):
+                k_ = (u_, v_) if u_ < v_ else (v_, u_)
+                cnt[k_] = cnt.get(k_, 0) + 1
+                edges.append((u_, v_, k_))
+        boundary = np.array(
+            [(u_, v_) for u_, v_, k_ in edges if cnt[k_] == 1], np.int64
+        ).reshape(-1, 2)
+        m = len(boundary)
+        new_t = np.column_stack([boundary, np.full(m, i, np.int64)])
+        # inline circumcircles of the few new triangles (local coords)
+        ax, ay = Px[boundary[:, 0]], Py[boundary[:, 0]]
+        abx = Px[boundary[:, 1]] - ax
+        aby = Py[boundary[:, 1]] - ay
+        acx, acy = px - ax, py - ay
+        d = 2.0 * (abx * acy - aby * acx)
+        d[d == 0.0] = np.finfo(np.float64).tiny
+        ab2 = abx * abx + aby * aby
+        ac2 = acx * acx + acy * acy
+        ux = (acy * ab2 - aby * ac2) / d
+        uy = (abx * ac2 - acx * ab2) / d
+        newC = np.column_stack([ax + ux, ay + uy, ux * ux + uy * uy])
         T = np.vstack([T[good], new_t])
-        ncx, ncy, nr2 = _circumcircles(P, new_t)
-        cxs = np.concatenate([cxs[good], ncx])
-        cys = np.concatenate([cys[good], ncy])
-        r2s = np.concatenate([r2s[good], nr2])
+        C = np.vstack([C[good], newC])
     T = T[(T < n).all(axis=1)]
     return _canonical(P, T)
 
