@@ -92,36 +92,34 @@ print(json.dumps({{"sec": round(best,2), "points_per_sec": round({n}/best,1)}}))
     return _run_py(code)
 
 
-def run_dedup(cpus: int, docs: int) -> dict:
+def run_dedup(cpus: int, docs: int = 200_000) -> dict:
     """Open-vocabulary minhash dedup pipeline (word_id_mode='hash' —
-    zero vocabulary shuffles). The synthetic corpus uses a sliding
-    window over a doc-count-sized word space so overlap (and therefore
-    pair volume) stays sparse: the measurement tracks the LINEAR
-    pipeline (tokenize -> signatures -> bands -> bucket join), not a
-    quadratic verify blow-up."""
+    zero vocabulary shuffles) over synth_corpus: a 2^20-token hash word
+    space keeps random-doc overlap ~zero while every 100th doc is an
+    exact clone, so the banded join + inline verify recover exactly
+    docs/100 pairs. The measurement tracks the LINEAR pipeline
+    (tokenize -> signatures -> bands -> bucket join -> verify), not a
+    quadratic pair dump; the pair count doubles as a correctness
+    assert."""
     code = f"""
 import time, json
 from pyspark.sql import functions as F
 from pdal_spark.session import get_spark
+from pdal_spark import synth
 from pdal_spark.datapipe import dedup
 sp = get_spark(master="local[{cpus}]", shuffle_partitions={cpus})
 n = {docs}
-df = sp.range(0, n, 1, {cpus}*2).select(
-    F.col("id").alias("doc_id"),
-    F.array_join(
-        F.transform(F.sequence(F.lit(0), F.lit(29)),
-                    lambda j: F.concat(F.lit("w"), (F.col("id") * 37 + j).cast("string"))),
-        " ").alias("text"),
-).cache()
+df = synth.synth_corpus(sp, n, num_partitions={cpus}*2).cache()
 df.count()
 best = None
 for rep in range(3):
     t0 = time.time()
-    dedup.minhash_dedup_pairs(df, 0.8, word_id_mode="hash").write\\
-        .format("noop").mode("overwrite").save()
+    got = dedup.minhash_dedup_pairs(df, 0.8, word_id_mode="hash").count()
+    assert got == n // 100, got  # one clone pair per planted clone
     dt = time.time() - t0
     best = dt if best is None or dt < best else best
-print(json.dumps({{"sec": round(best,2), "docs_per_sec": round({docs}/best,1)}}))
+print(json.dumps({{"sec": round(best,2), "docs_per_sec": round({docs}/best,1),
+                   "pairs": got}}))
 """
     return _run_py(code)
 
@@ -188,24 +186,31 @@ def main() -> None:
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "5"))
     probe = cpu_probe()
     print(f"cpu probe: {probe}", file=sys.stderr)
-    comp_pairs, knn_pairs = [], []
+    comp_pairs, knn_pairs, ded_pairs = [], [], []
     for att in range(attempts):
         comp = {c: run_compute_tile(c, pages) for c in (lo, hi)}
         knn = {c: run_knn(c) for c in (lo, hi)}
+        ded = {c: run_dedup(c) for c in (lo, hi)}
         ec = (comp[hi]["pages_per_sec"] / comp[lo]["pages_per_sec"]) / ratio
         ek = (knn[hi]["points_per_sec"] / knn[lo]["points_per_sec"]) / ratio
+        ed = (ded[hi]["docs_per_sec"] / ded[lo]["docs_per_sec"]) / ratio
         comp_pairs.append((ec, comp))
         knn_pairs.append((ek, knn))
-        print(f"[att {att}] eff compute={ec:.2f} knn={ek:.2f} "
-              f"comp={comp} knn={knn}", file=sys.stderr)
+        ded_pairs.append((ed, ded))
+        print(f"[att {att}] eff compute={ec:.2f} knn={ek:.2f} dedup={ed:.2f} "
+              f"comp={comp} knn={knn} ded={ded}", file=sys.stderr)
     comp_pairs.sort(key=lambda t: t[0])
     knn_pairs.sort(key=lambda t: t[0])
+    ded_pairs.sort(key=lambda t: t[0])
     eff_comp, comp = comp_pairs[len(comp_pairs) // 2]   # median pair
     eff_knn, knn = knn_pairs[len(knn_pairs) // 2]
+    eff_ded, ded = ded_pairs[len(ded_pairs) // 2]
     eff_comp_all = [round(e, 2) for e, _ in comp_pairs]
     eff_knn_all = [round(e, 2) for e, _ in knn_pairs]
+    eff_ded_all = [round(e, 2) for e, _ in ded_pairs]
     print(f"medians: compute={eff_comp:.2f} of {eff_comp_all}, "
-          f"knn={eff_knn:.2f} of {eff_knn_all}", file=sys.stderr)
+          f"knn={eff_knn:.2f} of {eff_knn_all}, "
+          f"dedup={eff_ded:.2f} of {eff_ded_all}", file=sys.stderr)
     skew = run_skew()
     print(f"skew: {skew}", file=sys.stderr)
 
@@ -263,17 +268,43 @@ Results are provably identical salted vs unsalted
 | unsalted (hot cell on one task) | {skew['unsalted_sec']} |
 | salted (hot cell split 16-way)  | {skew['salted_sec']} |
 
+## 4. Near-dup pipeline (minhash LSH, open vocabulary)
+
+Minhash dedup (k-signature, banded LSH bucket
+join, inline verify, word_id_mode="hash" — zero vocabulary shuffles)
+over a 200,000-doc synth_corpus: 2^20-token hash word space (random-doc
+overlap ~0) with every 100th doc an exact clone. Each run must recover
+EXACTLY the {ded[lo]['pairs']:,} planted clone pairs (asserted), so the
+measurement is the linear pipeline, not a quadratic pair dump.
+
+| config | wall (s) | docs/sec |
+|---|---|---|
+| local[{lo}]  | {ded[lo]['sec']} | {ded[lo]['docs_per_sec']:,.0f} |
+| local[{hi}] | {ded[hi]['sec']} | {ded[hi]['docs_per_sec']:,.0f} |
+
+**Scaling efficiency ({ratio:.0f}x): {eff_ded:.2f}** (median of
+{eff_ded_all})
+
 ## Raw JSON
 
 compute={json.dumps(comp)}
 knn={json.dumps(knn)}
+dedup={json.dumps(ded)}
 skew={json.dumps(skew)}
 probe={json.dumps(probe)}
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # preserve manually-appended analysis sections (## 2b / ## 3b ...)
+    # across regeneration
+    keep = ""
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        idx = old.find("\n## 2b.")
+        if idx >= 0:
+            keep = old[idx:]
     with open(out_path, "w") as f:
-        f.write(md)
+        f.write(md + keep)
     print(md)
 
 
