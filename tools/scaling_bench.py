@@ -92,7 +92,7 @@ print(json.dumps({{"sec": round(best,2), "points_per_sec": round({n}/best,1)}}))
     return _run_py(code)
 
 
-def run_dedup(cpus: int, docs: int = 200_000) -> dict:
+def run_dedup(cpus: int, docs: int = 1_500_000) -> dict:
     """Open-vocabulary minhash dedup pipeline (word_id_mode='hash' —
     zero vocabulary shuffles) over synth_corpus: a 2^20-token hash word
     space keeps random-doc overlap ~zero while every 100th doc is an
@@ -272,7 +272,7 @@ Results are provably identical salted vs unsalted
 
 Minhash dedup (k-signature, banded LSH bucket
 join, inline verify, word_id_mode="hash" — zero vocabulary shuffles)
-over a 200,000-doc synth_corpus: 2^20-token hash word space (random-doc
+over a 1,500,000-doc synth_corpus: 2^20-token hash word space (random-doc
 overlap ~0) with every 100th doc an exact clone. Each run must recover
 EXACTLY the {ded[lo]['pairs']:,} planted clone pairs (asserted), so the
 measurement is the linear pipeline, not a quadratic pair dump.
