@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -559,23 +560,26 @@ def q_feat_reciprocity(spark, sf_dir):
 
 
 def q_feat_eigenvalues(spark, sf_dir):
-    """filters.eigenvalues (no SQL oracle — batched 3x3 eigh; strong
-    numpy oracle in tests/test_features.py)."""
+    """filters.eigenvalues — SQL twin via the decoupled-2x2 closed form
+    (z = 0 input); numpy eigh oracle in tests/test_features.py."""
     from pdal_spark.operators import features as feat_op
 
     cell = _auto_cell(_n_docs(spark, sf_dir), FEAT_K)
     out = feat_op.eigenvalues(_docs_pts(spark, sf_dir), k=FEAT_K,
                               id_col="doc_id", cell_size=cell, validate=True)
+    # + 0.0 normalizes IEEE -0.0 (the decoupled z eigenvalue rounds to
+    # +-0 depending on eigh's tiny residual sign) for the hash compare
     return out.select(
         "doc_id",
-        F.round("eigenvalue0", 6).alias("eigenvalue0"),
-        F.round("eigenvalue1", 6).alias("eigenvalue1"),
-        F.round("eigenvalue2", 6).alias("eigenvalue2"),
+        (F.round("eigenvalue0", 6) + F.lit(0.0)).alias("eigenvalue0"),
+        (F.round("eigenvalue1", 6) + F.lit(0.0)).alias("eigenvalue1"),
+        (F.round("eigenvalue2", 6) + F.lit(0.0)).alias("eigenvalue2"),
     )
 
 
 def q_feat_covariance(spark, sf_dir):
-    """filters.covariancefeatures Dimensionality set (tests carry oracle)."""
+    """filters.covariancefeatures Dimensionality set — SQL twin via the
+    decoupled-2x2 closed form; numpy oracle in tests."""
     from pdal_spark.operators import features as feat_op
 
     cell = _auto_cell(_n_docs(spark, sf_dir), 11)
@@ -906,7 +910,8 @@ def q_feat_normal(spark, sf_dir):
 
 
 def q_feat_coplanar(spark, sf_dir):
-    """filters.approximatecoplanar (rows-only; numpy oracle in tests)."""
+    """filters.approximatecoplanar — SQL twin via the symmetric-3x3
+    trigonometric eigenvalue closed form; numpy oracle in tests."""
     from pdal_spark.operators import features as feat_op
 
     cell = _auto_cell(_n_docs(spark, sf_dir), FEAT_K)
@@ -917,7 +922,8 @@ def q_feat_coplanar(spark, sf_dir):
 
 
 def q_feat_rank(spark, sf_dir):
-    """filters.estimaterank (rows-only; numpy oracle in tests)."""
+    """filters.estimaterank — SQL twin via the symmetric-3x3 trig
+    eigenvalue closed form; numpy oracle in tests."""
     from pdal_spark.operators import features as feat_op
 
     cell = _auto_cell(_n_docs(spark, sf_dir), FEAT_K)
@@ -977,8 +983,9 @@ def q_returns(spark, sf_dir):
 
 
 def q_cluster_sizes(spark, sf_dir):
-    """filters.cluster (rows-only: union-find membership is verified by
-    the literal BFS oracle in tests/test_pointcloud.py)."""
+    """filters.cluster — SQL twin: transitive closure by recursive CTE,
+    min-member roots, kept clusters numbered by root; literal BFS
+    oracle in tests/test_pointcloud.py."""
     from pdal_spark.operators import pointcloud as pc_op
 
     out = pc_op.cluster(_docs_geo(spark, sf_dir), tolerance=12.0,
@@ -1261,6 +1268,7 @@ def oracle_sql() -> dict[str, str]:
         **_raster_oracles(),
         **_datapipe_oracles(),
         **_feature_oracles(),
+        **_eigen_oracles(),
         **_pointcloud_oracles(),
         **_misc_oracles(),
     }
@@ -1645,6 +1653,193 @@ def _pointcloud_oracles() -> dict[str, str]:
         "overlay": overlay,
         "morton_forward": morton,
         "hag": hag,
+    }
+
+
+def _eigen_cov_sql(pts_sql: str, k: int, three_d: bool) -> str:
+    """Shared CTE chain: self-inclusive (d2, id)-ranked kNN ->
+    float32-demeaned neighborhood covariance (EigenUtils.cpp:196-206
+    round-trip, /(n-1)) — the SQL twin of features._neighbor_cov."""
+    zc = "c.z" if three_d else "0.0"
+    zcols = (
+        ", CAST(CAST(nb.pz - cent.mz AS FLOAT) AS DOUBLE) AS az"
+        if three_d else ""
+    )
+    zcov = (
+        ", sum(ax*az)/(any_value(n)-1) AS cxz, "
+        "sum(ay*az)/(any_value(n)-1) AS cyz, "
+        "sum(az*az)/(any_value(n)-1) AS czz"
+        if three_d else ""
+    )
+    return f"""
+      pts AS ({pts_sql}),
+      knn AS (
+        SELECT * FROM (
+          SELECT s.doc_id AS src, c.doc_id AS cand,
+                 row_number() OVER (
+                   PARTITION BY s.doc_id
+                   ORDER BY ((s.x-c.x)*(s.x-c.x)+(s.y-c.y)*(s.y-c.y)) ASC,
+                            c.doc_id ASC
+                 ) AS rank
+          FROM pts s JOIN pts c ON TRUE
+        ) WHERE rank <= {k}
+      ),
+      nb AS (
+        SELECT k.src, c.x AS px, c.y AS py, {zc} AS pz
+        FROM knn k JOIN pts c ON c.doc_id = k.cand
+      ),
+      cent AS (
+        SELECT src, avg(px) AS mx, avg(py) AS my, avg(pz) AS mz,
+               count(*) AS n
+        FROM nb GROUP BY 1
+      ),
+      dem AS (
+        SELECT nb.src, cent.n,
+               CAST(CAST(nb.px - cent.mx AS FLOAT) AS DOUBLE) AS ax,
+               CAST(CAST(nb.py - cent.my AS FLOAT) AS DOUBLE) AS ay
+               {zcols}
+        FROM nb JOIN cent USING (src)
+      ),
+      cov AS (
+        SELECT src AS doc_id, any_value(n) AS n,
+               sum(ax*ax)/(any_value(n)-1) AS cxx,
+               sum(ax*ay)/(any_value(n)-1) AS cxy,
+               sum(ay*ay)/(any_value(n)-1) AS cyy
+               {zcov}
+        FROM dem GROUP BY src
+      )
+    """
+
+
+# DuckDB twin of the symmetric 3x3 trigonometric eigenvalue closed form
+# (ascending e0 <= e1 <= e2) over cov(cxx..czz); identical decision
+# values to numpy eigh within ~eps*||A|| — outputs that depend on them
+# are rounded/thresholded with O(1) margins.
+_EIG3_SQL = """
+      tri AS (
+        SELECT doc_id,
+               (cxx + cyy + czz) / 3 AS q,
+               cxy*cxy + cxz*cxz + cyz*cyz AS p1,
+               cxx AS a, cyy AS b, czz AS c, cxy AS d, cxz AS e, cyz AS f
+        FROM cov
+      ),
+      tri2 AS (
+        SELECT doc_id, q, a, b, c, d, e, f,
+               sqrt(greatest(
+                 ((a-q)*(a-q) + (b-q)*(b-q) + (c-q)*(c-q) + 2*p1) / 6,
+                 0.0)) AS p
+        FROM tri
+      ),
+      tri3 AS (
+        SELECT doc_id, q, p,
+               CASE WHEN p = 0 THEN 0.0 ELSE
+                 acos(least(greatest(
+                   ((a-q)*((b-q)*(c-q) - f*f)
+                    - d*(d*(c-q) - f*e)
+                    + e*(d*f - (b-q)*e)) / (2*p*p*p),
+                 -1.0), 1.0)) / 3
+               END AS phi
+        FROM tri2
+      ),
+      eig3 AS (
+        SELECT doc_id,
+               q + 2*p*cos(phi + 2*pi()/3) AS e0,
+               3*q - (q + 2*p*cos(phi + 2*pi()/3)) - (q + 2*p*cos(phi)) AS e1,
+               q + 2*p*cos(phi) AS e2
+        FROM tri3
+      )
+"""
+
+
+def _eigen_oracles() -> dict[str, str]:
+    """SQL twins for the eigen feature family. 2-D inputs (z = 0):
+    the 3x3 decouples into the closed-form 2x2 pair (em, ep) plus an
+    exact-zero z eigenvalue — ascending order is
+    (least(em, 0), greatest(em, 0), ep). 3-D inputs: trig closed form
+    (_EIG3_SQL). `+ 0` after round() normalizes -0.0 on both engines."""
+    k = FEAT_K
+    cov2 = _eigen_cov_sql(_DOCS_GEO_SQL, k, three_d=False)
+    eig2 = """
+      eig AS (
+        SELECT doc_id,
+               (cxx+cyy)/2 - sqrt(((cxx-cyy)/2)*((cxx-cyy)/2) + cxy*cxy) AS em,
+               (cxx+cyy)/2 + sqrt(((cxx-cyy)/2)*((cxx-cyy)/2) + cxy*cxy) AS ep
+        FROM cov
+      )
+    """
+    eigenvalues = f"""
+      WITH {cov2}, {eig2}
+      SELECT doc_id,
+             round(least(em, 0.0), 6) + 0 AS eigenvalue0,
+             round(greatest(em, 0.0), 6) + 0 AS eigenvalue1,
+             round(ep, 6) + 0 AS eigenvalue2
+      FROM eig
+    """
+    covk = _eigen_cov_sql(_DOCS_GEO_SQL, 11, three_d=False)
+    covariance = f"""
+      WITH {covk}, {eig2}
+      SELECT doc_id,
+             round((sqrt(ep) - sqrt(greatest(em, 0.0))) / sqrt(ep), 6) + 0
+               AS linearity,
+             round(sqrt(greatest(em, 0.0)) / sqrt(ep), 6) + 0 AS planarity,
+             round(0.0, 6) + 0 AS scattering,
+             round(0.0, 6) + 0 AS verticality
+      FROM eig
+    """
+    docs_z_sql = (
+        f"SELECT doc_id, CAST(n_chars AS DOUBLE) AS z, "
+        f"({_X_SQL}) AS x, ({_Y_SQL}) AS y FROM documents"
+    )
+    cov3 = _eigen_cov_sql(docs_z_sql, k, three_d=True)
+    coplanar = f"""
+      WITH {cov3}, {_EIG3_SQL}
+      SELECT doc_id,
+             CASE WHEN e1 > 25.0 * e0 AND 6.0 * e1 > e2
+                  THEN 1 ELSE 0 END AS coplanar
+      FROM eig3
+    """
+    t32 = float(np.float32(0.01))
+    est_rank = f"""
+      WITH {cov3}, {_EIG3_SQL}
+      SELECT doc_id,
+             CASE WHEN greatest(abs(e0), abs(e1), abs(e2)) > 0 THEN
+               (CASE WHEN abs(e0) > {t32!r} * greatest(abs(e0), abs(e1), abs(e2)) THEN 1 ELSE 0 END)
+               + (CASE WHEN abs(e1) > {t32!r} * greatest(abs(e0), abs(e1), abs(e2)) THEN 1 ELSE 0 END)
+               + (CASE WHEN abs(e2) > {t32!r} * greatest(abs(e0), abs(e1), abs(e2)) THEN 1 ELSE 0 END)
+             ELSE 0 END AS est_rank
+      FROM eig3
+    """
+    cluster_sizes = f"""
+      WITH RECURSIVE pts AS ({_DOCS_GEO_SQL}),
+      edges AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM pts a JOIN pts b
+          ON a.doc_id <> b.doc_id
+         AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 144.0
+      ),
+      reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM pts
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.id
+      ),
+      comp AS (SELECT id, min(lab) AS root FROM reach GROUP BY 1),
+      sizes AS (SELECT root, count(*) AS sz FROM comp GROUP BY 1),
+      kept AS (
+        SELECT root, row_number() OVER (ORDER BY root ASC) AS cluster_id
+        FROM sizes WHERE sz >= 2
+      )
+      SELECT coalesce(k.cluster_id, 0) AS cluster_id, count(*) AS n
+      FROM comp c LEFT JOIN kept k USING (root) GROUP BY 1
+    """
+    return {
+        "feat_eigenvalues": eigenvalues,
+        "feat_covariance": covariance,
+        "feat_coplanar": coplanar,
+        "feat_rank": est_rank,
+        # filters.cluster: transitive closure as a recursive CTE; min
+        # member = component root, kept (>= min_points) clusters
+        # numbered 1..k by root — the reference's seed-scan order
+        "cluster_sizes": cluster_sizes,
     }
 
 
