@@ -934,8 +934,9 @@ def q_feat_rank(spark, sf_dir):
 
 
 def q_fps(spark, sf_dir):
-    """filters.fps — farthest point sampling (rows-only; literal numpy
-    oracle in tests/test_pointcloud.py)."""
+    """filters.fps — farthest point sampling; SQL twin is a list-state
+    recursive CTE (bit-exact greedy replication); literal numpy oracle
+    in tests/test_pointcloud.py."""
     from pdal_spark.operators import pointcloud as pc_op
 
     out = pc_op.fps(_docs_geo(spark, sf_dir), count=50, order_col="doc_id")
@@ -994,8 +995,9 @@ def q_cluster_sizes(spark, sf_dir):
 
 
 def q_sample_poisson(spark, sf_dir):
-    """filters.sample (rows-only: greedy order-dependent mask; literal
-    oracle in tests/test_pointcloud.py)."""
+    """filters.sample — greedy Poisson-disk mask; SQL twin is a
+    list-state recursive CTE over arrival order (bit-exact); literal
+    oracle in tests/test_pointcloud.py."""
     from pdal_spark.operators import pointcloud as pc_op
 
     out = pc_op.sample(_docs_geo(spark, sf_dir), radius=10.0, order_col="doc_id")
@@ -1831,6 +1833,55 @@ def _eigen_oracles() -> dict[str, str]:
       SELECT coalesce(k.cluster_id, 0) AS cluster_id, count(*) AS n
       FROM comp c LEFT JOIN kept k USING (root) GROUP BY 1
     """
+    # filters.fps / filters.sample: the greedy sequential kernels are
+    # exactly replicable as list-state recursive CTEs — every distance
+    # is the same two IEEE ops ((dx*dx)+(dy*dy)) in both engines, and
+    # the tie rules (np.argmax first-max; arrival order) map to
+    # list_indexof / iteration order, so the match is bit-exact.
+    fps_sql = f"""
+      WITH RECURSIVE pts AS ({_DOCS_GEO_SQL}),
+      arrs AS (
+        SELECT list(x ORDER BY doc_id) AS xs, list(y ORDER BY doc_id) AS ys,
+               list(doc_id ORDER BY doc_id) AS ids, count(*) AS n
+        FROM pts
+      ),
+      it(step, sel, mind) AS (
+        SELECT 0, [CAST(1 AS BIGINT)],
+               list_transform(range(1, n + 1),
+                 i -> (xs[i]-xs[1])*(xs[i]-xs[1]) + (ys[i]-ys[1])*(ys[i]-ys[1]))
+        FROM arrs
+        UNION ALL
+        SELECT step + 1,
+               list_append(sel, CAST(list_indexof(mind, list_max(mind)) AS BIGINT)),
+               list_transform(range(1, a.n + 1), i -> least(mind[i],
+                 (a.xs[i]-a.xs[list_indexof(mind, list_max(mind))])*(a.xs[i]-a.xs[list_indexof(mind, list_max(mind))])
+               + (a.ys[i]-a.ys[list_indexof(mind, list_max(mind))])*(a.ys[i]-a.ys[list_indexof(mind, list_max(mind))])))
+        FROM it, arrs a WHERE step < 49
+      )
+      SELECT a.ids[pos] AS doc_id, ord - 1 AS fps_order
+      FROM (SELECT unnest(sel) AS pos, unnest(range(1, 51)) AS ord
+            FROM it WHERE step = 49), arrs a
+    """
+    sample_sql = f"""
+      WITH RECURSIVE pts AS ({_DOCS_GEO_SQL}),
+      arrs AS (
+        SELECT list(x ORDER BY doc_id) AS xs, list(y ORDER BY doc_id) AS ys,
+               list(doc_id ORDER BY doc_id) AS ids, count(*) AS n
+        FROM pts
+      ),
+      it(i, kept) AS (
+        SELECT 1, [CAST(1 AS BIGINT)] FROM arrs
+        UNION ALL
+        SELECT i + 1,
+               CASE WHEN list_min(list_transform(kept, j ->
+                      (a.xs[i+1]-a.xs[j])*(a.xs[i+1]-a.xs[j])
+                    + (a.ys[i+1]-a.ys[j])*(a.ys[i+1]-a.ys[j]))) <= 100.0
+                    THEN kept ELSE list_append(kept, CAST(i + 1 AS BIGINT)) END
+        FROM it, arrs a WHERE i < a.n
+      )
+      SELECT a.ids[pos] AS doc_id
+      FROM (SELECT unnest(kept) AS pos FROM it, arrs WHERE i = arrs.n), arrs a
+    """
     return {
         "feat_eigenvalues": eigenvalues,
         "feat_covariance": covariance,
@@ -1840,6 +1891,8 @@ def _eigen_oracles() -> dict[str, str]:
         # member = component root, kept (>= min_points) clusters
         # numbered 1..k by root — the reference's seed-scan order
         "cluster_sizes": cluster_sizes,
+        "fps": fps_sql,
+        "sample_poisson": sample_sql,
     }
 
 
