@@ -354,8 +354,9 @@ def q_chipper_counts(spark, sf_dir):
 
 
 def q_chipper_assign(spark, sf_dir):
-    """Full chipper membership (no SQL oracle — recursive redistribution;
-    strong oracle lives in tests/test_chipper.py's literal reimplementation)."""
+    """Full chipper membership — SQL twin runs the BSP recursion itself
+    as a recursive CTE (bit-exact); literal reimplementation oracle in
+    tests/test_chipper.py."""
     df = _docs_geo(spark, sf_dir)
     out = chipper_op.chip(df, CHIP_CAP, order_col="doc_id")
     return out.select("doc_id", "chip_id", "chip_rank")
@@ -1882,6 +1883,93 @@ def _eigen_oracles() -> dict[str, str]:
       SELECT a.ids[pos] AS doc_id
       FROM (SELECT unnest(kept) AS pos FROM it, arrs WHERE i = arrs.n), arrs a
     """
+    # filters.chipper full membership: the BSP recursion itself as a
+    # recursive CTE — nodes carry the subset as a wide-axis-ordered id
+    # list; the cumulate-and-lround boundaries come from a sequential
+    # scalar recursion (windowed SUM would not reproduce the float
+    # accumulation order). Bit-exact vs chip_assign_np on the driver
+    # table and on randomized tie-heavy fixtures.
+    cap = CHIP_CAP
+    chipper_sql = f"""
+      WITH RECURSIVE pts AS ({_DOCS_GEO_SQL}),
+      arrs AS (
+        SELECT list(x ORDER BY doc_id) AS xs, list(y ORDER BY doc_id) AS ys,
+               list(doc_id ORDER BY doc_id) AS dids, count(*) AS n,
+               CAST(count(*) // {cap}
+                    + CASE WHEN count(*) % {cap} > 0 THEN 1 ELSE 0 END
+                 AS BIGINT) AS num
+        FROM pts
+      ),
+      cum(k, total) AS (
+        SELECT 1, CAST(n AS DOUBLE)/num FROM arrs
+        UNION ALL
+        SELECT k+1, total + CAST(a.n AS DOUBLE)/a.num
+        FROM cum, arrs a WHERE k < a.num
+      ),
+      pb AS (
+        SELECT list_prepend(CAST(0 AS BIGINT),
+                 list(CAST(floor(total + 0.5) AS BIGINT) ORDER BY k)) AS P
+        FROM cum
+      ),
+      nodes(pleft, pright, wide, ids) AS (
+        SELECT 0, CAST(a.num AS INT),
+               CASE WHEN (list_max(a.xs) - list_min(a.xs))
+                      > (list_max(a.ys) - list_min(a.ys)) THEN 0 ELSE 1 END,
+               CASE WHEN (list_max(a.xs) - list_min(a.xs))
+                      > (list_max(a.ys) - list_min(a.ys))
+                    THEN list_transform(list_sort(list_transform(
+                           range(1, a.n+1), i -> {{'p': a.xs[i], 'a': i}})),
+                           s -> s.a)
+                    ELSE list_transform(list_sort(list_transform(
+                           range(1, a.n+1), i -> {{'p': a.ys[i], 'a': i}})),
+                           s -> s.a)
+               END
+        FROM arrs a
+        UNION ALL
+        SELECT c.pl, c.pr, c.cwide, c.cids
+        FROM nodes nd, arrs a, pb,
+        LATERAL (SELECT ((nd.pleft + nd.pright) // 2) AS pc) s,
+        LATERAL (SELECT * FROM (VALUES
+            (nd.pleft, s.pc, list_slice(nd.ids, 1,
+               CAST(pb.P[s.pc+1] - pb.P[nd.pleft+1] AS INT))),
+            (s.pc, nd.pright, list_slice(nd.ids,
+               CAST(pb.P[s.pc+1] - pb.P[nd.pleft+1] + 1 AS INT),
+               CAST(pb.P[nd.pright+1] - pb.P[nd.pleft+1] AS INT)))
+          ) AS t(pl, pr, seg)) c0,
+        LATERAL (SELECT CASE WHEN
+              (list_max(list_transform(c0.seg,
+                 i -> CASE WHEN nd.wide=0 THEN a.xs[i] ELSE a.ys[i] END))
+             - list_min(list_transform(c0.seg,
+                 i -> CASE WHEN nd.wide=0 THEN a.xs[i] ELSE a.ys[i] END)))
+            > (list_max(list_transform(c0.seg,
+                 i -> CASE WHEN nd.wide=0 THEN a.ys[i] ELSE a.xs[i] END))
+             - list_min(list_transform(c0.seg,
+                 i -> CASE WHEN nd.wide=0 THEN a.ys[i] ELSE a.xs[i] END)))
+            THEN nd.wide ELSE 1 - nd.wide END AS cwide) cw,
+        LATERAL (SELECT CASE WHEN cw.cwide = nd.wide THEN c0.seg
+              ELSE list_transform(list_sort(list_transform(c0.seg,
+                     i -> {{'p': CASE WHEN cw.cwide=0 THEN a.xs[i]
+                                  ELSE a.ys[i] END, 'a': i}})), st -> st.a)
+              END AS cids, cw.cwide AS cwide, c0.pl AS pl, c0.pr AS pr) c
+        WHERE nd.pright - nd.pleft > 2
+      ),
+      leaves AS (
+        SELECT pleft AS chip_id, ids FROM nodes, pb WHERE pright - pleft = 1
+        UNION ALL
+        SELECT nd.pleft, list_slice(nd.ids, 1,
+                 CAST(pb.P[nd.pleft+2] - pb.P[nd.pleft+1] AS INT))
+        FROM nodes nd, pb WHERE nd.pright - nd.pleft = 2
+        UNION ALL
+        SELECT nd.pleft + 1, list_slice(nd.ids,
+                 CAST(pb.P[nd.pleft+2] - pb.P[nd.pleft+1] + 1 AS INT),
+                 CAST(pb.P[nd.pright+1] - pb.P[nd.pleft+1] AS INT))
+        FROM nodes nd, pb WHERE nd.pright - nd.pleft = 2
+      )
+      SELECT a.dids[pos] AS doc_id, CAST(chip_id AS BIGINT) AS chip_id,
+             CAST(ord - 1 AS BIGINT) AS chip_rank
+      FROM (SELECT chip_id, unnest(ids) AS pos,
+                   unnest(range(1, len(ids)+1)) AS ord FROM leaves), arrs a
+    """
     return {
         "feat_eigenvalues": eigenvalues,
         "feat_covariance": covariance,
@@ -1893,6 +1981,7 @@ def _eigen_oracles() -> dict[str, str]:
         "cluster_sizes": cluster_sizes,
         "fps": fps_sql,
         "sample_poisson": sample_sql,
+        "chipper_assign": chipper_sql,
     }
 
 

@@ -113,6 +113,16 @@ def main() -> None:
 
     import __spark_entry__ as E
 
+    # Session warmup (outside the timed loop): spin the Python worker
+    # pool once so the first pandas-UDF query is not charged ~10 s of
+    # one-time fork+import cost — steady-state is what the per-query
+    # numbers are for (the JVM equivalent is the first crop query).
+    import pandas as _pd  # noqa: F401
+
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     total0 = time.time()
     for name, fn in E.queries().items():
@@ -123,6 +133,10 @@ def main() -> None:
         except Exception as exc:  # record the failure, keep the suite running
             timings[name] = -1.0
             print(f"# bench query {name} failed: {exc}", file=sys.stderr)
+        # drop the query's persisted frames: queries are independent,
+        # and accumulated pins otherwise squeeze executor memory for
+        # everything measured after them
+        spark.catalog.clearCache()
 
     flag = flagship(spark, FLAGSHIP_PAGES)
     total = time.time() - total0
