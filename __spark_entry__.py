@@ -644,9 +644,10 @@ def q_delaunay_mesh(spark, sf_dir):
     """filters.delaunay analog (DelaunayFilter.cpp:61-110): tiled 2D
     Delaunay with halo duplication, hull-band driver completion, and a
     runtime exactness certificate (robust-incircle verification + the
-    Euler face-count identity 2n-2-h). Rows-only at the driver (no SQL
-    engine triangulates); the pytest oracle is the reference's 6-point
-    golden plus tiled==single equivalence."""
+    Euler face-count identity 2n-2-h). The SQL twin is an INDEPENDENT
+    Bowyer-Watson in a DuckDB recursive CTE (DT uniqueness makes the
+    face sets comparable); pytest carries the reference 6-point golden
+    plus tiled==single equivalence."""
     from pdal_spark.operators import mesh as mesh_op
 
     return mesh_op.delaunay(
@@ -659,8 +660,9 @@ def q_hag_delaunay(spark, sf_dir):
     """filters.hag delaunay mode (HAGFilter.cpp:102-146, 294-296): HAG
     against the global ground TIN — tiled delaunay + tile-bucketed
     point-in-triangle join + codegen barycentric interpolation; nearest
-    ground z outside the hull. Rows-only (no SQL engine triangulates);
-    the pytest oracle is an exact planar-surface invariant."""
+    ground z outside the hull. SQL twin: ground DT via the recursive-CTE
+    Bowyer-Watson + identical barycentric column formulas; the pytest
+    oracle is an exact planar-surface invariant."""
     from pdal_spark.operators import mesh as mesh_op
 
     df = _docs_geo(spark, sf_dir).join(
@@ -1754,6 +1756,133 @@ _EIG3_SQL = """
 """
 
 
+def _circumcircle_struct_sql(ax: str, ay: str, bx: str, by: str,
+                             cx: str, cy: str) -> str:
+    """SQL struct {'cx','cy','r2'}: circumcircle of points A, B, C —
+    the same local-coordinate formula as mesh._circumcircles."""
+    abx = f"({bx}-{ax})"
+    aby = f"({by}-{ay})"
+    acx = f"({cx}-{ax})"
+    acy = f"({cy}-{ay})"
+    ab2 = f"({abx}*{abx} + {aby}*{aby})"
+    ac2 = f"({acx}*{acx} + {acy}*{acy})"
+    d0 = f"(2.0*({abx}*{acy} - {aby}*{acx}))"
+    d = f"(CASE WHEN {d0} = 0 THEN 4.9e-324 ELSE {d0} END)"
+    ux = f"(({acy}*{ab2} - {aby}*{ac2}) / {d})"
+    uy = f"(({abx}*{ac2} - {acx}*{ab2}) / {d})"
+    return (f"{{'cx': {ax} + {ux}, 'cy': {ay} + {uy}, "
+            f"'r2': {ux}*{ux} + {uy}*{uy}}}")
+
+
+def _delaunay_cte_sql(pts_sql: str) -> str:
+    """Bowyer-Watson as a list-state recursive CTE — a complete,
+    independent Delaunay implementation in DuckDB. The engine's tiled
+    operator certifies its output as THE Delaunay triangulation
+    (incircle verification + Euler count, general position), and the DT
+    is unique, so any correct strict-incircle construction yields the
+    identical face set — this one inserts points in arrival order over
+    a scale-64 super-triangle (mesh._bowyer_watson's geometry) and
+    canonicalizes CCW/min-first exactly like mesh._canonical.
+
+    Returns the `WITH RECURSIVE ...` chain ending in `faces(a, b, c)`
+    (canonical doc-id triples); append further CTEs or a SELECT."""
+    sup = _circumcircle_struct_sql(
+        "a.x3[a.n+1]", "a.y3[a.n+1]", "a.x3[a.n+2]", "a.y3[a.n+2]",
+        "a.x3[a.n+3]", "a.y3[a.n+3]")
+    new = _circumcircle_struct_sql(
+        "a.x3[ed.u]", "a.y3[ed.u]", "a.x3[ed.v]", "a.y3[ed.v]",
+        "p.px", "p.py")
+    return f"""
+      WITH RECURSIVE pts AS ({pts_sql}),
+      arr0 AS (
+        SELECT list(x ORDER BY doc_id) AS xs, list(y ORDER BY doc_id) AS ys,
+               list(doc_id ORDER BY doc_id) AS dids, count(*) AS n,
+               avg(x) AS cx0, avg(y) AS cy0,
+               64.0 * greatest(max(x)-min(x), max(y)-min(y)) + 1.0 AS mm
+        FROM pts
+      ),
+      arrs AS (
+        SELECT dids, n,
+               list_append(list_append(list_append(xs, cx0 - 2.0*mm),
+                                       cx0 + 2.0*mm), cx0) AS x3,
+               list_append(list_append(list_append(ys, cy0 - mm),
+                                       cy0 - mm), cy0 + 2.0*mm) AS y3
+        FROM arr0
+      ),
+      bw(i, tris, circ) AS (
+        SELECT 1,
+               [{{'a': CAST(a.n+1 AS INT), 'b': CAST(a.n+2 AS INT),
+                  'c': CAST(a.n+3 AS INT)}}],
+               [{sup}]
+        FROM arrs a
+        UNION ALL
+        SELECT bw.i + 1, st.tris2, st.circ2
+        FROM bw, arrs a,
+        LATERAL (SELECT a.x3[bw.i] AS px, a.y3[bw.i] AS py) p,
+        LATERAL (
+          SELECT list_filter(range(1, len(bw.tris)+1),
+                   j -> (bw.circ[j].cx - p.px)*(bw.circ[j].cx - p.px)
+                      + (bw.circ[j].cy - p.py)*(bw.circ[j].cy - p.py)
+                      < bw.circ[j].r2) AS badj
+        ) b,
+        LATERAL (
+          SELECT flatten(list_transform(b.badj, j -> [
+                   {{'u': bw.tris[j].a, 'v': bw.tris[j].b}},
+                   {{'u': bw.tris[j].b, 'v': bw.tris[j].c}},
+                   {{'u': bw.tris[j].c, 'v': bw.tris[j].a}}])) AS edges
+        ) e,
+        LATERAL (
+          SELECT list_filter(e.edges, ed ->
+                   len(list_filter(e.edges, f ->
+                     least(f.u, f.v) = least(ed.u, ed.v)
+                     AND greatest(f.u, f.v) = greatest(ed.u, ed.v))) = 1
+                 ) AS boundary
+        ) bd,
+        LATERAL (
+          SELECT CASE WHEN len(b.badj) = 0 THEN bw.tris ELSE
+                   list_concat(
+                     list_filter(bw.tris,
+                       (t, j) -> NOT list_contains(b.badj, j)),
+                     list_transform(bd.boundary,
+                       ed -> {{'a': ed.u, 'b': ed.v,
+                               'c': CAST(bw.i AS INT)}}))
+                 END AS tris2,
+                 CASE WHEN len(b.badj) = 0 THEN bw.circ ELSE
+                   list_concat(
+                     list_filter(bw.circ,
+                       (t, j) -> NOT list_contains(b.badj, j)),
+                     list_transform(bd.boundary, ed -> {new}))
+                 END AS circ2
+        ) st
+        WHERE bw.i <= a.n
+      ),
+      final AS (
+        SELECT list_filter(tris,
+                 t -> t.a <= a.n AND t.b <= a.n AND t.c <= a.n) AS tris
+        FROM bw, arrs a WHERE i = a.n + 1
+      ),
+      canon AS (
+        SELECT t.a AS ia,
+               CASE WHEN cw.cw THEN t.c ELSE t.b END AS ib,
+               CASE WHEN cw.cw THEN t.b ELSE t.c END AS ic
+        FROM final, arrs a, LATERAL (SELECT unnest(final.tris) AS t) u,
+        LATERAL (SELECT ((a.x3[t.b]-a.x3[t.a])*(a.y3[t.c]-a.y3[t.a])
+                       - (a.y3[t.b]-a.y3[t.a])*(a.x3[t.c]-a.x3[t.a])) < 0
+                 AS cw) cw
+      ),
+      rot AS (
+        SELECT CASE WHEN ia <= ib AND ia <= ic THEN [ia, ib, ic]
+                    WHEN ib <= ia AND ib <= ic THEN [ib, ic, ia]
+                    ELSE [ic, ia, ib] END AS f
+        FROM canon
+      ),
+      faces AS (
+        SELECT a.dids[f[1]] AS a, a.dids[f[2]] AS b, a.dids[f[3]] AS c
+        FROM rot, arrs a
+      )
+    """
+
+
 def _eigen_oracles() -> dict[str, str]:
     """SQL twins for the eigen feature family. 2-D inputs (z = 0):
     the 3x3 decouples into the closed-form 2x2 pair (em, ep) plus an
@@ -1982,6 +2111,75 @@ def _eigen_oracles() -> dict[str, str]:
         "fps": fps_sql,
         "sample_poisson": sample_sql,
         "chipper_assign": chipper_sql,
+        "delaunay_mesh": _delaunay_cte_sql(_DOCS_GEO_SQL)
+        + " SELECT a, b, c FROM faces",
+        # filters.hag delaunay mode: ground DT (same BW chain over the
+        # ground class) + barycentric containment with the engine's
+        # exact column formulas; min-(a,b,c) face pick; nearest-ground
+        # (d2, gid) fallback outside the hull; ground rows hag = 0.
+        "hag_delaunay": _delaunay_cte_sql(
+            f"SELECT doc_id, ({_X_SQL}) AS x, ({_Y_SQL}) AS y "
+            f"FROM documents WHERE doc_id % 3 = 0"
+        ) + f"""
+        , gz AS (
+          SELECT doc_id AS gid, ({_X_SQL}) AS gx, ({_Y_SQL}) AS gy,
+                 CAST(n_chars AS DOUBLE) AS gz
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        fc AS (
+          SELECT f.a, f.b, f.c,
+                 va.gx AS ax, va.gy AS ay, va.gz AS az,
+                 vb.gx AS bx, vb.gy AS by, vb.gz AS bz,
+                 vc.gx AS cx, vc.gy AS cy, vc.gz AS cz
+          FROM faces f
+          JOIN gz va ON va.gid = f.a
+          JOIN gz vb ON vb.gid = f.b
+          JOIN gz vc ON vc.gid = f.c
+        ),
+        ng AS (
+          SELECT doc_id AS pid, ({_X_SQL}) AS px, ({_Y_SQL}) AS py,
+                 CAST(n_chars AS DOUBLE) AS pz
+          FROM documents WHERE doc_id % 3 <> 0
+        ),
+        bary AS (
+          SELECT ng.pid, fc.a, fc.b, fc.c,
+                 ((ng.px - fc.ax) * (fc.cy - fc.ay)
+                - (ng.py - fc.ay) * (fc.cx - fc.ax))
+                 / ((fc.bx - fc.ax) * (fc.cy - fc.ay)
+                  - (fc.by - fc.ay) * (fc.cx - fc.ax)) AS l2,
+                 ((fc.bx - fc.ax) * (ng.py - fc.ay)
+                - (fc.by - fc.ay) * (ng.px - fc.ax))
+                 / ((fc.bx - fc.ax) * (fc.cy - fc.ay)
+                  - (fc.by - fc.ay) * (fc.cx - fc.ax)) AS l3,
+                 fc.az, fc.bz, fc.cz
+          FROM ng JOIN fc ON TRUE
+        ),
+        hit AS (
+          SELECT pid, ground_z FROM (
+            SELECT pid,
+                   (1.0 - l2 - l3) * az + l2 * bz + l3 * cz AS ground_z,
+                   row_number() OVER (PARTITION BY pid
+                                      ORDER BY a ASC, b ASC, c ASC) AS rk
+            FROM bary
+            WHERE (1.0 - l2 - l3) >= 0 AND l2 >= 0 AND l3 >= 0
+          ) WHERE rk = 1
+        ),
+        fb AS (
+          SELECT pid, ground_z FROM (
+            SELECT ng.pid, g.gz AS ground_z,
+                   row_number() OVER (PARTITION BY ng.pid ORDER BY
+                     (g.gx - ng.px) * (g.gx - ng.px)
+                   + (g.gy - ng.py) * (g.gy - ng.py) ASC, g.gid ASC) AS rk
+            FROM ng JOIN gz g ON TRUE
+            WHERE ng.pid NOT IN (SELECT pid FROM hit)
+          ) WHERE rk = 1
+        )
+        SELECT ng.pid AS doc_id, round(ng.pz - u.ground_z, 6) AS hag
+        FROM ng JOIN (SELECT * FROM hit UNION ALL SELECT * FROM fb) u
+          ON u.pid = ng.pid
+        UNION ALL
+        SELECT doc_id, 0.0 AS hag FROM documents WHERE doc_id % 3 = 0
+        """,
     }
 
 
