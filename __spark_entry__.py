@@ -710,8 +710,9 @@ def q_voxel_centroid_nn(spark, sf_dir):
 
 
 def q_plane_fit(spark, sf_dir):
-    """filters.planefit (rows-only at the driver — eigenvector math; the
-    numpy oracle lives in tests/test_features.py)."""
+    """filters.planefit — SQL twin via the analytic smallest-eigenvector
+    (cross products of C - l0*I rows); numpy oracle in
+    tests/test_features.py."""
     from pdal_spark.operators import features as feat_op
 
     cell = _auto_cell(_n_docs(spark, sf_dir), FEAT_K)
@@ -721,8 +722,9 @@ def q_plane_fit(spark, sf_dir):
 
 
 def q_icp_register(spark, sf_dir):
-    """filters.icp (rows-only at the driver — iterative SVD registration;
-    the literal reference-loop oracle lives in tests/test_icp.py).
+    """filters.icp — SQL twin unrolls the two iterations this data runs
+    (exact 1-NN + Umeyama via Newton polar decomposition); the literal
+    reference-loop oracle lives in tests/test_icp.py.
 
     Fixed cloud = geocoded documents; moving cloud = the same points
     pushed through a known small rigid transform. ICP must recover the
@@ -750,8 +752,9 @@ def q_icp_register(spark, sf_dir):
 
 
 def q_miniball(spark, sf_dir):
-    """filters.miniball (rows-only at the driver — Welzl solver; the
-    exhaustive-subset oracle lives in tests/test_features.py)."""
+    """filters.miniball — SQL twin enumerates every <=4-point support set
+    with the engine's sphere formulas (the SEB is unique); exhaustive
+    subset oracle in tests/test_features.py."""
     from pdal_spark.operators import features as feat_op
 
     cell = _auto_cell(_n_docs(spark, sf_dir), FEAT_K)
@@ -844,9 +847,9 @@ def q_hag(spark, sf_dir):
 
 
 def q_ground_smrf(spark, sf_dir):
-    """filters.smrf ground segmentation (rows-only at the driver —
-    iterative morphology; literal + semantic oracles in
-    tests/test_ground.py). Terrain = tilted plane from the geocode x,
+    """filters.smrf ground segmentation — SQL twin mirrors every grid
+    stage (_smrf_oracle_sql); literal + semantic oracles in
+    tests/test_ground.py. Terrain = tilted plane from the geocode x,
     'buildings' = deterministic id-keyed z spikes."""
     from pdal_spark.operators import ground as ground_op
 
@@ -865,8 +868,9 @@ def q_ground_smrf(spark, sf_dir):
 
 
 def q_ground_pmf(spark, sf_dir):
-    """filters.pmf (rows-only — iterative morphology; the literal
-    sequential-loop oracle lives in tests/test_ground.py)."""
+    """filters.pmf — SQL twin unrolls the progressive openings as
+    L1-ball min/max joins (_pmf_oracle_sql); literal sequential-loop
+    oracle in tests/test_ground.py."""
     from pdal_spark.operators import ground as ground_op
 
     df = _docs_geo(spark, sf_dir).withColumn(
@@ -896,19 +900,21 @@ def q_skewness_balance(spark, sf_dir):
 
 
 def q_feat_normal(spark, sf_dir):
-    """filters.normal (rows-only — eigenvector math; numpy oracle in
-    tests/test_features.py)."""
+    """filters.normal — SQL twin via the analytic smallest-eigenvector +
+    always-up flip; numpy oracle in tests/test_features.py."""
     from pdal_spark.operators import features as feat_op
 
     cell = _auto_cell(_n_docs(spark, sf_dir), FEAT_K)
     out = feat_op.normal(_docs_z(spark, sf_dir), k=FEAT_K, id_col="doc_id",
                          z="z", cell_size=cell, validate=True)
+    # + 0.0 folds IEEE -0.0 (and the sign of sub-rounding noise at
+    # zero) to +0.0 for the hash compare
     return out.select(
         "doc_id",
-        F.round("normal_x", 6).alias("normal_x"),
-        F.round("normal_y", 6).alias("normal_y"),
-        F.round("normal_z", 6).alias("normal_z"),
-        F.round("curvature", 6).alias("curvature"),
+        (F.round("normal_x", 6) + F.lit(0.0)).alias("normal_x"),
+        (F.round("normal_y", 6) + F.lit(0.0)).alias("normal_y"),
+        (F.round("normal_z", 6) + F.lit(0.0)).alias("normal_z"),
+        (F.round("curvature", 6) + F.lit(0.0)).alias("curvature"),
     )
 
 
@@ -1661,10 +1667,13 @@ def _pointcloud_oracles() -> dict[str, str]:
     }
 
 
-def _eigen_cov_sql(pts_sql: str, k: int, three_d: bool) -> str:
-    """Shared CTE chain: self-inclusive (d2, id)-ranked kNN ->
-    float32-demeaned neighborhood covariance (EigenUtils.cpp:196-206
-    round-trip, /(n-1)) — the SQL twin of features._neighbor_cov."""
+def _eigen_cov_sql(pts_sql: str, k: int, three_d: bool,
+                   exclude_self: bool = False) -> str:
+    """Shared CTE chain: (d2, id)-ranked kNN (self-inclusive, or
+    exclude_self like _exclude_self_knn) -> float32-demeaned
+    neighborhood covariance (EigenUtils.cpp:196-206 round-trip,
+    /(n-1)) — the SQL twin of features._neighbor_cov."""
+    self_pred = "s.doc_id <> c.doc_id" if exclude_self else "TRUE"
     zc = "c.z" if three_d else "0.0"
     zcols = (
         ", CAST(CAST(nb.pz - cent.mz AS FLOAT) AS DOUBLE) AS az"
@@ -1686,7 +1695,7 @@ def _eigen_cov_sql(pts_sql: str, k: int, three_d: bool) -> str:
                    ORDER BY ((s.x-c.x)*(s.x-c.x)+(s.y-c.y)*(s.y-c.y)) ASC,
                             c.doc_id ASC
                  ) AS rank
-          FROM pts s JOIN pts c ON TRUE
+          FROM pts s JOIN pts c ON {self_pred}
         ) WHERE rank <= {k}
       ),
       nb AS (
@@ -2099,11 +2108,263 @@ def _eigen_oracles() -> dict[str, str]:
       FROM (SELECT chip_id, unnest(ids) AS pos,
                    unnest(range(1, len(ids)+1)) AS ord FROM leaves), arrs a
     """
+    cov3ex = _eigen_cov_sql(docs_z_sql, k, three_d=True, exclude_self=True)
+    plane_fit_sql = f"""
+      WITH {cov3ex}, {_EIG3_SQL},
+      nrm AS (
+        SELECT q.doc_id, q.c1 / q.nn AS nx, q.c2 / q.nn AS ny,
+               q.c3 / q.nn AS nz
+        FROM (
+          SELECT e.doc_id,
+                 CASE WHEN cr.n01 >= cr.n02 AND cr.n01 >= cr.n12 THEN cr.x01
+                      WHEN cr.n02 >= cr.n12 THEN cr.x02 ELSE cr.x12 END AS c1,
+                 CASE WHEN cr.n01 >= cr.n02 AND cr.n01 >= cr.n12 THEN cr.y01
+                      WHEN cr.n02 >= cr.n12 THEN cr.y02 ELSE cr.y12 END AS c2,
+                 CASE WHEN cr.n01 >= cr.n02 AND cr.n01 >= cr.n12 THEN cr.z01
+                      WHEN cr.n02 >= cr.n12 THEN cr.z02 ELSE cr.z12 END AS c3,
+                 sqrt(CASE WHEN cr.n01 >= cr.n02 AND cr.n01 >= cr.n12 THEN cr.n01
+                           WHEN cr.n02 >= cr.n12 THEN cr.n02 ELSE cr.n12 END) AS nn
+          FROM eig3 e JOIN cov USING (doc_id),
+          LATERAL (SELECT cov.cxx - e.e0 AS b11, cov.cxy AS b12,
+                          cov.cxz AS b13, cov.cyy - e.e0 AS b22,
+                          cov.cyz AS b23, cov.czz - e.e0 AS b33) bb,
+          LATERAL (
+            SELECT bb.b12*bb.b23 - bb.b13*bb.b22 AS x01,
+                   bb.b13*bb.b12 - bb.b11*bb.b23 AS y01,
+                   bb.b11*bb.b22 - bb.b12*bb.b12 AS z01,
+                   bb.b12*bb.b33 - bb.b13*bb.b23 AS x02,
+                   bb.b13*bb.b13 - bb.b11*bb.b33 AS y02,
+                   bb.b11*bb.b23 - bb.b12*bb.b13 AS z02,
+                   bb.b22*bb.b33 - bb.b23*bb.b23 AS x12,
+                   bb.b23*bb.b13 - bb.b12*bb.b33 AS y12,
+                   bb.b12*bb.b23 - bb.b22*bb.b13 AS z12
+          ) cx0,
+          LATERAL (
+            SELECT cx0.x01 AS x01, cx0.y01 AS y01, cx0.z01 AS z01,
+                   cx0.x02 AS x02, cx0.y02 AS y02, cx0.z02 AS z02,
+                   cx0.x12 AS x12, cx0.y12 AS y12, cx0.z12 AS z12,
+                   cx0.x01*cx0.x01 + cx0.y01*cx0.y01 + cx0.z01*cx0.z01 AS n01,
+                   cx0.x02*cx0.x02 + cx0.y02*cx0.y02 + cx0.z02*cx0.z02 AS n02,
+                   cx0.x12*cx0.x12 + cx0.y12*cx0.y12 + cx0.z12*cx0.z12 AS n12
+          ) cr
+        ) q
+      ),
+      db AS (
+        SELECT nb.src AS doc_id,
+               sum(abs(n.nx*(nb.px - cent.mx) + n.ny*(nb.py - cent.my)
+                     + n.nz*(nb.pz - cent.mz))) / {k} AS dbar
+        FROM nb JOIN cent USING (src) JOIN nrm n ON n.doc_id = nb.src
+        GROUP BY 1
+      )
+      SELECT p.doc_id,
+             round(abs(n.nx*(p.x - cent.mx) + n.ny*(p.y - cent.my)
+                     + n.nz*(p.z - cent.mz))
+                   / (abs(n.nx*(p.x - cent.mx) + n.ny*(p.y - cent.my)
+                        + n.nz*(p.z - cent.mz)) + db.dbar), 6) AS plane_fit
+      FROM pts p
+      JOIN cent ON cent.src = p.doc_id
+      JOIN nrm n ON n.doc_id = p.doc_id
+      JOIN db ON db.doc_id = p.doc_id
+    """
+    cov3i = _eigen_cov_sql(docs_z_sql, k, three_d=True)
+    feat_normal_sql = f"""
+      WITH {cov3i}, {_EIG3_SQL},
+      nrm AS (
+        SELECT q.doc_id,
+               q.c1 / q.nn AS nx, q.c2 / q.nn AS ny, q.c3 / q.nn AS nz,
+               q.e0 AS e0, q.es AS es
+        FROM (
+          SELECT e.doc_id, e.e0, e.e0 + e.e1 + e.e2 AS es,
+                 CASE WHEN cr.n01 >= cr.n02 AND cr.n01 >= cr.n12 THEN cr.x01
+                      WHEN cr.n02 >= cr.n12 THEN cr.x02 ELSE cr.x12 END AS c1,
+                 CASE WHEN cr.n01 >= cr.n02 AND cr.n01 >= cr.n12 THEN cr.y01
+                      WHEN cr.n02 >= cr.n12 THEN cr.y02 ELSE cr.y12 END AS c2,
+                 CASE WHEN cr.n01 >= cr.n02 AND cr.n01 >= cr.n12 THEN cr.z01
+                      WHEN cr.n02 >= cr.n12 THEN cr.z02 ELSE cr.z12 END AS c3,
+                 sqrt(CASE WHEN cr.n01 >= cr.n02 AND cr.n01 >= cr.n12 THEN cr.n01
+                           WHEN cr.n02 >= cr.n12 THEN cr.n02 ELSE cr.n12 END) AS nn
+          FROM eig3 e JOIN cov USING (doc_id),
+          LATERAL (SELECT cov.cxx - e.e0 AS b11, cov.cxy AS b12,
+                          cov.cxz AS b13, cov.cyy - e.e0 AS b22,
+                          cov.cyz AS b23, cov.czz - e.e0 AS b33) bb,
+          LATERAL (
+            SELECT bb.b12*bb.b23 - bb.b13*bb.b22 AS x01,
+                   bb.b13*bb.b12 - bb.b11*bb.b23 AS y01,
+                   bb.b11*bb.b22 - bb.b12*bb.b12 AS z01,
+                   bb.b12*bb.b33 - bb.b13*bb.b23 AS x02,
+                   bb.b13*bb.b13 - bb.b11*bb.b33 AS y02,
+                   bb.b11*bb.b23 - bb.b12*bb.b13 AS z02,
+                   bb.b22*bb.b33 - bb.b23*bb.b23 AS x12,
+                   bb.b23*bb.b13 - bb.b12*bb.b33 AS y12,
+                   bb.b12*bb.b23 - bb.b22*bb.b13 AS z12
+          ) cx0,
+          LATERAL (
+            SELECT cx0.x01 AS x01, cx0.y01 AS y01, cx0.z01 AS z01,
+                   cx0.x02 AS x02, cx0.y02 AS y02, cx0.z02 AS z02,
+                   cx0.x12 AS x12, cx0.y12 AS y12, cx0.z12 AS z12,
+                   cx0.x01*cx0.x01 + cx0.y01*cx0.y01 + cx0.z01*cx0.z01 AS n01,
+                   cx0.x02*cx0.x02 + cx0.y02*cx0.y02 + cx0.z02*cx0.z02 AS n02,
+                   cx0.x12*cx0.x12 + cx0.y12*cx0.y12 + cx0.z12*cx0.z12 AS n12
+          ) cr
+        ) q
+      )
+      SELECT doc_id,
+             round(CASE WHEN nz < 0 THEN -nx ELSE nx END, 6) + 0 AS normal_x,
+             round(CASE WHEN nz < 0 THEN -ny ELSE ny END, 6) + 0 AS normal_y,
+             round(CASE WHEN nz < 0 THEN -nz ELSE nz END, 6) + 0 AS normal_z,
+             round(CASE WHEN es <> 0 THEN abs(e0 / es) ELSE 0.0 END, 6) + 0
+               AS curvature
+      FROM nrm
+    """
+    # filters.miniball: the smallest enclosing ball is UNIQUE and its
+    # support has <= 4 points, so enumerating every pair / non-collinear
+    # triple / non-degenerate quad of the 8-neighbor set with the
+    # engine's own sphere formulas (_seb_ball sphere_of) and keeping the
+    # smallest candidate containing all neighbors (same 1e-9 tolerance)
+    # reproduces the Welzl result without recursion.
+    miniball_sql = f"""
+      WITH pts AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS z,
+               ({_X_SQL}) AS x, ({_Y_SQL}) AS y
+        FROM documents
+      ),
+      knn AS (
+        SELECT * FROM (
+          SELECT s.doc_id AS src, c.doc_id AS cand,
+                 c.x AS px, c.y AS py, c.z AS pz,
+                 row_number() OVER (
+                   PARTITION BY s.doc_id
+                   ORDER BY ((s.x-c.x)*(s.x-c.x)+(s.y-c.y)*(s.y-c.y)) ASC,
+                            c.doc_id ASC
+                 ) AS rank
+          FROM pts s JOIN pts c ON s.doc_id <> c.doc_id
+        ) WHERE rank <= {k}
+      ),
+      cand2 AS (
+        SELECT a.src, (a.px+b.px)/2 AS cx, (a.py+b.py)/2 AS cy,
+               (a.pz+b.pz)/2 AS cz,
+               sqrt((a.px-(a.px+b.px)/2)*(a.px-(a.px+b.px)/2)
+                  + (a.py-(a.py+b.py)/2)*(a.py-(a.py+b.py)/2)
+                  + (a.pz-(a.pz+b.pz)/2)*(a.pz-(a.pz+b.pz)/2)) AS r
+        FROM knn a JOIN knn b ON a.src = b.src AND a.rank < b.rank
+      ),
+      cand3 AS (
+        SELECT src, px + ox AS cx, py + oy AS cy, pz + oz AS cz,
+               sqrt(ox*ox + oy*oy + oz*oz) AS r
+        FROM (
+          SELECT a.src, a.px, a.py, a.pz,
+                 (w.aa * w.bx - w.bb * w.ax) AS wx,
+                 (w.aa * w.by - w.bb * w.ay) AS wy,
+                 (w.aa * w.bz - w.bb * w.az) AS wz,
+                 w.ux, w.uy, w.uz, w.uu
+          FROM knn a
+          JOIN knn b ON a.src = b.src AND a.rank < b.rank
+          JOIN knn c ON b.src = c.src AND b.rank < c.rank,
+          LATERAL (
+            SELECT b.px-a.px AS ax, b.py-a.py AS ay, b.pz-a.pz AS az,
+                   c.px-a.px AS bx, c.py-a.py AS by, c.pz-a.pz AS bz
+          ) d,
+          LATERAL (
+            SELECT d.ay*d.bz - d.az*d.by AS ux,
+                   d.az*d.bx - d.ax*d.bz AS uy,
+                   d.ax*d.by - d.ay*d.bx AS uz,
+                   d.ax*d.ax + d.ay*d.ay + d.az*d.az AS aa,
+                   d.bx*d.bx + d.by*d.by + d.bz*d.bz AS bb,
+                   (d.ay*d.bz - d.az*d.by)*(d.ay*d.bz - d.az*d.by)
+                 + (d.az*d.bx - d.ax*d.bz)*(d.az*d.bx - d.ax*d.bz)
+                 + (d.ax*d.by - d.ay*d.bx)*(d.ax*d.by - d.ay*d.bx) AS uu,
+                   d.ax AS ax, d.ay AS ay, d.az AS az,
+                   d.bx AS bx, d.by AS by, d.bz AS bz
+          ) w
+          WHERE w.uu >= 1e-9
+        ) t,
+        LATERAL (
+          SELECT (wy*uz - wz*uy) / (2.0*uu) AS ox,
+                 (wz*ux - wx*uz) / (2.0*uu) AS oy,
+                 (wx*uy - wy*ux) / (2.0*uu) AS oz
+        ) o
+      ),
+      cand4 AS (
+        SELECT src, cx, cy, cz,
+               sqrt((p1x-cx)*(p1x-cx) + (p1y-cy)*(p1y-cy)
+                  + (p1z-cz)*(p1z-cz)) AS r
+        FROM (
+          SELECT a.src, a.px AS p1x, a.py AS p1y, a.pz AS p1z,
+                 (m.r1*(m.a22*m.a33 - m.a23*m.a32)
+                - m.a12*(m.r2*m.a33 - m.a23*m.r3)
+                + m.a13*(m.r2*m.a32 - m.a22*m.r3)) / m.det AS cx,
+                 (m.a11*(m.r2*m.a33 - m.a23*m.r3)
+                - m.r1*(m.a21*m.a33 - m.a23*m.a31)
+                + m.a13*(m.a21*m.r3 - m.r2*m.a31)) / m.det AS cy,
+                 (m.a11*(m.a22*m.r3 - m.r2*m.a32)
+                - m.a12*(m.a21*m.r3 - m.r2*m.a31)
+                + m.r1*(m.a21*m.a32 - m.a22*m.a31)) / m.det AS cz
+          FROM knn a
+          JOIN knn b ON a.src = b.src AND a.rank < b.rank
+          JOIN knn c ON b.src = c.src AND b.rank < c.rank
+          JOIN knn d ON c.src = d.src AND c.rank < d.rank,
+          LATERAL (
+            SELECT 2.0*(b.px-a.px) AS a11, 2.0*(b.py-a.py) AS a12,
+                   2.0*(b.pz-a.pz) AS a13,
+                   2.0*(c.px-a.px) AS a21, 2.0*(c.py-a.py) AS a22,
+                   2.0*(c.pz-a.pz) AS a23,
+                   2.0*(d.px-a.px) AS a31, 2.0*(d.py-a.py) AS a32,
+                   2.0*(d.pz-a.pz) AS a33,
+                   (b.px*b.px + b.py*b.py + b.pz*b.pz)
+                 - (a.px*a.px + a.py*a.py + a.pz*a.pz) AS r1,
+                   (c.px*c.px + c.py*c.py + c.pz*c.pz)
+                 - (a.px*a.px + a.py*a.py + a.pz*a.pz) AS r2,
+                   (d.px*d.px + d.py*d.py + d.pz*d.pz)
+                 - (a.px*a.px + a.py*a.py + a.pz*a.pz) AS r3
+          ) m0,
+          LATERAL (
+            SELECT m0.a11 AS a11, m0.a12 AS a12, m0.a13 AS a13,
+                   m0.a21 AS a21, m0.a22 AS a22, m0.a23 AS a23,
+                   m0.a31 AS a31, m0.a32 AS a32, m0.a33 AS a33,
+                   m0.r1 AS r1, m0.r2 AS r2, m0.r3 AS r3,
+                   m0.a11*(m0.a22*m0.a33 - m0.a23*m0.a32)
+                 - m0.a12*(m0.a21*m0.a33 - m0.a23*m0.a31)
+                 + m0.a13*(m0.a21*m0.a32 - m0.a22*m0.a31) AS det
+          ) m
+          WHERE abs(m.det) > 0
+        ) t
+      ),
+      cands AS (
+        SELECT * FROM cand2 UNION ALL
+        SELECT * FROM cand3 UNION ALL
+        SELECT * FROM cand4
+      ),
+      valid AS (
+        SELECT c.src, c.cx, c.cy, c.cz, c.r,
+               row_number() OVER (PARTITION BY c.src
+                                  ORDER BY c.r ASC, c.cx, c.cy, c.cz) AS rk
+        FROM cands c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM knn p
+          WHERE p.src = c.src
+            AND sqrt((p.px-c.cx)*(p.px-c.cx) + (p.py-c.cy)*(p.py-c.cy)
+                   + (p.pz-c.cz)*(p.pz-c.cz)) > c.r + 1e-9*(1.0+abs(c.r))
+        )
+      )
+      SELECT q.doc_id,
+             round(dd.dd / (dd.dd + 2.0*v.r/sqrt(3.0)), 6) AS miniball
+      FROM pts q JOIN valid v ON v.src = q.doc_id AND v.rk = 1,
+      LATERAL (
+        SELECT sqrt((q.x-v.cx)*(q.x-v.cx) + (q.y-v.cy)*(q.y-v.cy)
+                  + (q.z-v.cz)*(q.z-v.cz)) AS dd
+      ) dd
+    """
     return {
         "feat_eigenvalues": eigenvalues,
         "feat_covariance": covariance,
         "feat_coplanar": coplanar,
         "feat_rank": est_rank,
+        "plane_fit": plane_fit_sql,
+        "feat_normal": feat_normal_sql,
+        "miniball": miniball_sql,
+        "ground_pmf": _pmf_oracle_sql(),
+        "ground_smrf": _smrf_oracle_sql(),
+        "icp_register": _icp_oracle_sql(),
         # filters.cluster: transitive closure as a recursive CTE; min
         # member = component root, kept (>= min_points) clusters
         # numbered 1..k by root — the reference's seed-scan order
@@ -2181,6 +2442,391 @@ def _eigen_oracles() -> dict[str, str]:
         SELECT doc_id, 0.0 AS hag FROM documents WHERE doc_id % 3 = 0
         """,
     }
+
+
+def _icp_newton_chain(start: str, n_steps: int, prefix: str):
+    """CTE chain refining `start` (one row, m11..m33) to its orthogonal
+    polar factor via determinant-scaled Newton iteration
+    N' = (g*N + (1/g)*N^-T)/2, g = |det N|^(-1/3) — numerically stable
+    where the SVD's U/V individually are not (sigma ~ c*R has three
+    near-equal singular values)."""
+    ctes = []
+    prev = start
+    cof = {
+        (1, 1): "m.m22*m.m33 - m.m23*m.m32",
+        (1, 2): "m.m23*m.m31 - m.m21*m.m33",
+        (1, 3): "m.m21*m.m32 - m.m22*m.m31",
+        (2, 1): "m.m13*m.m32 - m.m12*m.m33",
+        (2, 2): "m.m11*m.m33 - m.m13*m.m31",
+        (2, 3): "m.m12*m.m31 - m.m11*m.m32",
+        (3, 1): "m.m12*m.m23 - m.m13*m.m22",
+        (3, 2): "m.m13*m.m21 - m.m11*m.m23",
+        (3, 3): "m.m11*m.m22 - m.m12*m.m21",
+    }
+    det = ("(m.m11*(m.m22*m.m33 - m.m23*m.m32)"
+           " - m.m12*(m.m21*m.m33 - m.m23*m.m31)"
+           " + m.m13*(m.m21*m.m32 - m.m22*m.m31))")
+    for s in range(n_steps):
+        name = f"{prefix}{s}"
+        cols = ", ".join(
+            f"0.5*(d.g*m.m{i}{j} + ({cof[(i, j)]})/(d.g*d.dt)) AS m{i}{j}"
+            for i in (1, 2, 3) for j in (1, 2, 3)
+        )
+        ctes.append(f"""
+      {name} AS (
+        SELECT {cols}
+        FROM {prev} m, LATERAL (
+          SELECT {det} AS dt, 1.0/cbrt(abs({det})) AS g
+        ) d
+      )""")
+        prev = name
+    return ",".join(ctes), prev
+
+
+def _icp_iter_sql(idx: int, mv_cte: str) -> str:
+    """One unrolled ICP iteration: exact 1-NN of the moved cloud
+    against fx, the engine's one-pass moment aggregate, sigma, and the
+    Umeyama rigid transform (R = polar(sigma), t = mean_a - R mean_b —
+    identical to U S V^T for det > 0, which holds for this near-rigid
+    registration)."""
+    newton, rfinal = _icp_newton_chain(f"sg{idx}", 10, f"nw{idx}_")
+    return f"""
+      nn{idx} AS (
+        SELECT * FROM (
+          SELECT s.id AS sid, s.x AS sx, s.y AS sy, s.z AS sz,
+                 f.x AS nx, f.y AS ny, f.z AS nz,
+                 row_number() OVER (PARTITION BY s.id ORDER BY
+                   (s.x-f.x)*(s.x-f.x) + (s.y-f.y)*(s.y-f.y)
+                 + (s.z-f.z)*(s.z-f.z) ASC, f.id ASC) AS rk
+          FROM {mv_cte} s JOIN fx f ON TRUE
+        ) WHERE rk = 1
+      ),
+      ag{idx} AS (
+        SELECT count(*) AS n,
+               avg(nx) AS ax, avg(ny) AS ay, avg(nz) AS az,
+               avg(sx) AS bx, avg(sy) AS by, avg(sz) AS bz,
+               sum(nx*sx) AS p11, sum(nx*sy) AS p12, sum(nx*sz) AS p13,
+               sum(ny*sx) AS p21, sum(ny*sy) AS p22, sum(ny*sz) AS p23,
+               sum(nz*sx) AS p31, sum(nz*sy) AS p32, sum(nz*sz) AS p33
+        FROM nn{idx}
+      ),
+      sg{idx} AS (
+        SELECT p11/n - ax*bx AS m11, p12/n - ax*by AS m12,
+               p13/n - ax*bz AS m13,
+               p21/n - ay*bx AS m21, p22/n - ay*by AS m22,
+               p23/n - ay*bz AS m23,
+               p31/n - az*bx AS m31, p32/n - az*by AS m32,
+               p33/n - az*bz AS m33
+        FROM ag{idx}
+      ),{newton},
+      t{idx} AS (
+        SELECT r.m11 AS r11, r.m12 AS r12, r.m13 AS r13,
+               r.m21 AS r21, r.m22 AS r22, r.m23 AS r23,
+               r.m31 AS r31, r.m32 AS r32, r.m33 AS r33,
+               a.ax - (r.m11*a.bx + r.m12*a.by + r.m13*a.bz) AS tx,
+               a.ay - (r.m21*a.bx + r.m22*a.by + r.m23*a.bz) AS ty,
+               a.az - (r.m31*a.bx + r.m32*a.by + r.m33*a.bz) AS tz
+        FROM {rfinal} r, ag{idx} a
+      )"""
+
+
+def _icp_oracle_sql() -> str:
+    """filters.icp as pure SQL: q_icp_register's pipeline unrolled for
+    the TWO iterations it deterministically runs on the gate tables
+    (iteration 2's transform is ~identity, tripping the
+    rotation/translation convergence test; verified at sf0.001 AND
+    sf0.01). Each iteration = exact 1-NN correspondence + the engine's
+    moment aggregate + Umeyama rigid via Newton polar decomposition;
+    final = T1 @ T2 applied about the fixed centroid."""
+    M = [0.9998476951563913, -0.01745240643728351, 0.0, 0.7,
+         0.01745240643728351, 0.9998476951563913, 0.0, -0.4,
+         0.0, 0.0, 1.0, 0.25]
+    return f"""
+      WITH pts AS (
+        SELECT doc_id AS id, ({_X_SQL}) AS x, ({_Y_SQL}) AS y,
+               CAST(n_chars AS DOUBLE) AS z
+        FROM documents
+      ),
+      mvg AS (
+        SELECT id,
+               {M[0]!r}*x + {M[1]!r}*y + {M[2]!r}*z + {M[3]!r} AS x,
+               {M[4]!r}*x + {M[5]!r}*y + {M[6]!r}*z + {M[7]!r} AS y,
+               {M[8]!r}*x + {M[9]!r}*y + {M[10]!r}*z + {M[11]!r} AS z
+        FROM pts
+      ),
+      cen AS (SELECT avg(x) AS cx, avg(y) AS cy, avg(z) AS cz FROM pts),
+      fx AS (SELECT id, x - cen.cx AS x, y - cen.cy AS y,
+                    z - cen.cz AS z FROM pts, cen),
+      mv AS (SELECT id, x - cen.cx AS x, y - cen.cy AS y,
+                    z - cen.cz AS z FROM mvg, cen),
+      {_icp_iter_sql(1, "mv")},
+      mv2 AS (
+        SELECT s.id,
+               t.r11*s.x + t.r12*s.y + t.r13*s.z + t.tx AS x,
+               t.r21*s.x + t.r22*s.y + t.r23*s.z + t.ty AS y,
+               t.r31*s.x + t.r32*s.y + t.r33*s.z + t.tz AS z
+        FROM mv s, t1 t
+      ),
+      {_icp_iter_sql(2, "mv2")},
+      fin AS (
+        SELECT a.r11*b.r11 + a.r12*b.r21 + a.r13*b.r31 AS r11,
+               a.r11*b.r12 + a.r12*b.r22 + a.r13*b.r32 AS r12,
+               a.r11*b.r13 + a.r12*b.r23 + a.r13*b.r33 AS r13,
+               a.r21*b.r11 + a.r22*b.r21 + a.r23*b.r31 AS r21,
+               a.r21*b.r12 + a.r22*b.r22 + a.r23*b.r32 AS r22,
+               a.r21*b.r13 + a.r22*b.r23 + a.r23*b.r33 AS r23,
+               a.r31*b.r11 + a.r32*b.r21 + a.r33*b.r31 AS r31,
+               a.r31*b.r12 + a.r32*b.r22 + a.r33*b.r32 AS r32,
+               a.r31*b.r13 + a.r32*b.r23 + a.r33*b.r33 AS r33,
+               a.r11*b.tx + a.r12*b.ty + a.r13*b.tz + a.tx AS tx,
+               a.r21*b.tx + a.r22*b.ty + a.r23*b.tz + a.ty AS ty,
+               a.r31*b.tx + a.r32*b.ty + a.r33*b.tz + a.tz AS tz
+        FROM t1 a, t2 b
+      )
+      SELECT s.id AS doc_id,
+             round(f.r11*sh.x + f.r12*sh.y + f.r13*sh.z + f.tx + cen.cx, 6)
+               AS x,
+             round(f.r21*sh.x + f.r22*sh.y + f.r23*sh.z + f.ty + cen.cy, 6)
+               AS y,
+             round(f.r31*sh.x + f.r32*sh.y + f.r33*sh.z + f.tz + cen.cz, 6)
+               AS z
+      FROM mvg s, cen, fin f,
+      LATERAL (SELECT s.x - cen.cx AS x, s.y - cen.cy AS y,
+                      s.z - cen.cz AS z) sh
+    """
+
+
+def _smrf_oracle_sql() -> str:
+    """filters.smrf as pure SQL, mirroring smrf_grid stage by stage:
+    min-Z grid -> knnfill (mean of 8 nearest populated cells, (d2, lin)
+    order) -> low mask (progressive filter of the NEGATED surface,
+    slope 5, window 1) -> object mask (radii 1..ceil(window/cell), each
+    one L1-ball erode + dilate pair per morphology associativity) ->
+    provisional DEM (mask + re-knnfill) -> MATLAB-gradient slope-aware
+    thresholds -> |dem - z| > thr classify (floor-before-divide key on
+    both sides, like the engine)."""
+    cell, minx, miny = 15.0, -180.0, -90.0
+    slope, threshold, window, scalar = 0.05, 0.5, 30.0, 1.25
+    n_cols, n_rows = int(360.0 / cell) + 1, int(180.0 / cell) + 1
+    import math
+
+    max_r = int(math.ceil(window / cell))
+    # object-mask stages: er{r} = L1-r erosion of filled; op{r} = L1-r
+    # dilation of er{r}; prev surface chain: filled, op1, op2, ...
+    morph = []
+    obj_terms = []
+    prev_surf = "filled"
+    for r in range(1, max_r + 1):
+        morph.append(f"""
+      er{r} AS (
+        SELECT g.pc, g.pr, min(h.zv) AS zv
+        FROM grid g JOIN filled h
+          ON abs(h.pc - g.pc) + abs(h.pr - g.pr) <= {r}
+        GROUP BY 1, 2
+      ),
+      op{r} AS (
+        SELECT g.pc, g.pr, max(h.zv) AS zv
+        FROM grid g JOIN er{r} h
+          ON abs(h.pc - g.pc) + abs(h.pr - g.pr) <= {r}
+        GROUP BY 1, 2
+      )""")
+        obj_terms.append(
+            f"(SELECT abs(p.zv - o.zv) > {slope * cell}*{r} "
+            f"FROM {prev_surf} p, op{r} o "
+            f"WHERE p.pc = g.pc AND p.pr = g.pr "
+            f"AND o.pc = g.pc AND o.pr = g.pr)"
+        )
+        prev_surf = f"op{r}"
+    obj_expr = " OR ".join(obj_terms)
+    return f"""
+      WITH pts AS (
+        SELECT doc_id, ({_X_SQL}) AS x, ({_Y_SQL}) AS y,
+               0.05 * (({_X_SQL}) + 180.0)
+               + CASE WHEN doc_id % 5 = 0 THEN 12.0 ELSE 0.0 END AS z
+        FROM documents
+      ),
+      grid AS (
+        SELECT pc, pr FROM range(0, {n_cols}) t1(pc), range(0, {n_rows}) t2(pr)
+      ),
+      zmin AS (
+        SELECT CAST(trunc(floor(x - ({minx!r})) / {cell!r}) AS INT) AS pc,
+               CAST(trunc(floor(y - ({miny!r})) / {cell!r}) AS INT) AS pr,
+               min(z) AS zv
+        FROM pts GROUP BY 1, 2
+      ),
+      filled AS (
+        SELECT g.pc, g.pr,
+               coalesce(z0.zv,
+                 (SELECT avg(t.zv) FROM (
+                    SELECT p.zv FROM zmin p
+                    ORDER BY (p.pr - g.pr)*(p.pr - g.pr)
+                           + (p.pc - g.pc)*(p.pc - g.pc) ASC,
+                           p.pc * {n_rows} + p.pr ASC
+                    LIMIT 8) t)) AS zv
+        FROM grid g LEFT JOIN zmin z0 ON z0.pc = g.pc AND z0.pr = g.pr
+      ),
+      -- low mask: progressive filter of -filled, slope 5, window 1
+      nf AS (SELECT pc, pr, -zv AS zv FROM filled),
+      ler AS (
+        SELECT g.pc, g.pr, min(h.zv) AS zv
+        FROM grid g JOIN nf h ON abs(h.pc-g.pc) + abs(h.pr-g.pr) <= 1
+        GROUP BY 1, 2
+      ),
+      lop AS (
+        SELECT g.pc, g.pr, max(h.zv) AS zv
+        FROM grid g JOIN ler h ON abs(h.pc-g.pc) + abs(h.pr-g.pr) <= 1
+        GROUP BY 1, 2
+      ),
+      {",".join(morph)},
+      mask AS (
+        SELECT g.pc, g.pr,
+               ({obj_expr})
+               OR (SELECT abs(n.zv - l.zv) > {5.0 * cell}
+                   FROM nf n, lop l
+                   WHERE n.pc = g.pc AND n.pr = g.pr
+                     AND l.pc = g.pc AND l.pr = g.pr) AS bad
+        FROM grid g
+      ),
+      keepc AS (
+        SELECT f.pc, f.pr, f.zv
+        FROM filled f JOIN mask m ON m.pc = f.pc AND m.pr = f.pr
+        WHERE NOT m.bad
+      ),
+      zipro AS (
+        SELECT g.pc, g.pr,
+               coalesce(k0.zv,
+                 (SELECT avg(t.zv) FROM (
+                    SELECT p.zv FROM keepc p
+                    ORDER BY (p.pr - g.pr)*(p.pr - g.pr)
+                           + (p.pc - g.pc)*(p.pc - g.pc) ASC,
+                           p.pc * {n_rows} + p.pr ASC
+                    LIMIT 8) t)) AS zv
+        FROM grid g LEFT JOIN keepc k0 ON k0.pc = g.pc AND k0.pr = g.pr
+      ),
+      sc AS (SELECT pc, pr, zv / {cell!r} AS zv FROM zipro),
+      gr AS (
+        SELECT g.pc, g.pr,
+               CASE WHEN g.pc = 0
+                    THEN (SELECT b.zv - a.zv FROM sc a, sc b
+                          WHERE a.pc = 0 AND a.pr = g.pr
+                            AND b.pc = 1 AND b.pr = g.pr)
+                    WHEN g.pc = {n_cols - 1}
+                    THEN (SELECT b.zv - a.zv FROM sc a, sc b
+                          WHERE a.pc = {n_cols - 2} AND a.pr = g.pr
+                            AND b.pc = {n_cols - 1} AND b.pr = g.pr)
+                    ELSE (SELECT 0.5 * (b.zv - a.zv) FROM sc a, sc b
+                          WHERE a.pc = g.pc - 1 AND a.pr = g.pr
+                            AND b.pc = g.pc + 1 AND b.pr = g.pr)
+               END AS gx,
+               CASE WHEN g.pr = 0
+                    THEN (SELECT b.zv - a.zv FROM sc a, sc b
+                          WHERE a.pr = 0 AND a.pc = g.pc
+                            AND b.pr = 1 AND b.pc = g.pc)
+                    WHEN g.pr = {n_rows - 1}
+                    THEN (SELECT b.zv - a.zv FROM sc a, sc b
+                          WHERE a.pr = {n_rows - 2} AND a.pc = g.pc
+                            AND b.pr = {n_rows - 1} AND b.pc = g.pc)
+                    ELSE (SELECT 0.5 * (b.zv - a.zv) FROM sc a, sc b
+                          WHERE a.pr = g.pr - 1 AND a.pc = g.pc
+                            AND b.pr = g.pr + 1 AND b.pc = g.pc)
+               END AS gy
+        FROM grid g
+      ),
+      thr AS (
+        SELECT z.pc, z.pr, z.zv AS dem,
+               {threshold!r} + {scalar!r} * sqrt(g.gx*g.gx + g.gy*g.gy)
+                 AS thr
+        FROM zipro z JOIN gr g ON g.pc = z.pc AND g.pr = z.pr
+      )
+      SELECT p.doc_id,
+             CASE WHEN t.dem IS NULL THEN 1
+                  WHEN abs(t.dem - p.z) > t.thr THEN 1 ELSE 2 END
+               AS classification
+      FROM pts p
+      LEFT JOIN thr t
+        ON t.pc = CAST(trunc(floor(p.x - ({minx!r})) / {cell!r}) AS INT)
+       AND t.pr = CAST(trunc(floor(p.y - ({miny!r})) / {cell!r}) AS INT)
+    """
+
+
+def _pmf_oracle_sql() -> str:
+    """filters.pmf as pure SQL: min-Z grid (floor-before-divide key),
+    nearest-cell void fill, then each progressive window as ONE
+    L1-ball min join + ONE L1-ball max join (iterated 5-cell diamond
+    erosion/dilation == erosion/dilation by the L1 ball of radius
+    `iterations` — morphology associativity), finally
+    z < min_j(opened_j + ht_j) with the floor-after-divide classify
+    key. The window series is computed by the engine's own
+    pmf_windows(), so the stage unrolling always matches q_ground_pmf's
+    parameters (cell=15, max_window=60, slope=0.05, i=0.5, max=3.0)."""
+    from pdal_spark.operators.ground import pmf_windows
+
+    cell, minx, miny = 15.0, -180.0, -90.0
+    n_cols, n_rows = int(360.0 / cell) + 1, int(180.0 / cell) + 1
+    stages = [
+        (int(0.5 * (ws - 1)), ht)
+        for ws, ht in pmf_windows(cell, 60.0, 0.05, 0.5, 3.0, True)
+    ]
+    chain = []
+    prev = "filled"
+    lims = []
+    for j, (iters, ht) in enumerate(stages):
+        chain.append(f"""
+      er{j} AS (
+        SELECT g.pc, g.pr, min(h.zv) AS zv
+        FROM grid g JOIN {prev} h
+          ON abs(h.pc - g.pc) + abs(h.pr - g.pr) <= {iters}
+        GROUP BY 1, 2
+      ),
+      op{j} AS (
+        SELECT g.pc, g.pr, max(h.zv) AS zv
+        FROM grid g JOIN er{j} h
+          ON abs(h.pc - g.pc) + abs(h.pr - g.pr) <= {iters}
+        GROUP BY 1, 2
+      )""")
+        lims.append(f"op{j}.zv + {ht!r}")
+        prev = f"op{j}"
+    joins = " ".join(
+        f"JOIN op{j} ON op{j}.pc = grid.pc AND op{j}.pr = grid.pr"
+        for j in range(len(stages))
+    )
+    least = lims[0] if len(lims) == 1 else "least(" + ", ".join(lims) + ")"
+    return f"""
+      WITH pts AS (
+        SELECT doc_id, ({_X_SQL}) AS x, ({_Y_SQL}) AS y,
+               CASE WHEN doc_id % 5 = 0 THEN 12.0 ELSE 0.0 END AS z
+        FROM documents
+      ),
+      grid AS (
+        SELECT pc, pr FROM range(0, {n_cols}) t1(pc), range(0, {n_rows}) t2(pr)
+      ),
+      zmin AS (
+        SELECT CAST(trunc(floor(x - ({minx!r})) / {cell!r}) AS INT) AS pc,
+               CAST(trunc(floor(y - ({miny!r})) / {cell!r}) AS INT) AS pr,
+               min(z) AS zv
+        FROM pts GROUP BY 1, 2
+      ),
+      filled AS (
+        SELECT g.pc, g.pr,
+               coalesce(z0.zv,
+                 (SELECT p.zv FROM zmin p
+                  ORDER BY (p.pr - g.pr)*(p.pr - g.pr)
+                         + (p.pc - g.pc)*(p.pc - g.pc) ASC,
+                         p.pc * {n_rows} + p.pr ASC
+                  LIMIT 1)) AS zv
+        FROM grid g LEFT JOIN zmin z0 ON z0.pc = g.pc AND z0.pr = g.pr
+      ),{",".join(chain)},
+      lim AS (
+        SELECT grid.pc, grid.pr, {least} AS zlim
+        FROM grid {joins}
+      )
+      SELECT p.doc_id,
+             CASE WHEN p.z < l.zlim THEN 2 ELSE 1 END AS classification
+      FROM pts p
+      LEFT JOIN lim l
+        ON l.pc = CAST(trunc(floor((p.x - ({minx!r})) / {cell!r})) AS INT)
+       AND l.pr = CAST(trunc(floor((p.y - ({miny!r})) / {cell!r})) AS INT)
+    """
 
 
 def _feature_oracles() -> dict[str, str]:
