@@ -52,11 +52,16 @@ def _with_cell3(df: DataFrame, cell: float, x: str, y: str, z: str) -> DataFrame
 
 
 def _min_pair(d2, cand_id, cx, cy, cz):
-    """Lexicographic struct-min == (distance, cand_id) tiebreak — the
-    deterministic stand-in for the reference KD-tree's unspecified
-    equal-distance order (same rule as operators.knn)."""
-    return F.min(F.struct(d2.alias("d2"), cand_id.alias("i"),
-                          cx.alias("cx"), cy.alias("cy"), cz.alias("cz")))
+    """(distance, cand_id)-ordered argmin — the deterministic stand-in
+    for the reference KD-tree's unspecified equal-distance order (same
+    rule as operators.knn). min_by with the (d2, id) struct key beats
+    min(struct(...)) — the 5-field struct buffer forces SortAggregate;
+    cand_id is unique so the ordering key is tie-free."""
+    return F.min_by(
+        F.struct(d2.alias("d2"), cand_id.alias("i"),
+                 cx.alias("cx"), cy.alias("cy"), cz.alias("cz")),
+        F.struct(d2.alias("d2"), cand_id.alias("i")),
+    )
 
 
 def nn1_join_3d(
@@ -104,6 +109,11 @@ def nn1_join_3d(
     )
 
     remaining = s_base
+    # remaining-size bookkeeping is ARITHMETIC (n_rem -= matched): a
+    # `remaining.limit(1).count()` emptiness probe on an empty anti-join
+    # is Spark's incremental-take worst case — sequential 1/4/16/all-
+    # partition jobs, each re-executing the whole bucketed join
+    n_rem = remaining.count()
     done: list[DataFrame] = []
     size = float(cell)
     for _ in range(max_rounds):
@@ -137,15 +147,18 @@ def nn1_join_3d(
         if handles is not None:
             handles.append(ok)
         done.append(ok)
+        # one parallel count materializes the cache AND updates the
+        # remaining tally — no emptiness probe ever runs
+        n_rem -= ok.count()
         remaining = remaining.join(
             ok.select(F.col("_sid")), "_sid", "left_anti"
         )
         size *= 2.0
-        if not remaining.limit(1).count():
+        if n_rem == 0:
             remaining = None
             break
 
-    if remaining is not None and remaining.limit(1).count():
+    if remaining is not None and n_rem > 0:
         # far-outlier tail: broadcast the RESIDUAL (small side) against
         # the candidate cloud, map-side-combined min per residual row
         resid = (
