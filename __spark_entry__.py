@@ -1071,6 +1071,29 @@ def q_source_mixture(spark, sf_dir):
     return cont_op.source_mixture(df)
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Mixture materialization: deterministic Bernoulli keep at rate
+    min(1, budget*w_g/n_docs_g) via the affine-cipher uniform — the
+    sampler that turns source_mixture's weights into an actual training
+    subset; exact integer-compare SQL twin."""
+    from pdal_spark.datapipe import contamination as cont_op
+
+    df = _table(spark, sf_dir, "documents")
+    return cont_op.mixture_sample(df, budget=300).select("doc_id", "lang")
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """Near-dup clustering -> canonical selection: 3-word-shingle
+    Jaccard pairs (threshold 0.5) -> connected components (graph-generic
+    CC, distributed min-label above the driver cap) -> keep the smallest
+    member; the step that turns a pair list into an actual dedup
+    decision. Oracle: pair SQL + recursive-CTE transitive closure."""
+    df = _table(spark, sf_dir, "documents")
+    pairs = dedup_op.jaccard_pairs(df, threshold=0.5, shingle=3)
+    out = dedup_op.canonicalize(df, pairs)
+    return out.select("doc_id", "canonical_id", "is_canonical")
+
+
 def q_dedup_exact(spark, sf_dir):
     df = _table(spark, sf_dir, "documents")
     return dedup_op.exact_dedup(df).select("doc_id", "lang")
@@ -1191,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_contamination": q_text_contamination,
         "source_mixture": q_source_mixture,
+        "mixture_sample": q_mixture_sample,
+        "dedup_canonical": q_dedup_canonical,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
@@ -3038,6 +3063,27 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_repetition": rep_op.repetition_sql(),
         "text_contamination": cont_op.contamination_sql(),
         "source_mixture": cont_op.source_mixture_sql(),
+        "mixture_sample": cont_op.mixture_sample_sql(
+            300, select="doc_id, lang"
+        ),
+        # near-dup clustering: pair SQL (jaccard 3-gram shingles) +
+        # recursive-CTE transitive closure; canonical = min member
+        "dedup_canonical": f"""
+          WITH RECURSIVE prs AS (
+            {dedup_op.jaccard_pairs_sql(0.5, shingle=3)}
+          ),
+          reach(id, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, r.lab FROM reach r
+            JOIN (SELECT id1 AS a, id2 AS b FROM prs
+                  UNION ALL SELECT id2, id1 FROM prs) e
+              ON e.a = r.id
+          )
+          SELECT id AS doc_id, min(lab) AS canonical_id,
+                 CASE WHEN id = min(lab) THEN 1 ELSE 0 END AS is_canonical
+          FROM reach GROUP BY id
+        """,
         "text_tokens": (
             f"SELECT doc_id, CAST({ws} AS BIGINT) AS n_ws_tokens, "
             f"CAST({bpe} AS BIGINT) AS n_bpe_tokens FROM documents"

@@ -160,3 +160,68 @@ def source_mixture_sql(
                    9) AS weight
       FROM g
     """
+
+
+def mixture_sample(
+    docs: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    by: tuple[str, ...] = ("source", "lang"),
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the mixture: keep each doc of group g with
+    probability r_g = min(1, budget * w_g / n_docs_g), where w_g are
+    source_mixture's temperature-alpha weights — so the expected kept
+    count is ~budget distributed by the mixture.
+
+    The Bernoulli draw is the affine-cipher uniform over the Mersenne
+    prime (relational.shuffle_key_sql): keep iff key(id) < floor(r_g *
+    (2^31-1)) — an exact integer compare, identical in Spark SQL and
+    DuckDB, deterministic in `seed`, and independent of partitioning.
+    Broadcast of the tiny per-group rate table is the only join."""
+    from pdal_spark.operators.relational import shuffle_key_sql
+
+    P31 = 2_147_483_647
+    w = source_mixture(docs, alpha, by, text_col)
+    rates = w.select(
+        *by,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget)) * F.col("weight") / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    key = F.expr(shuffle_key_sql(seed, id_col))
+    out = docs.join(F.broadcast(rates), list(by))
+    return out.filter(
+        key < F.floor(F.col("rate") * F.lit(float(P31))).cast("long")
+    ).drop("rate")
+
+
+def mixture_sample_sql(
+    budget: int,
+    alpha: float = 0.5,
+    by: tuple[str, ...] = ("source", "lang"),
+    seed: int = 7,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+    select: str = "*",
+) -> str:
+    from pdal_spark.operators.relational import shuffle_key_sql
+
+    keys = ", ".join(by)
+    mix = source_mixture_sql(table, alpha, by, text)
+    key = shuffle_key_sql(seed, f"d.{id_col}")
+    return f"""
+      WITH mix AS ({mix}),
+      rates AS (
+        SELECT {keys},
+               least(1.0, {float(budget)!r} * weight / n_docs) AS rate
+        FROM mix
+      )
+      SELECT {select}
+      FROM {table} d JOIN rates USING ({keys})
+      WHERE {key} < CAST(floor(rate * 2147483647.0) AS BIGINT)
+    """

@@ -935,3 +935,37 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def canonicalize(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    driver_max_edges: int = 5_000_000,
+) -> DataFrame:
+    """Near-dup CLUSTERING -> canonical-document selection: connected
+    components of the verified pair graph; canonical = the smallest
+    member id of each group (the deterministic "keep first" rule every
+    dedup pipeline needs after pair generation).
+
+    Execution reuses the graph-generic CC primitives behind
+    filters.cluster (operators/pointcloud): driver union-find under
+    `driver_max_edges`, distributed min-label propagation above it — so
+    a 100 TB pair list never materializes on the driver. Adds
+    `canonical_id` and `is_canonical` (1 for the kept doc)."""
+    from pdal_spark.operators.pointcloud import _cc_min_label, _cc_union_find
+
+    pts = df.select(F.col(id_col).alias("id"))
+    edges = pairs.select(
+        F.col("id1").alias("src_id"), F.col("id2").alias("cand_id")
+    ).persist()
+    if edges.count() <= driver_max_edges:
+        roots = _cc_union_find(pts, edges)
+    else:
+        roots = _cc_min_label(pts, edges, max_iters=50)
+    side = roots.select(
+        F.col("id").alias(id_col), F.col("root").alias("canonical_id")
+    )
+    out = df.join(side, id_col)
+    return out.withColumn(
+        "is_canonical",
+        (F.col(id_col) == F.col("canonical_id")).cast("int"),
+    )

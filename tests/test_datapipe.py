@@ -622,3 +622,48 @@ def test_source_mixture_weights_sum_to_one(spark):
     prop = cont.source_mixture(docs, alpha=1.0).collect()
     tot = sum(r.n_tokens for r in prop)
     assert all(abs(r.weight - r.n_tokens / tot) < 1e-6 for r in prop)
+
+
+def test_canonicalize_transitive_groups(spark):
+    """Pair graph a-b, b-c (no a-c) must still collapse to ONE group
+    with the smallest id canonical — the transitivity near-dup pipelines
+    need beyond raw pair lists."""
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (3, 5, 9, 11)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(3, 5), (5, 9)], "id1 long, id2 long"
+    )
+    out = dedup.canonicalize(df, pairs).orderBy("doc_id").collect()
+    got = {(r.doc_id, r.canonical_id, r.is_canonical) for r in out}
+    assert got == {(3, 3, 1), (5, 3, 0), (9, 3, 0), (11, 11, 1)}
+
+
+def test_canonicalize_matches_driver_union_find_vs_distributed(spark):
+    """Driver union-find and distributed min-label must agree (forced
+    low edge cap exercises the scale path)."""
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup.jaccard_pairs(df, threshold=0.5, shingle=3)
+    a = dedup.canonicalize(df, pairs).select("doc_id", "canonical_id")
+    b = dedup.canonicalize(df, pairs, driver_max_edges=0).select(
+        "doc_id", "canonical_id"
+    )
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_mixture_sample_deterministic_and_budgeted(spark):
+    from pdal_spark.datapipe import contamination as cont
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s1 = {r.doc_id for r in cont.mixture_sample(df, budget=300).collect()}
+    s2 = {r.doc_id for r in cont.mixture_sample(df, budget=300).collect()}
+    assert s1 == s2  # deterministic in (data, seed)
+    s3 = {r.doc_id for r in cont.mixture_sample(df, budget=300, seed=8).collect()}
+    assert s3 != s1  # seed actually matters
+    n = df.count()
+    # expected kept ~ budget (clipped rates make it <=-ish); Bernoulli
+    # slack bounds, not exact
+    assert 0.5 * 300 <= len(s1) <= min(n, 1.4 * 300)
+    # a group whose rate clips to 1 keeps every doc
+    big = cont.mixture_sample(df, budget=10 * n)
+    assert big.count() == n
