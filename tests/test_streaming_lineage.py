@@ -185,3 +185,28 @@ def test_stream_exact_dedup_first_arrival_wins(spark, tmp_path):
     # one row per distinct text; 'bb'/'aa' duplicates suppressed
     assert {t for _, t in got} == {"aa", "bb", "cc", "dd"}
     assert len(got) == 4
+
+
+def test_submit_tile_job_main_runs_and_resumes(spark, tmp_path, capsys, monkeypatch):
+    """The spark-submit entry point end-to-end in-process: fresh run
+    commits every stripe; a second run skips them all (the ledger is the
+    resume source of truth). The same script was verified under real
+    `spark-submit --py-files pdal_spark.zip` (see README)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import submit_tile_job
+
+    # main() builds its own session via getOrCreate -> reuses `spark`
+    out = str(tmp_path / "tiles")
+    argv = ["--synth-pages", "2000", "--output", out, "--stripes", "3"]
+    monkeypatch.setattr(spark, "stop", lambda: None)  # keep the fixture alive
+    submit_tile_job.main(argv)
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(first["ran_batches"]) == 3 and not first["skipped_batches"]
+    assert first["total_rows"] > 0
+    submit_tile_job.main(argv)
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not second["ran_batches"] and len(second["skipped_batches"]) == 3
+    assert second["total_rows"] == first["total_rows"]
