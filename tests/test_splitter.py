@@ -183,3 +183,38 @@ def test_tindex_prune(spark):
     man = ti.tindex(df, 10.0, 0.0, 0.0, hex_edge=2.0, fast_boundary=True)
     kept = ti.tindex_prune(man, (5.0, 0.0, 15.0, 10.0)).toPandas()
     assert set(zip(kept.tile_x, kept.tile_y)) == {(0, 0), (1, 0)}
+
+
+def test_text_bytes_identical_through_full_tile_pipeline(spark, tmp_path):
+    """North-rule per-row invariant: the extracted text (and raw html
+    bytes) of every url survive geocode -> crop -> tile -> partitioned
+    write -> read back BYTE-IDENTICAL, and the surviving row set is
+    exactly the crop predicate's."""
+    from pdal_spark import synth
+    from pdal_spark.operators import crop as crop_op
+    from pdal_spark.operators import splitter as splitter_op
+
+    pages = synth.with_coords(synth.synth_pages(spark, 3000))
+    box = crop_op.Box(-120.0, -50.0, 120.0, 65.0)
+    cropped = crop_op.crop(pages, [box], mode="stream")
+    out = str(tmp_path / "tiles")
+    splitter_op.tile_job(cropped, out, 30.0, -180.0, -90.0)
+    back = spark.read.parquet(out)
+
+    src = {
+        r.url: (r.text, bytes(r.html), r.warc_ts)
+        for r in pages.select("url", "text", "html", "warc_ts").collect()
+    }
+    expect_urls = {
+        r.url
+        for r in pages.collect()
+        if -120.0 <= r.x <= 120.0 and -50.0 <= r.y <= 65.0
+    }
+    got = back.select("url", "text", "html", "warc_ts").collect()
+    assert {r.url for r in got} == expect_urls
+    assert len(got) == len(expect_urls)  # no duplicates introduced
+    for r in got:
+        t, h, ts = src[r.url]
+        assert r.text == t
+        assert bytes(r.html) == h
+        assert r.warc_ts == ts
