@@ -140,3 +140,90 @@ def stream_exact_dedup(
         df = df.withWatermark(ts_col, watermark_delay)
         keys = [text_col, ts_col] if False else keys  # state key stays text
     return df.dropDuplicates(keys)
+
+
+def stream_tile_stats_stateful(
+    df: DataFrame,
+    tile_len: float,
+    origin_x: float,
+    origin_y: float,
+    x: str = "x",
+    y: str = "y",
+    value: str = "n_chars",
+) -> DataFrame:
+    """CUSTOM stateful per-tile rolling statistics via
+    ``applyInPandasWithState`` — the arbitrary-state streaming operator
+    shape (for state a built-in agg can't hold: reservoirs, top-k
+    heaps, sketches). State per tile = the mergeable power sums
+    (n, s1, s2, min, max); every micro-batch folds its Arrow batches
+    into the state and emits the UPDATED finalized row for each touched
+    tile, so the sink always holds the running answer.
+
+    The math is identical to stream_stats_moments' power sums, which
+    makes the stream↔batch invariant testable: after the source drains,
+    the last emitted row per tile equals the one-shot batch aggregate.
+
+    Batch frames don't support the state API — call the groupBy twin
+    (`tile_stats_batch`) for the equivalence check."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    tx = geo.tile_coord(F.col(x), origin_x, tile_len)
+    ty = geo.tile_coord(F.col(y), origin_y, tile_len)
+    keyed = df.withColumn("tile_x", tx).withColumn("tile_y", ty).select(
+        "tile_x", "tile_y", F.col(value).cast("double").alias("_v")
+    )
+
+    out_schema = (
+        "tile_x long, tile_y long, n long, minimum double, "
+        "maximum double, average double"
+    )
+    state_schema = "n long, s1 double, mn double, mx double"
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            n, s1, mn, mx = state.get
+        else:
+            n, s1, mn, mx = 0, 0.0, float("inf"), float("-inf")
+        for pdf in pdfs:
+            v = pdf["_v"]
+            n += int(len(v))
+            s1 += float(v.sum())
+            mn = min(mn, float(v.min()))
+            mx = max(mx, float(v.max()))
+        state.update((n, s1, mn, mx))
+        yield pd.DataFrame({
+            "tile_x": [key[0]], "tile_y": [key[1]], "n": [n],
+            "minimum": [mn], "maximum": [mx],
+            "average": [round(s1 / n, 6)],
+        })
+
+    return keyed.groupBy("tile_x", "tile_y").applyInPandasWithState(
+        fold, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def tile_stats_batch(
+    df: DataFrame,
+    tile_len: float,
+    origin_x: float,
+    origin_y: float,
+    x: str = "x",
+    y: str = "y",
+    value: str = "n_chars",
+) -> DataFrame:
+    """Batch twin of stream_tile_stats_stateful (same outputs)."""
+    tx = geo.tile_coord(F.col(x), origin_x, tile_len)
+    ty = geo.tile_coord(F.col(y), origin_y, tile_len)
+    v = F.col(value).cast("double")
+    return (
+        df.withColumn("tile_x", tx).withColumn("tile_y", ty)
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.count(v).alias("n"), F.min(v).alias("minimum"),
+            F.max(v).alias("maximum"),
+            F.round(F.sum(v) / F.count(v), 6).alias("average"),
+        )
+    )

@@ -210,3 +210,43 @@ def test_submit_tile_job_main_runs_and_resumes(spark, tmp_path, capsys, monkeypa
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert not second["ran_batches"] and len(second["skipped_batches"]) == 3
     assert second["total_rows"] == first["total_rows"]
+
+
+def test_stream_tile_stats_stateful_equals_batch(spark, tmp_path):
+    """applyInPandasWithState rolling per-tile stats: after the source
+    drains (4 micro-batches), the LAST update per tile equals the
+    one-shot batch aggregate — the custom-state form of the reference's
+    stream==standard invariant, plus proof the state actually carries
+    across micro-batches (per-batch-only folds would undercount)."""
+    from pdal_spark import synth
+    from pdal_spark.streaming import jobs
+
+    src = str(tmp_path / "pages_src")
+    pages = synth.with_coords(synth.synth_pages(spark, 2000))
+    pages = pages.withColumn("n_chars", F.length("text"))
+    pages.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = jobs.stream_tile_stats_stateful(stream, 45.0, -180.0, -90.0)
+    q = jobs.run_stream_to_memory(out, "tile_stats_state", output_mode="update")
+    got_all = spark.sql("SELECT * FROM tile_stats_state").toPandas()
+    q.stop()
+    # update mode appends one row per (tile, micro-batch that touched
+    # it); the final state = last occurrence per tile
+    got = got_all.groupby(["tile_x", "tile_y"]).last().reset_index()
+    exp = jobs.tile_stats_batch(
+        spark.read.parquet(src), 45.0, -180.0, -90.0
+    ).toPandas()
+    got = got.sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    exp = exp.sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)],
+        check_dtype=False, rtol=0, atol=1e-9,
+    )
+    # state really crossed batches: some tile was touched by >1 batch
+    touches = got_all.groupby(["tile_x", "tile_y"]).size()
+    assert (touches > 1).any()
