@@ -83,8 +83,19 @@ def elm(
 
 def _cc_union_find(pts: DataFrame, edges: DataFrame) -> DataFrame:
     """(id, root) via driver union-find — the small-graph parity path.
-    Root = smallest member id (union by smaller id)."""
-    ids = [r.id for r in pts.select("id").collect()]
+    Root = smallest member id (union by smaller id).
+
+    Only ids that APPEAR IN AN EDGE ever reach the driver (isolated
+    points are their own root by definition and stay distributed — a
+    left join + coalesce at the end), so driver memory is bounded by
+    the edge list the caller already capped, not by |pts|."""
+    ids = [
+        r.id
+        for r in edges.select(F.col("src_id").alias("id"))
+        .union(edges.select(F.col("cand_id").alias("id")))
+        .distinct()
+        .collect()
+    ]
     parent = {i: i for i in ids}
 
     def find(a):
@@ -104,9 +115,15 @@ def _cc_union_find(pts: DataFrame, edges: DataFrame) -> DataFrame:
                 parent[ra] = rb
     rows = [(int(i), int(find(i))) for i in ids]
     spark = pts.sparkSession
-    if rows:
-        return spark.createDataFrame(rows, "id long, root long")
-    return spark.createDataFrame([], "id long, root long")
+    edge_roots = (
+        spark.createDataFrame(rows, "id long, _er long")
+        if rows
+        else spark.createDataFrame([], "id long, _er long")
+    )
+    # isolated points: root = self, resolved distributed
+    return pts.select("id").join(F.broadcast(edge_roots), "id", "left").select(
+        "id", F.coalesce("_er", F.col("id")).alias("root")
+    )
 
 
 def _cc_min_label(pts: DataFrame, edges: DataFrame, max_iters: int) -> DataFrame:
