@@ -1094,6 +1094,46 @@ def q_dedup_canonical(spark, sf_dir):
     return out.select("doc_id", "canonical_id", "is_canonical")
 
 
+def q_image_meta(spark, sf_dir):
+    """Multimodal decode in the driver gate: REAL P6 PPM payloads
+    synthesized in-query (deterministic gradient keyed by doc_id),
+    decoded by the numpy kernel (decode_image_meta_real) through the
+    Arrow plumbing; the oracle recomputes byte_len and mean_intensity
+    from the closed-form pixel function — exact integer arithmetic in
+    both engines."""
+    from pdal_spark.datapipe import multimodal as mm
+
+    df = mm.synth_ppm_docs(spark, 500, w=12, h=8)
+    out = mm.decode_image_meta_real(df)
+    return out.select(
+        "doc_id",
+        F.col("image_meta.byte_len").alias("byte_len"),
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.channels").alias("channels"),
+        F.round("image_meta.mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+def q_audio_meta(spark, sf_dir):
+    """Real WAV PCM decode in the driver gate: id-keyed sine fixtures
+    (synth_wav_docs) -> RIFF decoder -> typed meta; the oracle
+    regenerates the identical int16 samples in SQL (same libm sin,
+    verified bit-exact) and recomputes rms from them."""
+    from pdal_spark.datapipe import multimodal as mm
+
+    df = mm.synth_wav_docs(spark, 64, sample_rate=8000, n_samples=2048)
+    out = mm.decode_audio_meta_real(df)
+    return out.select(
+        "doc_id",
+        F.col("audio_meta.byte_len").alias("byte_len"),
+        F.col("audio_meta.sample_rate").alias("sample_rate"),
+        F.col("audio_meta.channels").alias("channels"),
+        F.col("audio_meta.n_samples").alias("n_samples"),
+        F.round("audio_meta.rms", 6).alias("rms"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     df = _table(spark, sf_dir, "documents")
     return dedup_op.exact_dedup(df).select("doc_id", "lang")
@@ -1216,6 +1256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": q_source_mixture,
         "mixture_sample": q_mixture_sample,
         "dedup_canonical": q_dedup_canonical,
+        "image_meta": q_image_meta,
+        "audio_meta": q_audio_meta,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
@@ -3066,6 +3108,40 @@ def _datapipe_oracles() -> dict[str, str]:
         "mixture_sample": cont_op.mixture_sample_sql(
             300, select="doc_id, lang"
         ),
+        # real PPM decode vs the closed-form pixel function: channel 0 =
+        # (x*7 + y*13 + id) % 256, channels 1/2 offset by 85/170; header
+        # "P6\n12 8\n255\n" = 12 bytes + 288 pixel bytes
+        "image_meta": """
+          SELECT i.range AS doc_id,
+                 CAST(300 AS BIGINT) AS byte_len,
+                 CAST(12 AS INT) AS width, CAST(8 AS INT) AS height,
+                 CAST(3 AS INT) AS channels,
+                 round((SELECT avg(CAST(
+                          (xx.range*7 + yy.range*13 + i.range + off.o) % 256
+                        AS DOUBLE))
+                        FROM range(0, 12) xx, range(0, 8) yy,
+                             (VALUES (0), (85), (170)) off(o)), 6)
+                   AS mean_intensity
+          FROM range(0, 500) i
+        """,
+        # WAV fixture: mono 16-bit PCM, 2048 samples -> 44-byte
+        # header+chunks + 4096 data bytes; pcm regenerated sample-exact
+        "audio_meta": """
+          SELECT i.range AS doc_id,
+                 CAST(4140 AS BIGINT) AS byte_len,
+                 CAST(8000 AS INT) AS sample_rate,
+                 CAST(1 AS INT) AS channels,
+                 CAST(2048 AS BIGINT) AS n_samples,
+                 round((SELECT sqrt(avg(
+                          (CAST(round(sin(2.0*pi()*(4 + i.range % 8)
+                                 *CAST(t.range AS DOUBLE)/512.0)*16384.0)
+                            AS DOUBLE)/32768.0)
+                        * (CAST(round(sin(2.0*pi()*(4 + i.range % 8)
+                                 *CAST(t.range AS DOUBLE)/512.0)*16384.0)
+                            AS DOUBLE)/32768.0)))
+                        FROM range(0, 2048) t), 6) AS rms
+          FROM range(0, 64) i
+        """,
         # near-dup clustering: pair SQL (jaccard 3-gram shingles) +
         # recursive-CTE transitive closure; canonical = min member
         "dedup_canonical": f"""
