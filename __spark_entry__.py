@@ -1039,6 +1039,15 @@ def q_text_fingerprint(spark, sf_dir):
     return text_op.fingerprint(df).select("doc_id", "fp_md5", "fp_roll")
 
 
+def q_text_bigram_lm(spark, sf_dir):
+    """CCNet-style LM quality filter (arXiv:1911.00359 §3), reduced to
+    an exactly-reproducible model: per-doc mean -log2 p of character
+    bigrams under the corpus bigram distribution (add-one smoothing).
+    Model fits in a broadcast at any corpus size (≤ alphabet² rows)."""
+    df = _table(spark, sf_dir, "documents")
+    return text_op.char_bigram_logloss(df)
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signals (arXiv:2112.11446 §A1.1): modal
     and duplicate n-gram word-position fractions (n=1,2,3) + word
@@ -1251,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_bigram_lm": q_text_bigram_lm,
         "text_repetition": q_text_repetition,
         "text_contamination": q_text_contamination,
         "source_mixture": q_source_mixture,
@@ -3172,6 +3182,7 @@ def _datapipe_oracles() -> dict[str, str]:
             f"{q['quality']} AS quality FROM documents"
         ),
         "text_langid": text_op.lang_id_sql(),
+        "text_bigram_lm": text_op.char_bigram_logloss_sql(),
         "text_fingerprint": (
             f"SELECT doc_id, {md5_sql} AS fp_md5, "
             f"CAST({roll_sql} AS BIGINT) AS fp_roll FROM documents"

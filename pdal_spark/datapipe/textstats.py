@@ -206,3 +206,75 @@ def fingerprint_sql(text: str = "text") -> tuple[str, str]:
     )
     fp = f"list_aggregate({codes}, 'sum') % {_FP_MOD}"
     return f"md5({text})", fp
+
+
+def char_bigram_logloss(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perplexity-proxy quality signal (the CCNet-style LM filter,
+    reduced to an exactly-reproducible model): per-doc mean negative
+    log2 probability of its character bigrams under the CORPUS bigram
+    distribution (add-one smoothing over the observed bigram
+    vocabulary). Low = typical text, high = junk/unnatural strings.
+
+    Scale shape: the background model is one map-side-combined count
+    over exploded bigrams (model size = distinct bigrams — alphabet²,
+    broadcastable at any corpus size); scoring joins each doc's bigrams
+    to the broadcast model and folds one aggregate. Two shuffles total,
+    both on small keys."""
+    t = F.col(text_col)
+    # sequence(1, 0) would step DOWN in Spark; gate on length >= 2 so
+    # sub-bigram docs yield no grams (matching DuckDB's empty range()).
+    grams = F.when(
+        F.length(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 1),
+            lambda i: t.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col), F.explode(grams).alias("bg"))
+    counts = ex.groupBy("bg").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("tot"), F.count("*").alias("v")
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "bg",
+        F.log2(
+            (F.col("c") + 1).cast("double")
+            / (F.col("tot") + F.col("v")).cast("double")
+        ).alias("lp"),
+    )
+    scored = (
+        ex.join(F.broadcast(model), "bg")
+        .groupBy(id_col)
+        .agg(F.round(-F.avg("lp"), 6).alias("bigram_logloss"))
+    )
+    return df.select(id_col).join(scored, id_col, "left")
+
+
+def char_bigram_logloss_sql(
+    table: str = "documents", text: str = "text", id_col: str = "doc_id"
+) -> str:
+    grams = (
+        f"list_transform(range(1, greatest(length({text}) - 1, 0) + 1), "
+        f"i -> {text}[i:i+1])"
+    )
+    return f"""
+      WITH ex AS (
+        SELECT {id_col}, unnest({grams}) AS bg FROM {table}
+      ),
+      counts AS (SELECT bg, count(*) AS c FROM ex GROUP BY 1),
+      totals AS (SELECT sum(c) AS tot, count(*) AS v FROM counts),
+      model AS (
+        SELECT bg, log2(CAST(c + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE))
+          AS lp
+        FROM counts, totals
+      ),
+      scored AS (
+        SELECT e.{id_col}, round(-avg(m.lp), 6) AS bigram_logloss
+        FROM ex e JOIN model m USING (bg)
+        GROUP BY 1
+      )
+      SELECT d.{id_col}, s.bigram_logloss
+      FROM {table} d LEFT JOIN scored s USING ({id_col})
+    """

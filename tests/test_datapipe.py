@@ -86,6 +86,30 @@ def test_fingerprint(docs, ddb):
     _cmp(out, exp, ["doc_id"])
 
 
+def test_char_bigram_logloss(docs, ddb):
+    out = textstats.char_bigram_logloss(docs)
+    exp = ddb.sql(textstats.char_bigram_logloss_sql())
+    _cmp(out, exp, ["doc_id"])
+
+
+def test_char_bigram_logloss_short_docs(spark):
+    # Sub-bigram texts must yield NULL, not garbage grams from Spark's
+    # descending sequence(1, 0); single shared corpus model otherwise.
+    df = spark.createDataFrame(
+        [(1, "abab"), (2, "a"), (3, ""), (4, "ba")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bigram_logloss"]
+        for r in textstats.char_bigram_logloss(df).collect()
+    }
+    assert got[2] is None and got[3] is None
+    # corpus bigrams: ab,ba,ab (doc1) + ba (doc4) → p(ab)=(2+1)/(4+2),
+    # p(ba)=(2+1)/(4+2); every present bigram has -log2(1/2) = 1.0
+    assert got[1] == pytest.approx(1.0, abs=1e-6)
+    assert got[4] == pytest.approx(1.0, abs=1e-6)
+
+
 # --- dedup -----------------------------------------------------------------
 
 
