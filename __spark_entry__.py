@@ -19,6 +19,7 @@ from pdal_spark import geo
 from pdal_spark.datapipe import dedup as dedup_op
 from pdal_spark.datapipe import simsearch as sim_op
 from pdal_spark.datapipe import textstats as text_op
+from pdal_spark.datapipe import weburl as weburl_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
 from pdal_spark.operators import chipper as chipper_op
@@ -1222,6 +1223,77 @@ def q_sim_ivf_topk(spark, sf_dir):
     return sim_op.ivf_topk(df, k=3, nlist=8, nprobe=8, n_iters=2)
 
 
+def q_dedup_paragraph(spark, sf_dir):
+    """CCNet-style paragraph-level exact dedup: drop repeated 10-word
+    paragraphs corpus-wide (first (doc_id, chunk_idx) occurrence wins),
+    reassemble the surviving text per doc."""
+    df = _table(spark, sf_dir, "documents")
+    return dedup_op.paragraph_dedup(df, chunk_words=10)
+
+
+def _variant_pages(spark, sf_dir):
+    """Deterministic Common-Crawl-style URL variants keyed off doc_id:
+    same underlying page appears under tracking params, fragments,
+    host case, www., default ports, trailing slash — the synthesis is
+    pure column math reproduced verbatim in the DuckDB oracle."""
+    df = _table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    site = F.lpad((i % 20).cast("string"), 5, "0")
+    page = F.lpad((i % 100).cast("string"), 6, "0")
+    root = F.concat(F.lit("https://site"), site, F.lit(".example/p/"), page)
+    v = i % 5
+    url = (
+        F.when(v == 0, root)
+        .when(v == 1, F.concat(F.lit("https://www.site"), site,
+                               F.lit(".example/p/"), page, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("HTTPS://SITE"), site,
+                               F.lit(".EXAMPLE:443/p/"), page,
+                               F.lit("?utm_source=feed")))
+        .when(v == 3, F.concat(root, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(root, F.lit("?a=1&b=2&fbclid=xyz#frag")))
+    )
+    ts = F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=i)
+    return df.select("doc_id", url.alias("url"), ts.alias("warc_ts"))
+
+
+_VARIANT_PAGES_SQL = (
+    "SELECT doc_id, CASE doc_id % 5"
+    " WHEN 0 THEN concat('https://site', site, '.example/p/', page)"
+    " WHEN 1 THEN concat('https://www.site', site, '.example/p/', page, '/')"
+    " WHEN 2 THEN concat('HTTPS://SITE', site, '.EXAMPLE:443/p/', page,"
+    "   '?utm_source=feed')"
+    " WHEN 3 THEN concat('https://site', site, '.example/p/', page, '?b=2&a=1')"
+    " ELSE concat('https://site', site, '.example/p/', page,"
+    "   '?a=1&b=2&fbclid=xyz#frag') END AS url,"
+    " TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts"
+    " FROM (SELECT doc_id,"
+    "   lpad(CAST(doc_id % 20 AS VARCHAR), 5, '0') AS site,"
+    "   lpad(CAST(doc_id % 100 AS VARCHAR), 6, '0') AS page FROM documents)"
+)
+
+
+def q_url_canonical(spark, sf_dir):
+    """Per-row URL canonicalization (projection only, no shuffle)."""
+    from pdal_spark.datapipe import weburl
+
+    pages = _variant_pages(spark, sf_dir)
+    return pages.select(
+        "doc_id", weburl.canonical_url(F.col("url")).alias("canonical_url")
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup: keep the LATEST capture per canonical URL
+    (one exchange on the canonical key — the crawl-refresh dedup every
+    web corpus runs before text-level dedup)."""
+    from pdal_spark.datapipe import weburl
+
+    pages = _variant_pages(spark, sf_dir)
+    return weburl.url_dedup(pages, id_col="doc_id").select(
+        "doc_id", "canonical_url", "warc_ts"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crop_box": q_crop_box,
@@ -1269,6 +1341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "audio_meta": q_audio_meta,
         "dedup_exact": q_dedup_exact,
+        "dedup_paragraph": q_dedup_paragraph,
+        "url_canonical": q_url_canonical,
+        "url_dedup": q_url_dedup,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
         "dedup_minhash": q_dedup_minhash,
@@ -3188,6 +3263,15 @@ def _datapipe_oracles() -> dict[str, str]:
             f"CAST({roll_sql} AS BIGINT) AS fp_roll FROM documents"
         ),
         "dedup_exact": dedup_op.exact_dedup_sql(select="doc_id, lang"),
+        "dedup_paragraph": dedup_op.paragraph_dedup_sql(chunk_words=10),
+        "url_canonical": (
+            f"SELECT doc_id, {weburl_op.canonical_url_sql('url')} AS canonical_url "
+            f"FROM ({_VARIANT_PAGES_SQL})"
+        ),
+        "url_dedup": weburl_op.url_dedup_sql(
+            f"({_VARIANT_PAGES_SQL})", id_col="doc_id",
+            select="doc_id, canonical_url, warc_ts",
+        ),
         "dedup_jaccard": dedup_op.jaccard_pairs_sql(0.8),
         "dedup_jaccard_3gram": dedup_op.jaccard_pairs_sql(0.5, shingle=3),
         "dedup_minhash": dedup_op.minhash_dedup_pairs_sql(0.8),

@@ -969,3 +969,100 @@ def canonicalize(
         "is_canonical",
         (F.col(id_col) == F.col("canonical_id")).cast("int"),
     )
+
+
+def paragraph_chunks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Explode each document into consecutive ``chunk_words``-word
+    paragraphs: (id, chunk_idx, chunk). The synthetic corpus is
+    single-space joined with no newlines, so fixed-width word windows
+    stand in for the paragraph boundary a real crawl carries; on real
+    pages pass the text pre-split on '\\n' instead.
+
+    Pure column math (split/slice/array_join over the token array), so
+    the explode runs at scan speed and the DuckDB twin is bit-exact."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_words))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chunks.alias("n_chunks"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    chunk_words: int = 10, key: str = "text",
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup (Wenzek et al. 2020):
+    drop every repeated paragraph corpus-wide (first occurrence in
+    (doc_id, chunk_idx) order wins), then reassemble each document from
+    its surviving paragraphs. Documents whose every paragraph appeared
+    earlier elsewhere vanish entirely — that IS the dedup semantics.
+
+    Output: (doc_id, text_dedup, n_kept, n_chunks).
+
+    Execution shape (100 TB): one exchange on the paragraph key for the
+    first-occurrence window (partitioned by paragraph — never a global
+    window), one exchange on doc_id for reassembly; both map-side
+    prunable. ``key="text"`` partitions on the paragraph string itself
+    (exact, SQL-twinned); ``key="hash"`` partitions on xxhash64(chunk)
+    so the shuffle key is 8 bytes — the open-vocabulary 100 TB path;
+    ties within one hash bucket still compare the string, so a hash
+    collision can never drop a distinct paragraph."""
+    ch = paragraph_chunks(df, text_col, id_col, chunk_words)
+    if key == "hash":
+        part_cols = [F.xxhash64("chunk"), F.col("chunk")]
+    else:
+        part_cols = [F.col("chunk")]
+    w = Window.partitionBy(*part_cols).orderBy(
+        F.col("id").asc(), F.col("chunk_idx").asc()
+    )
+    kept = ch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("n_chunks").cast("long").alias("n_chunks"),
+        )
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
+def paragraph_dedup_sql(
+    table: str = "documents", text: str = "text", id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> str:
+    """DuckDB twin: identical chunking (1-based list slice), identical
+    first-occurrence rule, string_agg reassembly ordered by chunk_idx."""
+    w = chunk_words
+    return (
+        f"WITH toks AS (SELECT {id_col} AS id, string_split({text}, ' ') AS wd FROM {table}), "
+        f"ch AS (SELECT id, "
+        f"  unnest(range(CAST(ceil(len(wd) / {w}.0) AS BIGINT))) AS chunk_idx, "
+        f"  unnest(list_transform(range(CAST(ceil(len(wd) / {w}.0) AS BIGINT)), "
+        f"    i -> array_to_string(wd[(i*{w}+1):(i*{w}+{w})], ' '))) AS chunk, "
+        f"  CAST(ceil(len(wd) / {w}.0) AS BIGINT) AS n_chunks "
+        f"FROM toks), "
+        f"first_occ AS (SELECT *, row_number() OVER ("
+        f"  PARTITION BY chunk ORDER BY id, chunk_idx) AS rn FROM ch) "
+        f"SELECT id AS doc_id, "
+        f"  string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup, "
+        f"  count(*) AS n_kept, max(n_chunks) AS n_chunks "
+        f"FROM first_occ WHERE rn = 1 GROUP BY id"
+    )

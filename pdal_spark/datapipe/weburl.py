@@ -1,0 +1,152 @@
+"""URL canonicalization + URL-level dedup for web-crawl tables.
+
+The north-star input is a Common-Crawl-style pages table
+(url, warc_ts, html, text, lang); a crawl re-fetches the same page
+under syntactic URL variants (tracking params, fragments, host case,
+``www.`` prefix, default ports, trailing slash). The standard pipeline
+step is: canonicalize the URL, keep the LATEST capture per canonical
+URL (warc_ts max, page_id tiebreak).
+
+Design constraints (same as textstats):
+  * pure built-in column expressions — regexp/split/filter/sort/join;
+    zero Python in the hot path, runs at scan speed with pushdown.
+  * every transform has a DuckDB SQL twin producing identical strings
+    (regex subset chosen to behave identically under Java regex and
+    RE2: no backrefs, no lookaround).
+
+Canonicalization rules (applied in order):
+  1. strip the ``#fragment``
+  2. lowercase scheme and host; strip a leading ``www.``
+  3. strip default ports (``:80`` for http, ``:443`` for https)
+  4. empty path -> ``/``; strip one trailing ``/`` from non-root paths
+  5. drop tracking query params (``utm_*``, fbclid, gclid, msclkid,
+     ref), sort survivors bytewise, rejoin with ``&``; drop an empty
+     query entirely
+
+Scale shape: canonicalization is per-row projection (no shuffle);
+``url_dedup`` is one exchange on the canonical URL with a partitioned
+max_by window — never a global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# exact-name tracking params; utm_* handled as a prefix rule
+TRACKING_EXACT = ("fbclid", "gclid", "msclkid", "ref")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL column (rules in the module docstring)."""
+    base = F.regexp_extract(url, r"^([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1))
+    hostport = F.regexp_replace(hostport, r"^www\.", "")
+    hostport = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.regexp_replace(hostport, r":80$", ""),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.regexp_replace(hostport, r":443$", ""),
+    ).otherwise(hostport)
+
+    path = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/[^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(path != "/", F.regexp_replace(path, r"/$", "")).otherwise(path)
+
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~F.regexp_extract(p, r"^([^=]*)", 1).isin(*TRACKING_EXACT),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+
+    root = F.concat(scheme, F.lit("://"), hostport, path)
+    return F.when(qcanon == "", root).otherwise(
+        F.concat(root, F.lit("?"), qcanon)
+    )
+
+
+def canonical_url_sql(url: str = "url") -> str:
+    """DuckDB twin of canonical_url — identical regexes (RE2-safe
+    subset), identical param filter/sort."""
+    # DuckDB regexp_extract yields NULL on no match where Spark yields ''
+    # — coalesce every extract to keep the twins bit-identical.
+    base = f"coalesce(regexp_extract({url}, '^([^?#]*)', 1), '')"
+    query = f"coalesce(regexp_extract({url}, '\\?([^#]*)', 1), '')"
+    scheme = (
+        f"lower(coalesce(regexp_extract({base}, "
+        f"'^([A-Za-z][A-Za-z0-9+.-]*)://', 1), ''))"
+    )
+    hp0 = (
+        f"regexp_replace(lower(coalesce(regexp_extract({base}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1), ''))"
+        f", '^www\\.', '')"
+    )
+    hostport = (
+        f"CASE WHEN {scheme} = 'http' AND {hp0} LIKE '%:80' "
+        f"THEN regexp_replace({hp0}, ':80$', '') "
+        f"WHEN {scheme} = 'https' AND {hp0} LIKE '%:443' "
+        f"THEN regexp_replace({hp0}, ':443$', '') ELSE {hp0} END"
+    )
+    p0 = (
+        f"coalesce(regexp_extract({base}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/[^?#]*)', 1), '')"
+    )
+    p1 = f"CASE WHEN {p0} = '' THEN '/' ELSE {p0} END"
+    path = (
+        f"CASE WHEN {p1} <> '/' THEN regexp_replace({p1}, '/$', '') ELSE {p1} END"
+    )
+    exact = ", ".join(f"'{t}'" for t in TRACKING_EXACT)
+    params = (
+        f"list_filter(string_split({query}, '&'), p -> p <> '' "
+        f"AND NOT starts_with(p, 'utm_') "
+        f"AND NOT list_contains([{exact}], regexp_extract(p, '^([^=]*)', 1)))"
+    )
+    # DuckDB array_to_string([]) is NULL where Spark array_join([]) is ''
+    qcanon = f"coalesce(array_to_string(list_sort({params}), '&'), '')"
+    root = f"concat({scheme}, '://', {hostport}, {path})"
+    return (
+        f"CASE WHEN {qcanon} = '' THEN {root} "
+        f"ELSE concat({root}, '?', {qcanon}) END"
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """Keep the LATEST capture per canonical URL (max ts; smallest id
+    breaks exact-timestamp ties). Adds ``canonical_url``; one exchange
+    on the canonical key."""
+    out = df.withColumn("canonical_url", canonical_url(F.col(url_col)))
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col(ts_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def url_dedup_sql(
+    table: str,
+    url: str = "url",
+    ts: str = "warc_ts",
+    id_col: str = "page_id",
+    select: str = "*",
+) -> str:
+    canon = canonical_url_sql(url)
+    return (
+        f"SELECT {select} FROM ("
+        f"  SELECT *, {canon} AS canonical_url, row_number() OVER ("
+        f"    PARTITION BY {canon} ORDER BY {ts} DESC, {id_col}) AS _rn"
+        f"  FROM {table}) WHERE _rn = 1"
+    )

@@ -691,3 +691,141 @@ def test_mixture_sample_deterministic_and_budgeted(spark):
     # a group whose rate clips to 1 keeps every doc
     big = cont.mixture_sample(df, budget=10 * n)
     assert big.count() == n
+
+
+# --- paragraph-level exact dedup (CCNet-style) ------------------------------
+
+
+def test_paragraph_dedup_oracle(docs, ddb):
+    out = dedup.paragraph_dedup(docs, chunk_words=10)
+    exp = ddb.sql(dedup.paragraph_dedup_sql(chunk_words=10))
+    _cmp(out, exp, ["doc_id"])
+
+
+def test_paragraph_dedup_hash_key_equiv(docs):
+    """key='hash' only changes the shuffle key (8-byte xxhash64 + string
+    tiebreak) — results must be identical to the exact-string partition."""
+    a = dedup.paragraph_dedup(docs, chunk_words=10, key="text").toPandas()
+    b = dedup.paragraph_dedup(docs, chunk_words=10, key="hash").toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_paragraph_dedup_literal(spark):
+    """Hand-built corpus: first occurrence (doc_id, chunk_idx) wins;
+    a doc whose every paragraph appeared earlier vanishes; reassembly
+    preserves chunk order."""
+    rows = [
+        (0, "a b c d"),      # chunks (w=2): "a b", "c d"
+        (1, "c d a b e"),    # "c d" dup, "a b" dup, "e" kept
+        (2, "a b c d"),      # all dup -> doc vanishes
+        (3, "e f a b"),      # "e f" new, "a b" dup
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["text_dedup"], r["n_kept"], r["n_chunks"])
+        for r in dedup.paragraph_dedup(df, chunk_words=2).collect()
+    }
+    assert out == {
+        0: ("a b c d", 2, 2),
+        1: ("e", 1, 3),
+        3: ("e f", 1, 2),
+    }
+
+
+# --- URL canonicalization + dedup -------------------------------------------
+
+
+def _variant_pages(spark, n=300):
+    """Deterministic URL variants of n pages over ~60 canonical targets."""
+    from pdal_spark.datapipe import weburl  # noqa: F401
+
+    df = spark.range(n).withColumnRenamed("id", "page_id")
+    i = F.col("page_id")
+    site = F.lpad((i % 10).cast("string"), 5, "0")
+    page = F.lpad((i % 60).cast("string"), 6, "0")
+    root = F.concat(F.lit("https://site"), site, F.lit(".example/p/"), page)
+    v = i % 5
+    url = (
+        F.when(v == 0, root)
+        .when(v == 1, F.concat(F.lit("https://www.site"), site,
+                               F.lit(".example/p/"), page, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("HTTPS://SITE"), site,
+                               F.lit(".EXAMPLE:443/p/"), page,
+                               F.lit("?utm_source=feed")))
+        .when(v == 3, F.concat(root, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(root, F.lit("?a=1&b=2&fbclid=xyz#frag")))
+    )
+    ts = F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=i)
+    return df.select("page_id", url.alias("url"), ts.alias("warc_ts"))
+
+
+def test_canonical_url_literals(spark):
+    from pdal_spark.datapipe import weburl
+
+    cases = [
+        ("https://Site.Example/p/1", "https://site.example/p/1"),
+        ("https://www.site.example/p/1/", "https://site.example/p/1"),
+        ("HTTP://HOST.COM:80/A/B#frag", "http://host.com/A/B"),
+        ("https://host.com:443/", "https://host.com/"),
+        ("https://host.com:8443/x", "https://host.com:8443/x"),
+        ("https://host.com", "https://host.com/"),
+        ("https://h.com/x?utm_source=a&b=2&a=1&fbclid=z", "https://h.com/x?a=1&b=2"),
+        ("https://h.com/x?utm_campaign=c", "https://h.com/x"),
+        ("https://h.com/x?ref=tw&refresh=1", "https://h.com/x?refresh=1"),
+    ]
+    df = spark.createDataFrame(cases, ["url", "want"])
+    got = df.select("want", weburl.canonical_url(F.col("url")).alias("got")).collect()
+    for r in got:
+        assert r["got"] == r["want"], r
+
+
+def test_canonical_url_sql_twin(spark):
+    import duckdb as _dd
+
+    from pdal_spark.datapipe import weburl
+
+    pages = _variant_pages(spark)
+    got = (
+        pages.select("page_id", weburl.canonical_url(F.col("url")).alias("c"))
+        .toPandas().sort_values("page_id").reset_index(drop=True)
+    )
+    pdf = pages.toPandas()
+    con = _dd.connect()
+    con.register("pages", pdf)
+    exp = con.sql(
+        f"SELECT page_id, {weburl.canonical_url_sql('url')} AS c "
+        f"FROM pages ORDER BY page_id"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_url_dedup_latest_wins(spark):
+    import duckdb as _dd
+
+    from pdal_spark.datapipe import weburl
+
+    pages = _variant_pages(spark)
+    out = weburl.url_dedup(pages)
+    got = (
+        out.select("page_id", "canonical_url")
+        .toPandas().sort_values(["canonical_url", "page_id"]).reset_index(drop=True)
+    )
+    con = _dd.connect()
+    con.register("pages", pages.toPandas())
+    exp = con.sql(
+        weburl.url_dedup_sql("pages", select="page_id, canonical_url")
+        + " ORDER BY canonical_url, page_id"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # keep-latest semantics: every winner carries the max page_id ts in
+    # its canonical group (ts increases with page_id in the fixture)
+    all_c = (
+        pages.select(weburl.canonical_url(F.col("url")).alias("c"),
+                     F.col("page_id"))
+        .groupBy("c").agg(F.max("page_id").alias("max_id")).toPandas()
+    )
+    winners = dict(zip(got["canonical_url"], got["page_id"]))
+    for _, r in all_c.iterrows():
+        assert winners[r["c"]] == r["max_id"]
