@@ -19,9 +19,11 @@ from pdal_spark import geo
 from pdal_spark.datapipe import dedup as dedup_op
 from pdal_spark.datapipe import simsearch as sim_op
 from pdal_spark.datapipe import textstats as text_op
+from pdal_spark.datapipe import pii as pii_op
 from pdal_spark.datapipe import weburl as weburl_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
+from pdal_spark.operators import cellindex as cellindex_op
 from pdal_spark.operators import chipper as chipper_op
 from pdal_spark.operators import crop as crop_op
 from pdal_spark.operators import hexbin as hexbin_op
@@ -1294,6 +1296,81 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+_PII_DOCS_SQL = (
+    "SELECT doc_id, CASE doc_id % 4"
+    " WHEN 0 THEN concat(text, ' contact u', CAST(doc_id AS VARCHAR),"
+    "   '@mail.example now')"
+    " WHEN 1 THEN concat(text, ' from 10.0.', CAST(doc_id % 256 AS VARCHAR),"
+    "   '.7 logged')"
+    " WHEN 2 THEN concat(text, ' call 555-',"
+    "   lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-4567')"
+    " ELSE text END AS text FROM documents"
+)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (emails/IPv4/phones -> placeholder tokens + per-type
+    counts). The documents table carries no PII, so rows are decorated
+    with deterministic synthetic PII first — synthesis is pure column
+    math reproduced verbatim in the oracle."""
+    from pdal_spark.datapipe import pii
+
+    df = _table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    v = i % 4
+    t = F.col("text")
+    decorated = (
+        F.when(v == 0, F.concat(t, F.lit(" contact u"), i.cast("string"),
+                                F.lit("@mail.example now")))
+        .when(v == 1, F.concat(t, F.lit(" from 10.0."),
+                               (i % 256).cast("string"), F.lit(".7 logged")))
+        .when(v == 2, F.concat(t, F.lit(" call 555-"),
+                               F.lpad((i % 1000).cast("string"), 3, "0"),
+                               F.lit("-4567")))
+        .otherwise(t)
+    )
+    out = pii.pii_redact(df.select("doc_id", decorated.alias("text")))
+    return out.select("doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted")
+
+
+CELL_LEVELS = [4, 8, 12]
+CELL_SCAN_LEVEL = 6
+
+
+def q_cell_encode(spark, sf_dir):
+    """S2-style hierarchical cell index: level-12 cell id + token +
+    level-6 ancestor for every geocoded page — pure codegen bit math."""
+    df = _docs_geo(spark, sf_dir)
+    cid = cellindex_op.cell_id(F.col("x"), F.col("y"), 12)
+    return df.select(
+        "doc_id",
+        cid.alias("cell_id"),
+        cellindex_op.cell_token(cid).alias("cell_token"),
+        cellindex_op.cell_parent(cid, 6).alias("cell_l6"),
+    )
+
+
+def q_cell_rollup(spark, sf_dir):
+    """Multi-level cell counts: one exchange at the finest level, then
+    parent-mask rollups on the aggregated table (hypertable shape)."""
+    df = _docs_geo(spark, sf_dir)
+    return cellindex_op.cell_rollup(df, CELL_LEVELS)
+
+
+def q_cell_range_scan(spark, sf_dir):
+    """Region query via the contiguous-descendant-range property:
+    covering(BOX) at level 6 -> merged BETWEEN predicates on the
+    level-12 cell id (parquet row-group prunable on a stored id)."""
+    df = _docs_geo(spark, sf_dir)
+    ranges = cellindex_op.covering_ranges(
+        (BOX.minx, BOX.miny, BOX.maxx, BOX.maxy), CELL_SCAN_LEVEL
+    )
+    cid = cellindex_op.cell_id(F.col("x"), F.col("y"), 12)
+    return cellindex_op.range_scan_join(
+        df.withColumn("cell_id", cid), "cell_id", ranges
+    ).select("doc_id", "cell_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crop_box": q_crop_box,
@@ -1344,6 +1421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph": q_dedup_paragraph,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
+        "pii_redact": q_pii_redact,
+        "cell_encode": q_cell_encode,
+        "cell_rollup": q_cell_rollup,
+        "cell_range_scan": q_cell_range_scan,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
         "dedup_minhash": q_dedup_minhash,
@@ -3271,6 +3352,36 @@ def _datapipe_oracles() -> dict[str, str]:
         "url_dedup": weburl_op.url_dedup_sql(
             f"({_VARIANT_PAGES_SQL})", id_col="doc_id",
             select="doc_id, canonical_url, warc_ts",
+        ),
+        "pii_redact": (
+            lambda e: (
+                f"SELECT doc_id, {e['n_email']} AS n_email, "
+                f"{e['n_ipv4']} AS n_ipv4, {e['n_phone']} AS n_phone, "
+                f"{e['text_redacted']} AS text_redacted "
+                f"FROM ({_PII_DOCS_SQL})"
+            )
+        )(pii_op.pii_redact_sql()),
+        "cell_encode": (
+            lambda cid: (
+                f"SELECT doc_id, {cid} AS cell_id, "
+                f"{cellindex_op.cell_token_sql(cid)} AS cell_token, "
+                f"{cellindex_op.cell_parent_sql(cid, 6)} AS cell_l6 "
+                f"FROM ({_DOCS_GEO_SQL})"
+            )
+        )(cellindex_op.cell_id_sql("x", "y", 12)),
+        "cell_rollup": cellindex_op.cell_rollup_sql(
+            f"({_DOCS_GEO_SQL})", CELL_LEVELS
+        ),
+        "cell_range_scan": (
+            f"SELECT doc_id, cell_id FROM (SELECT doc_id, "
+            f"{cellindex_op.cell_id_sql('x', 'y', 12)} AS cell_id "
+            f"FROM ({_DOCS_GEO_SQL})) WHERE "
+            + cellindex_op.range_filter_sql(
+                "cell_id",
+                cellindex_op.covering_ranges(
+                    (BOX.minx, BOX.miny, BOX.maxx, BOX.maxy), CELL_SCAN_LEVEL
+                ),
+            )
         ),
         "dedup_jaccard": dedup_op.jaccard_pairs_sql(0.8),
         "dedup_jaccard_3gram": dedup_op.jaccard_pairs_sql(0.5, shingle=3),

@@ -1,0 +1,148 @@
+"""S2-style hierarchical cell index: id layout invariants, DuckDB
+twins, covering/range-scan semantics, and the parquet pushdown
+evidence the range-scan design exists for."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pdal_spark import geo
+from pdal_spark.operators import cellindex as ci
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_geo(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return df.select(
+        "doc_id",
+        geo.geocode_lcg_x(F.col("doc_id")).alias("x"),
+        geo.geocode_lcg_y(F.col("doc_id")).alias("y"),
+    )
+
+
+def _ddb_geo():
+    con = duckdb.connect()
+    x, y = geo.geocode_lcg_sql("doc_id")
+    con.sql(
+        f"CREATE VIEW g AS SELECT doc_id, ({x}) AS x, ({y}) AS y "
+        f"FROM '{SF_DIR}/documents.parquet'"
+    )
+    return con
+
+
+def test_cell_id_layout_invariants():
+    """Python-side layout math: level recovery, parent containment,
+    contiguous descendant ranges, token prefix property."""
+    # a level-12 cell somewhere mid-domain
+    cells = ci.covering((10.0, 10.0, 10.1, 10.1), 12)
+    assert cells
+    cid = cells[0]
+    assert ci.cell_level(cid) == 12
+    lo, hi = ci.cell_range(cid)
+    assert lo <= cid <= hi
+    # its level-6 ancestor's range contains the child's entire range
+    pmask_lsb = 1 << (2 * (ci.MAX_LEVEL - 6))
+    parent = (cid & ~(2 * pmask_lsb - 1)) | pmask_lsb
+    plo, phi = ci.cell_range(parent)
+    assert plo <= lo and hi <= phi
+    assert ci.cell_level(parent) == 6
+
+
+def test_cell_encode_sql_twin(docs_geo):
+    cid = ci.cell_id(F.col("x"), F.col("y"), 12)
+    got = (
+        docs_geo.select(
+            "doc_id",
+            cid.alias("cell_id"),
+            ci.cell_token(cid).alias("cell_token"),
+            ci.cell_parent(cid, 6).alias("cell_l6"),
+        )
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = _ddb_geo()
+    c = ci.cell_id_sql("x", "y", 12)
+    exp = con.sql(
+        f"SELECT doc_id, {c} AS cell_id, "
+        f"{ci.cell_token_sql(c)} AS cell_token, "
+        f"{ci.cell_parent_sql(c, 6)} AS cell_l6 FROM g ORDER BY doc_id"
+    ).df().reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # parent ids really are ancestors: child range within parent range
+    for _, r in got.head(50).iterrows():
+        lo, hi = ci.cell_range(int(r.cell_id))
+        plo, phi = ci.cell_range(int(r.cell_l6))
+        assert plo <= lo and hi <= phi
+
+
+def test_cell_rollup_twin_and_consistency(docs_geo):
+    out = ci.cell_rollup(docs_geo, [4, 8, 12]).toPandas()
+    con = _ddb_geo()
+    exp = con.sql(ci.cell_rollup_sql("g", [4, 8, 12])).df()
+    key = ["level", "cell_id"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True)[["level", "cell_id", "n"]],
+        exp.sort_values(key).reset_index(drop=True)[["level", "cell_id", "n"]],
+        check_dtype=False,
+    )
+    # every level's counts sum to the row count
+    n_docs = docs_geo.count()
+    sums = out.groupby("level")["n"].sum()
+    assert (sums == n_docs).all()
+
+
+def test_range_scan_superset_of_crop(docs_geo):
+    """The covering range scan must return a SUPERSET of the exact bbox
+    crop (cells intersect the box; points in partially-covered cells
+    come along) and a subset of a one-cell-padded box."""
+    bbox = (-90.0, -45.0, 90.0, 45.0)
+    ranges = ci.covering_ranges(bbox, 6)
+    cid = ci.cell_id(F.col("x"), F.col("y"), 12)
+    scanned = set(
+        r.doc_id
+        for r in ci.range_scan_join(
+            docs_geo.withColumn("cid", cid), "cid", ranges
+        ).select("doc_id").collect()
+    )
+    exact = set(
+        r.doc_id
+        for r in docs_geo.filter(
+            (F.col("x") >= bbox[0]) & (F.col("x") <= bbox[2])
+            & (F.col("y") >= bbox[1]) & (F.col("y") <= bbox[3])
+        ).select("doc_id").collect()
+    )
+    assert exact <= scanned
+    # padding bound: one level-6 cell is 360/64 x 180/64 degrees
+    padx, pady = 360.0 / 64, 180.0 / 64
+    padded = set(
+        r.doc_id
+        for r in docs_geo.filter(
+            (F.col("x") >= bbox[0] - padx) & (F.col("x") <= bbox[2] + padx)
+            & (F.col("y") >= bbox[1] - pady) & (F.col("y") <= bbox[3] + pady)
+        ).select("doc_id").collect()
+    )
+    assert scanned <= padded
+
+
+def test_range_scan_parquet_pushdown(spark, docs_geo, tmp_path):
+    """Stored cell ids + BETWEEN ranges reach the parquet scan as
+    PushedFilters — the reason the id layout makes descendants
+    contiguous."""
+    p = str(tmp_path / "cells.parquet")
+    docs_geo.withColumn(
+        "cell_id", ci.cell_id(F.col("x"), F.col("y"), 12)
+    ).write.mode("overwrite").parquet(p)
+    ranges = ci.covering_ranges((-90.0, -45.0, 90.0, 45.0), 6)
+    df = spark.read.parquet(p).filter(
+        ci.range_filter(F.col("cell_id"), ranges)
+    ).select("doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "cell_id" in plan.split("PushedFilters")[1][:2000]

@@ -829,3 +829,61 @@ def test_url_dedup_latest_wins(spark):
     winners = dict(zip(got["canonical_url"], got["page_id"]))
     for _, r in all_c.iterrows():
         assert winners[r["c"]] == r["max_id"]
+
+
+# --- PII redaction -----------------------------------------------------------
+
+
+def test_pii_redact_literals(spark):
+    from pdal_spark.datapipe import pii
+
+    rows = [
+        (0, "mail me at jo.doe+x@sub.example.org thanks"),
+        (1, "server 192.168.001.42 and 8.8.8.8 up"),
+        (2, "call 555-123-4567 or 555.987.6543"),
+        (3, "no pii here v1.2 x.y 12.34"),
+        (4, "a@b.co 10.0.0.1 111-222-3333"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in pii.pii_redact(df).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["text_redacted"] == (
+        "mail me at <EMAIL> thanks"
+    )
+    assert out[1]["n_ipv4"] == 2 and out[1]["text_redacted"] == (
+        "server <IP> and <IP> up"
+    )
+    assert out[2]["n_phone"] == 2 and out[2]["text_redacted"] == (
+        "call <PHONE> or <PHONE>"
+    )
+    assert out[3] == {
+        "doc_id": 3, "text": rows[3][1], "n_email": 0, "n_ipv4": 0,
+        "n_phone": 0, "text_redacted": rows[3][1],
+    }
+    assert out[4]["text_redacted"] == "<EMAIL> <IP> <PHONE>"
+
+
+def test_pii_redact_sql_twin(spark):
+    import duckdb as _dd
+
+    from pdal_spark.datapipe import pii
+
+    rows = [
+        (i, t) for i, t in enumerate([
+            "x a@b.co y", "ip 1.2.3.4", "tel 123-456-7890",
+            "plain words only", "two a@b.co c@d.org", "dots 1.2 3.4.5",
+            "u.name_9%+-@host-x.example.travel end",
+        ])
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = (
+        pii.pii_redact(df).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    e = pii.pii_redact_sql()
+    con = _dd.connect()
+    con.register("t", df.toPandas())
+    exp = con.sql(
+        f"SELECT doc_id, text, {e['n_email']} AS n_email, "
+        f"{e['n_ipv4']} AS n_ipv4, {e['n_phone']} AS n_phone, "
+        f"{e['text_redacted']} AS text_redacted FROM t ORDER BY doc_id"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
