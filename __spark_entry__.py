@@ -1371,6 +1371,21 @@ def q_cell_range_scan(spark, sf_dir):
     ).select("doc_id", "cell_id")
 
 
+CELL_PNP_HEX = crop_op.hexagon_ring(40.0, -10.0, 45.0)
+
+
+def q_cell_pnp_join(spark, sf_dir):
+    """Index-accelerated polygon-set join: bbox-covering range prune on
+    the cell id (broadcast), exact even-odd PnP refine. Oracle is the
+    index-FREE exact PnP per polygon — pruning must lose/add nothing."""
+    df = _docs_geo(spark, sf_dir)
+    cid = cellindex_op.cell_id(F.col("x"), F.col("y"), 12)
+    out = cellindex_op.cell_pnp_join(
+        df.withColumn("cell_id", cid), [POLY, CELL_PNP_HEX], level=CELL_SCAN_LEVEL
+    )
+    return out.select("doc_id", F.col("geom_id").cast("long").alias("geom_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crop_box": q_crop_box,
@@ -1425,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_encode": q_cell_encode,
         "cell_rollup": q_cell_rollup,
         "cell_range_scan": q_cell_range_scan,
+        "cell_pnp_join": q_cell_pnp_join,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
         "dedup_minhash": q_dedup_minhash,
@@ -3371,6 +3387,13 @@ def _datapipe_oracles() -> dict[str, str]:
         )(cellindex_op.cell_id_sql("x", "y", 12)),
         "cell_rollup": cellindex_op.cell_rollup_sql(
             f"({_DOCS_GEO_SQL})", CELL_LEVELS
+        ),
+        "cell_pnp_join": (
+            f"SELECT doc_id, CAST(0 AS BIGINT) AS geom_id "
+            f"FROM ({_DOCS_GEO_SQL}) WHERE {crop_op.polygon_pnp_sql(POLY)} "
+            f"UNION ALL SELECT doc_id, CAST(1 AS BIGINT) AS geom_id "
+            f"FROM ({_DOCS_GEO_SQL}) "
+            f"WHERE {crop_op.polygon_pnp_sql(CELL_PNP_HEX)}"
         ),
         "cell_range_scan": (
             f"SELECT doc_id, cell_id FROM (SELECT doc_id, "

@@ -256,6 +256,48 @@ def range_scan_join(
     )
 
 
+def cell_pnp_join(
+    df: DataFrame, polygons: list, level: int = 6,
+    cid_col: str = "cell_id", x: str = "x", y: str = "y",
+) -> DataFrame:
+    """Two-phase spatial join of points against a polygon set — the
+    index-accelerated form of filters.crop batch mode (one output row
+    per (point, containing polygon)):
+
+      phase 1 (prune): each polygon's bbox covering compiles to a few
+        [lo, hi] id ranges; the (geom_id, lo, hi) table is broadcast
+        and range-joined on the cell id — candidates only, no PnP yet;
+      phase 2 (refine): the exact even-odd PnP codegen expression runs
+        per candidate geom.
+
+    At 10^12 rows phase 1 is what makes the join feasible: each point
+    meets only the polygons whose covering it falls in, instead of
+    evaluating every polygon's full ring test on every row. Ranges per
+    geom are merged-disjoint, so a point joins each geom at most once
+    (no dedup pass needed). Semantically equal to exact PnP per
+    polygon — the oracle runs the index-free form."""
+    from pdal_spark.operators import crop as crop_mod
+
+    spark = df.sparkSession
+    rows = []
+    for gid, poly in enumerate(polygons):
+        b = poly.bbox()
+        for lo, hi in covering_ranges((b.minx, b.miny, b.maxx, b.maxy), level):
+            rows.append((gid, lo, hi))
+    rdf = spark.createDataFrame(rows, ["geom_id", "_lo", "_hi"])
+    cid = F.col(cid_col)
+    cand = df.join(
+        F.broadcast(rdf), (cid >= F.col("_lo")) & (cid <= F.col("_hi")), "inner"
+    )
+    pred = F.lit(False)
+    for gid, poly in enumerate(polygons):
+        pred = pred | (
+            (F.col("geom_id") == gid)
+            & crop_mod.polygon_contains_col(poly, F.col(x), F.col(y))
+        )
+    return cand.filter(pred).drop("_lo", "_hi")
+
+
 def cell_rollup(
     df: DataFrame, levels: list[int], x: str = "x", y: str = "y",
     domain: tuple[float, float, float, float] = DOMAIN,

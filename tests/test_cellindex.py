@@ -146,3 +146,31 @@ def test_range_scan_parquet_pushdown(spark, docs_geo, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "cell_id" in plan.split("PushedFilters")[1][:2000]
+
+
+def test_cell_pnp_join_equals_exact_crop(docs_geo):
+    """Index-pruned polygon join == index-free batch crop on the same
+    polygon set (pruning is invisible to semantics)."""
+    from pdal_spark.operators import crop as crop_op
+
+    poly = crop_op.Polygon(
+        exterior=((-100.0, -50.0), (50.0, -50.0), (50.0, 60.0),
+                  (-20.0, 60.0), (-20.0, 0.0), (-60.0, 0.0),
+                  (-60.0, 60.0), (-100.0, 60.0)),
+        holes=(((-90.0, -40.0), (-70.0, -40.0), (-70.0, -20.0),
+                (-90.0, -20.0)),),
+    )
+    hexg = crop_op.hexagon_ring(40.0, -10.0, 45.0)
+    cid = ci.cell_id(F.col("x"), F.col("y"), 12)
+    got = set(
+        (r.doc_id, r.geom_id)
+        for r in ci.cell_pnp_join(
+            docs_geo.withColumn("cell_id", cid), [poly, hexg], level=6
+        ).select("doc_id", "geom_id").collect()
+    )
+    exp = set(
+        (r.doc_id, r.geom_id)
+        for r in crop_op.crop(docs_geo, [poly, hexg], mode="batch")
+        .select("doc_id", "geom_id").collect()
+    )
+    assert got == exp and got
