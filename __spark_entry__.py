@@ -1371,6 +1371,25 @@ def q_cell_range_scan(spark, sf_dir):
     ).select("doc_id", "cell_id")
 
 
+BLOCKED_DOMAINS = ["site00001.example", "site00007.example"]
+
+
+def q_domain_stats(spark, sf_dir):
+    """Domain-level curation: blocklist anti-join (broadcast) then
+    per-domain page counts — one map-side-combinable exchange."""
+    pages = _variant_pages(spark, sf_dir)
+    kept = weburl_op.blocklist_filter(pages, BLOCKED_DOMAINS, "url")
+    return weburl_op.domain_stats(kept, "url")
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain contribution cap: keep <=3 pages per domain, chosen by
+    the deterministic affine-cipher sample (partitioned window only)."""
+    pages = _variant_pages(spark, sf_dir)
+    out = weburl_op.domain_cap(pages, 3, id_col="doc_id")
+    return out.select("doc_id", "domain")
+
+
 CELL_PNP_HEX = crop_op.hexagon_ring(40.0, -10.0, 45.0)
 
 
@@ -1437,6 +1456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
         "pii_redact": q_pii_redact,
+        "domain_stats": q_domain_stats,
+        "domain_cap": q_domain_cap,
         "cell_encode": q_cell_encode,
         "cell_rollup": q_cell_rollup,
         "cell_range_scan": q_cell_range_scan,
@@ -3377,6 +3398,18 @@ def _datapipe_oracles() -> dict[str, str]:
                 f"FROM ({_PII_DOCS_SQL})"
             )
         )(pii_op.pii_redact_sql()),
+        "domain_cap": weburl_op.domain_cap_sql(
+            f"({_VARIANT_PAGES_SQL})", 3, id_col="doc_id",
+            select="doc_id, domain",
+        ),
+        "domain_stats": (
+            f"SELECT domain, count(*) AS n_pages FROM "
+            f"(SELECT {weburl_op.url_domain_sql('url')} AS domain "
+            f"FROM ({_VARIANT_PAGES_SQL})) "
+            f"WHERE domain NOT IN ("
+            + ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+            + ") GROUP BY domain"
+        ),
         "cell_encode": (
             lambda cid: (
                 f"SELECT doc_id, {cid} AS cell_id, "

@@ -1010,23 +1010,31 @@ def paragraph_dedup(
 
     Output: (doc_id, text_dedup, n_kept, n_chunks).
 
-    Execution shape (100 TB): one exchange on the paragraph key for the
-    first-occurrence window (partitioned by paragraph — never a global
-    window), one exchange on doc_id for reassembly; both map-side
-    prunable. ``key="text"`` partitions on the paragraph string itself
-    (exact, SQL-twinned); ``key="hash"`` partitions on xxhash64(chunk)
-    so the shuffle key is 8 bytes — the open-vocabulary 100 TB path;
-    ties within one hash bucket still compare the string, so a hash
-    collision can never drop a distinct paragraph."""
+    Execution shape (100 TB): the first occurrence per paragraph is
+    min(struct(id, chunk_idx)) under groupBy(paragraph) — an
+    associative aggregate, so map-side partial aggregation collapses a
+    boilerplate paragraph repeated in 10^9 documents BEFORE the
+    exchange (a per-paragraph window would funnel every occurrence of
+    a hot paragraph into one task). The winners ARE the surviving
+    rows, so no join back; one more combinable exchange on doc_id
+    reassembles. ``key="text"`` groups on the paragraph string itself
+    (exact, SQL-twinned); ``key="hash"`` prepends xxhash64(chunk) so
+    shuffle-key comparisons are 8-byte first — the string stays in the
+    key, so a hash collision can never drop a distinct paragraph."""
     ch = paragraph_chunks(df, text_col, id_col, chunk_words)
     if key == "hash":
-        part_cols = [F.xxhash64("chunk"), F.col("chunk")]
+        group_cols = [F.xxhash64("chunk").alias("_h"), F.col("chunk")]
     else:
-        part_cols = [F.col("chunk")]
-    w = Window.partitionBy(*part_cols).orderBy(
-        F.col("id").asc(), F.col("chunk_idx").asc()
+        group_cols = [F.col("chunk")]
+    winners = ch.groupBy(*group_cols).agg(
+        F.min(F.struct("id", "chunk_idx", "n_chunks")).alias("_w")
     )
-    kept = ch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    kept = winners.select(
+        F.col("_w.id").alias("id"),
+        F.col("_w.chunk_idx").alias("chunk_idx"),
+        F.col("_w.n_chunks").alias("n_chunks"),
+        "chunk",
+    )
     return (
         kept.groupBy("id")
         .agg(

@@ -150,3 +150,89 @@ def url_dedup_sql(
         f"    PARTITION BY {canon} ORDER BY {ts} DESC, {id_col}) AS _rn"
         f"  FROM {table}) WHERE _rn = 1"
     )
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable-host extraction (lowercased, ``www.`` and port
+    stripped) — the grouping key for domain-level corpus curation."""
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_replace(host, r":[0-9]+$", "")
+
+
+def url_domain_sql(url: str = "url") -> str:
+    h = (
+        f"regexp_replace(lower(coalesce(regexp_extract({url}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ''))"
+        f", '^www\\.', '')"
+    )
+    return f"regexp_replace({h}, ':[0-9]+$', '')"
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", extra_aggs: dict | None = None
+) -> DataFrame:
+    """Per-domain page counts (+ caller aggregates) — the table behind
+    domain-level filtering decisions (block heavy spam domains, cap
+    per-domain contribution). One map-side-combinable exchange."""
+    aggs = [F.count(F.lit(1)).alias("n_pages")]
+    for name, col in (extra_aggs or {}).items():
+        aggs.append(col.alias(name))
+    return (
+        df.withColumn("domain", url_domain(F.col(url_col)))
+        .groupBy("domain")
+        .agg(*aggs)
+    )
+
+
+def blocklist_filter(
+    df: DataFrame, blocked_domains: list[str], url_col: str = "url"
+) -> DataFrame:
+    """Drop pages whose domain is on a blocklist. The list is a
+    BROADCAST side (spam/porn blocklists are millions of rows at most,
+    dimension-sized next to 10^12 pages) — an anti-join, never a
+    collected set when the list is a DataFrame."""
+    spark = df.sparkSession
+    bdf = spark.createDataFrame([(d,) for d in blocked_domains], ["domain"])
+    out = df.withColumn("domain", url_domain(F.col(url_col)))
+    return out.join(F.broadcast(bdf), "domain", "left_anti")
+
+
+def domain_cap(
+    df: DataFrame, max_per_domain: int, url_col: str = "url",
+    id_col: str = "page_id", seed: int = 7,
+) -> DataFrame:
+    """Cap each domain's contribution at ``max_per_domain`` pages —
+    the anti-over-representation step after blocklisting (one domain
+    must not dominate the corpus). The kept subset is a deterministic
+    uniform sample: rows are ranked inside each domain by the
+    affine-cipher shuffle key (relational.shuffle_key_sql — exact
+    integer math, identical in Spark and DuckDB, partitioning-
+    independent), so reruns and engines agree bit-for-bit. One exchange
+    on the domain key; the window is partitioned, never global."""
+    from pdal_spark.operators.relational import shuffle_key_sql
+
+    key = F.expr(shuffle_key_sql(seed, id_col))
+    out = df.withColumn("domain", url_domain(F.col(url_col)))
+    w = Window.partitionBy("domain").orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_domain)
+        .drop("_rn")
+    )
+
+
+def domain_cap_sql(
+    table: str, max_per_domain: int, url: str = "url",
+    id_col: str = "page_id", seed: int = 7, select: str = "*",
+) -> str:
+    from pdal_spark.operators.relational import shuffle_key_sql
+
+    dom = url_domain_sql(url)
+    key = shuffle_key_sql(seed, id_col)
+    return (
+        f"SELECT {select} FROM ("
+        f"  SELECT *, {dom} AS domain, row_number() OVER ("
+        f"    PARTITION BY {dom} ORDER BY {key}, {id_col}) AS _rn"
+        f"  FROM {table}) WHERE _rn <= {max_per_domain}"
+    )

@@ -227,3 +227,40 @@ def tile_stats_batch(
             F.round(F.sum(v) / F.count(v), 6).alias("average"),
         )
     )
+
+
+def stream_cell_rollup(
+    df: DataFrame, levels: list[int], x: str = "x", y: str = "y"
+) -> DataFrame:
+    """Hierarchical cell-count rollup as a streaming aggregation: the
+    finest level is ONE stateful groupBy; coarser levels are computed
+    from the SAME row by parent-mask arithmetic before the aggregate
+    (explode over levels), so the multi-level rollup still costs one
+    shuffle per micro-batch and state is per-(level, cell).
+
+    Batch-mode equality with operators.cellindex.cell_rollup is the
+    test invariant (same (level, cell_id, n) rows)."""
+    from pdal_spark.operators import cellindex as ci
+
+    finest = max(levels)
+    cid = ci.cell_id(F.col(x), F.col(y), finest)
+    keyed = df.withColumn("_cid", cid)
+    lv_cells = F.array(
+        *[
+            F.struct(
+                F.lit(lv).alias("level"),
+                (
+                    F.col("_cid")
+                    if lv == finest
+                    else ci.cell_parent(F.col("_cid"), lv)
+                ).alias("cell_id"),
+            )
+            for lv in sorted(set(levels))
+        ]
+    )
+    return (
+        keyed.select(F.explode(lv_cells).alias("lc"))
+        .select("lc.level", "lc.cell_id")
+        .groupBy("level", "cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -887,3 +887,61 @@ def test_pii_redact_sql_twin(spark):
         f"{e['text_redacted']} AS text_redacted FROM t ORDER BY doc_id"
     ).df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_url_domain_and_blocklist(spark):
+    import duckdb as _dd
+
+    from pdal_spark.datapipe import weburl
+
+    pages = _variant_pages(spark)
+    got = (
+        weburl.domain_stats(pages).toPandas()
+        .sort_values("domain").reset_index(drop=True)
+    )
+    con = _dd.connect()
+    con.register("pages", pages.toPandas())
+    exp = con.sql(
+        f"SELECT domain, count(*) AS n_pages FROM "
+        f"(SELECT {weburl.url_domain_sql('url')} AS domain FROM pages) "
+        f"GROUP BY domain ORDER BY domain"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # blocklist: blocked domains vanish, nothing else changes
+    blocked = [got.domain[0], got.domain[3]]
+    kept = weburl.blocklist_filter(pages, blocked)
+    kept_doms = set(
+        r.domain for r in kept.select("domain").distinct().collect()
+    )
+    assert kept_doms == set(got.domain) - set(blocked)
+    assert kept.count() == int(got[~got.domain.isin(blocked)].n_pages.sum())
+
+
+def test_domain_cap(spark):
+    import duckdb as _dd
+
+    from pdal_spark.datapipe import weburl
+
+    pages = _variant_pages(spark)
+    out = weburl.domain_cap(pages, 3, id_col="page_id")
+    got = (
+        out.select("page_id", "domain").toPandas()
+        .sort_values(["domain", "page_id"]).reset_index(drop=True)
+    )
+    # cap holds per domain
+    assert (got.groupby("domain").size() <= 3).all()
+    # deterministic: second run identical
+    again = (
+        weburl.domain_cap(pages, 3, id_col="page_id")
+        .select("page_id", "domain").toPandas()
+        .sort_values(["domain", "page_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)
+    # DuckDB twin bit-equal
+    con = _dd.connect()
+    con.register("pages", pages.toPandas())
+    exp = con.sql(
+        weburl.domain_cap_sql("pages", 3, select="page_id, domain")
+        + " ORDER BY domain, page_id"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -250,3 +250,33 @@ def test_stream_tile_stats_stateful_equals_batch(spark, tmp_path):
     # state really crossed batches: some tile was touched by >1 batch
     touches = got_all.groupby(["tile_x", "tile_y"]).size()
     assert (touches > 1).any()
+
+
+def test_stream_cell_rollup_equals_batch(spark, tmp_path):
+    """Hierarchical cell rollup as a streaming aggregation: multi-level
+    counts over micro-batches == operators.cellindex.cell_rollup batch
+    output (same (level, cell_id, n) rows)."""
+    from pdal_spark.operators import cellindex as ci
+
+    pts = synth.with_coords(synth.synth_points(spark, 2000, 4))
+    src = str(tmp_path / "cr_pts")
+    pts.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    levels = [4, 8, 12]
+    q = sj.run_stream_to_memory(
+        sj.stream_cell_rollup(stream, levels), "cell_roll", "complete"
+    )
+    try:
+        got = spark.sql("SELECT * FROM cell_roll").toPandas()
+    finally:
+        q.stop()
+    batch = ci.cell_rollup(spark.read.parquet(src), levels).toPandas()
+    key = ["level", "cell_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["level", "cell_id", "n"]],
+                                  batch[["level", "cell_id", "n"]],
+                                  check_dtype=False)
