@@ -945,3 +945,26 @@ def test_domain_cap(spark):
         + " ORDER BY domain, page_id"
     ).df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_paragraph_dedup_hot_paragraph(spark):
+    """A paragraph repeated across half the corpus must (a) survive
+    exactly once, in its first-occurrence position, and (b) collapse
+    MAP-SIDE: the winners aggregate plans as partial+final HashAggregate
+    pairs (min(struct) is associative), not a per-paragraph window."""
+    rows = []
+    hot = "x y"
+    for i in range(200):
+        rows.append((i, f"u{i} v{i} {hot}" if i % 2 == 0 else f"u{i} v{i}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.paragraph_dedup(df, chunk_words=2)
+    pdf = out.toPandas().set_index("doc_id")
+    # doc 0 keeps "u0 v0 x y"; every other even doc loses the hot chunk
+    assert pdf.loc[0, "text_dedup"] == "u0 v0 x y"
+    for i in range(2, 200, 2):
+        assert pdf.loc[i, "text_dedup"] == f"u{i} v{i}", i
+    # plan: the first-occurrence stage is an aggregate with a partial
+    # (map-side) phase, and no Window node anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
