@@ -23,6 +23,7 @@ from pdal_spark.datapipe import pii as pii_op
 from pdal_spark.datapipe import weburl as weburl_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
+from pdal_spark.operators import asof as asof_op
 from pdal_spark.operators import cellindex as cellindex_op
 from pdal_spark.operators import chipper as chipper_op
 from pdal_spark.operators import crop as crop_op
@@ -258,6 +259,22 @@ def q_window_agg_events(spark, sf_dir):
         )
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
     )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each 'click' event joined to the latest prior (<=)
+    'view' event of the same user — tagged-union + cumulative window,
+    one exchange on user_id; oracle is DuckDB's NATIVE ASOF JOIN."""
+    ev = _table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_op.asof_join(
+        clicks, views, on="user_id", ts="ts", payload=["event_id", "value"]
+    ).select("event_id", "user_id", "event_id_r", "value_r")
 
 
 HEX_EDGE = 12.0
@@ -1428,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_union": q_merge_union,
         "voxel_downsize": q_voxel_downsize,
         "window_agg_events": q_window_agg_events,
+        "asof_join": q_asof_join,
         "hexbin_density": q_hexbin_density,
         "hexbin_dense": q_hexbin_dense,
         "knn_join": q_knn_join,
@@ -3540,6 +3558,14 @@ def _relational_oracles() -> dict[str, str]:
             "CAST(floor(minute(ts) / 5) AS BIGINT) AS m5, event_type, "
             "count(*) AS n, round(sum(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2, 3, 4"
+        ),
+        "asof_join": asof_op.asof_join_sql(
+            "(SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click')",
+            "(SELECT event_id, user_id, ts, value FROM events "
+            "WHERE event_type = 'view')",
+            on="user_id", ts="ts", payload=["event_id", "value"],
+            left_select="l.event_id, l.user_id",
         ),
         **_hexbin_oracles(),
         **_knn_oracles(),

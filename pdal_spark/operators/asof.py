@@ -1,0 +1,86 @@
+"""As-of join — the timeseries join Spark's DataFrame API lacks.
+
+For every LEFT row, attach the latest RIGHT row of the same key whose
+timestamp is <= the left timestamp (the "last known state at event
+time" join: price at trade time, sensor reading at sample time, last
+page view before a click).
+
+Execution shape (the scale-right form — no range-condition join, no
+per-row probe): union both sides tagged, ONE exchange on the key, and
+a partitioned window ordered by (ts, side) carrying the right side's
+payload forward with last(..., ignorenulls=True) over ROWS UNBOUNDED
+PRECEDING — a streaming-friendly cumulative window, never a global
+one and never an O(left x right) range join. Rows at equal timestamps
+order right-before-left, which implements the <= bound.
+
+The DuckDB oracle is the engine's own native ASOF JOIN — a fully
+independent implementation of the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    payload: list[str],
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: every left row + the latest right ``payload``
+    columns at or before its ``ts`` (NULLs where no right row precedes).
+
+    ``on`` is the equality key, ``ts`` the ordering column (same name
+    both sides), ``payload`` the right columns to carry (each emitted
+    as ``<name><suffix>``)."""
+    lcols = left.columns
+    tagged_l = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+    )
+    tagged_r = right.select(
+        *[
+            (F.col(c) if c in (on, ts) else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload],
+    )
+    u = tagged_l.unionByName(tagged_r)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in payload:
+        u = u.withColumn(
+            f"{c}{suffix}", F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w)
+        )
+    return (
+        u.filter(F.col("_side") == 1)
+        .select(*lcols, *[f"{c}{suffix}" for c in payload])
+    )
+
+
+def asof_join_sql(
+    left_table: str,
+    right_table: str,
+    on: str,
+    ts: str,
+    payload: list[str],
+    left_select: str,
+    suffix: str = "_r",
+) -> str:
+    """DuckDB twin using the engine's NATIVE ASOF LEFT JOIN (match on
+    r.ts <= l.ts, latest wins) — an independent implementation."""
+    pay = ", ".join(f"r.{c} AS {c}{suffix}" for c in payload)
+    return (
+        f"SELECT {left_select}, {pay} FROM {left_table} l "
+        f"ASOF LEFT JOIN {right_table} r "
+        f"ON l.{on} = r.{on} AND r.{ts} <= l.{ts}"
+    )
