@@ -33,6 +33,7 @@ from pdal_spark.operators import raster as raster_op
 from pdal_spark.operators import relational as rel_op
 from pdal_spark.operators import splitter as splitter_op
 from pdal_spark.operators import stats as stats_op
+from pdal_spark.operators import timeseries as ts_op
 from pdal_spark.session import configure_session
 
 # ---------------------------------------------------------------------------
@@ -275,6 +276,35 @@ def q_asof_join(spark, sf_dir):
     return asof_op.asof_join(
         clicks, views, on="user_id", ts="ts", payload=["event_id", "value"]
     ).select("event_id", "user_id", "event_id_r", "value_r")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based clickstream sessionization (10-minute gap): one key
+    exchange, two partitioned cumulative windows."""
+    from pdal_spark.operators import timeseries as ts_op
+
+    ev = _table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return ts_op.sessionize(ev, key="user_id", ts="ts", gap_seconds=600.0)
+
+
+def q_interval_join(spark, sf_dir):
+    """Bounded-interval (range) join: click x error pairs of the same
+    user within +-6 h — delta-wide time-bin bucket join (1-D analog of
+    the spatial cell join) + exact |dt| predicate; oracle is the
+    index-free inequality join."""
+    from pdal_spark.operators import timeseries as ts_op
+
+    ev = _table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = ts_op.interval_join(
+        clicks, errors, key="user_id", ts="ts", delta_seconds=21600.0
+    )
+    return out.select("event_id", "user_id", "event_id_r")
 
 
 HEX_EDGE = 12.0
@@ -1446,6 +1476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voxel_downsize": q_voxel_downsize,
         "window_agg_events": q_window_agg_events,
         "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "interval_join": q_interval_join,
         "hexbin_density": q_hexbin_density,
         "hexbin_dense": q_hexbin_dense,
         "knn_join": q_knn_join,
@@ -3558,6 +3590,20 @@ def _relational_oracles() -> dict[str, str]:
             "CAST(floor(minute(ts) / 5) AS BIGINT) AS m5, event_type, "
             "count(*) AS n, round(sum(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2, 3, 4"
+        ),
+        "sessionize": ts_op.sessionize_sql(
+            "(SELECT event_id, user_id, ts FROM events)",
+            key="user_id", ts="ts", gap_seconds=600.0,
+            select="event_id, user_id, ts, session_id",
+        ),
+        "interval_join": ts_op.interval_join_sql(
+            "(SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click')",
+            "(SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'error')",
+            key="user_id", ts="ts", delta_seconds=21600.0,
+            left_select="l.event_id, l.user_id",
+            right_payload=["event_id"],
         ),
         "asof_join": asof_op.asof_join_sql(
             "(SELECT event_id, user_id, ts FROM events "
