@@ -307,6 +307,17 @@ def q_interval_join(spark, sf_dir):
     return out.select("event_id", "user_id", "event_id_r")
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k distinct-count sketch: distinct text fingerprints
+    per source — bounded-state map-side partials, one merge exchange;
+    sketch content (not just the estimate) is bit-compared."""
+    from pdal_spark.datapipe import sketch as sketch_op
+
+    df = _table(spark, sf_dir, "documents")
+    fp = text_op.fingerprint(df)
+    return sketch_op.kmv_sketch(fp, ["source"], "fp_roll", k=32).drop("sketch")
+
+
 HEX_EDGE = 12.0
 
 
@@ -1478,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "interval_join": q_interval_join,
+        "kmv_distinct": q_kmv_distinct,
         "hexbin_density": q_hexbin_density,
         "hexbin_dense": q_hexbin_dense,
         "knn_join": q_knn_join,
@@ -3590,6 +3602,13 @@ def _relational_oracles() -> dict[str, str]:
             "CAST(floor(minute(ts) / 5) AS BIGINT) AS m5, event_type, "
             "count(*) AS n, round(sum(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2, 3, 4"
+        ),
+        "kmv_distinct": __import__(
+            "pdal_spark.datapipe.sketch", fromlist=["x"]
+        ).kmv_sketch_sql(
+            f"(SELECT source, ({text_op.fingerprint_sql()[1]}) AS fp_roll "
+            f"FROM documents)",
+            ["source"], "fp_roll", k=32,
         ),
         "sessionize": ts_op.sessionize_sql(
             "(SELECT event_id, user_id, ts FROM events)",

@@ -968,3 +968,57 @@ def test_paragraph_dedup_hot_paragraph(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+# --- KMV distinct-count sketch -----------------------------------------------
+
+
+def test_kmv_sketch_oracle(docs, ddb):
+    from pdal_spark.datapipe import sketch
+
+    fp = textstats.fingerprint(docs)
+    out = sketch.kmv_sketch(fp, ["source"], "fp_roll", k=32).drop("sketch")
+    exp = ddb.sql(
+        sketch.kmv_sketch_sql(
+            f"(SELECT source, ({textstats.fingerprint_sql()[1]}) AS fp_roll "
+            f"FROM documents)",
+            ["source"], "fp_roll", k=32,
+        )
+    )
+    _cmp(out, exp, ["source"])
+
+
+def test_kmv_sketch_exact_below_k(spark):
+    """Groups with fewer distinct values than k report the EXACT count."""
+    from pdal_spark.datapipe import sketch
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 40).alias("v")
+    )
+    out = sketch.kmv_sketch(df, ["g"], "v", k=64).toPandas()
+    # each g sees exactly 10 distinct v values (id%4 and id%40 correlate)
+    assert (out["est_distinct"] == 10.0).all()
+    assert (out["n_in_sketch"] == 10).all()
+
+
+def test_kmv_sketch_estimate_accuracy_and_merge(spark):
+    """Large-cardinality estimate lands within ~2/sqrt(k); sketching a
+    union equals merging the parts' sketches (the distributed-merge
+    invariant phase 2 relies on)."""
+    from pdal_spark.datapipe import sketch
+
+    n = 200_000
+    df = spark.range(n).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    k = 256
+    out = sketch.kmv_sketch(df, ["g"], "v", k=k).collect()[0]
+    rel = abs(out["est_distinct"] - n) / n
+    assert rel < 2.0 / (k ** 0.5), (out["est_distinct"], rel)
+    # merge invariant: sketch(A union B) == merge(sketch(A), sketch(B))
+    a = sketch.kmv_sketch(
+        df.filter(F.col("v") < n // 2), ["g"], "v", k=k
+    ).collect()[0]["sketch"]
+    b = sketch.kmv_sketch(
+        df.filter(F.col("v") >= n // 2), ["g"], "v", k=k
+    ).collect()[0]["sketch"]
+    merged = sorted(set(a) | set(b))[:k]
+    assert merged == list(out["sketch"])
