@@ -318,6 +318,19 @@ def q_kmv_distinct(spark, sf_dir):
     return sketch_op.kmv_sketch(fp, ["source"], "fp_roll", k=32).drop("sketch")
 
 
+BM25_QUERY = ["spark", "window", "merge"]
+
+
+def q_bm25_rank(spark, sf_dir):
+    """BM25 relevance of every document against a fixed 3-term query:
+    terms filter at the scan, df/corpus stats join broadcast, one
+    doc_id exchange builds the score sum."""
+    from pdal_spark.datapipe import ranking
+
+    df = _table(spark, sf_dir, "documents")
+    return ranking.bm25_score(df, BM25_QUERY)
+
+
 HEX_EDGE = 12.0
 
 
@@ -1490,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "interval_join": q_interval_join,
         "kmv_distinct": q_kmv_distinct,
+        "bm25_rank": q_bm25_rank,
         "hexbin_density": q_hexbin_density,
         "hexbin_dense": q_hexbin_dense,
         "knn_join": q_knn_join,
@@ -3603,6 +3617,9 @@ def _relational_oracles() -> dict[str, str]:
             "count(*) AS n, round(sum(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2, 3, 4"
         ),
+        "bm25_rank": __import__(
+            "pdal_spark.datapipe.ranking", fromlist=["x"]
+        ).bm25_score_sql(BM25_QUERY),
         "kmv_distinct": __import__(
             "pdal_spark.datapipe.sketch", fromlist=["x"]
         ).kmv_sketch_sql(

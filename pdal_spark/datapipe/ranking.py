@@ -1,0 +1,115 @@
+"""Corpus ranking: TF-IDF weights and BM25 query scoring.
+
+The retrieval half of a training-data pipeline (find documents like X,
+score corpus relevance against probe queries, data-selection by
+similarity-to-target a la DSIR). Classic two-stage aggregation:
+
+  * document frequencies — one combinable exchange on the term;
+  * per-doc scoring — terms explode from the scan, the tiny query-term
+    stats join BROADCAST, corpus scalars (N, avgdl) fold in as a
+    broadcast single row; one final combinable exchange on doc_id.
+
+All math is ln()/arithmetic on BIGINT counts — identical in DuckDB, so
+scores round(...,6)-compare exactly.
+
+BM25 (Robertson-Sparck Jones, the standard Okapi form):
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(d, q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def doc_terms(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc, term, tf, dl) — term frequencies + document length."""
+    toks = F.split(F.col(text_col), " ")
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    return ex.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 score of every document containing >= 1 query term.
+
+    Scale shape: the term explode filters to the query's terms BEFORE
+    any shuffle (a handful of strings — an isin predicate the scan
+    evaluates); df(t) and (N, avgdl) are tiny aggregates joined
+    broadcast; one exchange on doc_id builds the final sum."""
+    terms = doc_terms(df, text_col, id_col)
+    qt = terms.filter(F.col("term").isin(*query_terms))
+    dfreq = qt.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )  # one row per (doc, term) -> count == doc frequency
+    corpus = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
+    )
+    scored = (
+        qt.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+    )
+
+
+def bm25_score_sql(
+    query_terms: list[str],
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    qlist = ", ".join(f"'{t}'" for t in query_terms)
+    return (
+        f"WITH terms AS ("
+        f"  SELECT {id_col} AS doc_id, len(string_split({text}, ' ')) AS dl,"
+        f"    unnest(string_split({text}, ' ')) AS term FROM {table}),"
+        f"qt AS ("
+        f"  SELECT doc_id, dl, term, count(*) AS tf FROM terms"
+        f"  WHERE term IN ({qlist}) GROUP BY doc_id, dl, term),"
+        f"dfreq AS (SELECT term, count(*) AS df FROM qt GROUP BY term),"
+        f"corpus AS (SELECT count(*) AS n_docs,"
+        f"  avg(len(string_split({text}, ' '))) AS avgdl FROM {table})"
+        f"SELECT doc_id, round(sum("
+        f"  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+        f"  * (tf * ({k1!r} + 1))"
+        f"  / (tf + {k1!r} * (1 - {b!r} + {b!r} * dl / avgdl))"
+        f"), 6) AS bm25 "
+        f"FROM qt JOIN dfreq USING (term) CROSS JOIN corpus "
+        f"GROUP BY doc_id"
+    )

@@ -1022,3 +1022,47 @@ def test_kmv_sketch_estimate_accuracy_and_merge(spark):
     ).collect()[0]["sketch"]
     merged = sorted(set(a) | set(b))[:k]
     assert merged == list(out["sketch"])
+
+
+# --- BM25 ranking ------------------------------------------------------------
+
+
+def test_bm25_literal(spark):
+    """Hand-computed Okapi BM25 on a 3-doc corpus."""
+    import math
+
+    from pdal_spark.datapipe import ranking
+
+    corpus = [
+        (0, "cat dog cat"),
+        (1, "dog bird"),
+        (2, "fish fish fish fish"),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in ranking.bm25_score(df, ["cat", "dog"]).collect()
+    }
+
+    def idf(dfreq, n=3):
+        return math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    avgdl = (3 + 2 + 4) / 3
+    k1, b = ranking.K1, ranking.B
+
+    def s(tf, dl, dfreq):
+        return idf(dfreq) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp0 = s(2, 3, 1) + s(1, 3, 2)   # cat df=1, dog df=2
+    exp1 = s(1, 2, 2)
+    assert got.keys() == {0, 1}      # doc 2 matches nothing
+    assert abs(got[0] - exp0) < 1e-6
+    assert abs(got[1] - exp1) < 1e-6
+
+
+def test_bm25_duckdb_twin(docs, ddb):
+    from pdal_spark.datapipe import ranking
+
+    out = ranking.bm25_score(docs, ["spark", "window", "merge"])
+    exp = ddb.sql(ranking.bm25_score_sql(["spark", "window", "merge"]))
+    _cmp(out, exp, ["doc_id"])
