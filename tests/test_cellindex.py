@@ -174,3 +174,32 @@ def test_cell_pnp_join_equals_exact_crop(docs_geo):
         .select("doc_id", "geom_id").collect()
     )
     assert got == exp and got
+
+
+def test_covering_superset_property_random_boxes():
+    """For 50 deterministic pseudo-random boxes and points: any point
+    inside a box has its fine cell covered by the box's covering ranges
+    (driver-side math only — the invariant the range scan rests on)."""
+    import math
+
+    rng_state = 12345
+
+    def nxt():
+        nonlocal rng_state
+        rng_state = (1103515245 * rng_state + 12345) % (1 << 31)
+        return rng_state / float(1 << 31)
+
+    for _ in range(50):
+        x0 = -180 + 340 * nxt()
+        y0 = -90 + 160 * nxt()
+        w = 1e-3 + 100 * nxt()
+        h = 1e-3 + 60 * nxt()
+        bbox = (x0, y0, min(179.9, x0 + w), min(89.9, y0 + h))
+        ranges = ci.covering_ranges(bbox, 6)
+        # 5 points inside the box
+        for _ in range(5):
+            px = bbox[0] + (bbox[2] - bbox[0]) * nxt()
+            py = bbox[1] + (bbox[3] - bbox[1]) * nxt()
+            cells = ci.covering((px, py, px, py), 12)
+            cid = cells[0]
+            assert any(lo <= cid <= hi for lo, hi in ranges), (bbox, px, py)

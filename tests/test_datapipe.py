@@ -1066,3 +1066,37 @@ def test_bm25_duckdb_twin(docs, ddb):
     out = ranking.bm25_score(docs, ["spark", "window", "merge"])
     exp = ddb.sql(ranking.bm25_score_sql(["spark", "window", "merge"]))
     _cmp(out, exp, ["doc_id"])
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — canonical forms are
+    fixpoints (catches rules that keep rewriting their own output)."""
+    from pdal_spark.datapipe import weburl
+
+    pages = _variant_pages(spark, n=200)
+    once = pages.select(
+        "page_id", weburl.canonical_url(F.col("url")).alias("url")
+    )
+    twice = once.select(
+        "page_id", weburl.canonical_url(F.col("url")).alias("url2")
+    )
+    diff = (
+        once.join(twice, "page_id")
+        .filter(F.col("url") != F.col("url2"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_paragraph_dedup_fixpoint(docs):
+    """Re-deduplicating an already-deduplicated corpus is a no-op:
+    every surviving paragraph is unique, so n_kept == n_chunks and the
+    text round-trips."""
+    once = dedup.paragraph_dedup(docs, chunk_words=10).select(
+        "doc_id", F.col("text_dedup").alias("text")
+    )
+    twice = dedup.paragraph_dedup(once, chunk_words=10).toPandas()
+    assert (twice["n_kept"] == twice["n_chunks"]).all()
+    a = once.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = twice[["doc_id", "text_dedup"]].sort_values("doc_id").reset_index(drop=True)
+    assert (a["text"].values == b["text_dedup"].values).all()
