@@ -203,3 +203,31 @@ def test_covering_superset_property_random_boxes():
             cells = ci.covering((px, py, px, py), 12)
             cid = cells[0]
             assert any(lo <= cid <= hi for lo, hi in ranges), (bbox, px, py)
+
+
+def test_partitioned_write_partition_pruning(spark, docs_geo, tmp_path):
+    """The 100 TB layout: data written partitionBy(coarse cell token);
+    a region query on that column prunes PARTITIONS (not just row
+    groups) — the scan's partition count drops and the plan carries the
+    partition filter."""
+    p = str(tmp_path / "bytile.parquet")
+    cid = ci.cell_id(F.col("x"), F.col("y"), 12)
+    (
+        docs_geo.withColumn("cell_id", cid)
+        .withColumn("cell_l2", ci.cell_token(ci.cell_parent(F.col("cell_id"), 2)))
+        .write.partitionBy("cell_l2").mode("overwrite").parquet(p)
+    )
+    back = spark.read.parquet(p)
+    n_parts_all = back.select("cell_l2").distinct().count()
+    assert n_parts_all == 16  # level-2 grid over the full domain: 4x4
+    target = back.select("cell_l2").distinct().orderBy("cell_l2").first()[0]
+    pruned = back.filter(F.col("cell_l2") == target)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the predicate lands in PartitionFilters (directory pruning),
+    # NOT as a data filter the scan must evaluate per row
+    assert "PartitionFilters" in plan and "cell_l2" in plan.split(
+        "PartitionFilters"
+    )[1][:400]
+    # and the pruned read returns exactly that partition's rows
+    full = back.groupBy("cell_l2").count().toPandas().set_index("cell_l2")
+    assert pruned.count() == int(full.loc[target, "count"])
