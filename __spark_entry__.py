@@ -331,6 +331,35 @@ def q_bm25_rank(spark, sf_dir):
     return ranking.bm25_score(df, BM25_QUERY)
 
 
+BPE_N_MERGES = 8
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (8 merges) over the corpus
+    word-frequency table. Iterative algorithm -> rows-only at the
+    driver; the strong oracle is the pure-python reference trainer
+    compared merge-for-merge in tests/test_datapipe.py."""
+    from pdal_spark.datapipe import bpe
+
+    df = _table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(df, BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges, ["step", "left", "right", "pair_count"]
+    ).withColumn("step", F.col("step").cast("long")).withColumn(
+        "pair_count", F.col("pair_count").cast("long")
+    )
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """Per-doc token count under the corpus-trained BPE vocabulary
+    (train -> encode distinct words once -> broadcast join)."""
+    from pdal_spark.datapipe import bpe
+
+    df = _table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(df, BPE_N_MERGES)
+    return bpe.bpe_encode(df, merges)
+
+
 HEX_EDGE = 12.0
 
 
@@ -1504,6 +1533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "kmv_distinct": q_kmv_distinct,
         "bm25_rank": q_bm25_rank,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokens": q_bpe_tokens,
         "hexbin_density": q_hexbin_density,
         "hexbin_dense": q_hexbin_dense,
         "knn_join": q_knn_join,

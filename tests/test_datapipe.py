@@ -1100,3 +1100,36 @@ def test_paragraph_dedup_fixpoint(docs):
     a = once.toPandas().sort_values("doc_id").reset_index(drop=True)
     b = twice[["doc_id", "text_dedup"]].sort_values("doc_id").reset_index(drop=True)
     assert (a["text"].values == b["text_dedup"].values).all()
+
+
+# --- BPE tokenizer training ---------------------------------------------------
+
+
+def test_bpe_train_matches_reference(docs):
+    """Distributed trainer == pure-python reference, merge for merge
+    (order, pair, count), on the real corpus."""
+    from pdal_spark.datapipe import bpe
+
+    got = bpe.bpe_train(docs, 8)
+    wc = {
+        r["word"]: r["n"]
+        for r in bpe.word_freq(docs).collect()
+    }
+    exp = bpe.bpe_train_reference(wc, 8)
+    assert got == exp and len(got) == 8
+
+
+def test_bpe_encode_roundtrip(spark):
+    """Encoding with zero merges = character count; each merge strictly
+    reduces (or keeps) the token count; counts match a hand encode."""
+    from pdal_spark.datapipe import bpe
+
+    df = spark.createDataFrame(
+        [(0, "low lower lowest low low newer new")], ["doc_id", "text"]
+    )
+    m = bpe.bpe_train(df, 5)
+    n5 = bpe.bpe_encode(df, m).collect()[0]["n_bpe_tokens"]
+    n0 = bpe.bpe_encode(df, []).collect()[0]["n_bpe_tokens"]
+    assert n0 == sum(len(w) for w in "low lower lowest low low newer new".split())
+    assert n5 == 12  # low x3 + low+er + low+e+s+t + new+er + new
+    assert n5 < n0
