@@ -20,6 +20,8 @@ from pdal_spark.datapipe import dedup as dedup_op
 from pdal_spark.datapipe import simsearch as sim_op
 from pdal_spark.datapipe import textstats as text_op
 from pdal_spark.datapipe import pii as pii_op
+from pdal_spark.datapipe import ranking as ranking_op
+from pdal_spark.datapipe import sketch as sketch_op
 from pdal_spark.datapipe import weburl as weburl_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
@@ -281,8 +283,6 @@ def q_asof_join(spark, sf_dir):
 def q_sessionize(spark, sf_dir):
     """Gap-based clickstream sessionization (10-minute gap): one key
     exchange, two partitioned cumulative windows."""
-    from pdal_spark.operators import timeseries as ts_op
-
     ev = _table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     return ts_op.sessionize(ev, key="user_id", ts="ts", gap_seconds=600.0)
 
@@ -292,8 +292,6 @@ def q_interval_join(spark, sf_dir):
     user within +-6 h — delta-wide time-bin bucket join (1-D analog of
     the spatial cell join) + exact |dt| predicate; oracle is the
     index-free inequality join."""
-    from pdal_spark.operators import timeseries as ts_op
-
     ev = _table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
@@ -1386,8 +1384,7 @@ def q_url_canonical(spark, sf_dir):
 
 def q_url_dedup(spark, sf_dir):
     """URL-level dedup: keep the LATEST capture per canonical URL
-    (one exchange on the canonical key — the crawl-refresh dedup every
-    web corpus runs before text-level dedup)."""
+"""
     from pdal_spark.datapipe import weburl
 
     pages = _variant_pages(spark, sf_dir)
@@ -3648,12 +3645,8 @@ def _relational_oracles() -> dict[str, str]:
             "count(*) AS n, round(sum(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2, 3, 4"
         ),
-        "bm25_rank": __import__(
-            "pdal_spark.datapipe.ranking", fromlist=["x"]
-        ).bm25_score_sql(BM25_QUERY),
-        "kmv_distinct": __import__(
-            "pdal_spark.datapipe.sketch", fromlist=["x"]
-        ).kmv_sketch_sql(
+        "bm25_rank": ranking_op.bm25_score_sql(BM25_QUERY),
+        "kmv_distinct": sketch_op.kmv_sketch_sql(
             f"(SELECT source, ({text_op.fingerprint_sql()[1]}) AS fp_roll "
             f"FROM documents)",
             ["source"], "fp_roll", k=32,

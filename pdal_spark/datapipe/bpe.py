@@ -101,6 +101,11 @@ def bpe_train(
         a, b, cnt = top["a"], top["b"], int(top["cnt"])
         merges.append((step, a, b, cnt))
         nxt = cur.select(_merge_pair(F.col("seg"), a, b).alias("seg"), "n").persist()
+        # materialize the new cache BEFORE dropping the old one —
+        # unpersisting first would evict the whole chain unused and
+        # every later action would replay all prior merges from the
+        # raw corpus (O(M^2) total merge applications).
+        nxt.count()
         cur.unpersist()
         cur = nxt
     cur.unpersist()

@@ -14,9 +14,11 @@ Design constraints (same as textstats):
     \\b word boundaries only, and alternatives ordered so leftmost-first
     (Java) and leftmost-longest (RE2-POSIX is not used by DuckDB's
     regexp_* functions, which are leftmost-first like Java) agree.
-  * redaction order is fixed (email -> ipv4 -> phone) and disjoint by
-    construction: an email never contains an ipv4/phone match because
-    its local/domain characters are consumed first.
+  * redaction order is fixed (email -> ipv4 -> phone) and counts are
+    measured on the progressively-redacted text, so later patterns can
+    never double-count characters an earlier pattern consumed (a
+    phone-shaped email local part is the email's) and ``n_<type>``
+    always equals the ``<TYPE>`` tokens inserted.
 """
 
 from __future__ import annotations
@@ -35,29 +37,32 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds ``text_redacted`` plus ``n_<type>`` match counts per row.
 
-    Counts are measured BEFORE redaction on the original text; the
-    replace chain then runs in PII_PATTERNS order. Per-row projection
-    only — no shuffle, fully pipelined into the scan at 100 TB."""
-    t = F.col(text_col)
+    Each pattern is counted on the text AS THE REPLACE CHAIN SEES IT
+    (i.e. after the previous patterns were redacted), so ``n_<type>``
+    always equals the number of ``<TYPE>`` tokens inserted — a
+    phone-shaped string living inside an email's local part is the
+    email's, not a phantom phone. Per-row projection only — no
+    shuffle, fully pipelined into the scan at 100 TB."""
     out = df
-    red: Column = t
+    red: Column = F.col(text_col)
     for name, pat, token in PII_PATTERNS:
         out = out.withColumn(
-            f"n_{name}", F.regexp_count(t, F.lit(pat)).cast("long")
+            f"n_{name}", F.regexp_count(red, F.lit(pat)).cast("long")
         )
         red = F.regexp_replace(red, pat, token)
     return out.withColumn("text_redacted", red)
 
 
 def pii_redact_sql(text: str = "text") -> dict[str, str]:
-    """DuckDB twin: identical patterns; regexp_replace needs the 'g'
-    flag (DuckDB replaces only the first match by default, Spark
-    replaces all). Returns {output_col: sql_expr}."""
+    """DuckDB twin: identical patterns, identical count-on-redacted
+    chaining; regexp_replace needs the 'g' flag (DuckDB replaces only
+    the first match by default, Spark replaces all). Returns
+    {output_col: sql_expr}."""
     exprs: dict[str, str] = {}
     red = text
     for name, pat, token in PII_PATTERNS:
         sql_pat = pat.replace("'", "''")
-        exprs[f"n_{name}"] = f"len(regexp_extract_all({text}, '{sql_pat}'))"
+        exprs[f"n_{name}"] = f"len(regexp_extract_all({red}, '{sql_pat}'))"
         red = f"regexp_replace({red}, '{sql_pat}', '{token}', 'g')"
     exprs["text_redacted"] = red
     return exprs

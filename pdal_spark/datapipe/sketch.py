@@ -62,9 +62,13 @@ def kmv_sketch(
     est_distinct). ``est_distinct`` is exact when n_in_sketch < k."""
     import pandas as pd
 
+    # NULL values don't count toward distinct cardinality (SQL
+    # count(DISTINCT x) semantics); NULL GROUP KEYS are kept as their
+    # own group like SQL GROUP BY (pandas groupby must not drop them).
     h = kmv_hash(F.col(value_col), seed)
-    hashed = df.select(*group_cols, h.alias("_h"))
-    n_groups = len(group_cols)
+    hashed = df.select(*group_cols, h.alias("_h")).filter(
+        F.col("_h").isNotNull()
+    )
 
     schema = (
         ", ".join(f"{c} {hashed.schema[c].dataType.simpleString()}" for c in group_cols)
@@ -74,7 +78,7 @@ def kmv_sketch(
     def partial(batches):
         acc: dict[tuple, set] = {}
         for pdf in batches:
-            for key, sub in pdf.groupby(group_cols, sort=False):
+            for key, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 if not isinstance(key, tuple):
                     key = (key,)
                 s = acc.setdefault(key, set())
@@ -131,5 +135,6 @@ def kmv_sketch_sql(
         f"round(CASE WHEN len(sketch) < {k} THEN CAST(len(sketch) AS DOUBLE) "
         f"ELSE {float(k - 1)!r} * {float(P31)!r} / sketch[{k}] END, 6) "
         f"AS est_distinct "
-        f"FROM (SELECT {g}, {sk} AS sketch FROM {table} GROUP BY {g})"
+        f"FROM (SELECT {g}, {sk} AS sketch FROM {table} "
+        f"WHERE ({h}) IS NOT NULL GROUP BY {g})"
     )

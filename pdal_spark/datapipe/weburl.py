@@ -192,9 +192,13 @@ def blocklist_filter(
     BROADCAST side (spam/porn blocklists are millions of rows at most,
     dimension-sized next to 10^12 pages) — an anti-join, never a
     collected set when the list is a DataFrame."""
-    spark = df.sparkSession
-    bdf = spark.createDataFrame([(d,) for d in blocked_domains], ["domain"])
     out = df.withColumn("domain", url_domain(F.col(url_col)))
+    if not blocked_domains:
+        return out
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(
+        [(d,) for d in blocked_domains], "domain string"
+    )
     return out.join(F.broadcast(bdf), "domain", "left_anti")
 
 

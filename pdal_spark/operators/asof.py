@@ -38,10 +38,18 @@ def asof_join(
     both sides), ``payload`` the right columns to carry (each emitted
     as ``<name><suffix>``)."""
     lcols = left.columns
+    # payload travels as ONE struct so every output column comes from
+    # the SAME right row — per-column last(ignorenulls) would fall back
+    # to an older row for a column that is NULL in the latest one,
+    # fabricating a (col_a, col_b) combination no right row ever held.
+    pay_struct = F.struct(*[F.col(c).alias(c) for c in payload])
+    null_struct = F.lit(None).cast(
+        "struct<"
+        + ", ".join(f"{c}: {right.schema[c].dataType.simpleString()}" for c in payload)
+        + ">"
+    )
     tagged_l = left.select(
-        *lcols,
-        F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+        *lcols, F.lit(1).alias("_side"), null_struct.alias("_p")
     )
     tagged_r = right.select(
         *[
@@ -49,7 +57,7 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        pay_struct.alias("_p"),
     )
     u = tagged_l.unionByName(tagged_r)
     w = (
@@ -57,13 +65,13 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in payload:
-        u = u.withColumn(
-            f"{c}{suffix}", F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w)
-        )
+    u = u.withColumn("_m", F.last(F.col("_p"), ignorenulls=True).over(w))
     return (
         u.filter(F.col("_side") == 1)
-        .select(*lcols, *[f"{c}{suffix}" for c in payload])
+        .select(
+            *lcols,
+            *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in payload],
+        )
     )
 
 

@@ -232,6 +232,8 @@ def range_filter(cid: Column, ranges: list[tuple[int, int]]) -> Column:
 
 
 def range_filter_sql(cid: str, ranges: list[tuple[int, int]]) -> str:
+    if not ranges:
+        return "FALSE"
     return (
         "(" + " OR ".join(f"({cid} BETWEEN {lo} AND {hi})" for lo, hi in ranges) + ")"
     )
@@ -247,8 +249,10 @@ def range_scan_join(
     the whole interleave expression per range and blows up planning.
     For a STORED id column use range_filter instead: plain comparisons
     reach the parquet scan as PushedFilters."""
+    if not ranges:
+        return df.filter(F.lit(False))
     spark = df.sparkSession
-    rdf = spark.createDataFrame(ranges, ["_lo", "_hi"])
+    rdf = spark.createDataFrame(ranges, "_lo long, _hi long")
     cid = F.col(cid_col)
     return df.join(
         F.broadcast(rdf), (cid >= F.col("_lo")) & (cid <= F.col("_hi")),
@@ -284,18 +288,26 @@ def cell_pnp_join(
         b = poly.bbox()
         for lo, hi in covering_ranges((b.minx, b.miny, b.maxx, b.maxy), level):
             rows.append((gid, lo, hi))
-    rdf = spark.createDataFrame(rows, ["geom_id", "_lo", "_hi"])
+    if not rows:  # no polygons -> empty join result, keep the schema
+        return df.withColumn("geom_id", F.lit(0)).filter(F.lit(False))
+    rdf = spark.createDataFrame(rows, "geom_id int, _lo long, _hi long")
     cid = F.col(cid_col)
     cand = df.join(
         F.broadcast(rdf), (cid >= F.col("_lo")) & (cid <= F.col("_hi")), "inner"
     )
-    pred = F.lit(False)
-    for gid, poly in enumerate(polygons):
-        pred = pred | (
-            (F.col("geom_id") == gid)
-            & crop_mod.polygon_contains_col(poly, F.col(x), F.col(y))
-        )
-    return cand.filter(pred).drop("_lo", "_hi")
+    # balanced OR tree, same reason as range_filter: a linear chain of
+    # ring tests nests the analyzer hundreds deep for big polygon sets
+    preds = [
+        (F.col("geom_id") == gid)
+        & crop_mod.polygon_contains_col(poly, F.col(x), F.col(y))
+        for gid, poly in enumerate(polygons)
+    ]
+    while len(preds) > 1:
+        preds = [
+            preds[i] | preds[i + 1] if i + 1 < len(preds) else preds[i]
+            for i in range(0, len(preds), 2)
+        ]
+    return cand.filter(preds[0]).drop("_lo", "_hi")
 
 
 def cell_rollup(

@@ -82,3 +82,18 @@ def test_asof_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(user_id" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_asof_null_payload_stays_on_one_row(spark):
+    """A NULL payload field in the matched right row must come through
+    as NULL — never backfilled from an OLDER right row (all output
+    columns come from the same matched row)."""
+    left = spark.createDataFrame([(1, "a", 30)], ["event_id", "k", "t"])
+    right = spark.createDataFrame(
+        [(100, 5.0, "a", 10), (101, None, "a", 20)],
+        ["rid", "val", "k", "t"],
+    )
+    r = asof.asof_join(
+        left, right, on="k", ts="t", payload=["rid", "val"]
+    ).collect()[0]
+    assert r["rid_r"] == 101 and r["val_r"] is None

@@ -1133,3 +1133,39 @@ def test_bpe_encode_roundtrip(spark):
     assert n0 == sum(len(w) for w in "low lower lowest low low newer new".split())
     assert n5 == 12  # low x3 + low+er + low+e+s+t + new+er + new
     assert n5 < n0
+
+
+def test_kmv_sketch_null_values_and_keys(spark):
+    """NULL values don't count toward cardinality; a NULL group key is
+    a real group (SQL GROUP BY semantics), not dropped."""
+    from pdal_spark.datapipe import sketch
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2), (None, 3), (None, 3)],
+        "g string, v int",
+    )
+    out = {r["g"]: r for r in sketch.kmv_sketch(df, ["g"], "v", k=8).collect()}
+    assert out["a"]["est_distinct"] == 2.0
+    assert out[None]["est_distinct"] == 1.0
+
+
+def test_pii_counts_match_inserted_tokens(spark):
+    """A phone-shaped email local part belongs to the email: counts are
+    measured on the progressively-redacted text, so n_<type> always
+    equals the <TYPE> tokens inserted."""
+    from pdal_spark.datapipe import pii
+
+    df = spark.createDataFrame(
+        [(0, "reach me: 555-123-4567@corp.example now")], ["doc_id", "text"]
+    )
+    r = pii.pii_redact(df).collect()[0]
+    assert r["n_email"] == 1 and r["n_phone"] == 0 and r["n_ipv4"] == 0
+    assert r["text_redacted"] == "reach me: <EMAIL> now"
+
+
+def test_blocklist_filter_empty_list(spark):
+    from pdal_spark.datapipe import weburl
+
+    pages = _variant_pages(spark, n=50)
+    out = weburl.blocklist_filter(pages, [])
+    assert out.count() == 50 and "domain" in out.columns
