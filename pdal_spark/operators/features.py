@@ -368,11 +368,16 @@ def plane_fit(
         F.col(id_col).alias("_f_cand"),
         F.col(x).alias("_px"), F.col(y).alias("_py"), zc.alias("_pz"),
     )
-    nb = knnp.join(coords, "_f_cand")
+    # The plane-fit chain (centroid -> covariance/eigenvector -> mean
+    # plane distance) re-reads the neighbor table three times with a
+    # sequential dependency between passes, so without materialization
+    # Catalyst re-executes the whole kNN join per pass (~6x measured).
+    # k*n bounded rows, spill-safe cache — same pattern as lof().
+    nb = knnp.join(coords, "_f_cand").cache()
     cent = nb.groupBy("_f_src").agg(
         F.avg("_px").alias("_mx"), F.avg("_py").alias("_my"),
         F.avg("_pz").alias("_mz"), F.count("*").alias("n"),
-    )
+    ).cache()
     j = nb.join(cent, "_f_src")
     ax = (F.col("_px") - F.col("_mx")).cast("float").cast("double")
     ay = (F.col("_py") - F.col("_my")).cast("float").cast("double")
@@ -395,7 +400,7 @@ def plane_fit(
         F.col("_f_id").alias("_f_src"),
         F.col("v0x").alias("_nx"), F.col("v0y").alias("_ny"),
         F.col("v0z").alias("_nz"),
-    )
+    ).cache()  # n rows; reused by the distance pass AND the final join
     # mean |normal . (p_j - centroid)| over neighbors, divisor = knn param
     nbd = nb.join(cent, "_f_src").join(normals, "_f_src")
     dj = F.abs(

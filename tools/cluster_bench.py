@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""True multi-executor scaling evidence: a real Spark STANDALONE cluster.
+
+local[N] (tools/scaling_bench.py) shares one JVM heap and skips
+serialization + network shuffle entirely. This harness launches the
+real deployment shape inside the sandbox:
+
+    master JVM  (org.apache.spark.deploy.master.Master)
+    4 worker JVMs, 4 cores / 8g each
+    driver via --master spark://... --py-files pdal_spark.zip
+
+and runs the SAME jobs at spark.cores.max=4 (ONE 4-core executor JVM)
+vs spark.cores.max=16 (FOUR 4-core executor JVMs) — the north rule's
+literal "N and 4N executors". Executors are separate JVMs with their
+own heaps and Python worker pools; shuffles cross process boundaries
+through netty block transfer, exactly as on a multi-node cluster. The
+one thing a single box cannot give is per-node memory bandwidth/NICs —
+that caveat is recorded with the numbers in BENCH/BASELINE.md.
+
+Workloads (same code paths as scaling_bench.py):
+  1. compute-dense tile job (synth pages -> sha256 geocode -> bbox crop
+     -> splitter tiling -> per-tile counts)
+  2. minhash dedup pipeline (word_id_mode="hash") over synth_corpus with
+     planted clones — the shuffle-heavy path, now over real netty.
+
+Run: python tools/cluster_bench.py [pages] [docs] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import statistics
+import subprocess
+import sys
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MASTER_URL = "spark://127.0.0.1:7077"
+
+
+def _spark_home() -> str:
+    import pyspark
+
+    return os.path.dirname(os.path.abspath(pyspark.__file__))
+
+
+def _spawn(cls: str, *args: str, log: str) -> subprocess.Popen:
+    cmd = [os.path.join(_spark_home(), "bin", "spark-class"), cls, *args]
+    env = dict(os.environ, SPARK_HOME=_spark_home())
+    out = open(log, "w")
+    return subprocess.Popen(cmd, stdout=out, stderr=subprocess.STDOUT,
+                            env=env, preexec_fn=os.setsid)
+
+
+def _wait_log(log: str, needle: str, timeout: float = 60.0) -> None:
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        try:
+            with open(log) as f:
+                if needle in f.read():
+                    return
+        except FileNotFoundError:
+            pass
+        time.sleep(0.5)
+    raise RuntimeError(f"{log}: '{needle}' not seen in {timeout}s")
+
+
+def start_cluster(n_workers: int = 4, cores: int = 4, mem: str = "8g"):
+    """Master + n_workers worker JVMs; returns the process handles."""
+    procs = [_spawn(
+        "org.apache.spark.deploy.master.Master",
+        "-h", "127.0.0.1", "-p", "7077", "--webui-port", "8091",
+        log="/tmp/cb_master.log")]
+    _wait_log("/tmp/cb_master.log", "started service 'sparkMaster'")
+    for i in range(n_workers):
+        procs.append(_spawn(
+            "org.apache.spark.deploy.worker.Worker", MASTER_URL,
+            "-c", str(cores), "-m", mem, "-h", "127.0.0.1",
+            "--webui-port", str(8191 + i),
+            "--work-dir", f"/tmp/cb_worker{i}",
+            log=f"/tmp/cb_worker{i}.log"))
+    for i in range(n_workers):
+        _wait_log(f"/tmp/cb_worker{i}.log", "Successfully registered")
+    return procs
+
+
+def stop_cluster(procs) -> None:
+    for p in reversed(procs):
+        try:
+            os.killpg(os.getpgid(p.pid), signal.SIGTERM)
+        except ProcessLookupError:
+            pass
+    for p in procs:
+        try:
+            p.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+
+
+def build_zip() -> str:
+    """Package pdal_spark for --py-files, exactly like a real deploy."""
+    path = "/tmp/pdal_spark_cb.zip"
+    pkg = os.path.join(REPO, "pdal_spark")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return path
+
+
+DRIVER_TEMPLATE = """
+import json, time
+from pyspark.sql import SparkSession, functions as F
+
+spark = (SparkSession.builder.master("{master}")
+    .appName("cluster-bench-{tag}")
+    .config("spark.cores.max", "{cores_max}")
+    .config("spark.executor.cores", "4")
+    .config("spark.executor.memory", "6g")
+    .config("spark.sql.shuffle.partitions", "{parts}")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .getOrCreate())
+spark.sparkContext.addPyFile("{zip_path}")
+
+from pdal_spark import synth
+from pdal_spark.operators import crop as crop_op, splitter as splitter_op
+from pdal_spark.datapipe import dedup
+import math
+
+# wait until the requested executor cores have actually registered so
+# rep 1 is not measured against a half-provisioned app
+want_execs = {cores_max} // 4
+t0 = time.time()
+while time.time() - t0 < 60:
+    # executor memory status includes the driver; poll the JVM directly
+    n_exec = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+    if n_exec >= want_execs:
+        break
+    time.sleep(0.5)
+spark.range(0, 1000, 1, {cores_max}).count()  # warm the executor JVMs
+
+BOX = {box}
+res = {{}}
+
+if {pages} > 0:
+    best = None
+    for rep in range({reps}):
+        t0 = time.time()
+        pages = synth.with_coords(synth.synth_pages(spark, {pages}, num_partitions={parts} * 2))
+        cropped = crop_op.crop(pages.select("url", "warc_ts", "x", "y"), [BOX], mode="stream")
+        tiled = splitter_op.split(cropped, 30.0, -180.0, -90.0)
+        tiled.groupBy("tile_x", "tile_y").agg(F.count("*").alias("n")).count()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    res["compute"] = {{"sec": round(best, 2),
+                       "pages_per_sec": round({pages} / best, 1)}}
+
+if {docs} > 0:
+    df = synth.synth_corpus(spark, {docs}, num_partitions={parts} * 2).cache()
+    df.count()
+    best = None
+    for rep in range({reps}):
+        t0 = time.time()
+        got = dedup.minhash_dedup_pairs(df, 0.8, word_id_mode="hash").count()
+        assert got == {docs} // 100, got
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    res["dedup"] = {{"sec": round(best, 2),
+                     "docs_per_sec": round({docs} / best, 1)}}
+
+print("RESULT " + json.dumps(res))
+spark.stop()
+"""
+
+
+def run_config(cores_max: int, zip_path: str, pages: int, docs: int,
+               reps: int) -> dict:
+    box = "crop_op.Box(-140.0, -60.0, 140.0, 75.0)"
+    code = DRIVER_TEMPLATE.format(
+        master=MASTER_URL, tag=f"x{cores_max}", cores_max=cores_max,
+        parts=cores_max, zip_path=zip_path, box=box, pages=pages,
+        docs=docs, reps=reps)
+    env = dict(os.environ, SPARK_HOME=_spark_home())
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=3600, cwd="/tmp", env=env)
+    for line in reversed(out.stdout.strip().splitlines()):
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"driver failed: {out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1_500_000
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    zip_path = build_zip()
+    procs = start_cluster(n_workers=4, cores=4, mem="8g")
+    try:
+        results = {}
+        # paired attempts: alternate configs so ambient load hits both
+        attempts = []
+        for attempt in range(reps):
+            lo = run_config(4, zip_path, pages, docs, reps=1)
+            hi = run_config(16, zip_path, pages, docs, reps=1)
+            attempts.append({"lo": lo, "hi": hi})
+            print(json.dumps({"attempt": attempt, "lo": lo, "hi": hi}),
+                  flush=True)
+        for wl in ("compute", "dedup"):
+            if wl not in attempts[0]["lo"]:
+                continue
+            ratios = [a["lo"][wl]["sec"] / a["hi"][wl]["sec"] / 4.0
+                      for a in attempts]
+            best_lo = min(a["lo"][wl]["sec"] for a in attempts)
+            best_hi = min(a["hi"][wl]["sec"] for a in attempts)
+            results[wl] = {
+                "executors_1x4cores_sec": best_lo,
+                "executors_4x4cores_sec": best_hi,
+                "efficiency_median": round(statistics.median(ratios), 2),
+                "efficiency_attempts": [round(r, 2) for r in ratios],
+            }
+        print(json.dumps({"cluster": "standalone 4 workers x 4 cores",
+                          "pages": pages, "docs": docs, **results}))
+    finally:
+        stop_cluster(procs)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, REPO)
+    main()
