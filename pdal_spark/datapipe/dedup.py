@@ -15,13 +15,16 @@ engines agree; ``word_id_mode="hash"`` swaps in xxhash64 ids — zero
 vocabulary shuffles, the open-vocabulary 100 TB path (no SQL twin).
 
 Execution shape (100 TB): every near-dup pair pipeline is
-candidate-generate -> FUSED verify — each candidate row CARRIES its own
-(set size, chunked bitmask | hashed word array), the exact-Jaccard /
-Hamming test runs inside the self-join stage, and only true pairs reach
-an exchange. Candidate self-joins are SALTED (side b = hash(id) % s,
-side a explodes over s) because candidate keys are few and hot
-(rare-word prefix ords, LSH buckets, simhash bit-bands) — one hot key
-must not pin its quadratic blow-up on one task.
+candidate-generate -> verify with no candidate distinct(). Small
+per-doc payloads (chunked bitmasks, simhash words) CARRY through the
+self-join and verify inline; the open-vocabulary word-hash ARRAYS do
+NOT — they would cross the exchange 2 x bands times per doc, which is
+free inside one JVM but measured 2x slower at 4 executors than 1 over
+netty (tools/cluster_bench.py) — candidates instead FETCH arrays per
+surviving pair (_fetch_verified_pairs). Candidate self-joins are SALTED
+(side b = hash(id) % s, side a explodes over s) because candidate keys
+are few and hot (rare-word prefix ords, LSH buckets, simhash bit-bands)
+— one hot key must not pin its quadratic blow-up on one task.
 """
 
 from __future__ import annotations
@@ -624,14 +627,16 @@ def minhash_dedup_pairs(
     100 TB path; the exact jaccard_pairs() is the small-scale oracle.
 
     word_id_mode="hash" removes every vocabulary shuffle (see vocab());
-    its verifier carries each doc's sorted word ARRAY through the bucket
-    join (array_intersect on the raw strings — exact, open-vocabulary,
-    no dense ids, no 4-way join). rank mode carries the chunked bitmask
-    instead (8 bytes/chunk vs the full word array). Both verify inline
-    on the joined rows; only true pairs reach the final distinct.
+    its verifier keeps each doc's sorted word-hash ARRAY out of the
+    bucket self-join entirely — candidates carry only (sz, sig) and
+    fetch the arrays per surviving pair (_fetch_verified_pairs; exact
+    array_intersect, open-vocabulary, no dense ids). rank mode carries
+    the chunked bitmask inline instead (8 bytes/chunk). Either way only
+    true pairs reach an exchange and no distinct is needed.
 
-    verify: None (mode default), "bitmask", "wordarray", or "wordjoin"
-    (the legacy join verifier, kept for tests)."""
+    verify: None (mode default), "bitmask", "fetch", "wordarray"
+    (inline array carry — faster single-process, slower cross-executor),
+    or "wordjoin" (the legacy join verifier, kept for tests)."""
     rows_n = k // bands
     words = doc_words(df, text_col, id_col).persist()
     sigarr = minhash_signature_arrays(
@@ -653,7 +658,7 @@ def minhash_dedup_pairs(
         ),
     )
     if verify is None:
-        verify = "bitmask" if word_id_mode == "rank" else "wordarray"
+        verify = "bitmask" if word_id_mode == "rank" else "fetch"
     if verify == "wordjoin":
         cand = (
             bnd.alias("a")
@@ -663,8 +668,8 @@ def minhash_dedup_pairs(
             .distinct()
         )
         return _verify_pairs_wordjoin(cand, words, threshold)
-    if verify == "wordarray":
-        # carry sorted 64-bit word hashes, not the strings: long
+    if verify in ("wordarray", "fetch"):
+        # sorted 64-bit word hashes, not the strings: long
         # array_intersect is ~an order of magnitude cheaper per pair and
         # a same-doc-pair xxhash64 collision (< 2^-64 per word pair)
         # is far below the minhash approximation error already accepted
@@ -672,6 +677,11 @@ def minhash_dedup_pairs(
             F.sort_array(F.collect_list(F.xxhash64("word"))).alias("masks"),
             F.count("*").alias("sz"),
         )
+        if verify == "fetch":
+            keyed = bnd.join(sets.select("id", "sz"), "id")
+            return _fetch_verified_pairs(
+                keyed, sets, threshold, band_dedup=(bands, rows_n)
+            )
         keyed = bnd.join(sets, "id")
         return _fused_verified_pairs_arrays(
             keyed, ["band", "key"], threshold, band_dedup=(bands, rows_n)
@@ -745,6 +755,77 @@ def _fused_verified_pairs_arrays(
     )
     out = joined.select("id1", "id2", "jaccard")
     return out if band_dedup else out.distinct()
+
+
+def _fetch_verified_pairs(
+    keyed: DataFrame, sets: DataFrame, threshold: float,
+    n_salts: int = 16, band_dedup: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Candidate-then-fetch twin of _fused_verified_pairs_arrays for the
+    multi-executor path: the band self-join carries ONLY scalars plus the
+    k-long signature (id, sz, sig) — never the word-hash arrays — and the
+    few surviving candidate pairs fetch their arrays from `sets`
+    afterwards.
+
+    Why: carrying each doc's array through the salted self-join shuffles
+    it 2 x bands times across executors. Inside one JVM (local[N]) that
+    shuffle is process-local and nearly free, but on a real cluster it is
+    netty traffic — measured 2x SLOWER at 4 executors than at 1 on a
+    1.5M-doc corpus (tools/cluster_bench.py). Here the array-bearing
+    table is only touched by the two candidate joins; when candidates
+    are few (the normal case post-LSH) AQE turns them into broadcast
+    joins and the arrays never cross an exchange at all.
+
+    band_dedup is required here: first-band filtering is what guarantees
+    each pair reaches the fetch joins exactly once without a distinct."""
+    assert band_dedup is not None, "fetch verifier requires band dedup"
+    bands_n, rows_n = band_dedup
+    keyed = _with_hot_salt(keyed.persist(), ["band", "key"], n_salts)
+    jk = ["band", "key", "_salt"]
+    a = keyed.select(
+        "band", "key", F.col("id").alias("id1"), F.col("sz").alias("sz1"),
+        F.col("sig").alias("sig1"),
+        F.explode(
+            F.when(F.col("_hot"),
+                   F.sequence(F.lit(0), F.lit(n_salts - 1)))
+            .otherwise(F.array(F.lit(0)))
+        ).alias("_salt"),
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    b = keyed.select(
+        "band", "key", F.col("id").alias("id2"), F.col("sz").alias("sz2"),
+        F.col("sig").alias("sig2"),
+        F.when(F.col("_hot"), F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)))
+        .otherwise(F.lit(0)).cast("int").alias("_salt"),
+    )
+    cand = (
+        a.join(b, jk)
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(
+            F.least("sz1", "sz2")
+            >= F.lit(threshold) * F.greatest("sz1", "sz2")
+        )
+        .filter(
+            F.col("band")
+            == _first_match_band(F.col("sig1"), F.col("sig2"), bands_n, rows_n)
+        )
+        .select("id1", "id2", "sz1", "sz2")
+    )
+    m1 = sets.select(F.col("id").alias("id1"), F.col("masks").alias("ma"))
+    m2 = sets.select(F.col("id").alias("id2"), F.col("masks").alias("mb"))
+    return (
+        cand.join(m1, "id1").join(m2, "id2")
+        .withColumn("inter", F.size(F.array_intersect("ma", "mb")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
 
 
 def minhash_dedup_pairs_sql(

@@ -156,6 +156,21 @@ def test_minhash_hash_word_ids(docs):
     assert len(got) >= 0.8 * len(exact)
 
 
+def test_minhash_fetch_verifier_matches_inline(docs):
+    """verify='fetch' (candidates fetch word arrays post-join; the
+    multi-executor default — arrays never ride the band shuffle) is
+    pair-for-pair identical to the inline-carry 'wordarray' verifier."""
+    inline = dedup.minhash_dedup_pairs(
+        docs, threshold=0.8, word_id_mode="hash", verify="wordarray"
+    ).toPandas()
+    fetch = dedup.minhash_dedup_pairs(
+        docs, threshold=0.8, word_id_mode="hash", verify="fetch"
+    ).toPandas()
+    key = lambda d: sorted(zip(d.id1, d.id2, d.jaccard))
+    assert key(inline) == key(fetch)
+    assert len(fetch) > 0
+
+
 def test_simhash_banded_pairs_equal_exact(docs):
     """Bit-band pigeonhole join is 100%-recall: banded == exact all-pairs
     for every max_hamming, and its plan contains no cartesian product."""
