@@ -741,6 +741,66 @@ def q_gltf_manifest(spark, sf_dir):
     )
 
 
+def q_las_roundtrip(spark, sf_dir):
+    """readers.las + writers.las (io/LasReader.cpp, io/LasWriter.cpp):
+    encode the geocoded pages to an uncompressed LAS 1.2 point-format-1
+    file (executor-side blocks, driver assembles header), then decode it
+    back with the chunk-parallel reader. The oracle replicates the
+    writer's quantization law exactly — XForm::toScaled
+    (pdal_types.hpp:123) + sround half-away-from-zero (Utils.hpp:152)
+    + int32 store, de-quantized ``i * scale`` on read — so the returned
+    coordinates are the LAS-file doubles, not the inputs. doc_id rides
+    the GpsTime dim (double-exact below 2^53)."""
+    import tempfile
+
+    from pdal_spark.formats import las as las_fmt
+
+    df = _docs_geo(spark, sf_dir).select(
+        "x",
+        "y",
+        ((F.col("doc_id") * 7919) % 1000 * 0.05).alias("z"),
+        (F.col("doc_id") % 65536).cast("int").alias("intensity"),
+        ((F.col("doc_id") % 5) + 1).cast("int").alias("return_number"),
+        F.lit(5).cast("int").alias("number_of_returns"),
+        F.col("doc_id").cast("double").alias("gps_time"),
+    )
+    path = tempfile.mktemp(prefix="las_rt_", suffix=".las")
+    las_fmt.write_las(df, path, fmt=1, scales=(1e-6, 1e-6, 1e-6))
+    out = las_fmt.read_las(spark, path, chunk_points=4096)
+    return out.select(
+        F.col("gps_time").cast("long").alias("doc_id"),
+        "x",
+        "y",
+        "z",
+        "intensity",
+        "return_number",
+    )
+
+
+def q_las_tiles(spark, sf_dir):
+    """FlexWriter '#' analog over LAS (FlexWriter.hpp): one .las file per
+    splitter tile, written inside the owning task (applyInPandas), plus
+    a tindex-style manifest. The oracle recomputes per-tile counts and
+    exact double bounds; header fields of every written file are checked
+    against the manifest in tests."""
+    import tempfile
+
+    from pdal_spark.formats import las as las_fmt
+
+    pts = (
+        splitter_op.split(_docs_geo(spark, sf_dir), TILE_LEN, TILE_OX, TILE_OY)
+        .withColumn("z", F.lit(0.0))
+        .withColumn(
+            "tile",
+            F.concat_ws("_", F.col("tile_x"), F.col("tile_y")),
+        )
+    )
+    man = las_fmt.write_las_parts(
+        pts, tempfile.mkdtemp(prefix="las_tiles_"), by="tile", fmt=0
+    )
+    return man.select("group", "count", "minx", "miny", "maxx", "maxy")
+
+
 def q_delaunay_mesh(spark, sf_dir):
     """filters.delaunay analog (DelaunayFilter.cpp:61-110): tiled 2D
     Delaunay with halo duplication, hull-band driver completion, and a
@@ -1587,6 +1647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voxel_center_nn": q_voxel_center_nn,
         "voxel_centroid_nn": q_voxel_centroid_nn,
         "tindex": q_tindex,
+        "las_roundtrip": q_las_roundtrip,
+        "las_tiles": q_las_tiles,
         "gltf_manifest": q_gltf_manifest,
         "ogr_multipoint": q_ogr_multipoint,
         "delaunay_mesh": q_delaunay_mesh,
@@ -1838,9 +1900,45 @@ def _misc_oracles() -> dict[str, str]:
              5028 + 12 * count(*) + 12 * (count(*) // 3) AS byte_length
       FROM ({_DOCS_GEO_SQL}) GROUP BY 1 HAVING count(*) >= 3
     """
+    # LAS round trip: the writer's quantization law (XForm::toScaled,
+    # pdal_types.hpp:123 + sround, Utils.hpp:152 + int32 store) then the
+    # reader's de-quantization (i * scale, LasReader.cpp loadPointV10) —
+    # identical IEEE-double ops on both engines, so bit-comparable.
+    ls = repr(1e-6)
+
+    def _squant(col: str) -> str:
+        v = f"(({col}) - 0.0) / {ls}"
+        return (
+            f"(CAST(CASE WHEN {v} > 0 THEN FLOOR({v} + 0.5) "
+            f"ELSE CEIL({v} - 0.5) END AS BIGINT) * {ls})"
+        )
+
+    las_rt = f"""
+      WITH g AS (
+        SELECT doc_id, ({_X_SQL}) AS x, ({_Y_SQL}) AS y,
+               ((doc_id * 7919) % 1000) * 0.05 AS z
+        FROM documents
+      )
+      SELECT doc_id,
+             {_squant('x')} AS x,
+             {_squant('y')} AS y,
+             {_squant('z')} AS z,
+             CAST(doc_id % 65536 AS INTEGER) AS intensity,
+             CAST(doc_id % 5 + 1 AS INTEGER) AS return_number
+      FROM g
+    """
+    las_tiles = f"""
+      SELECT CAST({tx_sql} AS VARCHAR) || '_' || CAST({ty_sql} AS VARCHAR)
+               AS "group",
+             count(*) AS count,
+             min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy
+      FROM ({_DOCS_GEO_SQL}) GROUP BY 1
+    """
     return {
         "reprojection": reproj,
         "reprojection_utm": reproj_utm,
+        "las_roundtrip": las_rt,
+        "las_tiles": las_tiles,
         "outlier_stat": outlier_stat,
         "transformation": transformation,
         "info_bounds": info,
