@@ -1215,9 +1215,22 @@ def q_text_repetition(spark, sf_dir):
     entropy. One (doc_id, gram) shuffle per n — doc-local keys, no hot
     key beyond one document's length."""
     from pdal_spark.datapipe import repetition as rep_op
+    from pdal_spark.datapipe import substring as ss_op
 
     df = _table(spark, sf_dir, "documents")
     return rep_op.repetition_signals(df)
+
+
+def q_substring_dedup(spark, sf_dir):
+    """ExactSubstr-style repeated-substring removal (Lee et al., ACL
+    2022): every word position covered by a corpus-duplicated 8-gram
+    window is dropped, from ALL copies. Map-side-combined gram counts +
+    AQE-splittable join on the gram key; rebuild is pure higher-order
+    column functions."""
+    from pdal_spark.datapipe import substring as ss_op
+
+    df = _table(spark, sf_dir, "documents")
+    return ss_op.substring_dedup(df, n=8)
 
 
 def q_text_contamination(spark, sf_dir):
@@ -1609,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_bigram_lm": q_text_bigram_lm,
         "text_repetition": q_text_repetition,
+        "substring_dedup": q_substring_dedup,
         "text_contamination": q_text_contamination,
         "source_mixture": q_source_mixture,
         "mixture_sample": q_mixture_sample,
@@ -3501,6 +3515,7 @@ def _raster_oracles() -> dict[str, str]:
 
 def _datapipe_oracles() -> dict[str, str]:
     from pdal_spark.datapipe import contamination as cont_op
+    from pdal_spark.datapipe import substring as ss_op
     from pdal_spark.datapipe import repetition as rep_op
 
     ws, bpe = text_op.token_count_sql()
@@ -3508,6 +3523,7 @@ def _datapipe_oracles() -> dict[str, str]:
     md5_sql, roll_sql = text_op.fingerprint_sql()
     return {
         "text_repetition": rep_op.repetition_sql(),
+        "substring_dedup": ss_op.substring_dedup_sql(),
         "text_contamination": cont_op.contamination_sql(),
         "source_mixture": cont_op.source_mixture_sql(),
         "mixture_sample": cont_op.mixture_sample_sql(
