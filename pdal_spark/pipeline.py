@@ -123,6 +123,9 @@ def _infer_reader(spark, inputs, o, filename):
         return spark.read.parquet(filename)
     if filename.endswith((".csv", ".txt")):
         return spark.read.csv(filename, header=True, inferSchema=True)
+    if filename.endswith(".las"):
+        # StageFactory::inferReaderDriver extension map (readers.las)
+        return _r_las(spark, inputs, o, filename)
     raise PipelineError(f"cannot infer reader for {filename}")
 
 
@@ -135,6 +138,18 @@ def _r_text(spark, inputs, o, filename):
     sep = o.get("separator", ",")
     return spark.read.csv(filename or o["filename"], header=True,
                           inferSchema=True, sep=sep)
+
+
+def _r_las(spark, inputs, o, filename):
+    """readers.las (io/LasReader.cpp): chunk-parallel uncompressed LAS
+    decode — see pdal_spark/formats/las.py."""
+    from pdal_spark.formats import las as las_fmt
+
+    return las_fmt.read_las(
+        spark,
+        filename or o["filename"],
+        chunk_points=int(o.get("chunk_points", 1_000_000)),
+    )
 
 
 def _r_faux(spark, inputs, o, filename):
@@ -387,6 +402,32 @@ def _w_null(spark, inputs, o, filename):
     return df
 
 
+def _w_las(spark, inputs, o, filename):
+    """writers.las (io/LasWriter.cpp): single-file LAS with summary
+    header; scale/offset options mirror the reference's
+    scale_x/offset_x args (LasWriter.cpp addArgs)."""
+    from pdal_spark.formats import las as las_fmt
+
+    df = _one(inputs, "writers.las")
+    scales = tuple(
+        float(o.get(f"scale_{a}", 0.01)) for a in ("x", "y", "z")
+    )
+    offsets = tuple(
+        float(o.get(f"offset_{a}", 0.0)) for a in ("x", "y", "z")
+    )
+    las_fmt.write_las(
+        df,
+        filename or o["filename"],
+        fmt=int(o.get("dataformat_id", 3)),
+        scales=scales,
+        offsets=offsets,
+        version_minor=(
+            int(o["minor_version"]) if "minor_version" in o else None
+        ),
+    )
+    return df
+
+
 def _w_ogr(spark, inputs, o, filename):
     # writers.ogr (OGRWriter.cpp): vector-feature product as GeoJSONSeq
     from pdal_spark.operators import ogr as ogr_op
@@ -407,6 +448,7 @@ REGISTRY: dict[str, StageFn] = {
     "readers.parquet": _r_parquet,
     "readers.text": _r_text,
     "readers.faux": _r_faux,
+    "readers.las": _r_las,
     "filters.crop": _f_crop,
     "filters.range": _f_range,
     "filters.mongo": _f_mongo,
@@ -435,6 +477,7 @@ REGISTRY: dict[str, StageFn] = {
     "writers.parquet": _w_parquet,
     "writers.text": _w_csv,
     "writers.null": _w_null,
+    "writers.las": _w_las,
     "writers.ogr": _w_ogr,
 }
 

@@ -241,6 +241,31 @@ def test_write_las_parts_manifest(spark, tmp_path):
     assert back.count() == 500
 
 
+def test_pipeline_las_stages(spark, tmp_path):
+    """readers.las / writers.las as JSON pipeline stages, plus the
+    .las extension in readers.infer (StageFactory extension map)."""
+    import pdal_spark.pipeline as pl
+
+    path = str(tmp_path / "pipe.las")
+    pl.run(spark, [
+        {"type": "readers.faux", "count": 120},
+        {"type": "filters.ferry", "dimensions": "x=>z"},
+        {"type": "writers.las", "filename": path, "dataformat_id": 0,
+         "scale_x": 1e-6, "scale_y": 1e-6, "scale_z": 1e-6},
+    ])
+    h = las.read_header(path)
+    assert h.point_count == 120 and h.point_format == 0
+    back = pl.run(spark, [{"type": "readers.las", "filename": path}])
+    assert back.count() == 120
+    from pyspark.sql import functions as F
+
+    zx = back.select(F.abs(back.z - back.x).alias("d")).agg(F.max("d"))
+    assert zx.collect()[0][0] < 1e-5
+    # bare-string stage -> inferred LAS reader
+    inferred = pl.run(spark, [path])
+    assert inferred.count() == 120
+
+
 def test_mixed_formats_rejected(spark, tmp_path):
     df = _synth_cloud(spark, n=10)
     p0 = str(tmp_path / "f0.las")
