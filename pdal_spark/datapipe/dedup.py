@@ -420,18 +420,21 @@ def jaccard_pairs(
     naive formulation as the cross-engine check.
     """
     # doc_words is the most expensive leaf of this plan for shingle mode
-    # (per-doc slice/join HOFs) and feeds vocab, dfreq, the prefix build
-    # and the verifier — compute it ONCE
+    # (per-doc slice/join HOFs) and feeds dfreq, the prefix build and
+    # the verifier — compute it ONCE. The dense vocab rank (a second
+    # global_rank over the whole vocabulary) is built ONLY on the fused
+    # branch that consumes it; the wide-vocab branch decides from
+    # dfreq's own aggregate (vocab size == max wid + 1 by construction).
     words = doc_words(df, text_col, id_col, shingle).persist()
-    v = vocab(df, text_col, id_col, shingle=shingle, words=words).persist()
-    n_chunks_row = v.agg(
-        (F.floor(F.max("wid") / MASK_CHUNK_BITS) + 1).alias("nc")
+    dfreq = words.groupBy("word").agg(F.count("*").alias("df")).persist()
+    stats = dfreq.agg(
+        F.count("*").alias("nv"), F.sum("df").alias("nw")
     ).collect()[0]
-    n_chunks = int(n_chunks_row.nc)
+    n_vocab, n_words = int(stats.nv), int(stats.nw)
+    n_chunks = (n_vocab - 1) // MASK_CHUNK_BITS + 1 if n_vocab else 1
 
-    dfreq = words.groupBy("word").agg(F.count("*").alias("df"))
     order = global_rank(
-        dfreq.join(v, "word").select("word", "df"),
+        dfreq,
         [F.col("df").asc(), F.col("word").asc()],
         out_col="ord",
     ).select("word", "ord")
@@ -460,7 +463,7 @@ def jaccard_pairs(
     # to the corpus there, so the two pair-side joins are the cheap
     # part. Threshold: mask chunks vs ~2x the average doc set size
     # (the array payload), capped at the codegen unroll width.
-    avg_sz = words.count() / max(df.count(), 1)
+    avg_sz = n_words / max(df.count(), 1)
     if n_chunks > min(MASK_UNROLL_MAX, max(2 * avg_sz, 16)):
         sets = words.groupBy("id").agg(
             F.sort_array(F.collect_list(F.xxhash64("word"))).alias("masks"),
@@ -474,6 +477,7 @@ def jaccard_pairs(
             .distinct()
         )
         return _verify_pairs_arrays(cand, sets, threshold)
+    v = vocab(df, text_col, id_col, shingle=shingle, words=words)
     masks, _ = _doc_masks(words, v, n_chunks)
     keyed = prefix.join(masks, "id")  # prefix rows only — small join
     return _fused_verified_pairs(keyed, ["ord"], threshold, n_chunks)
