@@ -126,6 +126,8 @@ def _infer_reader(spark, inputs, o, filename):
     if filename.endswith(".las"):
         # StageFactory::inferReaderDriver extension map (readers.las)
         return _r_las(spark, inputs, o, filename)
+    if filename.endswith(".ply"):
+        return _r_ply(spark, inputs, o, filename)
     raise PipelineError(f"cannot infer reader for {filename}")
 
 
@@ -146,6 +148,17 @@ def _r_las(spark, inputs, o, filename):
     from pdal_spark.formats import las as las_fmt
 
     return las_fmt.read_las(
+        spark,
+        filename or o["filename"],
+        chunk_points=int(o.get("chunk_points", 1_000_000)),
+    )
+
+
+def _r_ply(spark, inputs, o, filename):
+    """readers.ply (io/PlyReader.cpp): vertex element, ascii/binary."""
+    from pdal_spark.formats import ply as ply_fmt
+
+    return ply_fmt.read_ply(
         spark,
         filename or o["filename"],
         chunk_points=int(o.get("chunk_points", 1_000_000)),
@@ -428,6 +441,27 @@ def _w_las(spark, inputs, o, filename):
     return df
 
 
+def _w_ply(spark, inputs, o, filename):
+    """writers.ply (io/PlyWriter.cpp): storage_mode + Ascii-only
+    precision option (PlyWriter.cpp:80-82)."""
+    from pdal_spark.formats import ply as ply_fmt
+
+    df = _one(inputs, "writers.ply")
+    mode = o.get("storage_mode", "ascii")
+    if mode == "little endian":  # the reference's alias spelling
+        mode = "binary_le"
+    if "precision" in o and mode != "ascii":
+        raise PipelineError(
+            "Option 'precision' can only be set of the 'storage_mode' "
+            "is ascii."  # PlyWriter.cpp:80-82 wording
+        )
+    ply_fmt.write_ply(
+        df, filename or o["filename"], storage_mode=mode,
+        precision=int(o.get("precision", 3)),
+    )
+    return df
+
+
 def _w_ogr(spark, inputs, o, filename):
     # writers.ogr (OGRWriter.cpp): vector-feature product as GeoJSONSeq
     from pdal_spark.operators import ogr as ogr_op
@@ -449,6 +483,7 @@ REGISTRY: dict[str, StageFn] = {
     "readers.text": _r_text,
     "readers.faux": _r_faux,
     "readers.las": _r_las,
+    "readers.ply": _r_ply,
     "filters.crop": _f_crop,
     "filters.range": _f_range,
     "filters.mongo": _f_mongo,
@@ -478,6 +513,7 @@ REGISTRY: dict[str, StageFn] = {
     "writers.text": _w_csv,
     "writers.null": _w_null,
     "writers.las": _w_las,
+    "writers.ply": _w_ply,
     "writers.ogr": _w_ogr,
 }
 
