@@ -1,0 +1,99 @@
+"""Snapshot catalog: atomic optimistic commits, time travel, pruning."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdal_spark.catalog import SnapshotTable
+
+
+def _pts(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 100).cast("double").alias("x"),
+        (F.col("id") % 37).cast("double").alias("y"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "t"), stats_cols=("x", "y"))
+
+
+def test_append_versions_and_history(spark, table):
+    v1 = table.append(_pts(spark, 0, 100))
+    v2 = table.append(_pts(spark, 100, 250))
+    assert (v1, v2) == (1, 2)
+    assert table.read().count() == 250
+    assert table.read(version=1).count() == 100  # time travel
+    h = table.history().orderBy("version").collect()
+    assert [r.operation for r in h] == ["append", "append"]
+    assert h[1].parent == 1
+    assert h[1].total_rows == 250
+
+
+def test_overwrite_and_rollback(spark, table):
+    table.append(_pts(spark, 0, 100))
+    table.overwrite(_pts(spark, 500, 520))
+    assert table.read().count() == 20
+    v3 = table.rollback(1)
+    assert v3 == 3
+    assert table.read().count() == 100
+    # rollback never rewrites history
+    assert table.read(version=2).count() == 20
+
+
+def test_commit_conflict_retries(spark, table):
+    """A competing writer's manifest forces the optimistic retry loop
+    (exclusive create on v<N+1>.json, like Iceberg)."""
+    table.append(_pts(spark, 0, 50))
+    # simulate a concurrent committer that won v2
+    rogue = dict(table.snapshot(1))
+    rogue.update({"version": 2, "parent": 1, "operation": "append"})
+    with open(os.path.join(table.meta_dir, "v2.json"), "x") as f:
+        json.dump(rogue, f)
+    v = table.append(_pts(spark, 50, 80))
+    assert v == 3  # retried past the rogue v2
+    assert table.read().count() == 80  # rogue's files (same list) + new
+
+
+def test_bbox_file_pruning(spark, table):
+    """Manifest min/max stats prune whole files before Spark plans."""
+    # three spatially-disjoint appends -> three file groups
+    for lo in (0, 1000, 2000):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("pid"),
+            (F.lit(lo / 10.0) + (F.col("id") % 10) * 0.1).alias("x"),
+            F.lit(0.0).alias("y"),
+        ).coalesce(1)
+        table.append(df)
+    n, total = table.pruned_count(bbox=(99.0, -1.0, 101.0, 1.0))
+    assert total == 3
+    assert n == 1  # only the middle file group overlaps x in [99, 101]
+    got = table.read(bbox=(99.0, -1.0, 101.0, 1.0))
+    # pruning is a superset of the exact filter
+    assert got.filter("x >= 99 and x <= 101").count() == \
+        table.read().filter("x >= 99 and x <= 101").count()
+
+
+def test_expire_removes_unreachable_files(spark, table):
+    table.append(_pts(spark, 0, 100))
+    table.overwrite(_pts(spark, 0, 10))
+    removed = table.expire(keep_from_version=2)
+    assert removed >= 1
+    assert table.read().count() == 10  # current snapshot intact
+    with pytest.raises(Exception):
+        table.read(version=1).count()  # expired version fails loudly
+
+
+def test_stats_from_footers_only(spark, table):
+    """Stats land in the manifest with correct bounds."""
+    table.append(_pts(spark, 0, 100))
+    s = table.snapshot()
+    st = s["files"][0]["stats"]
+    assert st["x"][0] >= 0.0 and st["x"][1] <= 99.0
+    assert s["stats_cols"] == ["x", "y"]
