@@ -128,6 +128,10 @@ def _infer_reader(spark, inputs, o, filename):
         return _r_las(spark, inputs, o, filename)
     if filename.endswith(".ply"):
         return _r_ply(spark, inputs, o, filename)
+    if filename.endswith(".sbet"):
+        return _r_sbet(spark, inputs, o, filename)
+    if filename.endswith(".pts"):
+        return _r_pts(spark, inputs, o, filename)
     raise PipelineError(f"cannot infer reader for {filename}")
 
 
@@ -162,6 +166,27 @@ def _r_ply(spark, inputs, o, filename):
         spark,
         filename or o["filename"],
         chunk_points=int(o.get("chunk_points", 1_000_000)),
+    )
+
+
+def _r_sbet(spark, inputs, o, filename):
+    """readers.sbet (io/SbetReader.cpp): 17-double trajectory records."""
+    from pdal_spark.formats import sbet as sbet_fmt
+
+    return sbet_fmt.read_sbet(
+        spark,
+        filename or o["filename"],
+        angles_as_degrees=bool(o.get("angles_as_degrees", True)),
+    )
+
+
+def _r_pts(spark, inputs, o, filename):
+    """readers.pts (io/PtsReader.cpp): count header + xyz[i[rgb]] text."""
+    from pdal_spark.formats import pts as pts_fmt
+
+    return pts_fmt.read_pts(
+        spark, filename or o["filename"],
+        separator=o.get("separator", " "),
     )
 
 
@@ -462,6 +487,18 @@ def _w_ply(spark, inputs, o, filename):
     return df
 
 
+def _w_sbet(spark, inputs, o, filename):
+    """writers.sbet (io/SbetWriter.cpp): degrees->radians on write."""
+    from pdal_spark.formats import sbet as sbet_fmt
+
+    df = _one(inputs, "writers.sbet")
+    sbet_fmt.write_sbet(
+        df, filename or o["filename"],
+        angles_are_degrees=bool(o.get("angles_are_degrees", True)),
+    )
+    return df
+
+
 def _w_ogr(spark, inputs, o, filename):
     # writers.ogr (OGRWriter.cpp): vector-feature product as GeoJSONSeq
     from pdal_spark.operators import ogr as ogr_op
@@ -484,6 +521,8 @@ REGISTRY: dict[str, StageFn] = {
     "readers.faux": _r_faux,
     "readers.las": _r_las,
     "readers.ply": _r_ply,
+    "readers.sbet": _r_sbet,
+    "readers.pts": _r_pts,
     "filters.crop": _f_crop,
     "filters.range": _f_range,
     "filters.mongo": _f_mongo,
@@ -514,6 +553,7 @@ REGISTRY: dict[str, StageFn] = {
     "writers.null": _w_null,
     "writers.las": _w_las,
     "writers.ply": _w_ply,
+    "writers.sbet": _w_sbet,
     "writers.ogr": _w_ogr,
 }
 
