@@ -132,6 +132,8 @@ def _infer_reader(spark, inputs, o, filename):
         return _r_sbet(spark, inputs, o, filename)
     if filename.endswith(".pts"):
         return _r_pts(spark, inputs, o, filename)
+    if filename.endswith(".bpf"):
+        return _r_bpf(spark, inputs, o, filename)
     raise PipelineError(f"cannot infer reader for {filename}")
 
 
@@ -187,6 +189,17 @@ def _r_pts(spark, inputs, o, filename):
     return pts_fmt.read_pts(
         spark, filename or o["filename"],
         separator=o.get("separator", " "),
+    )
+
+
+def _r_bpf(spark, inputs, o, filename):
+    """readers.bpf (io/BpfReader.cpp): v3, all interleaves, zlib."""
+    from pdal_spark.formats import bpf as bpf_fmt
+
+    return bpf_fmt.read_bpf(
+        spark,
+        filename or o["filename"],
+        chunk_points=int(o.get("chunk_points", 1_000_000)),
     )
 
 
@@ -499,6 +512,15 @@ def _w_sbet(spark, inputs, o, filename):
     return df
 
 
+def _w_bpf(spark, inputs, o, filename):
+    """writers.bpf (io/BpfWriter.cpp): point-major, auto offsets."""
+    from pdal_spark.formats import bpf as bpf_fmt
+
+    df = _one(inputs, "writers.bpf")
+    bpf_fmt.write_bpf(df, filename or o["filename"])
+    return df
+
+
 def _w_ogr(spark, inputs, o, filename):
     # writers.ogr (OGRWriter.cpp): vector-feature product as GeoJSONSeq
     from pdal_spark.operators import ogr as ogr_op
@@ -523,6 +545,7 @@ REGISTRY: dict[str, StageFn] = {
     "readers.ply": _r_ply,
     "readers.sbet": _r_sbet,
     "readers.pts": _r_pts,
+    "readers.bpf": _r_bpf,
     "filters.crop": _f_crop,
     "filters.range": _f_range,
     "filters.mongo": _f_mongo,
@@ -554,6 +577,7 @@ REGISTRY: dict[str, StageFn] = {
     "writers.las": _w_las,
     "writers.ply": _w_ply,
     "writers.sbet": _w_sbet,
+    "writers.bpf": _w_bpf,
     "writers.ogr": _w_ogr,
 }
 
