@@ -134,6 +134,10 @@ def _infer_reader(spark, inputs, o, filename):
         return _r_pts(spark, inputs, o, filename)
     if filename.endswith(".bpf"):
         return _r_bpf(spark, inputs, o, filename)
+    if filename.endswith(".qi"):
+        return _r_qfit(spark, inputs, o, filename)
+    if filename.endswith(".bin"):
+        return _r_terrasolid(spark, inputs, o, filename)
     raise PipelineError(f"cannot infer reader for {filename}")
 
 
@@ -201,6 +205,24 @@ def _r_bpf(spark, inputs, o, filename):
         filename or o["filename"],
         chunk_points=int(o.get("chunk_points", 1_000_000)),
     )
+
+
+def _r_qfit(spark, inputs, o, filename):
+    """readers.qfit (io/QfitReader.cpp): ATM .qi records."""
+    from pdal_spark.formats import qfit as qfit_fmt
+
+    return qfit_fmt.read_qfit(
+        spark, filename or o["filename"],
+        scale_z=float(o.get("scale_z", 0.001)),
+        flip_x=bool(o.get("flip_coordinates", True)),
+    )
+
+
+def _r_terrasolid(spark, inputs, o, filename):
+    """readers.terrasolid (io/TerrasolidReader.cpp): TScan .bin."""
+    from pdal_spark.formats import terrasolid as ts_fmt
+
+    return ts_fmt.read_terrasolid(spark, filename or o["filename"])
 
 
 def _r_faux(spark, inputs, o, filename):
@@ -546,6 +568,8 @@ REGISTRY: dict[str, StageFn] = {
     "readers.sbet": _r_sbet,
     "readers.pts": _r_pts,
     "readers.bpf": _r_bpf,
+    "readers.qfit": _r_qfit,
+    "readers.terrasolid": _r_terrasolid,
     "filters.crop": _f_crop,
     "filters.range": _f_range,
     "filters.mongo": _f_mongo,
