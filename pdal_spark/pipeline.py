@@ -225,6 +225,16 @@ def _r_terrasolid(spark, inputs, o, filename):
     return ts_fmt.read_terrasolid(spark, filename or o["filename"])
 
 
+def _r_ilvis2(spark, inputs, o, filename):
+    """readers.ilvis2 (io/Ilvis2Reader.cpp): LVIS L2 text shots."""
+    from pdal_spark.formats import ilvis2 as ilvis2_fmt
+
+    return ilvis2_fmt.read_ilvis2(
+        spark, filename or o["filename"],
+        mapping=str(o.get("mapping", "all")),
+    )
+
+
 def _r_faux(spark, inputs, o, filename):
     """readers.faux analog: deterministic synthetic pages/points
     (FauxReader.cpp grid/ramp modes ≈ our seeded generator)."""
@@ -570,6 +580,7 @@ REGISTRY: dict[str, StageFn] = {
     "readers.bpf": _r_bpf,
     "readers.qfit": _r_qfit,
     "readers.terrasolid": _r_terrasolid,
+    "readers.ilvis2": _r_ilvis2,
     "filters.crop": _f_crop,
     "filters.range": _f_range,
     "filters.mongo": _f_mongo,
