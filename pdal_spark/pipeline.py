@@ -138,6 +138,8 @@ def _infer_reader(spark, inputs, o, filename):
         return _r_qfit(spark, inputs, o, filename)
     if filename.endswith(".bin"):
         return _r_terrasolid(spark, inputs, o, filename)
+    if filename.endswith(".csd"):
+        return _r_optech(spark, inputs, o, filename)
     raise PipelineError(f"cannot infer reader for {filename}")
 
 
@@ -232,6 +234,16 @@ def _r_ilvis2(spark, inputs, o, filename):
     return ilvis2_fmt.read_ilvis2(
         spark, filename or o["filename"],
         mapping=str(o.get("mapping", "all")),
+    )
+
+
+def _r_optech(spark, inputs, o, filename):
+    """readers.optech (io/OptechReader.cpp): CSD pulses, georeferenced."""
+    from pdal_spark.formats import optech as optech_fmt
+
+    return optech_fmt.read_optech(
+        spark, filename or o["filename"],
+        chunk_points=int(o.get("chunk_points", 1_000_000)),
     )
 
 
@@ -581,6 +593,7 @@ REGISTRY: dict[str, StageFn] = {
     "readers.qfit": _r_qfit,
     "readers.terrasolid": _r_terrasolid,
     "readers.ilvis2": _r_ilvis2,
+    "readers.optech": _r_optech,
     "filters.crop": _f_crop,
     "filters.range": _f_range,
     "filters.mongo": _f_mongo,
