@@ -247,6 +247,24 @@ def _r_optech(spark, inputs, o, filename):
     )
 
 
+def _r_ept(spark, inputs, o, filename):
+    """readers.ept (io/EptReader.cpp): octree query pushdown; binary
+    dataType decode."""
+    from pdal_spark.formats import ept as ept_fmt
+
+    fn = filename or o["filename"]
+    if fn.startswith("ept://"):
+        fn = fn[len("ept://"):]
+    if fn.endswith("ept.json"):
+        fn = fn[: -len("/ept.json")]
+    bounds = o.get("bounds")
+    return ept_fmt.read_ept(
+        spark, fn,
+        bounds=tuple(bounds) if bounds else None,
+        resolution=(float(o["resolution"]) if "resolution" in o else None),
+    )
+
+
 def _r_faux(spark, inputs, o, filename):
     """readers.faux analog: deterministic synthetic pages/points
     (FauxReader.cpp grid/ramp modes ≈ our seeded generator)."""
@@ -594,6 +612,7 @@ REGISTRY: dict[str, StageFn] = {
     "readers.terrasolid": _r_terrasolid,
     "readers.ilvis2": _r_ilvis2,
     "readers.optech": _r_optech,
+    "readers.ept": _r_ept,
     "filters.crop": _f_crop,
     "filters.range": _f_range,
     "filters.mongo": _f_mongo,

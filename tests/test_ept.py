@@ -1,0 +1,121 @@
+"""EPT octree I/O: metadata goldens, hierarchy pruning, build round trip."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pdal_spark.formats import ept
+
+REF = "/root/reference/test/data/ept"
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference fixtures unavailable"
+)
+
+
+@needs_ref
+def test_quick_info_goldens():
+    """EptReaderTest preview: count/boundsConforming/srs with no data
+    read (only ept.json is opened)."""
+    qi = ept.quick_info(f"{REF}/ellipsoid-binary")
+    assert qi.points == 100000
+    assert qi.bounds_conforming == (
+        -8242747.0, 4966505.0, -51.0, -8242445.0, 4966707.0, 51.0
+    )
+    assert qi.data_type == "binary" and qi.span == 128
+    assert qi.srs.get("authority") == "EPSG"
+    assert qi.srs.get("horizontal") == "3857"
+
+
+@needs_ref
+def test_resolution_pruning_reference_golden():
+    """EptReaderTest resolutionLimit: cube width 44, span 128 ->
+    depth widths 0.34375 / 0.171875 / 0.0859375; resolution 0.1 keeps
+    depths 0..2 = 479269 points (summed through hierarchy subpages)."""
+    nodes = ept.select_nodes(f"{REF}/lone-star-laszip", resolution=0.1)
+    assert sum(nodes.values()) == 479269
+    assert all(int(k.split("-")[0]) <= 2 for k in nodes)
+
+
+@needs_ref
+def test_laszip_data_rejected(spark):
+    with pytest.raises(NotImplementedError, match="laszip"):
+        ept.read_ept(spark, f"{REF}/lone-star-laszip")
+
+
+def test_node_bounds_halving():
+    root = (0.0, 0.0, 0.0, 8.0, 8.0, 8.0)
+    assert ept._node_bounds(root, "0-0-0-0") == root
+    assert ept._node_bounds(root, "1-1-0-1") == (4.0, 0.0, 4.0, 8.0, 4.0, 8.0)
+    assert ept._node_bounds(root, "3-7-0-0")[0] == 7.0
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    df = spark.range(20000).select(
+        (F.col("id") % 173 * 1.7).alias("x"),
+        (F.col("id") % 211 * 0.9).alias("y"),
+        (F.col("id") % 97 * 0.5).alias("z"),
+        (F.col("id") % 65536).cast("double").alias("Intensity"),
+    )
+    root = str(tmp_path_factory.mktemp("ept") / "ds")
+    meta = ept.write_ept(df, root, node_capacity=4000, max_depth=6)
+    return df, root, meta
+
+
+def test_build_roundtrip(spark, built):
+    df, root, meta = built
+    assert meta["points"] == 20000
+    back = ept.read_ept(spark, root)
+    assert back.count() == 20000
+    # values survive modulo the 0.01 quantization
+    a = back.orderBy("x", "y", "z").toPandas()
+    b = df.orderBy("x", "y", "z").toPandas()
+    np.testing.assert_allclose(a["x"], b["x"], atol=5.1e-3)
+    np.testing.assert_array_equal(a["Intensity"], b["Intensity"])
+
+
+def test_bounds_query_prunes_and_matches(spark, built):
+    df, root, meta = built
+    q = (50.0, 50.0, 0.0, 120.0, 120.0, 50.0)
+    picked = ept.select_nodes(root, bounds=q)
+    assert 0 < len(picked) < meta["nodes"]  # genuine pruning
+    sub = ept.read_ept(spark, root, bounds=q)
+    pred = "x>=50 and x<=120 and y>=50 and y<=120 and z<=50"
+    assert sub.filter(pred).count() == df.filter(pred).count()
+
+
+def test_resolution_query_returns_root_sample(spark, built):
+    df, root, meta = built
+    coarse = ept.read_ept(spark, root, resolution=1e6)
+    assert coarse.count() <= 4000  # just the depth-0 subsample
+
+
+def test_node_capacity_respected(built):
+    df, root, meta = built
+    import json
+
+    hier = json.load(open(os.path.join(root, "ept-hierarchy",
+                                       "0-0-0-0.json")))
+    assert all(0 < c <= 4000 for c in hier.values())
+    assert sum(hier.values()) == 20000
+
+
+def test_write_determinism(spark, tmp_path):
+    df = spark.range(3000).select(
+        (F.col("id") % 59 * 1.0).alias("x"),
+        (F.col("id") % 31 * 1.0).alias("y"),
+        (F.col("id") % 17 * 1.0).alias("z"),
+    )
+    r1 = str(tmp_path / "a")
+    r2 = str(tmp_path / "b")
+    ept.write_ept(df.repartition(2), r1, node_capacity=500, max_depth=5)
+    ept.write_ept(df.repartition(7), r2, node_capacity=500, max_depth=5)
+    import json
+
+    h1 = json.load(open(os.path.join(r1, "ept-hierarchy", "0-0-0-0.json")))
+    h2 = json.load(open(os.path.join(r2, "ept-hierarchy", "0-0-0-0.json")))
+    assert h1 == h2  # partition-count-invariant build
