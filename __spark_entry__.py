@@ -777,6 +777,35 @@ def q_las_roundtrip(spark, sf_dir):
     )
 
 
+def q_ept_query(spark, sf_dir):
+    """readers.ept + Entwine-style build (io/EptReader.cpp): build a
+    binary-dataType EPT octree from the geocoded pages (distributed
+    capacity-subsample build), then run a BOUNDS query — the octree
+    prunes whole nodes via the hierarchy before any data task runs —
+    and exact-filter on the decoded (quantized) coordinates. The oracle
+    replicates the writer's floor(+0.5) quantization against the same
+    min-offsets, so the surviving doc_id set is bit-comparable."""
+    import tempfile
+
+    from pdal_spark.formats import ept as ept_fmt
+
+    pts = _docs_z(spark, sf_dir).withColumn(
+        "did", F.col("doc_id").cast("double")
+    ).select("x", "y", "z", "did")
+    root = tempfile.mkdtemp(prefix="ept_q_") + "/ds"
+    ept_fmt.write_ept(pts, root, node_capacity=512, max_depth=6)
+    qb = (-120.0, -60.0, 0.0, 120.0, 60.0, 400.0)
+    out = ept_fmt.read_ept(spark, root, bounds=qb)
+    return (
+        out.filter(
+            (F.col("x") >= qb[0]) & (F.col("x") <= qb[3])
+            & (F.col("y") >= qb[1]) & (F.col("y") <= qb[4])
+            & (F.col("z") >= qb[2]) & (F.col("z") <= qb[5])
+        )
+        .select(F.col("did").cast("long").alias("doc_id"), "x", "y")
+    )
+
+
 def q_las_tiles(spark, sf_dir):
     """FlexWriter '#' analog over LAS (FlexWriter.hpp): one .las file per
     splitter tile, written inside the owning task (applyInPandas), plus
@@ -1662,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voxel_centroid_nn": q_voxel_centroid_nn,
         "tindex": q_tindex,
         "las_roundtrip": q_las_roundtrip,
+        "ept_query": q_ept_query,
         "las_tiles": q_las_tiles,
         "gltf_manifest": q_gltf_manifest,
         "ogr_multipoint": q_ogr_multipoint,
@@ -1941,6 +1971,32 @@ def _misc_oracles() -> dict[str, str]:
              CAST(doc_id % 5 + 1 AS INTEGER) AS return_number
       FROM g
     """
+    # EPT build+query: the builder quantizes each axis with
+    # floor((v - min)/0.01 + 0.5) (formats/ept.py write_ept); the same
+    # arithmetic in SQL makes the box-filtered doc_id set bit-exact.
+    def _eq(col: str, off: str) -> str:
+        return (
+            f"(CAST(FLOOR((({col}) - {off}) / 0.01 + 0.5) AS BIGINT) "
+            f"* 0.01 + {off})"
+        )
+
+    ept_q = f"""
+      WITH g AS (
+        SELECT doc_id, ({_X_SQL}) AS x, ({_Y_SQL}) AS y,
+               CAST(n_chars AS DOUBLE) AS z
+        FROM documents
+      ),
+      b AS (SELECT min(x) AS ox, min(y) AS oy, min(z) AS oz FROM g),
+      q AS (
+        SELECT doc_id, {_eq('x', 'ox')} AS qx, {_eq('y', 'oy')} AS qy,
+               {_eq('z', 'oz')} AS qz
+        FROM g, b
+      )
+      SELECT doc_id, qx AS x, qy AS y FROM q
+      WHERE qx >= -120.0 AND qx <= 120.0
+        AND qy >= -60.0 AND qy <= 60.0
+        AND qz >= 0.0 AND qz <= 400.0
+    """
     las_tiles = f"""
       SELECT CAST({tx_sql} AS VARCHAR) || '_' || CAST({ty_sql} AS VARCHAR)
                AS "group",
@@ -1952,6 +2008,7 @@ def _misc_oracles() -> dict[str, str]:
         "reprojection": reproj,
         "reprojection_utm": reproj_utm,
         "las_roundtrip": las_rt,
+        "ept_query": ept_q,
         "las_tiles": las_tiles,
         "outlier_stat": outlier_stat,
         "transformation": transformation,
