@@ -140,6 +140,8 @@ def _infer_reader(spark, inputs, o, filename):
         return _r_terrasolid(spark, inputs, o, filename)
     if filename.endswith(".csd"):
         return _r_optech(spark, inputs, o, filename)
+    if filename.endswith(".pcd"):
+        return _r_pcd(spark, inputs, o, filename)
     raise PipelineError(f"cannot infer reader for {filename}")
 
 
@@ -262,6 +264,16 @@ def _r_ept(spark, inputs, o, filename):
         spark, fn,
         bounds=tuple(bounds) if bounds else None,
         resolution=(float(o["resolution"]) if "resolution" in o else None),
+    )
+
+
+def _r_pcd(spark, inputs, o, filename):
+    """readers.pcd (io/PcdReader.cpp): ascii (any separator) + binary."""
+    from pdal_spark.formats import pcd as pcd_fmt
+
+    return pcd_fmt.read_pcd(
+        spark, filename or o["filename"],
+        chunk_points=int(o.get("chunk_points", 1_000_000)),
     )
 
 
@@ -583,6 +595,19 @@ def _w_bpf(spark, inputs, o, filename):
     return df
 
 
+def _w_pcd(spark, inputs, o, filename):
+    """writers.pcd (io/PcdWriter.cpp): ascii precision / binary."""
+    from pdal_spark.formats import pcd as pcd_fmt
+
+    df = _one(inputs, "writers.pcd")
+    pcd_fmt.write_pcd(
+        df, filename or o["filename"],
+        storage_mode=o.get("storage_mode", "ascii"),
+        precision=int(o.get("precision", 2)),
+    )
+    return df
+
+
 def _w_ogr(spark, inputs, o, filename):
     # writers.ogr (OGRWriter.cpp): vector-feature product as GeoJSONSeq
     from pdal_spark.operators import ogr as ogr_op
@@ -613,6 +638,7 @@ REGISTRY: dict[str, StageFn] = {
     "readers.ilvis2": _r_ilvis2,
     "readers.optech": _r_optech,
     "readers.ept": _r_ept,
+    "readers.pcd": _r_pcd,
     "filters.crop": _f_crop,
     "filters.range": _f_range,
     "filters.mongo": _f_mongo,
@@ -645,6 +671,7 @@ REGISTRY: dict[str, StageFn] = {
     "writers.ply": _w_ply,
     "writers.sbet": _w_sbet,
     "writers.bpf": _w_bpf,
+    "writers.pcd": _w_pcd,
     "writers.ogr": _w_ogr,
 }
 
