@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
-from typing import Any, Callable
+from typing import Any, Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -501,6 +501,48 @@ def _f_shell(spark, inputs, o, filename):
     return _one(inputs, "shell")
 
 
+def _infer_writer(spark, inputs, o, filename):
+    """Writer by output extension (StageFactory::inferWriterDriver);
+    parquet is the engine-native default."""
+    fn = filename or o.get("filename", "")
+    ext_map = {
+        ".las": _w_las, ".ply": _w_ply, ".pcd": _w_pcd, ".bpf": _w_bpf,
+        ".sbet": _w_sbet, ".csv": _w_csv, ".txt": _w_csv,
+        ".geojson": _w_ogr, ".json": _w_ogr,
+    }
+    for ext, fn_w in ext_map.items():
+        if fn.endswith(ext):
+            # the specific writer expects its own type name in _one()
+            return fn_w(spark, inputs, o, filename)
+    return _w_parquet(spark, inputs, o, filename)
+
+
+def translate(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    filters: Sequence | None = None,
+    reader_options: dict | None = None,
+    writer_options: dict | None = None,
+) -> DataFrame:
+    """``pdal translate in out [filter...]`` analog
+    (kernels/TranslateKernel.cpp): reader inferred from the input
+    extension, named filters applied in order (each either a stage-type
+    string or a full option dict), writer inferred from the output
+    extension."""
+    doc: list = [
+        {"type": "readers.infer", "filename": input_path,
+         **(reader_options or {})}
+    ]
+    for f in filters or []:
+        doc.append(dict(f) if isinstance(f, dict) else {"type": f})
+    doc.append(
+        {"type": "writers.infer", "filename": output_path,
+         **(writer_options or {})}
+    )
+    return run(spark, doc)
+
+
 def _w_parquet(spark, inputs, o, filename):
     df = _one(inputs, "writers.parquet")
     path = filename or o["filename"]
@@ -663,7 +705,7 @@ REGISTRY: dict[str, StageFn] = {
     "filters.mortonorder": _f_mortonorder,
     "filters.shell": _f_shell,
     "filters.delaunay": _f_delaunay,
-    "writers.infer": _w_parquet,
+    "writers.infer": _infer_writer,
     "writers.parquet": _w_parquet,
     "writers.text": _w_csv,
     "writers.null": _w_null,

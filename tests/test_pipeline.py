@@ -156,3 +156,29 @@ def test_shell_filter_gated_and_passthrough(spark, tmp_path, monkeypatch):
     ]
     with pytest.raises(pl.PipelineError, match="failed to execute.*boom"):
         pl.run(spark, doc)
+
+
+def test_translate_kernel_analog(spark, tmp_path):
+    """kernels/TranslateKernel.cpp: reader/writer inferred from
+    extensions, filters chained in order."""
+    src = str(tmp_path / "in.las")
+    pl.run(spark, [
+        {"type": "readers.faux", "count": 200},
+        {"type": "filters.ferry", "dimensions": "x=>z"},
+        {"type": "writers.las", "filename": src, "dataformat_id": 0},
+    ])
+    out = str(tmp_path / "out.ply")
+    pl.translate(
+        spark, src, out,
+        filters=[{"type": "filters.crop", "bounds": [-90, -45, 90, 45]}],
+        writer_options={"storage_mode": "binary_le"},
+    )
+    got = pl.run(spark, [out]).count()
+    want = pl.run(spark, [
+        src, {"type": "filters.crop", "bounds": [-90, -45, 90, 45]}
+    ]).count()
+    assert got == want > 0
+    # trailing bare string writes via the extension map too
+    out2 = str(tmp_path / "out2.pcd")
+    pl.run(spark, [src, out2])
+    assert pl.run(spark, [out2]).count() == 200
