@@ -166,10 +166,18 @@ class SnapshotTable:
             return cur + 1
         raise CommitConflict(f"gave up after {max_retries} commit attempts")
 
-    def append(self, df: DataFrame) -> int:
-        """Stage data files, then commit snapshot = parent files + new."""
+    def append(self, df: DataFrame, operation: str = "append") -> int:
+        """Stage data files, then commit snapshot = parent files + new.
+        ``operation`` labels the snapshot in history() — callers use it
+        for idempotence (skip an already-committed labeled append)."""
         new_files = self._stage(df)
-        return self._commit(new_files, "append", lambda s: list(s["files"]))
+        return self._commit(new_files, operation, lambda s: list(s["files"]))
+
+    def committed_operations(self) -> set:
+        return {
+            self.snapshot(v)["operation"]
+            for v in range(1, self.current_version() + 1)
+        }
 
     def overwrite(self, df: DataFrame) -> int:
         """Snapshot containing ONLY the new files (old files stay on disk

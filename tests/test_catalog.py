@@ -97,3 +97,37 @@ def test_stats_from_footers_only(spark, table):
     st = s["files"][0]["stats"]
     assert st["x"][0] >= 0.0 and st["x"][1] <= 99.0
     assert s["stats_cols"] == ["x", "y"]
+
+
+def test_tile_job_catalog_snapshots(spark, tmp_path, capsys, monkeypatch):
+    """--catalog: one labeled snapshot per stripe, idempotent on rerun."""
+    import json
+    import sys
+
+    monkeypatch.syspath_prepend(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import submit_tile_job
+
+    monkeypatch.setattr(spark, "stop", lambda: None)  # keep fixture alive
+
+    cat = str(tmp_path / "cat")
+    argv = [
+        "--synth-pages", "3000", "--output", str(tmp_path / "tiles"),
+        "--stripes", "3", "--catalog", cat,
+    ]
+    submit_tile_job.main(argv)
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out1["catalog_snapshots"]) == 3
+
+    t = SnapshotTable(spark, cat, stats_cols=("x", "y"))
+    assert t.current_version() == 3
+    assert t.read().count() == out1["total_rows"]
+    # time travel: version 1 holds only the first stripe
+    assert t.read(version=1).count() < t.read().count()
+
+    # rerun: every stripe ledger-skipped AND snapshot-skipped
+    submit_tile_job.main(argv)
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["catalog_snapshots"] == []
+    assert t.current_version() == 3

@@ -44,6 +44,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    default=[-140.0, -60.0, 140.0, 75.0], help="crop bbox")
     p.add_argument("--stripes", type=int, default=4,
                    help="resumable batches = tile-row stripes")
+    p.add_argument("--catalog", default=None,
+                   help="optional snapshot-table dir: each completed "
+                        "stripe also commits one catalog snapshot "
+                        "(Iceberg-protocol append, idempotent on rerun)")
     return p.parse_args(argv)
 
 
@@ -88,6 +92,21 @@ def main(argv: list[str]) -> None:
     t0 = time.time()
     timings = job.run([f"stripe_{i}" for i in range(args.stripes)], stripe)
     ledger = job.ledger().orderBy("batch_id").collect()
+
+    snapshots = []
+    if args.catalog:
+        # per-stripe catalog snapshots: the ledger gives exactly-once
+        # batch commits, the labeled append gives exactly-once SNAPSHOT
+        # commits — a rerun skips stripes already in history()
+        from pdal_spark.catalog import SnapshotTable
+
+        table = SnapshotTable(spark, args.catalog, stats_cols=("x", "y"))
+        done = table.committed_operations()
+        for r in ledger:
+            if r.batch_id in done:
+                continue
+            v = table.append(stripe(spark, r.batch_id), operation=r.batch_id)
+            snapshots.append({"stripe": r.batch_id, "version": v})
     print(json.dumps({
         "ran_batches": sorted(timings),
         "skipped_batches": sorted(
@@ -95,6 +114,7 @@ def main(argv: list[str]) -> None:
         ),
         "total_rows": sum(r.n_rows for r in ledger),
         "wall_s": round(time.time() - t0, 2),
+        "catalog_snapshots": snapshots,
     }))
     spark.stop()
 
