@@ -171,3 +171,52 @@ def write_geojson_seq(
             df.orderBy(F.col(order_col).asc()), x, y, z, properties
         )
     lines.write.mode("overwrite").text(path)
+
+
+def geojson_polygon_lines(
+    df: DataFrame,
+    wkt_col: str,
+    properties: list[str] | None = None,
+) -> DataFrame:
+    """One GeoJSON Polygon Feature per row from a POLYGON WKT column —
+    pure column math (regexp strip + nested split/transform), no UDF.
+    Accepts the single-ring `POLYGON ((x y, ...))` WKT the hexbin
+    boundary/density layers emit."""
+    inner = F.regexp_replace(
+        F.col(wkt_col), r"^POLYGON \(\(|\)\)$", ""
+    )
+    ring = F.transform(
+        F.split(inner, ", "),
+        lambda s: F.transform(
+            F.split(F.trim(s), " "), lambda v: v.cast("double")
+        ),
+    )
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(
+            F.lit("Polygon").alias("type"),
+            F.array(ring).alias("coordinates"),
+        ).alias("geometry"),
+        F.struct(*[F.col(p) for p in (properties or [])]).alias("properties"),
+    )
+    return df.select(F.to_json(feature).alias("line"))
+
+
+def write_density_layer(
+    df: DataFrame,
+    path: str,
+    edge_length: float,
+    origin_x: float,
+    origin_y: float,
+    x: str = "x",
+    y: str = "y",
+) -> None:
+    """kernels.density file product (DensityKernel.cpp:103-123
+    writeHexbinOutput): one hexagon-polygon feature with its COUNT per
+    occupied cell, as distributed GeoJSONSeq shards."""
+    from pdal_spark.operators import hexbin as hexbin_op
+
+    layer = hexbin_op.density_layer(df, edge_length, origin_x, origin_y,
+                                    x=x, y=y)
+    geojson_polygon_lines(layer, "wkt", ["count"]) \
+        .write.mode("overwrite").text(path)

@@ -131,3 +131,30 @@ def test_pipeline_writers_ogr(spark, tmp_path):
     )
     assert len(feats) == 5
     assert feats[2]["geometry"]["coordinates"] == [5.0, -6.5, 12.0]
+
+
+def test_density_geojson_layer(spark, tmp_path):
+    """kernels.density file product: hexagon Polygon features + COUNT
+    (DensityKernel.cpp:103-123), distributed GeoJSONSeq shards."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pdal_spark.operators import ogr as ogr_op
+
+    df = spark.range(500).select(
+        (F.col("id") % 40 * 1.0).alias("x"),
+        (F.col("id") % 23 * 1.0).alias("y"),
+    )
+    out = str(tmp_path / "density")
+    ogr_op.write_density_layer(df, out, 5.0, 0.0, 0.0)
+    feats = []
+    for part in glob.glob(out + "/part-*"):
+        feats += [json.loads(l) for l in
+                  open(part).read().strip().splitlines()]
+    assert feats and all(f["geometry"]["type"] == "Polygon" for f in feats)
+    for f in feats:
+        ring = f["geometry"]["coordinates"][0]
+        assert ring[0] == ring[-1] and len(ring) == 7  # closed hexagon
+    assert sum(f["properties"]["count"] for f in feats) == 500
