@@ -114,3 +114,25 @@ def tindex_prune(
         (F.col("minx") <= qmaxx) & (F.col("maxx") >= qminx)
         & (F.col("miny") <= qmaxy) & (F.col("maxy") >= qminy)
     )
+
+
+def write_tindex_layer(manifest: DataFrame, path: str) -> None:
+    """kernels.tindex FILE product (TIndexKernel.cpp): one vector
+    feature per tile — its bbox polygon (the kernel's fast-boundary
+    shape) plus location/count properties — as distributed GeoJSONSeq
+    shards readable by any OGR stack."""
+    from pdal_spark.operators import ogr as ogr_op
+
+    wkt = F.format_string(
+        "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+        "minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy",
+        "minx", "miny",
+    )
+    feats = manifest.select(
+        wkt.alias("_wkt"),
+        F.concat_ws("_", "tile_x", "tile_y").alias("location"),
+        F.col("n_points"),
+    )
+    ogr_op.geojson_polygon_lines(
+        feats, "_wkt", ["location", "n_points"]
+    ).write.mode("overwrite").text(path)

@@ -218,3 +218,29 @@ def test_text_bytes_identical_through_full_tile_pipeline(spark, tmp_path):
         assert r.text == t
         assert bytes(r.html) == h
         assert r.warc_ts == ts
+
+
+def test_tindex_geojson_layer(spark, tmp_path):
+    """kernels.tindex OGR file product: bbox-polygon feature per tile
+    with location + count properties (TIndexKernel.cpp shape)."""
+    import glob
+    import json
+
+    from pdal_spark.operators import tindex as ti
+
+    df = spark.range(400).select(
+        (F.col("id") % 37 * 2.0).alias("x"),
+        (F.col("id") % 19 * 3.0).alias("y"),
+    )
+    man = ti.tindex(df, 20.0, 0.0, 0.0, hex_edge=2.0, fast_boundary=True)
+    out = str(tmp_path / "ti")
+    ti.write_tindex_layer(man, out)
+    feats = []
+    for p in glob.glob(out + "/part-*"):
+        feats += [json.loads(l) for l in
+                  open(p).read().strip().splitlines()]
+    assert sum(f["properties"]["n_points"] for f in feats) == 400
+    for f in feats:
+        ring = f["geometry"]["coordinates"][0]
+        assert ring[0] == ring[-1] and len(ring) == 5
+        assert "_" in f["properties"]["location"]
