@@ -235,3 +235,112 @@ def raster_to_points(
     if bands is None:
         return base
     return base.join(F.broadcast(bands), on=["col", "row"], how="left")
+
+
+def write_asc(
+    cells: DataFrame,
+    g: GridSpec,
+    path: str,
+    band: str = "mean",
+    nodata: float = -9999.0,
+    precision: int = 6,
+) -> dict:
+    """writers.gdal FILE product as an ESRI ASCII grid (.asc) — the one
+    GDAL raster driver that needs no native library, readable by
+    GDAL/QGIS directly. Dense row-major emission of the rasterize()
+    cell table (row 0 = top, the y-flipped convention rasterize
+    already uses); absent cells become ``NODATA_value``.
+
+    Rows render in executors (one formatted text line per raster row,
+    built with collect_list over a row-partitioned window); the driver
+    streams them in order — never the dense grid in memory at once.
+    """
+    spark = cells.sparkSession
+    rows = spark.range(g.height).select(F.col("id").alias("row"))
+    grid = rows.join(
+        cells.select(
+            "row", "col", F.col(band).alias("_v")
+        ).filter(F.col(band).isNotNull()),
+        "row", "left",
+    )
+    per_row = grid.groupBy("row").agg(
+        F.collect_list("col").alias("_cols"),
+        F.collect_list("_v").alias("_vals"),
+    )
+    cell_map = F.map_from_arrays("_cols", "_vals")
+    line = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(g.width - 1)),
+            # isnan(NULL) is FALSE in Spark, so missing cells need an
+            # explicit isNotNull before the format branch
+            lambda c: F.when(
+                F.element_at(cell_map, c).isNotNull()
+                & ~F.isnan(F.element_at(cell_map, c)),
+                # format_string, NOT format_number — no locale commas
+                F.format_string(
+                    f"%.{precision}f", F.element_at(cell_map, c)
+                ),
+            ).otherwise(F.lit(format(nodata, "g"))),
+        ),
+        " ",
+    )
+    import os
+
+    out_lines = per_row.select("row", line.alias("line")).orderBy("row")
+    header = (
+        f"ncols {g.width}\nnrows {g.height}\n"
+        f"xllcorner {g.origin_x!r}\nyllcorner {g.origin_y!r}\n"
+        f"cellsize {g.edge!r}\nNODATA_value {format(nodata, 'g')}\n"
+    )
+    tmp = path + ".tmp"
+    n = 0
+    with open(tmp, "w") as f:
+        f.write(header)
+        for r in out_lines.toLocalIterator():
+            f.write(r.line + "\n")
+            n += 1
+    os.replace(tmp, path)
+    return {"rows": n, "path": path}
+
+
+def read_asc(spark: SparkSession, path: str) -> tuple[GridSpec, DataFrame]:
+    """readers.gdal from an ESRI ASCII grid: header -> GridSpec, then
+    one point per non-nodata pixel (row-major, pixel centers), decoded
+    line-parallel via spark.read.text."""
+    import re as _re
+
+    header: dict = {}
+    with open(path) as f:
+        for _ in range(6):
+            k, v = f.readline().split()
+            header[k.lower()] = float(v)
+    g = GridSpec.create(
+        header["xllcorner"], header["yllcorner"],
+        int(header["ncols"]), int(header["nrows"]), header["cellsize"],
+    )
+    nodata = header.get("nodata_value", -9999.0)
+    lines = spark.read.text(path)
+    # header lines have 2 tokens; data rows have ncols tokens
+    vals = F.split(F.trim(F.regexp_replace("value", ",", "")), r"\s+")
+    data = lines.select(vals.alias("v")).filter(F.size("v") == g.width)
+    # attach row index by a global rank over arrival: ASCII grids are
+    # small enough per file that zipWithIndex semantics via a window on
+    # a monotonic id stay correct within one file
+    from pyspark.sql import Window as _W
+
+    data = data.withColumn("_m", F.monotonically_increasing_id())
+    data = data.withColumn(
+        "row", F.row_number().over(_W.orderBy("_m")) - 1
+    )
+    px = data.select(
+        "row", F.posexplode("v").alias("col", "_s")
+    ).withColumn("_val", F.col("_s").cast("double")).filter(
+        F.col("_val") != nodata
+    )
+    pts = px.select(
+        (F.lit(g.origin_x) + (F.col("col") + 0.5) * g.edge).alias("x"),
+        (F.lit(g.origin_y) + (g.height - F.col("row") - 0.5) * g.edge).alias("y"),
+        F.col("_val").alias("band_1"),
+        "row", "col",
+    )
+    return g, pts

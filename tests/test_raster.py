@@ -166,3 +166,33 @@ def test_raster_to_points_roundtrip(spark, grid_df):
     # nodata pixel carries null band (raster nodata semantics)
     nod = pts[(pts.col == 1) & (pts.row == 0)]
     assert nod["vmin"].isna().all()
+
+
+def test_asc_file_roundtrip(spark, tmp_path):
+    """writers.gdal file product as ESRI ASCII grid + readers.gdal
+    inverse: dense row-major emission, nodata by omission, pixel-center
+    coordinates on re-read."""
+    g = raster.GridSpec.create(10.0, 20.0, 6, 4, 2.0)
+    pts = spark.createDataFrame(
+        [(11.0, 21.0, 5.0), (13.0, 21.0, 7.0), (11.5, 26.5, 3.0),
+         (19.0, 25.0, 1000.5)],
+        "x double, y double, z double",
+    )
+    cells = raster.rasterize(pts, g, "z")
+    path = str(tmp_path / "band.asc")
+    raster.write_asc(cells, g, path, band="mean", precision=3)
+    txt = open(path).read()
+    assert txt.startswith("ncols 6\nnrows 4\n")
+    assert "," not in txt  # GDAL-safe: no locale grouping
+    assert "1000.500" in txt
+    g2, back = raster.read_asc(spark, path)
+    assert (g2.width, g2.height, g2.edge) == (6, 4, 2.0)
+    got = {(r.row, r.col): r.band_1 for r in back.collect()}
+    want = {(r.row, r.col): r.mean for r in cells.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=10 ** -3)
+    # pixel centers: col 0 -> x = 11.0; top row -> y = origin + (h-0.5)*edge
+    r00 = back.filter("row = 0 and col = 0").collect()
+    if r00:
+        assert r00[0].x == 11.0 and r00[0].y == 27.0
