@@ -1245,6 +1245,7 @@ def q_text_repetition(spark, sf_dir):
     key beyond one document's length."""
     from pdal_spark.datapipe import repetition as rep_op
     from pdal_spark.datapipe import substring as ss_op
+    from pdal_spark.datapipe import dsir as dsir_op
 
     df = _table(spark, sf_dir, "documents")
     return rep_op.repetition_signals(df)
@@ -1260,6 +1261,21 @@ def q_substring_dedup(spark, sf_dir):
 
     df = _table(spark, sf_dir, "documents")
     return ss_op.substring_dedup(df, n=8)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al., arXiv:2302.03169): per-doc
+    log p_target/p_raw under add-one-smoothed unigram+bigram models;
+    target corpus = every 97th doc (deterministic). Both models are one
+    map-side-combined rollup broadcast to the scorer; feature_mode=
+    'hash' (the paper's hashed n-grams) is the bounded-broadcast 100 TB
+    path, parity-pinned in tests."""
+    from pdal_spark.datapipe import dsir as dsir_op
+
+    df = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = df.filter("doc_id % 97 = 0")
+    w = dsir_op.dsir_weights(df, target)
+    return w.withColumn("weight", F.round("weight", 9))
 
 
 def q_text_contamination(spark, sf_dir):
@@ -1652,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": q_text_bigram_lm,
         "text_repetition": q_text_repetition,
         "substring_dedup": q_substring_dedup,
+        "dsir_weights": q_dsir_weights,
         "text_contamination": q_text_contamination,
         "source_mixture": q_source_mixture,
         "mixture_sample": q_mixture_sample,
@@ -3572,6 +3589,7 @@ def _raster_oracles() -> dict[str, str]:
 
 def _datapipe_oracles() -> dict[str, str]:
     from pdal_spark.datapipe import contamination as cont_op
+    from pdal_spark.datapipe import dsir as dsir_op
     from pdal_spark.datapipe import substring as ss_op
     from pdal_spark.datapipe import repetition as rep_op
 
@@ -3581,6 +3599,7 @@ def _datapipe_oracles() -> dict[str, str]:
     return {
         "text_repetition": rep_op.repetition_sql(),
         "substring_dedup": ss_op.substring_dedup_sql(),
+        "dsir_weights": dsir_op.dsir_weights_sql(),
         "text_contamination": cont_op.contamination_sql(),
         "source_mixture": cont_op.source_mixture_sql(),
         "mixture_sample": cont_op.mixture_sample_sql(
