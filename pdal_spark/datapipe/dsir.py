@@ -35,17 +35,18 @@ def _features(
     df: DataFrame, text_col: str, id_col: str, mode: str, buckets: int
 ) -> DataFrame:
     """(id, feature, cnt): unigram + bigram bag per document."""
-    ws = F.split(F.col(text_col), " ")
-    uni = df.select(F.col(id_col).alias("id"), F.explode(ws).alias("_g"))
+    d = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_ws")
+    )
+    uni = d.select("id", F.explode("_ws").alias("_g"))
     pairs = F.when(
-        F.size(ws) >= 2,
+        F.size("_ws") >= 2,
         F.expr(
-            f"transform(sequence(0, size(split({text_col}, ' ')) - 2), "
-            f"i -> concat_ws(' ', split({text_col}, ' ')[i], "
-            f"split({text_col}, ' ')[i + 1]))"
+            "transform(sequence(0, size(_ws) - 2), "
+            "i -> concat_ws(' ', _ws[i], _ws[i + 1]))"
         ),
     ).otherwise(F.expr("array()"))
-    bi = df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("_g"))
+    bi = d.select("id", F.explode(pairs).alias("_g"))
     grams = uni.unionByName(bi)
     if mode == "hash":
         grams = grams.withColumn(
@@ -56,19 +57,6 @@ def _features(
     return grams.groupBy("id", "feature").agg(F.count("*").alias("cnt"))
 
 
-def _log_model(feats: DataFrame, vocab_size_expr) -> DataFrame:
-    """(feature, logp) with add-one smoothing over the given vocab size."""
-    counts = feats.groupBy("feature").agg(F.sum("cnt").alias("c"))
-    total = counts.agg(
-        F.sum("c").alias("n"), F.count("*").alias("v")
-    ).collect()[0]
-    denom = float(total.n) + float(vocab_size_expr)
-    return counts.select(
-        "feature",
-        F.log((F.col("c") + 1.0) / F.lit(denom)).alias("logp"),
-    ), denom
-
-
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -77,34 +65,40 @@ def dsir_weights(
     feature_mode: str = "gram",
     num_buckets: int = 1 << 16,
 ) -> DataFrame:
-    """(id_col, weight): per-document log importance ratio."""
+    """(id_col, weight): per-document log importance ratio.
+
+    Cost shape: the expensive (doc, feature) explode runs ONCE per
+    corpus — the raw side persists (it feeds both its model and the
+    scorer), and everything scalar (vocab size, corpus totals) derives
+    from the already-tiny per-feature count tables, not from re-running
+    the explode."""
     if feature_mode not in ("gram", "hash"):
         raise ValueError(f"unknown feature_mode {feature_mode!r}")
-    raw_f = _features(raw, text_col, id_col, feature_mode, num_buckets)
+    raw_f = _features(raw, text_col, id_col, feature_mode,
+                      num_buckets).persist()
     tgt_f = _features(target, text_col, id_col, feature_mode, num_buckets)
-    # shared smoothing vocabulary: features of either corpus
-    vocab = (
-        raw_f.select("feature").unionByName(tgt_f.select("feature"))
-        .distinct().count()
-    )
-    raw_m, _ = _log_model(raw_f, vocab)
-    tgt_m, _ = _log_model(tgt_f, vocab)
-    # unseen-in-target features get the smoothed floor log(1/denom):
-    # materialize the floor as a literal from the target totals
-    import math
-
-    tgt_tot = tgt_f.agg(F.sum("cnt")).collect()[0][0] or 0
-    tgt_floor = math.log(1.0 / (float(tgt_tot) + float(vocab)))
-    raw_tot = raw_f.agg(F.sum("cnt")).collect()[0][0] or 0
-    raw_floor = math.log(1.0 / (float(raw_tot) + float(vocab)))
-    model = (
-        raw_m.withColumnRenamed("logp", "lp_raw")
-        .join(tgt_m.withColumnRenamed("logp", "lp_tgt"), "feature", "outer")
-        .select(
-            "feature",
-            F.coalesce("lp_raw", F.lit(raw_floor)).alias("lp_raw"),
-            F.coalesce("lp_tgt", F.lit(tgt_floor)).alias("lp_tgt"),
-        )
+    raw_c = raw_f.groupBy("feature").agg(F.sum("cnt").alias("cr"))
+    tgt_c = tgt_f.groupBy("feature").agg(F.sum("cnt").alias("ct"))
+    # one small merged per-feature table carries vocab size, both corpus
+    # totals AND both models — a feature absent from one corpus smooths
+    # to (0 + 1)/denom, the same add-one formula, so no separate floor
+    merged = raw_c.join(tgt_c, "feature", "outer").select(
+        "feature",
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+    ).persist()
+    stats = merged.agg(
+        F.count("*").alias("v"),
+        F.sum("cr").alias("nr"),
+        F.sum("ct").alias("nt"),
+    ).collect()[0]
+    vocab = int(stats.v)
+    raw_den = float(stats.nr or 0) + float(vocab)
+    tgt_den = float(stats.nt or 0) + float(vocab)
+    model = merged.select(
+        "feature",
+        F.log((F.col("cr") + 1.0) / raw_den).alias("lp_raw"),
+        F.log((F.col("ct") + 1.0) / tgt_den).alias("lp_tgt"),
     )
     scored = raw_f.join(F.broadcast(model), "feature").groupBy("id").agg(
         F.sum(
