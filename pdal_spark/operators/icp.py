@@ -75,6 +75,7 @@ def nn1_join_3d(
     z: str = "z",
     max_rounds: int = 6,
     handles: list | None = None,
+    n_src: int | None = None,
 ) -> DataFrame:
     """Exact 3D nearest neighbor for EVERY src row.
 
@@ -112,8 +113,10 @@ def nn1_join_3d(
     # remaining-size bookkeeping is ARITHMETIC (n_rem -= matched): a
     # `remaining.limit(1).count()` emptiness probe on an empty anti-join
     # is Spark's incremental-take worst case — sequential 1/4/16/all-
-    # partition jobs, each re-executing the whole bucketed join
-    n_rem = remaining.count()
+    # partition jobs, each re-executing the whole bucketed join.
+    # Callers that already know |src| (ICP re-queries the same cloud
+    # every iteration) pass n_src and skip the counting job entirely.
+    n_rem = src.count() if n_src is None else n_src
     done: list[DataFrame] = []
     size = float(cell)
     for _ in range(max_rounds):
@@ -183,6 +186,117 @@ def nn1_join_3d(
     )
 
 
+def _nn_moments(
+    moved: DataFrame,
+    c_base: DataFrame,
+    cell: float,
+    n_src: int,
+    max_rounds: int = 6,
+):
+    """The ICP inner loop's fused 1-NN + moment reduction.
+
+    Same exact-NN round structure as nn1_join_3d, but each round's
+    accepted correspondences are reduced to their sufficient statistics
+    (count, coordinate sums, 3x3 raw cross-products, distance sum) in
+    the SAME Spark job that materializes the round's cache — one job
+    per round instead of nn1_join's count + downstream aggregate. Sums
+    accumulate driver-side (order-insensitive up to float addition,
+    which Spark's own partial aggregation already is).
+
+    Returns (n, sum_a[3], sum_b[3], raw[3,3], sum_dist) where a = the
+    fixed-side NN coordinates and b = the moved query coordinates.
+    """
+    s_cols = ("_sx", "_sy", "_sz")
+    n_cols = ("_nx", "_ny", "_nz")
+    d2 = sum((F.col(s) - F.col(n)) ** 2 for s, n in zip(s_cols, n_cols))
+    prods = {
+        f"p{i}{j}": F.sum(F.col(f"_m.{a}") * F.col(b))
+        for i, a in enumerate(("cx", "cy", "cz"))
+        for j, b in enumerate(s_cols)
+    }
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum("_m.cx").alias("ax"), F.sum("_m.cy").alias("ay"),
+        F.sum("_m.cz").alias("az"),
+        F.sum("_sx").alias("bx"), F.sum("_sy").alias("by"),
+        F.sum("_sz").alias("bz"),
+        F.sum(F.sqrt("_m.d2")).alias("dist"),
+        *[v.alias(k) for k, v in prods.items()],
+    ]
+
+    n_tot = 0
+    sum_a = np.zeros(3)
+    sum_b = np.zeros(3)
+    raw = np.zeros((3, 3))
+    sum_dist = 0.0
+
+    def fold(row):
+        nonlocal n_tot, sum_dist
+        if not row.n:
+            return
+        n_tot += row.n
+        sum_a[:] += [row.ax, row.ay, row.az]
+        sum_b[:] += [row.bx, row.by, row.bz]
+        raw[:] += np.array(
+            [[row[f"p{i}{j}"] for j in range(3)] for i in range(3)]
+        )
+        sum_dist += row.dist
+
+    remaining = moved
+    n_rem = n_src
+    size = float(cell)
+    handles = []
+    for _ in range(max_rounds):
+        s = _with_cell3(remaining, size, "_sx", "_sy", "_sz")
+        offs = F.array(
+            *[
+                F.struct(
+                    (F.col("_cx") + ox).alias("cx"),
+                    (F.col("_cy") + oy).alias("cy"),
+                    (F.col("_cz") + oz).alias("cz"),
+                )
+                for ox, oy, oz in _OFFS3
+            ]
+        )
+        s = (
+            s.withColumn("_nb", F.explode(offs))
+            .withColumns({"_cx": F.col("_nb.cx"), "_cy": F.col("_nb.cy"),
+                          "_cz": F.col("_nb.cz")})
+            .drop("_nb")
+        )
+        c = _with_cell3(c_base, size, "_nx", "_ny", "_nz")
+        ok = (
+            s.join(c, ["_cx", "_cy", "_cz"])
+            .groupBy("_sid", "_sx", "_sy", "_sz")
+            .agg(_min_pair(d2, F.col("_nid"), F.col("_nx"), F.col("_ny"),
+                           F.col("_nz")).alias("_m"))
+            .filter(F.sqrt("_m.d2") <= F.lit(size))
+            .persist()
+        )
+        handles.append(ok)
+        # this one collect materializes the cache AND reduces the round
+        row = ok.agg(*aggs).collect()[0]
+        fold(row)
+        n_rem = n_src - n_tot
+        if n_rem == 0:
+            break
+        remaining = remaining.join(ok.select("_sid"), "_sid", "left_anti")
+        size *= 2.0
+
+    if n_rem > 0:
+        resid = (
+            c_base.crossJoin(F.broadcast(remaining))
+            .groupBy("_sid", "_sx", "_sy", "_sz")
+            .agg(_min_pair(d2, F.col("_nid"), F.col("_nx"), F.col("_ny"),
+                           F.col("_nz")).alias("_m"))
+        )
+        fold(resid.agg(*aggs).collect()[0])
+
+    for h in handles:
+        h.unpersist()
+    return n_tot, sum_a, sum_b, raw, sum_dist
+
+
 def _umeyama_rigid(sigma: np.ndarray, mean_a: np.ndarray,
                    mean_b: np.ndarray) -> np.ndarray:
     """Eigen::umeyama(B, A, with_scaling=false) on precomputed moments:
@@ -213,10 +327,12 @@ def _apply_t(df: DataFrame, t: np.ndarray, x: str, y: str, z: str) -> DataFrame:
 
 
 def _auto_cell(fixed: DataFrame, x: str, y: str, z: str) -> float:
-    """Grid size ~4 mean point spacings of the fixed cloud: round-1
-    neighborhoods average ~64^ish candidates — dense enough that almost
-    every query certifies immediately, small enough that no task sees a
-    meaningful fraction of the cloud."""
+    """Grid size 1.5 mean point spacings of the fixed cloud. The
+    expected 1-NN distance in a uniform cloud is ~0.55 spacings, so a
+    1.5-spacing cell certifies the bulk of queries in round 1 while the
+    27-cell neighborhood carries only ~90 candidates (at 4 spacings it
+    carries ~1700 — a 20x larger join for the same certificate); the
+    sparse tail that misses escalates to the doubled grid."""
     r = fixed.agg(
         F.count("*").alias("n"),
         F.max(x).alias("xmax"), F.min(x).alias("xmin"),
@@ -226,7 +342,7 @@ def _auto_cell(fixed: DataFrame, x: str, y: str, z: str) -> float:
     dx = max(r.xmax - r.xmin, 1e-9)
     dy = max(r.ymax - r.ymin, 1e-9)
     dz = max(r.zmax - r.zmin, 1e-9)
-    return 4.0 * float((dx * dy * dz / max(r.n, 1)) ** (1.0 / 3.0))
+    return 1.5 * float((dx * dy * dz / max(r.n, 1)) ** (1.0 / 3.0))
 
 
 def icp(
@@ -267,6 +383,9 @@ def icp(
     moving_c = demean(moving).persist()
     if cell is None:
         cell = _auto_cell(fixed_c, x, y, z)
+    # |moving| is loop-invariant: count once, let every per-iteration
+    # 1-NN join skip its own counting job
+    n_mov = moving_c.count()
 
     final = np.eye(4)
     converged = False
@@ -274,38 +393,27 @@ def icp(
     num_similar = 0
     iters = 0
     mse = float("nan")
+    c_base = fixed_c.select(
+        F.col("_fid").alias("_nid"),
+        F.col(x).alias("_nx"), F.col(y).alias("_ny"), F.col(z).alias("_nz"),
+    )
     for _ in range(max_iter):
         iters += 1
-        moved = _apply_t(moving_c, final, x, y, z)
-        hnd: list = []
-        nn = nn1_join_3d(moved, fixed_c, cell, src_id=id_col,
-                         cand_id="_fid", x=x, y=y, z=z, handles=hnd)
-        # one pass: correspondence count, both centroids, the 9 raw
-        # second moments of (fixed, moved) pairs, and the MSE
-        prods = {
-            f"p{i}{j}": F.sum(F.col(a) * F.col(b))
-            for i, a in enumerate(("nx", "ny", "nz"))
-            for j, b in enumerate(("sx", "sy", "sz"))
-        }
-        row = nn.agg(
-            F.count("*").alias("n"),
-            F.avg("nx").alias("ax"), F.avg("ny").alias("ay"),
-            F.avg("nz").alias("az"),
-            F.avg("sx").alias("bx"), F.avg("sy").alias("by"),
-            F.avg("sz").alias("bz"),
-            F.avg("dist").alias("mse"),
-            *[v.alias(k) for k, v in prods.items()],
-        ).collect()[0]
-        for h in hnd:
-            h.unpersist()
-        n = row.n
-        mean_a = np.array([row.ax, row.ay, row.az])
-        mean_b = np.array([row.bx, row.by, row.bz])
-        raw = np.array(
-            [[row[f"p{i}{j}"] for j in range(3)] for i in range(3)]
+        moved = _apply_t(moving_c, final, x, y, z).select(
+            F.col(id_col).alias("_sid"),
+            F.col(x).alias("_sx"), F.col(y).alias("_sy"),
+            F.col(z).alias("_sz"),
         )
+        # fused exact-1-NN + moment reduction: correspondence count,
+        # both centroid sums, the 9 raw second moments of (fixed,
+        # moved) pairs, and the distance sum — one Spark job per round
+        n, sum_a, sum_b, raw, sum_dist = _nn_moments(
+            moved, c_base, cell, n_src=n_mov
+        )
+        mean_a = sum_a / n
+        mean_b = sum_b / n
         sigma = raw / n - np.outer(mean_a, mean_b)
-        mse = float(row.mse)
+        mse = float(sum_dist / n)
         t = _umeyama_rigid(sigma, mean_a, mean_b)
         # reference accumulates on the RIGHT: final = final * T (:178)
         final = final @ t
