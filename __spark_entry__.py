@@ -1441,6 +1441,17 @@ def q_sim_ivf_topk(spark, sf_dir):
     return sim_op.ivf_topk(df, k=3, nlist=8, nprobe=8, n_iters=2)
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): spherical-k-means clusters ->
+    within-cluster cosine pairs -> connected components -> keep the
+    member least similar to its centroid. The oracle unrolls the same
+    deterministic k-means in SQL (smallest-id init, argmax-cosine
+    assignment, HALF_UP-9 centroid rounding) plus recursive-CTE
+    components."""
+    df = _table(spark, sf_dir, "embeddings")
+    return sim_op.semdedup(df, threshold=0.3)
+
+
 def q_dedup_paragraph(spark, sf_dir):
     """CCNet-style paragraph-level exact dedup: drop repeated 10-word
     paragraphs corpus-wide (first (doc_id, chunk_idx) occurrence wins),
@@ -1693,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_minhash_hash": q_dedup_minhash_hash,
         "dedup_cosine": q_dedup_cosine,
+        "dedup_semantic": q_dedup_semantic,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -3748,6 +3760,7 @@ def _datapipe_oracles() -> dict[str, str]:
             f"WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         "dedup_cosine": sim_op.cosine_dedup_pairs_sql(0.3),
+        "dedup_semantic": sim_op.semdedup_sql(0.3),
         "sim_cosine_topk": sim_op.cosine_topk_sql(3),
         "sim_lsh_topk": sim_op.lsh_cosine_topk_sql(3),
         "sim_ivf_topk": sim_op.ivf_topk_sql(3),

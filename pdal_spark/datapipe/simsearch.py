@@ -674,3 +674,238 @@ def cosine_dedup_pairs_sql(
       FROM base a JOIN base b ON a.id < b.id AND {cond}
       WHERE round(({dot}) / (a.n * b.n), {ROUND}) >= {threshold!r}
     """
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float,
+    nlist: int = IVF_NLIST,
+    n_iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+    driver_max_edges: int = 5_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via embedding clustering.
+
+    1. spherical k-means (the deterministic ivf_train) partitions the
+       corpus into nlist clusters;
+    2. within each cluster ONLY, pairwise cosine >= threshold marks
+       semantic duplicates (the clustering is what makes the quadratic
+       pair step tractable — the paper's core trick);
+    3. duplicate groups = connected components of the pair graph;
+    4. keep ONE doc per group: the member LEAST similar to its cluster
+       centroid (the paper's keep-farthest rule — it preserves the
+       outlier, dropping the redundant near-centroid copies), ties by
+       smallest id.
+
+    -> (id_col, list_id, cent_sim, group_id, is_kept). group_id is the
+    smallest member id of the duplicate group (singletons are their own
+    group and kept).
+
+    100 TB shape: train on a hash sample (sample_mod), assignment and
+    centroid similarity are map-side with broadcast centroids, the pair
+    step is one exchange on list_id with per-cluster Arrow kernels
+    (choose nlist ~ n/5k so clusters stay task-sized, exactly the
+    paper's regime of many small clusters), and components run through
+    the graph-generic CC (driver union-find under driver_max_edges,
+    distributed min-label above — same engine as filters.cluster).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pdal_spark.operators.pointcloud import _cc_min_label, _cc_union_find
+
+    spark = df.sparkSession
+    cents = ivf_train(df, nlist, n_iters, id_col, vec_col, sample_mod)
+    members = ivf_assign(df, cents, 1, id_col, vec_col)
+
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in cents[i]]) for i in range(len(cents))],
+        schema="list_id int, cv array<double>",
+    )
+    # centroids are unit-norm, so cos(v, c) = dot/|v|; the Column fold
+    # matches the numpy/SQL dimension-order fold bit-for-bit
+    m = (
+        members.join(F.broadcast(cent_df), "list_id")
+        .withColumn(
+            "cent_sim",
+            F.round(_dot(F.col("v"), F.col("cv")) / _norm(F.col("v")), ROUND),
+        )
+        .drop("cv")
+        .persist()
+    )
+
+    thr = float(threshold)
+
+    def cluster_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src_id": [], "cand_id": []}).astype(
+            {"src_id": np.int64, "cand_id": np.int64}
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy(np.int64)
+        M = np.array(list(pdf["v"]), dtype=np.float64)
+        nm = _seq_norms(M)
+        sims = _round_half_up(_seq_dot_matrix(M, M) / np.multiply.outer(nm, nm))
+        iu, ju = np.triu_indices(n, 1)
+        keep = sims[iu, ju] >= thr
+        return pd.DataFrame({
+            "src_id": ids[iu][keep], "cand_id": ids[ju][keep],
+        })
+
+    edges = (
+        m.select("list_id", "id", "v")
+        .groupBy("list_id")
+        .applyInPandas(cluster_pairs, schema="src_id long, cand_id long")
+        .persist()
+    )
+    pts = m.select("id")
+    if edges.count() <= driver_max_edges:
+        roots = _cc_union_find(pts, edges)
+    else:
+        roots = _cc_min_label(pts, edges, max_iters=50)
+
+    joined = m.select("id", "list_id", "cent_sim").join(
+        roots.select("id", F.col("root").alias("group_id")), "id"
+    )
+    keepers = joined.groupBy("group_id").agg(
+        F.min_by(F.col("id"), F.struct("cent_sim", "id")).alias("_keep_id")
+    )
+    out = (
+        joined.join(keepers, "group_id")
+        .withColumn("is_kept", (F.col("id") == F.col("_keep_id")).cast("int"))
+        .select(
+            F.col("id").alias(id_col), "list_id", "cent_sim", "group_id",
+            "is_kept",
+        )
+    )
+    edges.unpersist()
+    return out
+
+
+def semdedup_sql(
+    threshold: float,
+    nlist: int = IVF_NLIST,
+    n_iters: int = IVF_ITERS,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of semdedup: the spherical k-means is UNROLLED
+    (n_iters CTE pairs of assign/update — same smallest-id init, same
+    argmax-cosine assignment with smallest-list tie-break, same
+    normalize + HALF_UP-9 rounding that makes float summation order
+    unobservable), then same-cluster pairs, recursive-CTE components,
+    and the keep-farthest-from-centroid rule."""
+    parts = [
+        f"""base AS (
+        SELECT {id_col} AS id, {vec_col} AS v, {_norm_sql(vec_col)} AS n
+        FROM {table}
+      )""",
+        f"""c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER)
+                 AS list_id,
+               list_transform(v, x -> CAST(x AS DOUBLE) / n) AS cv
+        FROM (SELECT id, v, n FROM base ORDER BY id LIMIT {nlist})
+      )""",
+        """dims AS (
+        SELECT unnest(range(1, (SELECT max(len(v)) FROM base) + 1)) AS pos
+      )""",
+    ]
+    dot_bc = _dot_sql("b.v", "c.cv")
+    for i in range(1, n_iters + 1):
+        parts.append(f"""a{i} AS (
+        SELECT id, v, n, list_id FROM (
+          SELECT b.id, b.v, b.n, c.list_id,
+                 row_number() OVER (
+                   PARTITION BY b.id
+                   ORDER BY ({dot_bc}) / b.n DESC, c.list_id ASC
+                 ) AS rk
+          FROM base b CROSS JOIN c{i - 1} c
+        ) WHERE rk = 1
+      )""")
+        # per-dim mean -> normalize -> HALF_UP 9 (sign * floor(|x|*s + .5)/s,
+        # DuckDB round() on DOUBLE is half-up but spell it out to match
+        # _round_half_up literally); empty lists keep the previous centroid
+        parts.append(f"""m{i} AS (
+        SELECT a.list_id, d.pos, avg(CAST(a.v[d.pos] AS DOUBLE)) AS mu
+        FROM a{i} a CROSS JOIN dims d
+        GROUP BY a.list_id, d.pos
+      )""")
+        parts.append(f"""c{i} AS (
+        SELECT p.list_id,
+               coalesce(
+                 (SELECT list(
+                    sign(m.mu / nz.nrm)
+                    * floor(abs(m.mu / nz.nrm) * 1e9 + 0.5) / 1e9
+                    ORDER BY m.pos)
+                  FROM m{i} m
+                  JOIN (SELECT list_id,
+                               sqrt(sum(mu * mu)) AS nrm
+                        FROM m{i} GROUP BY list_id) nz
+                    ON nz.list_id = m.list_id
+                  WHERE m.list_id = p.list_id AND nz.nrm > 0),
+                 p.cv) AS cv
+        FROM c{i - 1} p
+      )""")
+    # the engine assigns members against the FINAL centroids (one more
+    # assignment than training iterations), so emit a{n_iters+1} too
+    clast = f"c{n_iters}"
+    parts.append(f"""a{n_iters + 1} AS (
+        SELECT id, v, n, list_id FROM (
+          SELECT b.id, b.v, b.n, c.list_id,
+                 row_number() OVER (
+                   PARTITION BY b.id
+                   ORDER BY ({dot_bc}) / b.n DESC, c.list_id ASC
+                 ) AS rk
+          FROM base b CROSS JOIN {clast} c
+        ) WHERE rk = 1
+      )""")
+    last = f"a{n_iters + 1}"
+    dot_mc = _dot_sql("a.v", "c.cv")
+    dot_xy = _dot_sql("x.v", "y.v")
+    parts.append(f"""mm AS (
+        SELECT a.id, a.list_id,
+               round(({dot_mc}) / a.n, {ROUND}) AS cent_sim
+        FROM {last} a JOIN {clast} c USING (list_id)
+      )""")
+    parts.append(f"""prs AS (
+        SELECT x.id AS id1, y.id AS id2
+        FROM {last} x JOIN {last} y
+          ON x.list_id = y.list_id AND x.id < y.id
+        WHERE round(({dot_xy}) / (x.n * y.n), {ROUND}) >= {threshold!r}
+      )""")
+    parts.append("""reach(id, lab) AS (
+        SELECT id, id FROM base
+        UNION
+        SELECT e.b, r.lab FROM reach r
+        JOIN (SELECT id1 AS a, id2 AS b FROM prs
+              UNION ALL SELECT id2, id1 FROM prs) e
+          ON e.a = r.id
+      )""")
+    parts.append("""comp AS (
+        SELECT id, min(lab) AS group_id FROM reach GROUP BY id
+      )""")
+    parts.append("""keepers AS (
+        SELECT group_id, id AS keep_id FROM (
+          SELECT c.group_id, m.id,
+                 row_number() OVER (
+                   PARTITION BY c.group_id
+                   ORDER BY m.cent_sim ASC, m.id ASC
+                 ) AS rk
+          FROM mm m JOIN comp c ON m.id = c.id
+        ) WHERE rk = 1
+      )""")
+    ctes = ",\n      ".join(parts)
+    return f"""
+      WITH RECURSIVE {ctes}
+      SELECT m.id AS {id_col}, m.list_id, m.cent_sim, c.group_id,
+             CASE WHEN m.id = k.keep_id THEN 1 ELSE 0 END AS is_kept
+      FROM mm m
+      JOIN comp c ON m.id = c.id
+      JOIN keepers k ON c.group_id = k.group_id
+    """

@@ -1184,3 +1184,64 @@ def test_blocklist_filter_empty_list(spark):
     pages = _variant_pages(spark, n=50)
     out = weburl.blocklist_filter(pages, [])
     assert out.count() == 50 and "domain" in out.columns
+
+
+# --- SemDeDup ---------------------------------------------------------------
+
+
+def test_semdedup_matches_sql_oracle(embs, ddb):
+    out = simsearch.semdedup(embs, threshold=0.3)
+    exp = ddb.sql(simsearch.semdedup_sql(0.3))
+    _cmp(out, exp, ["vec_id"])
+
+
+def test_semdedup_invariants(embs):
+    df = simsearch.semdedup(embs, threshold=0.3).toPandas()
+    assert len(df) == embs.count()
+    g = df.groupby("group_id")
+    # exactly one kept doc per duplicate group
+    assert (g["is_kept"].sum() == 1).all()
+    # group_id is the smallest member id
+    assert (g.apply(lambda p: p.vec_id.min() == p.group_id.iloc[0])).all()
+    # a group never spans clusters (edges are within-cluster only)
+    assert (g["list_id"].nunique() == 1).all()
+    # the kept member is the one least similar to its centroid
+    # (ties by smallest id)
+    for _, p in df[df.group_id.isin(
+        df[df.is_kept == 0].group_id.unique()
+    )].groupby("group_id"):
+        kept = p[p.is_kept == 1].iloc[0]
+        best = p.sort_values(["cent_sim", "vec_id"]).iloc[0]
+        assert kept.vec_id == best.vec_id
+
+
+def test_semdedup_literal(spark):
+    # two tight direction-clusters; within each, two near-identical
+    # vectors (cos ~ 1) and one distinct direction
+    import numpy as np
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),     # dup group {0, 1}
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.7, 0.7, 0.0, 0.0]),     # singleton (cos to 0/1 ~ .71 < .95)
+        (3, [0.0, 0.0, 1.0, 0.0]),     # dup group {3, 4}
+        (4, [0.0, 0.01, 0.999, 0.0]),
+        (5, [0.0, 0.0, 0.7, 0.7]),     # singleton
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        schema="vec_id long, embedding array<float>",
+    )
+    out = (
+        simsearch.semdedup(df, threshold=0.95, nlist=2, n_iters=2)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert list(out.group_id) == [0, 0, 2, 3, 3, 5]
+    # keep-farthest-from-centroid: the group member with lower centroid
+    # cosine survives; singletons always survive
+    for gid in (0, 3):
+        grp = out[out.group_id == gid]
+        kept = grp[grp.is_kept == 1]
+        assert len(kept) == 1
+        assert kept.iloc[0].cent_sim == grp.cent_sim.min()
+    assert out[out.vec_id.isin([2, 5])].is_kept.tolist() == [1, 1]
