@@ -1238,6 +1238,15 @@ def q_text_bigram_lm(spark, sf_dir):
     return text_op.char_bigram_logloss(df)
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (arXiv:1911.00359
+    §4.4): per-language tercile thresholds over the bigram-LM score,
+    computed as exact order statistics on a compressed (lang, score)
+    histogram — no interpolated percentile, no full-corpus window."""
+    df = _table(spark, sf_dir, "documents")
+    return text_op.perplexity_buckets(df)
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signals (arXiv:2112.11446 §A1.1): modal
     and duplicate n-gram word-position fractions (n=1,2,3) + word
@@ -1677,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_bigram_lm": q_text_bigram_lm,
+        "ppl_buckets": q_ppl_buckets,
         "text_repetition": q_text_repetition,
         "substring_dedup": q_substring_dedup,
         "dsir_weights": q_dsir_weights,
@@ -3682,6 +3692,7 @@ def _datapipe_oracles() -> dict[str, str]:
         ),
         "text_langid": text_op.lang_id_sql(),
         "text_bigram_lm": text_op.char_bigram_logloss_sql(),
+        "ppl_buckets": text_op.perplexity_buckets_sql(),
         "text_fingerprint": (
             f"SELECT doc_id, {md5_sql} AS fp_md5, "
             f"CAST({roll_sql} AS BIGINT) AS fp_roll FROM documents"

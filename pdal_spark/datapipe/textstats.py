@@ -278,3 +278,108 @@ def char_bigram_logloss_sql(
       SELECT d.{id_col}, s.bigram_logloss
       FROM {table} d LEFT JOIN scored s USING ({id_col})
     """
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    2020): per language, the lowest-perplexity third of documents is
+    'head' (cleanest), the next third 'middle', the rest 'tail'.
+
+    The score is char_bigram_logloss (the corpus-bigram LM proxy). The
+    per-language tercile thresholds are EXACT ORDER STATISTICS — the
+    smallest score s with 3*|{score <= s}| >= k*n — computed on a
+    compressed (lang, score) value histogram: one groupBy builds the
+    histogram (bounded by distinct 6-decimal scores, not corpus rows),
+    a window over that SMALL table takes the cumulative counts, and the
+    tiny per-lang threshold table broadcast-joins back for the CASE
+    classification. No interpolated percentile (whose float arithmetic
+    differs across engines) and no full-corpus window — the shape holds
+    at 100 TB because the window input is the histogram, not the data.
+    Docs too short to score (< 2 chars, NULL logloss) land in 'tail'.
+    """
+    scored = char_bigram_logloss(df, text_col, id_col).join(
+        df.select(id_col, lang_col), id_col
+    )
+    hist = scored.filter(F.col("bigram_logloss").isNotNull()).groupBy(
+        lang_col, "bigram_logloss"
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(lang_col).orderBy("bigram_logloss")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    n_by_lang = hist.groupBy(lang_col).agg(F.sum("cnt").alias("n"))
+    thresholds = (
+        cum.join(n_by_lang, lang_col)
+        .groupBy(lang_col)
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 3 >= F.col("n"),
+                       F.col("bigram_logloss"))
+            ).alias("t33"),
+            F.min(
+                F.when(F.col("cum") * 3 >= F.col("n") * 2,
+                       F.col("bigram_logloss"))
+            ).alias("t66"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(thresholds), lang_col)
+        .withColumn(
+            "ppl_bucket",
+            F.when(F.col("bigram_logloss").isNull(), F.lit("tail"))
+            .when(F.col("bigram_logloss") <= F.col("t33"), F.lit("head"))
+            .when(F.col("bigram_logloss") <= F.col("t66"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .select(id_col, lang_col, "bigram_logloss", "ppl_bucket")
+    )
+
+
+def perplexity_buckets_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB twin: same logloss CTE, same histogram + cumulative-count
+    order statistics, same CASE."""
+    base = char_bigram_logloss_sql(table, text, id_col)
+    return f"""
+      WITH scored AS (
+        SELECT b.{id_col}, d.{lang_col}, b.bigram_logloss
+        FROM ({base}) b JOIN {table} d USING ({id_col})
+      ),
+      hist AS (
+        SELECT {lang_col}, bigram_logloss, count(*) AS cnt
+        FROM scored WHERE bigram_logloss IS NOT NULL
+        GROUP BY 1, 2
+      ),
+      cum AS (
+        SELECT {lang_col}, bigram_logloss, cnt,
+               sum(cnt) OVER (
+                 PARTITION BY {lang_col} ORDER BY bigram_logloss
+               ) AS cum
+        FROM hist
+      ),
+      nl AS (
+        SELECT {lang_col}, sum(cnt) AS n FROM hist GROUP BY 1
+      ),
+      thresholds AS (
+        SELECT c.{lang_col},
+               min(CASE WHEN c.cum * 3 >= nl.n THEN c.bigram_logloss END)
+                 AS t33,
+               min(CASE WHEN c.cum * 3 >= nl.n * 2 THEN c.bigram_logloss END)
+                 AS t66
+        FROM cum c JOIN nl USING ({lang_col})
+        GROUP BY 1
+      )
+      SELECT s.{id_col}, s.{lang_col}, s.bigram_logloss,
+             CASE WHEN s.bigram_logloss IS NULL THEN 'tail'
+                  WHEN s.bigram_logloss <= t.t33 THEN 'head'
+                  WHEN s.bigram_logloss <= t.t66 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM scored s JOIN thresholds t USING ({lang_col})
+    """

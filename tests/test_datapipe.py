@@ -1245,3 +1245,34 @@ def test_semdedup_literal(spark):
         assert len(kept) == 1
         assert kept.iloc[0].cent_sim == grp.cent_sim.min()
     assert out[out.vec_id.isin([2, 5])].is_kept.tolist() == [1, 1]
+
+
+# --- CCNet perplexity buckets ------------------------------------------------
+
+
+def test_ppl_buckets_match_sql_oracle(docs, ddb):
+    out = textstats.perplexity_buckets(docs)
+    exp = ddb.sql(textstats.perplexity_buckets_sql())
+    _cmp(out, exp, ["doc_id"])
+
+
+def test_ppl_buckets_invariants(docs):
+    df = textstats.perplexity_buckets(docs).toPandas()
+    assert len(df) == docs.count()
+    assert set(df.ppl_bucket) <= {"head", "middle", "tail"}
+    for lang, grp in df.groupby("lang"):
+        n = len(grp)
+        if n < 3:
+            continue
+        # order statistics: every head score <= every middle score
+        # <= every tail score (ties can cross the 1/3 boundaries, the
+        # value ordering cannot)
+        h = grp[grp.ppl_bucket == "head"].bigram_logloss
+        m = grp[grp.ppl_bucket == "middle"].bigram_logloss
+        t = grp[grp.ppl_bucket == "tail"].bigram_logloss
+        if len(h) and len(m):
+            assert h.max() <= m.min()
+        if len(m) and len(t):
+            assert m.max() <= t.min()
+        # head holds at least a third of the language (ties only add)
+        assert len(h) * 3 >= n
