@@ -806,6 +806,35 @@ def q_ept_query(spark, sf_dir):
     )
 
 
+def q_ept_addon(spark, sf_dir):
+    """writers.ept_addon (io/EptAddonWriter.cpp): build an EPT octree,
+    read it back with the EptNodeId/EptPointId pair, write a sidecar
+    dimension for ONLY the x>0 subset (exercising the reference's
+    zero-initialized node buffers), then merge the addon node-locally
+    on re-read. The oracle replicates the builder's quantization to
+    decide which docs carry a value and which read back the zero
+    fill."""
+    import tempfile
+
+    from pdal_spark.formats import ept as ept_fmt
+
+    pts = _docs_z(spark, sf_dir).withColumn(
+        "did", F.col("doc_id").cast("double")
+    ).select("x", "y", "z", "did")
+    root = tempfile.mkdtemp(prefix="ept_a_") + "/ds"
+    ept_fmt.write_ept(pts, root, node_capacity=512, max_depth=6)
+    base = ept_fmt.read_ept(spark, root, with_node_ids=True)
+    tagged = base.filter(F.col("x") > 0).withColumn(
+        "hag_addon", F.col("did") * 2 + 1
+    )
+    aroot = root + "_addon"
+    ept_fmt.write_ept_addon(tagged, root, aroot, "hag_addon")
+    merged = ept_fmt.read_ept(spark, root, addons={"hag_addon": aroot})
+    return merged.select(
+        F.col("did").cast("long").alias("doc_id"), "hag_addon"
+    )
+
+
 def q_las_tiles(spark, sf_dir):
     """FlexWriter '#' analog over LAS (FlexWriter.hpp): one .las file per
     splitter tile, written inside the owning task (applyInPandas), plus
@@ -1731,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tindex": q_tindex,
         "las_roundtrip": q_las_roundtrip,
         "ept_query": q_ept_query,
+        "ept_addon": q_ept_addon,
         "las_tiles": q_las_tiles,
         "gltf_manifest": q_gltf_manifest,
         "ogr_multipoint": q_ogr_multipoint,
@@ -2036,6 +2066,20 @@ def _misc_oracles() -> dict[str, str]:
         AND qy >= -60.0 AND qy <= 60.0
         AND qz >= 0.0 AND qz <= 400.0
     """
+    ept_addon_q = f"""
+      WITH g AS (
+        SELECT doc_id, ({_X_SQL}) AS x, ({_Y_SQL}) AS y,
+               CAST(n_chars AS DOUBLE) AS z
+        FROM documents
+      ),
+      b AS (SELECT min(x) AS ox FROM g)
+      SELECT doc_id,
+             CASE WHEN {_eq('x', 'ox')} > 0
+                  THEN CAST(doc_id AS DOUBLE) * 2 + 1
+                  ELSE 0.0 END AS hag_addon
+      FROM g, b
+    """
+
     las_tiles = f"""
       SELECT CAST({tx_sql} AS VARCHAR) || '_' || CAST({ty_sql} AS VARCHAR)
                AS "group",
@@ -2048,6 +2092,7 @@ def _misc_oracles() -> dict[str, str]:
         "reprojection_utm": reproj_utm,
         "las_roundtrip": las_rt,
         "ept_query": ept_q,
+        "ept_addon": ept_addon_q,
         "las_tiles": las_tiles,
         "outlier_stat": outlier_stat,
         "transformation": transformation,

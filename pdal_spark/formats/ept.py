@@ -186,7 +186,17 @@ def read_ept(
     root: str,
     bounds: Optional[tuple] = None,
     resolution: Optional[float] = None,
+    with_node_ids: bool = False,
+    addons: Optional[dict] = None,
 ) -> DataFrame:
+    """readers.ept. `with_node_ids=True` appends the EptNodeId /
+    EptPointId pair the reference reader registers
+    (io/EptReader.cpp addon support) as `ept_node_id` (the node key
+    string) + `ept_point_id` (position within the node) — the handle
+    `write_ept_addon` needs. `addons={column: addon_root}` merges addon
+    dimensions back NODE-LOCALLY inside the same decode task (the addon
+    file layout mirrors ept-data, so the merge is a positional
+    column-concat — zero shuffles, zero joins)."""
     info = quick_info(root)
     if info.data_type != "binary":
         raise NotImplementedError(
@@ -195,19 +205,129 @@ def read_ept(
         )
     nodes = select_nodes(root, bounds=bounds, resolution=resolution)
     schema = spark_schema(info)
-    rows = [(os.path.join(root, "ept-data", f"{k}.bin"), int(c))
+    addon_meta = {}
+    for col, aroot in (addons or {}).items():
+        with open(os.path.join(aroot, "ept-addon.json")) as f:
+            m = json.load(f)
+        addon_meta[col] = (
+            os.path.join(aroot, "ept-data"),
+            _NP_TYPE[(m["type"], int(m["size"]))],
+        )
+        if m["type"] == "float":
+            schema = schema.add(col, T.DoubleType())
+        elif int(m["size"]) >= 4:
+            schema = schema.add(col, T.LongType())
+        else:
+            schema = schema.add(col, T.IntegerType())
+    if with_node_ids:
+        schema = schema.add("ept_node_id", T.StringType()).add(
+            "ept_point_id", T.LongType()
+        )
+    rows = [(k, os.path.join(root, "ept-data", f"{k}.bin"), int(c))
             for k, c in sorted(nodes.items())]
-    node_df = spark.createDataFrame(rows, "path string, count long")
+    node_df = spark.createDataFrame(rows, "key string, path string, count long")
     sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     node_df = node_df.repartition(min(max(len(rows), 1), max(sp, 1)))
 
     def _decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for path, _cnt in pdf.itertuples(index=False):
+            for key, path, _cnt in pdf.itertuples(index=False):
                 with open(path, "rb") as f:
-                    yield decode_node(f.read(), info)
+                    out = decode_node(f.read(), info)
+                for col, (adir, adt) in addon_meta.items():
+                    with open(os.path.join(adir, f"{key}.bin"), "rb") as f:
+                        vals = np.frombuffer(f.read(), dtype=adt)
+                    out[col] = vals[: len(out)]
+                if with_node_ids:
+                    out["ept_node_id"] = key
+                    out["ept_point_id"] = np.arange(len(out), dtype=np.int64)
+                yield out
 
     return node_df.mapInPandas(_decode, schema=schema)
+
+
+def write_ept_addon(
+    df: DataFrame,
+    base_root: str,
+    addon_root: str,
+    dim_col: str,
+    node_col: str = "ept_node_id",
+    point_col: str = "ept_point_id",
+    np_type: str = "float64",
+) -> dict:
+    """writers.ept_addon (io/EptAddonWriter.cpp:158-233, writeOne): a
+    sidecar dimension for an existing EPT dataset — one zero-initialized
+    buffer per hierarchy node, each point's value placed at
+    ept_point_id * size, the base hierarchy mirrored under the addon
+    root, and `ept-addon.json` {type, size, version, dataType} on top.
+    Rows with a NULL node id are skipped (the reference skips nodeId 0:
+    "points that do not come from the EPT reader").
+
+    Spark shape: one exchange on the node key; each node's buffer is
+    written by its owning applyInPandas task (same pattern as the
+    write_ept builder), so the job parallelizes across nodes and no
+    buffer ever reaches the driver. Nodes with no incoming rows still
+    get their zero buffer — the reference allocates per-hierarchy-node
+    buffers unconditionally."""
+    type_name = {"float64": "float", "float32": "float",
+                 "int32": "signed", "int64": "signed",
+                 "uint8": "unsigned", "uint16": "unsigned"}[np_type]
+    size = int(np.dtype(np_type).itemsize)
+    with open(os.path.join(base_root, "ept-hierarchy", "0-0-0-0.json")) as f:
+        hierarchy = json.load(f)
+
+    data_dir = os.path.join(addon_root, "ept-data")
+    hier_dir = os.path.join(addon_root, "ept-hierarchy")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(hier_dir, exist_ok=True)
+
+    spark = df.sparkSession
+    nodes_df = spark.createDataFrame(
+        [(k, int(c)) for k, c in sorted(hierarchy.items())],
+        "node string, n long",
+    )
+    src = (
+        df.filter(F.col(node_col).isNotNull())
+        .select(
+            F.col(node_col).alias("node"),
+            F.col(point_col).alias("pid"),
+            F.col(dim_col).cast("double").alias("val"),
+        )
+    )
+    # right join keeps empty nodes so every hierarchy node gets a buffer
+    joined = src.join(nodes_df, "node", "right")
+
+    def _write(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        node = str(key[0])
+        count = int(pdf["n"].iloc[0])
+        buf = np.zeros(count, dtype=np.dtype(np_type))
+        real = pdf[pdf["pid"].notna()]
+        if len(real):
+            buf[real["pid"].to_numpy(np.int64)] = real["val"].to_numpy()
+        tmp = os.path.join(data_dir, f".{node}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(buf.tobytes())
+        os.replace(tmp, os.path.join(data_dir, f"{node}.bin"))
+        return pd.DataFrame({"node": [node], "written": [len(real)]})
+
+    manifest = (
+        joined.groupBy("node")
+        .applyInPandas(_write, schema="node string, written long")
+        .collect()
+    )
+    with open(os.path.join(hier_dir, "0-0-0-0.json"), "w") as f:
+        json.dump(hierarchy, f)
+    meta = {"type": type_name, "size": size, "version": "1.0.0",
+            "dataType": "binary"}
+    tmp = os.path.join(addon_root, ".ept-addon.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(addon_root, "ept-addon.json"))
+    return {
+        "nodes": len(manifest),
+        "points_written": sum(r.written for r in manifest),
+        "root": addon_root,
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -119,3 +119,67 @@ def test_write_determinism(spark, tmp_path):
     h1 = json.load(open(os.path.join(r1, "ept-hierarchy", "0-0-0-0.json")))
     h2 = json.load(open(os.path.join(r2, "ept-hierarchy", "0-0-0-0.json")))
     assert h1 == h2  # partition-count-invariant build
+
+
+# --- writers.ept_addon --------------------------------------------------------
+
+
+def test_addon_roundtrip_full(spark, built, tmp_path):
+    """Every point tagged -> every value rides back through the
+    per-node sidecar buffers (io/EptAddonWriter.cpp writeOne)."""
+    _df, root, _meta = built
+    base = ept.read_ept(spark, root, with_node_ids=True)
+    tagged = base.withColumn("odd", F.col("Intensity") * 2 + 1)
+    aroot = str(tmp_path / "addon_full")
+    res = ept.write_ept_addon(tagged, root, aroot, "odd")
+    assert res["points_written"] == 20000
+    merged = ept.read_ept(spark, root, addons={"odd": aroot})
+    assert merged.filter(
+        F.col("odd") != F.col("Intensity") * 2 + 1
+    ).count() == 0
+
+
+def test_addon_zero_fill_and_empty_nodes(spark, built, tmp_path):
+    """Untagged points read back the zero fill; hierarchy nodes with no
+    tagged points still get a (zeroed) buffer file."""
+    import json
+    import os
+
+    _df, root, _meta = built
+    base = ept.read_ept(spark, root, with_node_ids=True)
+    tagged = base.filter(F.col("x") > 200).withColumn(
+        "flag", F.lit(7.0)
+    )
+    n_tagged = tagged.count()
+    assert 0 < n_tagged < 20000
+    aroot = str(tmp_path / "addon_part")
+    ept.write_ept_addon(tagged, root, aroot, "flag")
+    with open(os.path.join(root, "ept-hierarchy", "0-0-0-0.json")) as f:
+        hierarchy = json.load(f)
+    for node in hierarchy:
+        assert os.path.exists(os.path.join(aroot, "ept-data", f"{node}.bin"))
+    merged = ept.read_ept(spark, root, addons={"flag": aroot})
+    assert merged.filter(F.col("flag") == 7.0).count() == n_tagged
+    assert merged.filter(F.col("flag") == 0.0).count() == 20000 - n_tagged
+    with open(os.path.join(aroot, "ept-addon.json")) as f:
+        meta = json.load(f)
+    assert meta == {"type": "float", "size": 8, "version": "1.0.0",
+                    "dataType": "binary"}
+
+
+def test_addon_point_ids_are_node_positions(spark, built):
+    """ept_point_id must index the node buffer: contiguous 0..count-1
+    within every node (the offset contract the addon writer relies on)."""
+    _df, root, _meta = built
+    base = ept.read_ept(spark, root, with_node_ids=True)
+    per = base.groupBy("ept_node_id").agg(
+        F.count("*").alias("n"),
+        F.min("ept_point_id").alias("lo"),
+        F.max("ept_point_id").alias("hi"),
+        F.count_distinct("ept_point_id").alias("d"),
+    )
+    bad = per.filter(
+        (F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)
+        | (F.col("d") != F.col("n"))
+    )
+    assert bad.count() == 0
