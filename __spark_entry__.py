@@ -859,6 +859,45 @@ def q_las_tiles(spark, sf_dir):
     return man.select("group", "count", "minx", "miny", "maxx", "maxy")
 
 
+TINDEX_BBOX = (-60.0, -40.0, 100.0, 55.0)
+
+
+def q_tindex_read(spark, sf_dir):
+    """readers.tindex (io/TIndexReader.cpp): write one LAS per splitter
+    tile + the bbox-feature index layer, then answer a bbox query by
+    pruning the index and dispatching ONLY the surviving files to the
+    chunk-parallel LAS reader. Returns the decoded (quantized) points
+    of every intersecting tile; the oracle replicates the tile grid,
+    the per-tile point-bbox intersection test, and the LAS sround
+    quantization."""
+    import tempfile
+
+    from pdal_spark.formats import las as las_fmt
+    from pdal_spark.operators import tindex as tindex_op
+
+    pts = (
+        splitter_op.split(_docs_geo(spark, sf_dir), TILE_LEN, TILE_OX, TILE_OY)
+        .withColumn("z", F.lit(0.0))
+        .withColumn("gps_time", F.col("doc_id").cast("double"))
+        .withColumn(
+            "tile", F.concat_ws("_", F.col("tile_x"), F.col("tile_y"))
+        )
+        .select("x", "y", "z", "gps_time", "tile")
+    )
+    d = tempfile.mkdtemp(prefix="tindex_read_")
+    man = las_fmt.write_las_parts(pts, d, by="tile", fmt=1)
+    layer = d + "_layer"
+    tindex_op.write_file_tindex(man, layer)
+    out, _locs = tindex_op.read_tindex(
+        spark, layer, TINDEX_BBOX,
+        path_for=lambda loc: f"{d}/{loc}.las",
+        reader=las_fmt.read_las,
+    )
+    return out.select(
+        F.col("gps_time").cast("long").alias("doc_id"), "x", "y"
+    )
+
+
 def q_delaunay_mesh(spark, sf_dir):
     """filters.delaunay analog (DelaunayFilter.cpp:61-110): tiled 2D
     Delaunay with halo duplication, hull-band driver completion, and a
@@ -1761,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "las_roundtrip": q_las_roundtrip,
         "ept_query": q_ept_query,
         "ept_addon": q_ept_addon,
+        "tindex_read": q_tindex_read,
         "las_tiles": q_las_tiles,
         "gltf_manifest": q_gltf_manifest,
         "ogr_multipoint": q_ogr_multipoint,
@@ -2087,12 +2127,43 @@ def _misc_oracles() -> dict[str, str]:
              min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy
       FROM ({_DOCS_GEO_SQL}) GROUP BY 1
     """
+
+    # LAS sround quantization (Utils.hpp:152, half away from zero) at
+    # scale 0.01, offset 0 — what write_las_parts stores and read_las
+    # de-quantizes back to doubles
+    def _lq(col: str) -> str:
+        return (
+            f"(CASE WHEN ({col}) >= 0 "
+            f"THEN FLOOR(({col}) / 0.01 + 0.5) "
+            f"ELSE -FLOOR(-({col}) / 0.01 + 0.5) END) * 0.01"
+        )
+
+    tb = TINDEX_BBOX
+    tindex_read_q = f"""
+      WITH g AS (
+        SELECT doc_id, x, y, {tx_sql} AS tx, {ty_sql} AS ty
+        FROM ({_DOCS_GEO_SQL})
+      ),
+      m AS (
+        SELECT tx, ty, min(x) AS minx, min(y) AS miny,
+               max(x) AS maxx, max(y) AS maxy
+        FROM g GROUP BY 1, 2
+      ),
+      keep AS (
+        SELECT tx, ty FROM m
+        WHERE minx <= {tb[2]!r} AND maxx >= {tb[0]!r}
+          AND miny <= {tb[3]!r} AND maxy >= {tb[1]!r}
+      )
+      SELECT g.doc_id, {_lq('g.x')} AS x, {_lq('g.y')} AS y
+      FROM g JOIN keep USING (tx, ty)
+    """
     return {
         "reprojection": reproj,
         "reprojection_utm": reproj_utm,
         "las_roundtrip": las_rt,
         "ept_query": ept_q,
         "ept_addon": ept_addon_q,
+        "tindex_read": tindex_read_q,
         "las_tiles": las_tiles,
         "outlier_stat": outlier_stat,
         "transformation": transformation,

@@ -136,3 +136,75 @@ def write_tindex_layer(manifest: DataFrame, path: str) -> None:
     ogr_op.geojson_polygon_lines(
         feats, "_wkt", ["location", "n_points"]
     ).write.mode("overwrite").text(path)
+
+
+def write_file_tindex(manifest: DataFrame, path: str) -> None:
+    """kernels.tindex over a FILE manifest (the write_las_parts shape:
+    group/path/count/minx..maxy): one bbox-polygon GeoJSONSeq feature
+    per written file, carrying location + point count — the index layer
+    readers.tindex prunes against."""
+    from pdal_spark.operators import ogr as ogr_op
+
+    wkt = F.format_string(
+        "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+        "minx", "miny", "maxx", "miny", "maxx", "maxy", "minx", "maxy",
+        "minx", "miny",
+    )
+    feats = manifest.select(
+        wkt.alias("_wkt"),
+        F.col("group").alias("location"),
+        F.col("count").alias("n_points"),
+    )
+    ogr_op.geojson_polygon_lines(
+        feats, "_wkt", ["location", "n_points"]
+    ).write.mode("overwrite").text(path)
+
+
+def read_tindex(
+    spark,
+    layer_path: str,
+    bbox: tuple[float, float, float, float],
+    path_for,
+    reader,
+):
+    """readers.tindex (io/TIndexReader.cpp): read the OGR-style
+    tile-index layer, keep only the features whose geometry intersects
+    the query bbox (TIndexReader's OGR spatial filter), and dispatch
+    ONLY the surviving files to the point reader.
+
+    `path_for(location) -> file path` maps index locations to data
+    files; `reader(spark, paths) -> DataFrame` is the dispatched format
+    reader (e.g. formats.las.read_las). The index layer is
+    manifest-sized (one feature per file), so parsing + pruning runs as
+    a distributed filter and only the pruned LOCATION LIST — never point
+    data — reaches the driver. At 100 TB this is the catalog scan: the
+    files a query touches are decided before any data task runs.
+    """
+    feat_schema = (
+        "type string, "
+        "geometry struct<type: string, "
+        "coordinates: array<array<array<double>>>>, "
+        "properties struct<location: string, n_points: bigint>"
+    )
+    feats = spark.read.text(layer_path).select(
+        F.from_json(F.col("value"), feat_schema).alias("f")
+    )
+    ring = F.col("f.geometry.coordinates")[0]
+    xs = F.transform(ring, lambda p: p[0])
+    ys = F.transform(ring, lambda p: p[1])
+    qminx, qminy, qmaxx, qmaxy = [float(v) for v in bbox]
+    pruned = (
+        feats.select(
+            F.col("f.properties.location").alias("location"),
+            F.array_min(xs).alias("minx"), F.array_min(ys).alias("miny"),
+            F.array_max(xs).alias("maxx"), F.array_max(ys).alias("maxy"),
+        )
+        .filter(
+            (F.col("minx") <= qmaxx) & (F.col("maxx") >= qminx)
+            & (F.col("miny") <= qmaxy) & (F.col("maxy") >= qminy)
+        )
+    )
+    locations = sorted(r.location for r in pruned.select("location").collect())
+    if not locations:
+        raise ValueError("tindex query bbox matches no index features")
+    return reader(spark, [path_for(loc) for loc in locations]), locations

@@ -244,3 +244,64 @@ def test_tindex_geojson_layer(spark, tmp_path):
         ring = f["geometry"]["coordinates"][0]
         assert ring[0] == ring[-1] and len(ring) == 5
         assert "_" in f["properties"]["location"]
+
+
+def test_read_tindex_prunes_and_dispatches(spark, tmp_path):
+    """readers.tindex end-to-end: LAS per tile + index layer; a bbox
+    query must read back EXACTLY the points of intersecting tiles and
+    touch only those files."""
+    from pdal_spark.formats import las as las_fmt
+    from pdal_spark.operators import tindex as ti
+
+    df = lattice(spark, 100).select(
+        "x", "y", F.lit(0.0).alias("z"),
+        F.col("page_id").cast("double").alias("gps_time"),
+    )
+    tiled = splitter.split(df, 30.0, 0.0, 0.0).withColumn(
+        "tile", F.concat_ws("_", "tile_x", "tile_y")
+    )
+    d = str(tmp_path / "tiles")
+    man = las_fmt.write_las_parts(
+        tiled.select("x", "y", "z", "gps_time", "tile"), d, by="tile", fmt=1
+    )
+    layer = str(tmp_path / "layer")
+    ti.write_file_tindex(man, layer)
+
+    # bbox hits tiles (0,0),(1,0),(0,1),(1,1) only
+    out, locs = ti.read_tindex(
+        spark, layer, (5.0, 5.0, 40.0, 40.0),
+        path_for=lambda loc: f"{d}/{loc}.las",
+        reader=las_fmt.read_las,
+    )
+    assert set(locs) == {"0_0", "1_0", "0_1", "1_1"}
+    # every point of the dispatched tiles, none from others
+    assert out.count() == tiled.filter(
+        (F.col("tile_x") <= 1) & (F.col("tile_y") <= 1)
+    ).count()
+    # gps_time carried doc ids; quantization at 0.01 is exact on ints
+    back = out.select(F.col("gps_time").cast("long").alias("pid"), "x", "y")
+    exp = tiled.filter((F.col("tile_x") <= 1) & (F.col("tile_y") <= 1)).select(
+        F.col("gps_time").cast("long").alias("pid"), "x", "y"
+    )
+    assert back.exceptAll(exp).count() == 0 and exp.exceptAll(back).count() == 0
+
+
+def test_read_tindex_no_match_raises(spark, tmp_path):
+    from pdal_spark.formats import las as las_fmt
+    from pdal_spark.operators import tindex as ti
+
+    df = lattice(spark, 10).select(
+        "x", "y", F.lit(0.0).alias("z"),
+        F.col("page_id").cast("double").alias("gps_time"),
+        F.lit("0_0").alias("tile"),
+    )
+    d = str(tmp_path / "t")
+    man = las_fmt.write_las_parts(df, d, by="tile", fmt=1)
+    layer = str(tmp_path / "l")
+    ti.write_file_tindex(man, layer)
+    with pytest.raises(ValueError, match="no index features"):
+        ti.read_tindex(
+            spark, layer, (1000.0, 1000.0, 2000.0, 2000.0),
+            path_for=lambda loc: f"{d}/{loc}.las",
+            reader=las_fmt.read_las,
+        )
