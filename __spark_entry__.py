@@ -23,6 +23,7 @@ from pdal_spark.datapipe import pii as pii_op
 from pdal_spark.datapipe import ranking as ranking_op
 from pdal_spark.datapipe import sketch as sketch_op
 from pdal_spark.datapipe import weburl as weburl_op
+from pdal_spark.datapipe import packing as pack_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
 from pdal_spark.operators import asof as asof_op
@@ -1315,6 +1316,15 @@ def q_ppl_buckets(spark, sf_dir):
     return text_op.perplexity_buckets(df)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-then-chunk sequence packing manifest: exact
+    distributed prefix sum for each doc's token offset (range partition
+    + offsets — no global window), integral-div block ids exact past
+    2^53 tokens."""
+    df = text_op.token_count(_table(spark, sf_dir, "documents"))
+    return pack_op.pack_sequences(df, max_len=256, tokens_col="n_ws_tokens")
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signals (arXiv:2112.11446 §A1.1): modal
     and duplicate n-gram word-position fractions (n=1,2,3) + word
@@ -1755,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_bigram_lm": q_text_bigram_lm,
         "ppl_buckets": q_ppl_buckets,
+        "pack_sequences": q_pack_sequences,
         "text_repetition": q_text_repetition,
         "substring_dedup": q_substring_dedup,
         "dsir_weights": q_dsir_weights,
@@ -3809,6 +3820,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_langid": text_op.lang_id_sql(),
         "text_bigram_lm": text_op.char_bigram_logloss_sql(),
         "ppl_buckets": text_op.perplexity_buckets_sql(),
+        "pack_sequences": pack_op.pack_sequences_sql(256, ws),
         "text_fingerprint": (
             f"SELECT doc_id, {md5_sql} AS fp_md5, "
             f"CAST({roll_sql} AS BIGINT) AS fp_roll FROM documents"

@@ -1276,3 +1276,42 @@ def test_ppl_buckets_invariants(docs):
             assert m.max() <= t.min()
         # head holds at least a third of the language (ties only add)
         assert len(h) * 3 >= n
+
+
+# --- sequence packing ------------------------------------------------------
+
+
+def test_pack_sequences_literal(spark):
+    from pdal_spark.datapipe import packing
+
+    rows = [(1, 10), (2, 0), (3, 250), (4, 6), (5, 300)]
+    df = spark.createDataFrame(rows, "doc_id int, n int")
+    out = {
+        r.doc_id: r
+        for r in packing.pack_sequences(df, max_len=256, tokens_col="n").collect()
+    }
+    # stream offsets in doc_id order: 0, 10, 10, 260, 266
+    assert out[1].tok_start == 0 and out[1].block_start == 0 and out[1].block_end == 0
+    assert out[2].n_blocks == 0 and out[2].block_start is None
+    # doc 3 spans tokens [10, 260) -> blocks 0..1
+    assert (out[3].block_start, out[3].block_end, out[3].n_blocks) == (0, 1, 2)
+    assert (out[4].block_start, out[4].block_end) == (1, 1)
+    # doc 5 spans [266, 566) -> blocks 1..2
+    assert (out[5].block_start, out[5].block_end, out[5].n_blocks) == (1, 2, 2)
+    stats = packing.pack_block_stats(
+        packing.pack_sequences(df, max_len=256, tokens_col="n"), 256
+    )
+    assert stats["n_blocks"] == 3
+    assert stats["total_tokens"] == 566
+    assert stats["pad_tokens"] == 3 * 256 - 566
+
+
+def test_pack_sequences_matches_sql_oracle(docs, ddb):
+    from pdal_spark.datapipe import packing, textstats
+
+    ws, _ = textstats.token_count_sql()
+    out = packing.pack_sequences(
+        textstats.token_count(docs), max_len=128, tokens_col="n_ws_tokens"
+    )
+    exp = ddb.sql(packing.pack_sequences_sql(128, ws))
+    _cmp(out, exp, ["doc_id"])
