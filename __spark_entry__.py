@@ -24,6 +24,7 @@ from pdal_spark.datapipe import ranking as ranking_op
 from pdal_spark.datapipe import sketch as sketch_op
 from pdal_spark.datapipe import weburl as weburl_op
 from pdal_spark.datapipe import packing as pack_op
+from pdal_spark.datapipe import bloom as bloom_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
 from pdal_spark.operators import asof as asof_op
@@ -1325,6 +1326,20 @@ def q_pack_sequences(spark, sf_dir):
     return pack_op.pack_sequences(df, max_len=256, tokens_col="n_ws_tokens")
 
 
+def q_bloom_screen(spark, sf_dir):
+    """Bloom-filter membership screen (incremental cross-corpus dedup):
+    reference corpus = doc_id % 3 == 0; every document probes the
+    sparse 32-bit-word bitmap via k broadcast joins (the probed side
+    never shuffles). Exact affine-cipher arithmetic — DuckDB replays
+    the filter bit-for-bit, false positives included."""
+    docs = _table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    bm = bloom_op.bloom_build(ref, m_bits=4096, k=3)
+    return bloom_op.bloom_contains(docs, bm, m_bits=4096, k=3).select(
+        "doc_id", "maybe_member"
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signals (arXiv:2112.11446 §A1.1): modal
     and duplicate n-gram word-position fractions (n=1,2,3) + word
@@ -1766,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": q_text_bigram_lm,
         "ppl_buckets": q_ppl_buckets,
         "pack_sequences": q_pack_sequences,
+        "bloom_screen": q_bloom_screen,
         "text_repetition": q_text_repetition,
         "substring_dedup": q_substring_dedup,
         "dsir_weights": q_dsir_weights,
@@ -3821,6 +3837,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "text_bigram_lm": text_op.char_bigram_logloss_sql(),
         "ppl_buckets": text_op.perplexity_buckets_sql(),
         "pack_sequences": pack_op.pack_sequences_sql(256, ws),
+        "bloom_screen": bloom_op.bloom_screen_sql(
+            "doc_id % 3 = 0", m_bits=4096, k=3
+        ),
         "text_fingerprint": (
             f"SELECT doc_id, {md5_sql} AS fp_md5, "
             f"CAST({roll_sql} AS BIGINT) AS fp_roll FROM documents"

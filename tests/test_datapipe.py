@@ -1315,3 +1315,71 @@ def test_pack_sequences_matches_sql_oracle(docs, ddb):
     )
     exp = ddb.sql(packing.pack_sequences_sql(128, ws))
     _cmp(out, exp, ["doc_id"])
+
+
+# --- bloom membership screen ------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_oracle(docs, ddb):
+    from pdal_spark.datapipe import bloom
+
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    bm = bloom.bloom_build(ref, m_bits=4096, k=3)
+    got = {
+        r.doc_id: r.maybe_member
+        for r in bloom.bloom_contains(docs, bm, m_bits=4096, k=3)
+        .select("doc_id", "maybe_member")
+        .collect()
+    }
+    assert all(got[i] for i in got if i % 3 == 0)
+    exp = dict(
+        ddb.sql(bloom.bloom_screen_sql("doc_id % 3 = 0", m_bits=4096, k=3)).fetchall()
+    )
+    assert got == exp
+
+
+def test_bloom_false_positives_replay_in_oracle(docs, ddb):
+    # tiny filter -> saturated bitmap -> real false positives; they must
+    # be the SAME false positives in DuckDB (exact integer arithmetic)
+    from pdal_spark.datapipe import bloom
+
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    bm = bloom.bloom_build(ref, m_bits=256, k=2)
+    got = {
+        r.doc_id: r.maybe_member
+        for r in bloom.bloom_contains(docs, bm, m_bits=256, k=2)
+        .select("doc_id", "maybe_member")
+        .collect()
+    }
+    fps = [i for i, m in got.items() if m and i % 3 != 0]
+    assert fps, "expected false positives with a 256-bit filter"
+    exp = dict(
+        ddb.sql(bloom.bloom_screen_sql("doc_id % 3 = 0", m_bits=256, k=2)).fetchall()
+    )
+    assert got == exp
+
+
+def test_bloom_probe_side_never_shuffles(docs):
+    from pdal_spark.datapipe import bloom
+
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    bm = bloom.bloom_build(ref, m_bits=4096, k=3)
+    plan = (
+        bloom.bloom_contains(docs, bm, m_bits=4096, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # every probe join must be a broadcast: the probed table itself
+    # never exchanges (the only Exchange is the bitmap build's bit_or)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_bloom_stats(docs):
+    from pdal_spark.datapipe import bloom
+
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    bm = bloom.bloom_build(ref, m_bits=4096, k=3)
+    s = bloom.bloom_stats(bm, 4096, ref.count(), 3)
+    assert 0 < s["set_bits"] <= 3 * s["n_keys"]
+    assert 0 < s["fill_ratio"] < 0.2
