@@ -131,3 +131,54 @@ def test_tile_job_catalog_snapshots(spark, tmp_path, capsys, monkeypatch):
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["catalog_snapshots"] == []
     assert t.current_version() == 3
+
+
+def test_incremental_read_appended_files_only(spark, table):
+    table.append(_pts(spark, 0, 100))
+    table.append(_pts(spark, 100, 250))
+    table.append(_pts(spark, 250, 400))
+    # resume "processed through v1": exactly the rows of v2+v3 appends
+    inc = table.incremental_read(from_version=1)
+    got = sorted(r.pid for r in inc.select("pid").collect())
+    assert got == list(range(100, 400))
+    # bounded upper end (v1 -> v2 only)
+    inc12 = table.incremental_read(from_version=1, to_version=2)
+    assert sorted(r.pid for r in inc12.select("pid").collect()) == list(range(100, 250))
+    # the diff scan plans ONLY the new files — v1's files never appear
+    v1_files = {os.path.basename(f["path"]) for f in table.snapshot(1)["files"]}
+    planned = {os.path.basename(p) for p in inc.inputFiles()}
+    assert not (v1_files & planned)
+    # no-op diff preserves schema, zero rows
+    assert table.incremental_read(from_version=3).count() == 0
+
+
+def test_incremental_counts_merge_to_full_recompute(spark, table):
+    # the 100 TB consumer pattern: per-tile counts maintained by merging
+    # each append-diff equals a from-scratch recompute of the head
+    table.append(_pts(spark, 0, 200))
+    base = table.read().groupBy("x").count()
+    table.append(_pts(spark, 200, 350))
+    delta = table.incremental_read(from_version=1).groupBy("x").count()
+    merged = (
+        base.unionByName(delta)
+        .groupBy("x").agg(F.sum("count").alias("count"))
+    )
+    full = table.read().groupBy("x").agg(F.count("*").alias("count"))
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+
+def test_incremental_read_with_bbox_prune(spark, table):
+    table.append(_pts(spark, 0, 100))
+    # second append split so footer stats separate the two x-ranges
+    lo = _pts(spark, 100, 160).filter(F.col("x") < 60).repartition(1)
+    hi = _pts(spark, 100, 200).filter(F.col("x") >= 60).repartition(1)
+    table.append(lo)
+    table.append(hi)
+    inc = table.incremental_read(from_version=1, bbox=(0, 0, 59, 100))
+    planned = {os.path.basename(p) for p in inc.inputFiles()}
+    hi_files = {os.path.basename(f["path"]) for f in table.snapshot(3)["files"]} - {
+        os.path.basename(f["path"]) for f in table.snapshot(2)["files"]
+    }
+    assert not (planned & hi_files)  # out-of-bbox new file pruned
+    assert inc.count() == lo.count()
