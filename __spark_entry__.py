@@ -25,6 +25,7 @@ from pdal_spark.datapipe import sketch as sketch_op
 from pdal_spark.datapipe import weburl as weburl_op
 from pdal_spark.datapipe import packing as pack_op
 from pdal_spark.datapipe import bloom as bloom_op
+from pdal_spark.datapipe import quality_rules as qrules_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
 from pdal_spark.operators import asof as asof_op
@@ -1340,6 +1341,16 @@ def q_bloom_screen(spark, sf_dir):
     )
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule bundle (Rae et al. arXiv:2112.11446 Table A1):
+    word-count / mean-word-length / symbol / line-shape / alpha-word /
+    stop-word flags + the conjunction. Pure per-row column math — a
+    map-only pass at any scale. min_stopwords=1 because the synthetic
+    vocabulary carries only 'the'/'a' from the paper's 8-word list."""
+    df = _table(spark, sf_dir, "documents")
+    return qrules_op.gopher_rules(df, min_words=50, min_stopwords=1)
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signals (arXiv:2112.11446 §A1.1): modal
     and duplicate n-gram word-position fractions (n=1,2,3) + word
@@ -1782,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "pack_sequences": q_pack_sequences,
         "bloom_screen": q_bloom_screen,
+        "gopher_rules": q_gopher_rules,
         "text_repetition": q_text_repetition,
         "substring_dedup": q_substring_dedup,
         "dsir_weights": q_dsir_weights,
@@ -3839,6 +3851,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "pack_sequences": pack_op.pack_sequences_sql(256, ws),
         "bloom_screen": bloom_op.bloom_screen_sql(
             "doc_id % 3 = 0", m_bits=4096, k=3
+        ),
+        "gopher_rules": qrules_op.gopher_rules_sql(
+            min_words=50, min_stopwords=1
         ),
         "text_fingerprint": (
             f"SELECT doc_id, {md5_sql} AS fp_md5, "

@@ -135,11 +135,9 @@ def stream_exact_dedup(
     state forever, so duplicates are only suppressed within the
     watermark horizon, the standard streaming-dedup contract). On a
     batch frame the same call degrades to plain dropDuplicates."""
-    keys = [text_col]
     if ts_col is not None:
         df = df.withWatermark(ts_col, watermark_delay)
-        keys = [text_col, ts_col] if False else keys  # state key stays text
-    return df.dropDuplicates(keys)
+    return df.dropDuplicates([text_col])  # state key stays the text value
 
 
 def stream_tile_stats_stateful(

@@ -1383,3 +1383,59 @@ def test_bloom_stats(docs):
     s = bloom.bloom_stats(bm, 4096, ref.count(), 3)
     assert 0 < s["set_bits"] <= 3 * s["n_keys"]
     assert 0 < s["fill_ratio"] < 0.2
+
+
+# --- Gopher quality rules ---------------------------------------------------
+
+
+def test_gopher_rules_literal(spark):
+    from pdal_spark.datapipe import quality_rules as qr
+
+    good = "the cat sat and that dog ran off with food " * 6  # 60 words
+    rows = [
+        (1, good),                                  # passes everything
+        (2, "short text"),                          # word count fail
+        (3, ("a " * 60).strip()),                   # mean word len < 3
+        (4, ("### " * 30 + "the of and " * 10).strip()),  # symbol ratio
+        (5, "\n".join("- bullet line the of and" for _ in range(10))
+            + "\n" + ("word " * 50).strip()),       # bullet frac 10/11 > 0.9
+        (6, ("12345 " * 60 + "the of").strip()),    # alpha frac fail
+        (7, ("cat dog bird fish " * 15).strip()),   # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in qr.gopher_rules(df, min_words=20).collect()}
+    assert out[1].gopher_pass
+    assert not out[2].pass_word_count
+    assert not out[3].pass_word_len
+    assert not out[4].pass_symbols and out[4].symbol_ratio > 0.1
+    assert not out[5].pass_lines and out[5].bullet_frac > 0.9
+    assert not out[6].pass_alpha
+    assert not out[7].pass_stopwords and out[7].n_stopwords == 0
+    for i in range(2, 8):
+        assert not out[i].gopher_pass
+
+
+def test_gopher_rules_ellipsis_and_empty(spark):
+    from pdal_spark.datapipe import quality_rules as qr
+
+    rows = [
+        (1, "the line one...\nthe line two...\nthe ok line of and " +
+            "w " * 30),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in qr.gopher_rules(df, min_words=5).collect()}
+    assert out[1].ellipsis_frac == round(2 / 3, 6)
+    assert not out[1].pass_lines
+    # empty doc: no words, every guarded ratio NULL, overall fail
+    assert out[2].n_words == 0
+    assert out[2].mean_word_len is None
+    assert out[2].gopher_pass is False or out[2].gopher_pass is None
+
+
+def test_gopher_rules_matches_sql_oracle(docs, ddb):
+    from pdal_spark.datapipe import quality_rules as qr
+
+    out = qr.gopher_rules(docs, min_words=50, min_stopwords=1)
+    exp = ddb.sql(qr.gopher_rules_sql(min_words=50, min_stopwords=1))
+    _cmp(out, exp, ["doc_id"])
