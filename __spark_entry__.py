@@ -26,6 +26,7 @@ from pdal_spark.datapipe import weburl as weburl_op
 from pdal_spark.datapipe import packing as pack_op
 from pdal_spark.datapipe import bloom as bloom_op
 from pdal_spark.datapipe import quality_rules as qrules_op
+from pdal_spark.datapipe import curate as curate_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
 from pdal_spark.operators import asof as asof_op
@@ -1351,6 +1352,17 @@ def q_gopher_rules(spark, sf_dir):
     return qrules_op.gopher_rules(df, min_words=50, min_stopwords=1)
 
 
+def q_curate(spark, sf_dir):
+    """The composed curation pipeline (C4/Gopher/CCNet stage order):
+    Gopher quality rules -> exact dedup -> 3-gram Jaccard near-dup
+    canonicalization, reported as the per-stage attrition ledger. The
+    oracle replays the WHOLE chain as nested CTEs (flags, windowed
+    dedup, pair join, recursive-CTE components) — the end-to-end
+    composition is hash-compared, not just the pieces."""
+    df = _table(spark, sf_dir, "documents")
+    return curate_op.curate_counts(df, min_words=50, min_stopwords=1)
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signals (arXiv:2112.11446 §A1.1): modal
     and duplicate n-gram word-position fractions (n=1,2,3) + word
@@ -1794,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "bloom_screen": q_bloom_screen,
         "gopher_rules": q_gopher_rules,
+        "curate": q_curate,
         "text_repetition": q_text_repetition,
         "substring_dedup": q_substring_dedup,
         "dsir_weights": q_dsir_weights,
@@ -3855,6 +3868,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "gopher_rules": qrules_op.gopher_rules_sql(
             min_words=50, min_stopwords=1
         ),
+        "curate": curate_op.curate_counts_sql(min_words=50, min_stopwords=1),
         "text_fingerprint": (
             f"SELECT doc_id, {md5_sql} AS fp_md5, "
             f"CAST({roll_sql} AS BIGINT) AS fp_roll FROM documents"

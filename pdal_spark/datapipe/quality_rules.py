@@ -49,9 +49,13 @@ def gopher_rules(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_stopwords: int = 2,
+    keep_all: bool = False,
 ) -> DataFrame:
     """-> (id, n_words, mean_word_len, symbol_ratio, bullet_frac,
     ellipsis_frac, alpha_frac, n_stopwords, pass_* flags, gopher_pass).
+    ``keep_all=True`` keeps every input column alongside the flags
+    (still map-only — pipelines filter on gopher_pass without a
+    join-back).
 
     Ratios are rounded to 6 decimals (both engines) so the driver's
     exact hash compare is stable under accumulation order."""
@@ -89,8 +93,9 @@ def gopher_rules(
     bullet_frac = F.when(nl > 0, F.round(n_bullet / nl, 6))
     ellipsis_frac = F.when(nl > 0, F.round(n_ellipsis / nl, 6))
 
+    lead: list = [F.col(c) for c in df.columns] if keep_all else [F.col(id_col)]
     out = df.select(
-        F.col(id_col),
+        *lead,
         nw.alias("n_words"),
         mean_len.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),

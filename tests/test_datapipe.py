@@ -1439,3 +1439,43 @@ def test_gopher_rules_matches_sql_oracle(docs, ddb):
     out = qr.gopher_rules(docs, min_words=50, min_stopwords=1)
     exp = ddb.sql(qr.gopher_rules_sql(min_words=50, min_stopwords=1))
     _cmp(out, exp, ["doc_id"])
+
+
+# --- composed curation pipeline ---------------------------------------------
+
+
+def test_curate_counts_match_sql_oracle(docs, ddb):
+    from pdal_spark.datapipe import curate
+
+    got = sorted(
+        (r.stage, r.name, r.n_docs)
+        for r in curate.curate_counts(docs, min_words=50, min_stopwords=1).collect()
+    )
+    exp = sorted(
+        ddb.sql(curate.curate_counts_sql(min_words=50, min_stopwords=1)).fetchall()
+    )
+    assert got == exp
+    # attrition is monotone and every stage retains something here
+    ns = [n for _, _, n in got]
+    assert ns[0] >= ns[1] >= ns[2] >= ns[3] > 0
+
+
+def test_curate_survivors_semantics(spark):
+    from pdal_spark.datapipe import curate
+
+    base = "the cat sat and that dog ran off with food more words here now "
+    rows = [
+        (1, base * 4),            # survives
+        (2, base * 4),            # exact dup of 1 -> dropped at stage 2
+        (3, base * 4 + "tail"),   # near-dup of 1 -> dropped at stage 3
+        (4, "tiny"),              # quality fail -> dropped at stage 1
+        (5, ("unique word salad alpha beta gamma delta epsilon zeta eta "
+             "theta iota kappa and the that of " ) * 3),  # survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out, stages = curate.curate(df, min_words=20, min_stopwords=2,
+                                jaccard_threshold=0.5, shingle=3)
+    kept = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert kept == [1, 5]
+    assert [f.count() for _, _, f in stages] == [5, 4, 3, 2]
+    assert out.columns == df.columns
