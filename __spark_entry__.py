@@ -27,6 +27,7 @@ from pdal_spark.datapipe import packing as pack_op
 from pdal_spark.datapipe import bloom as bloom_op
 from pdal_spark.datapipe import quality_rules as qrules_op
 from pdal_spark.datapipe import curate as curate_op
+from pdal_spark.datapipe import c4_rules as c4_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
 from pdal_spark.operators import asof as asof_op
@@ -1352,6 +1353,17 @@ def q_gopher_rules(spark, sf_dir):
     return qrules_op.gopher_rules(df, min_words=50, min_stopwords=1)
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. arXiv:1910.10683 §2.2) over a
+    deterministic line-structured view (the flat test corpus carries no
+    newlines/punctuation — with_synth_lines adds 8-word lines, '.' on
+    even lines, a brace page every 7th doc, identically in both
+    engines): terminal-punctuation lines kept, short/javascript lines
+    dropped, lorem-ipsum/brace pages dropped. Map-only column math."""
+    df = _table(spark, sf_dir, "documents")
+    return c4_op.c4_clean(c4_op.with_synth_lines(df))
+
+
 def q_curate(spark, sf_dir):
     """The composed curation pipeline (C4/Gopher/CCNet stage order):
     Gopher quality rules -> exact dedup -> 3-gram Jaccard near-dup
@@ -1807,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_screen": q_bloom_screen,
         "gopher_rules": q_gopher_rules,
         "curate": q_curate,
+        "c4_clean": q_c4_clean,
         "text_repetition": q_text_repetition,
         "substring_dedup": q_substring_dedup,
         "dsir_weights": q_dsir_weights,
@@ -3869,6 +3882,9 @@ def _datapipe_oracles() -> dict[str, str]:
             min_words=50, min_stopwords=1
         ),
         "curate": curate_op.curate_counts_sql(min_words=50, min_stopwords=1),
+        "c4_clean": c4_op.c4_clean_sql(
+            table="(" + c4_op.with_synth_lines_sql() + ")"
+        ),
         "text_fingerprint": (
             f"SELECT doc_id, {md5_sql} AS fp_md5, "
             f"CAST({roll_sql} AS BIGINT) AS fp_roll FROM documents"

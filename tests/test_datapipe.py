@@ -1479,3 +1479,42 @@ def test_curate_survivors_semantics(spark):
     assert kept == [1, 5]
     assert [f.count() for _, _, f in stages] == [5, 4, 3, 2]
     assert out.columns == df.columns
+
+
+# --- C4 cleaning rules ------------------------------------------------------
+
+
+def test_c4_clean_literal(spark):
+    from pdal_spark.datapipe import c4_rules as c4
+
+    rows = [
+        (1, 'Good long sentence here.\nshort.\nno terminal line\n'
+            'Another fine kept sentence!'),
+        (2, 'This page uses JavaScript heavily today.\nKept line stays fine.'),
+        (3, 'Lorem Ipsum dolor sit amet.\nFine sentence otherwise here.'),
+        (4, 'var x = { a: 1 }\nA good sentence here.'),
+        (5, 'no terminal\nalso none'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in c4.c4_clean(df).collect()}
+    # doc 1: 'short.' fails min 3 words; bare line fails terminal
+    assert out[1].c4_keep and out[1].n_kept_lines == 2
+    assert out[1].clean_text == (
+        'Good long sentence here.\nAnother fine kept sentence!')
+    # doc 2: javascript LINE dropped, page survives on the other line
+    assert out[2].c4_keep and out[2].n_kept_lines == 1
+    # doc 3: lorem ipsum kills the PAGE (case-insensitive)
+    assert out[3].has_lorem and not out[3].c4_keep
+    # doc 4: curly brace kills the page
+    assert out[4].has_brace and not out[4].c4_keep
+    # doc 5: nothing survives -> empty clean text, dropped
+    assert out[5].n_kept_lines == 0 and out[5].clean_text == ""
+    assert not out[5].c4_keep
+
+
+def test_c4_clean_matches_sql_oracle(docs, ddb):
+    from pdal_spark.datapipe import c4_rules as c4
+
+    out = c4.c4_clean(c4.with_synth_lines(docs))
+    exp = ddb.sql(c4.c4_clean_sql(table="(" + c4.with_synth_lines_sql() + ")"))
+    _cmp(out, exp, ["doc_id"])
