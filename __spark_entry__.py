@@ -28,6 +28,7 @@ from pdal_spark.datapipe import bloom as bloom_op
 from pdal_spark.datapipe import quality_rules as qrules_op
 from pdal_spark.datapipe import curate as curate_op
 from pdal_spark.datapipe import c4_rules as c4_op
+from pdal_spark.datapipe import graphrank as graphrank_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
 from pdal_spark.operators import asof as asof_op
@@ -1353,6 +1354,31 @@ def q_gopher_rules(spark, sf_dir):
     return qrules_op.gopher_rules(df, min_words=50, min_stopwords=1)
 
 
+def q_pagerank(spark, sf_dir):
+    """Damped PageRank over a deterministic doc-id-keyed link graph
+    (crawl-prioritization ranking, the Common-Crawl-style authority
+    signal): fixed-point integer micro-units — floating sums can never
+    hash-match across engines on an iterative computation; integral
+    div does, bit for bit, four unrolled iterations deep. One exchange
+    per iteration; dangling mass rides as a broadcast 1-row aggregate."""
+    df = _table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    e1 = df.select((i % 601).alias("src"), ((i * 7 + 1) % 601).alias("dst"))
+    e2 = df.select(
+        ((i * 3) % 601).alias("src"), ((i * 13 + 5) % 601).alias("dst")
+    )
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+    return graphrank_op.pagerank(edges, n_iters=4)
+
+
+_PAGERANK_EDGES_SQL = (
+    "SELECT doc_id % 601 AS src, (doc_id * 7 + 1) % 601 AS dst"
+    " FROM documents"
+    " UNION ALL"
+    " SELECT (doc_id * 3) % 601, (doc_id * 13 + 5) % 601 FROM documents"
+)
+
+
 def q_c4_clean(spark, sf_dir):
     """C4 cleaning rules (Raffel et al. arXiv:1910.10683 §2.2) over a
     deterministic line-structured view (the flat test corpus carries no
@@ -1820,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "curate": q_curate,
         "c4_clean": q_c4_clean,
+        "pagerank": q_pagerank,
         "text_repetition": q_text_repetition,
         "substring_dedup": q_substring_dedup,
         "dsir_weights": q_dsir_weights,
@@ -3884,6 +3911,11 @@ def _datapipe_oracles() -> dict[str, str]:
         "curate": curate_op.curate_counts_sql(min_words=50, min_stopwords=1),
         "c4_clean": c4_op.c4_clean_sql(
             table="(" + c4_op.with_synth_lines_sql() + ")"
+        ),
+        "pagerank": graphrank_op.pagerank_sql(
+            "SELECT src, dst FROM (" + _PAGERANK_EDGES_SQL + ")"
+            " WHERE src <> dst",
+            n_iters=4,
         ),
         "text_fingerprint": (
             f"SELECT doc_id, {md5_sql} AS fp_md5, "

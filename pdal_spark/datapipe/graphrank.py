@@ -1,0 +1,144 @@
+"""Link-graph ranking: PageRank power iteration over an edge table.
+
+Crawl-scale corpus curation ranks domains/pages by link authority
+(Common Crawl publishes harmonic-centrality/PageRank rankings for
+exactly this purpose — crawl prioritization and spam demotion); this is
+the iterative-graph-computation family member of the datapipe, sibling
+of the iterative k-means (simsearch) and ICP loops.
+
+Semantics: damped PageRank on the node set ``src ∪ dst`` with dangling
+mass redistributed uniformly (the textbook convention), computed in
+FIXED-POINT integer micro-units (1 rank = 10^12 micro):
+
+    R_{k+1}(v) = (1-d)·M div N  +  (p · (Σ_{u→v} R_k(u) div outdeg(u)
+                                         + D_k div N)) div q
+
+with damping d = p/q given as a rational (default 17/20 = 0.85),
+M = 10^12, and D_k the summed rank of out-edge-less nodes. Every step
+is exact BIGINT arithmetic — floating-point sums are accumulation-order
+dependent and HALF_UP rounding differs at half-boundaries between
+JVM BigDecimal and C-style scaling, so doubles can never hash-match
+across engines on an iterative computation; integral div can and does.
+The floor losses (≤1 micro per div) make total mass drift below 10^12
+by parts-per-billion per iteration — irrelevant to ranking order and
+identical in every engine.
+
+Scale shape: one shuffle per iteration (contributions aggregate on
+``dst``); the rank table joins edges on ``src``, so pre-partitioning
+edges by src lets every iteration reuse the same partitioning. The
+dangling mass and N ride as 1-row broadcast aggregates inside the plan
+— no driver round-trip per iteration, nothing collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "pagerank_sql", "MICRO"]
+
+MICRO = 10**12  # 1.0 of rank, in integer micro-units
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 4,
+    damping: tuple[int, int] = (17, 20),
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """-> (node, rank_micro bigint, rank double): ``n_iters`` damped
+    power iterations from the uniform start. Duplicate edges count once
+    (set semantics, like the web graph's adjacency). ``rank`` is
+    ``rank_micro / 1e12`` — presentation only; the computation and the
+    cross-engine compare live in ``rank_micro``."""
+    p, q = int(damping[0]), int(damping[1])
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outd")
+    )
+    n_tbl = nodes.agg(F.count("*").alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_tbl)).select(
+        "node", F.expr(f"CAST({MICRO} AS BIGINT) div n").alias("rm")
+    )
+    for _ in range(n_iters):
+        r = ranks.join(deg, "node", "left")
+        contrib = (
+            r.filter(F.col("outd").isNotNull())
+            .join(e, r["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rm div outd")).alias("s"))
+        )
+        dang = r.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("outd").isNull(), F.col("rm"))),
+                F.lit(0).cast("long"),
+            ).alias("m")
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n_tbl))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({(q - p)} AS BIGINT) * {MICRO} div ({q} * n)"
+                    f" + {p} * (coalesce(s, CAST(0 AS BIGINT))"
+                    f"          + m div n) div {q}"
+                ).alias("rm"),
+            )
+        )
+    return ranks.select(
+        "node",
+        F.col("rm").alias("rank_micro"),
+        (F.col("rm") / F.lit(float(MICRO))).alias("rank"),
+    )
+
+
+def pagerank_sql(
+    edges_sql: str,
+    n_iters: int = 4,
+    damping: tuple[int, int] = (17, 20),
+) -> str:
+    """DuckDB twin: identical unrolled integer iterations (``//`` is
+    DuckDB's integral div == Spark's ``div`` on BIGINT; operands here
+    are non-negative so floor == truncate and the engines agree)."""
+    p, q = int(damping[0]), int(damping[1])
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src AS node, count(*) AS outd FROM e GROUP BY 1)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST({MICRO} AS BIGINT) // n AS rm"
+        f" FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(n_iters):
+        prev, cur = f"r{k}", f"r{k + 1}"
+        parts.append(
+            f"{cur} AS ("
+            f" SELECT nodes.node,"
+            f"   CAST({q - p} AS BIGINT) * {MICRO} // ({q} * nn.n)"
+            f"   + {p} * (coalesce(c.s, CAST(0 AS BIGINT))"
+            f"            + dg.m // nn.n) // {q} AS rm"
+            f" FROM nodes"
+            f" LEFT JOIN (SELECT e.dst AS node, sum(p.rm // deg.outd) AS s"
+            f"            FROM e JOIN {prev} p ON e.src = p.node"
+            f"            JOIN deg ON deg.node = e.src"
+            f"            GROUP BY e.dst) c ON nodes.node = c.node"
+            f" CROSS JOIN (SELECT coalesce(sum(p.rm), 0) AS m"
+            f"             FROM {prev} p"
+            f"             WHERE p.node NOT IN (SELECT node FROM deg)) dg"
+            f" CROSS JOIN nn)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, CAST(rm AS BIGINT) AS rank_micro,"
+        f" rm / {float(MICRO)} AS rank FROM r{n_iters}"
+    )

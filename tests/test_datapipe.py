@@ -1518,3 +1518,51 @@ def test_c4_clean_matches_sql_oracle(docs, ddb):
     out = c4.c4_clean(c4.with_synth_lines(docs))
     exp = ddb.sql(c4.c4_clean_sql(table="(" + c4.with_synth_lines_sql() + ")"))
     _cmp(out, exp, ["doc_id"])
+
+
+# --- PageRank (link-graph authority) ----------------------------------------
+
+
+def test_pagerank_literal_fixed_point(spark):
+    from pdal_spark.datapipe import graphrank as gr
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (4, 3)]
+    M, N, pq = gr.MICRO, 5, (17, 20)
+    deg = {0: 2, 1: 1, 2: 1, 4: 1}
+    r = {i: M // N for i in range(N)}
+    for _ in range(4):
+        dang = sum(v for k, v in r.items() if k not in deg)
+        s = {i: 0 for i in range(N)}
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        r = {i: 3 * M // (20 * N) + 17 * (s[i] + dang // N) // 20
+             for i in range(N)}
+    e = spark.createDataFrame(edges, "src int, dst int")
+    got = {x.node: x.rank_micro
+           for x in gr.pagerank(e, n_iters=4, damping=pq).collect()}
+    assert got == r
+    # dangling node 3 received mass, sink-only node ranks lowest
+    assert got[3] > got[4]
+    assert min(got, key=got.get) == 4
+
+
+def test_pagerank_matches_sql_oracle_and_converges(docs, ddb):
+    from pdal_spark.datapipe import graphrank as gr
+
+    i = F.col("doc_id")
+    e1 = docs.select((i % 97).alias("src"), ((i * 7 + 1) % 97).alias("dst"))
+    e2 = docs.select(((i * 3) % 97).alias("src"),
+                     ((i * 13 + 5) % 97).alias("dst"))
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+    esql = ("SELECT src, dst FROM ("
+            "SELECT doc_id % 97 AS src, (doc_id * 7 + 1) % 97 AS dst"
+            " FROM documents UNION ALL"
+            " SELECT (doc_id * 3) % 97, (doc_id * 13 + 5) % 97"
+            " FROM documents) WHERE src <> dst")
+    got = {r.node: r.rank_micro
+           for r in gr.pagerank(edges, n_iters=3).collect()}
+    exp = {r[0]: r[1] for r in ddb.sql(gr.pagerank_sql(esql, n_iters=3)).fetchall()}
+    assert got == exp
+    # mass conservation up to floor losses (ppb per iteration)
+    total = sum(got.values())
+    assert 0 < gr.MICRO - total < 10_000 * len(got)
