@@ -75,6 +75,9 @@ def doc_words(
     text (word-level Jaccard saturates on shared vocabulary; shingles
     key on phrasing). Pure column math: slice+array_join over the token
     array, no UDF."""
+    from pdal_spark.session import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     toks = F.split(F.col(text_col), " ")
     if shingle <= 1:
         elems = F.array_distinct(toks)

@@ -72,6 +72,9 @@ def repetition_signals(
     tagged = F.flatten(
         F.array(*[F.transform(_ngrams(words, n), _tag(n)) for n in ns_all])
     )
+    from pdal_spark.session import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     g = df.select(F.col(id_col), F.explode(tagged).alias("_t")).select(
         id_col, F.col("_t.n").alias("n"), F.col("_t.gram").alias("gram")
     )

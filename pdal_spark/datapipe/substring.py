@@ -72,6 +72,9 @@ def substring_dedup(
     """
     if gram_mode not in ("gram", "hash"):
         raise ValueError(f"unknown gram_mode {gram_mode!r}")
+    from pdal_spark.session import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     grams = _gram_positions(df, n, text_col, id_col, gram_mode)
     dup_keys = (
         grams.groupBy("_key")

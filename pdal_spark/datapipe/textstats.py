@@ -232,6 +232,9 @@ def char_bigram_logloss(
             lambda i: t.substr(i, F.lit(2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    from pdal_spark.session import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     ex = df.select(F.col(id_col), F.explode(grams).alias("bg"))
     counts = ex.groupBy("bg").agg(F.count("*").alias("c"))
     totals = counts.agg(

@@ -67,3 +67,20 @@ def configure_session(spark: SparkSession) -> SparkSession:
     except Exception:
         pass  # some confs may be fixed by the driver; never fail on tuning
     return spark
+
+
+def ensure_min_partitions(df):
+    """Repartition up to the session's default parallelism when the
+    input plan has FEWER partitions — a small-input artifact guard for
+    compute-dense map phases (shingling, n-gram explodes): a 100 TB
+    table arrives in thousands of scan splits and this is a no-op; a
+    one-split bench file would otherwise run its whole pre-exchange
+    phase on one core. The round-robin exchange carries only the raw
+    input rows (pre-explode), the cheapest place to pay it."""
+    try:
+        want = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < want:
+            return df.repartition(want)
+    except Exception:
+        pass
+    return df
