@@ -322,6 +322,19 @@ def q_kmv_distinct(spark, sf_dir):
     return sketch_op.kmv_sketch(fp, ["source"], "fp_roll", k=32).drop("sketch")
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct fingerprints per source: m=64 registers via
+    ONE groupBy with map-side-combining max aggregates (per-group
+    shuffle state is m values regardless of group size — the max-merge
+    property KMV's bottom-k lacks). Register sum is exact dyadic math,
+    so the estimate hash-matches DuckDB bit-for-bit."""
+    from pdal_spark.datapipe import sketch as sketch_op
+
+    df = _table(spark, sf_dir, "documents")
+    fp = text_op.fingerprint(df)
+    return sketch_op.hll_sketch(fp, ["source"], "fp_roll", m=64)
+
+
 BM25_QUERY = ["spark", "window", "merge"]
 
 
@@ -1473,6 +1486,44 @@ def q_mixture_sample(spark, sf_dir):
     return cont_op.mixture_sample(df, budget=300).select("doc_id", "lang")
 
 
+def q_word_topk(spark, sf_dir):
+    """Exact corpus heavy hitters: mergeable Misra-Gries partition
+    summaries (bounded state, the full vocabulary never reaches a
+    shuffle) -> broadcast candidate recount -> TakeOrdered top-20.
+    The MG deficit bound certifies exactness, which is why the oracle
+    is the plain GROUP BY top-k."""
+    from pdal_spark.datapipe import frequency as freq_op
+
+    df = _table(spark, sf_dir, "documents")
+    return freq_op.top_k_words(df, k=20)
+
+
+def q_word_freq_cms(spark, sf_dir):
+    """Count-Min sketch estimates for the exact top-15 words: the d x w
+    bucket table builds in ONE map-side-combining exchange (<= d*w rows
+    out), probes broadcast-join it, est = min over the d rows. Exact
+    integer hashes (md5-prefix key + affine cipher) let DuckDB replay
+    every bucket collision — the overestimates match bit-for-bit."""
+    from pdal_spark.datapipe import frequency as freq_op
+
+    df = _table(spark, sf_dir, "documents")
+    top = freq_op.top_k_words(df, k=15)
+    sk = freq_op.cms_build(df, d=4, w=512)
+    est = freq_op.cms_estimate(sk, top, d=4, w=512)
+    return est.select("word", "n", F.col("est").cast("long").alias("est"))
+
+
+def q_weighted_sample(spark, sf_dir):
+    """A-ES weighted sampling without replacement, k=25 per lang:
+    priority u^(1/tokens) with the affine-cipher uniform, per-stratum
+    top-k through the skew-safe two-phase grouped_topk (partition-local
+    prune bounds the stratum window to k x partitions rows)."""
+    from pdal_spark.datapipe import contamination as cont_op
+
+    df = _table(spark, sf_dir, "documents")
+    return cont_op.weighted_sample(df, k=25)
+
+
 def q_dedup_canonical(spark, sf_dir):
     """Near-dup clustering -> canonical selection: 3-word-shingle
     Jaccard pairs (threshold 0.5) -> connected components (graph-generic
@@ -1821,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "interval_join": q_interval_join,
         "kmv_distinct": q_kmv_distinct,
+        "hll_distinct": q_hll_distinct,
         "bm25_rank": q_bm25_rank,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
@@ -1853,6 +1905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": q_text_contamination,
         "source_mixture": q_source_mixture,
         "mixture_sample": q_mixture_sample,
+        "word_topk": q_word_topk,
+        "word_freq_cms": q_word_freq_cms,
+        "weighted_sample": q_weighted_sample,
         "dedup_canonical": q_dedup_canonical,
         "image_meta": q_image_meta,
         "audio_meta": q_audio_meta,
@@ -3820,6 +3875,7 @@ def _raster_oracles() -> dict[str, str]:
 def _datapipe_oracles() -> dict[str, str]:
     from pdal_spark.datapipe import contamination as cont_op
     from pdal_spark.datapipe import dsir as dsir_op
+    from pdal_spark.datapipe import frequency as freq_op
     from pdal_spark.datapipe import substring as ss_op
     from pdal_spark.datapipe import repetition as rep_op
 
@@ -3835,6 +3891,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "mixture_sample": cont_op.mixture_sample_sql(
             300, select="doc_id, lang"
         ),
+        "word_topk": freq_op.top_k_words_sql(k=20),
+        "word_freq_cms": freq_op.cms_topk_sql(k=15, d=4, w=512),
+        "weighted_sample": cont_op.weighted_sample_sql(k=25),
         # real PPM decode vs the closed-form pixel function: channel 0 =
         # (x*7 + y*13 + id) % 256, channels 1/2 offset by 85/170; header
         # "P6\n12 8\n255\n" = 12 bytes + 288 pixel bytes
@@ -4088,6 +4147,11 @@ def _relational_oracles() -> dict[str, str]:
             f"(SELECT source, ({text_op.fingerprint_sql()[1]}) AS fp_roll "
             f"FROM documents)",
             ["source"], "fp_roll", k=32,
+        ),
+        "hll_distinct": sketch_op.hll_sketch_sql(
+            f"(SELECT source, ({text_op.fingerprint_sql()[1]}) AS fp_roll "
+            f"FROM documents)",
+            ["source"], "fp_roll", m=64,
         ),
         "sessionize": ts_op.sessionize_sql(
             "(SELECT event_id, user_id, ts FROM events)",

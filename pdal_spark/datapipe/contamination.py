@@ -225,3 +225,68 @@ def mixture_sample_sql(
       FROM {table} d JOIN rates USING ({keys})
       WHERE {key} < CAST(floor(rate * 2147483647.0) AS BIGINT)
     """
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 25,
+    by: tuple[str, ...] = ("lang",),
+    seed: int = 11,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """A-ES weighted sampling WITHOUT replacement, k per stratum
+    (Efraimidis & Spirakis 2006): draw u ~ U(0,1] per doc, keep the k
+    largest priorities u^(1/w) — inclusion probability proportional to
+    weight w (token count), exactly the size-biased pick mixture_sample
+    cannot give (Bernoulli thinning yields a BINOMIAL sample size;
+    A-ES yields exactly k). u is the affine-cipher uniform over the
+    Mersenne prime (deterministic in seed, independent of partitioning)
+    and the per-stratum top-k runs through ordered.grouped_topk, so a
+    mega-stratum never lands in one window task."""
+    from pdal_spark.operators.ordered import grouped_topk
+    from pdal_spark.operators.relational import shuffle_key_sql
+
+    key = F.expr(shuffle_key_sql(seed, id_col))
+    u = (key + F.lit(1)).cast("double") / F.lit(2147483648.0)  # (0, 1]
+    w = F.size(F.split(F.col(text_col), " ")).cast("double")  # >= 1
+    pri = F.pow(u, F.lit(1.0) / w)
+    out = grouped_topk(
+        docs.withColumn("_pri", pri),
+        list(by),
+        [F.col("_pri").desc(), F.col(id_col)],
+        k,
+    )
+    return out.select(
+        *by, id_col, F.round("_pri", 9).alias("priority")
+    )
+
+
+def weighted_sample_sql(
+    k: int = 25,
+    by: tuple[str, ...] = ("lang",),
+    seed: int = 11,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> str:
+    from pdal_spark.operators.relational import shuffle_key_sql
+
+    keys = ", ".join(by)
+    skey = shuffle_key_sql(seed, id_col)
+    return f"""
+      WITH pri AS (
+        SELECT {keys}, {id_col},
+               pow(({skey} + 1) / 2147483648.0,
+                   1.0 / len(string_split({text}, ' '))) AS p
+        FROM {table}
+      ),
+      r AS (
+        SELECT {keys}, {id_col}, p,
+               row_number() OVER (PARTITION BY {keys}
+                                  ORDER BY p DESC, {id_col}) AS rn
+        FROM pri
+      )
+      SELECT {keys}, {id_col}, round(p, 9) AS priority
+      FROM r WHERE rn <= {k}
+    """

@@ -138,3 +138,121 @@ def kmv_sketch_sql(
         f"FROM (SELECT {g}, {sk} AS sketch FROM {table} "
         f"WHERE ({h}) IS NOT NULL GROUP BY {g})"
     )
+
+
+# --- HyperLogLog -----------------------------------------------------------
+
+# bias-correction constants alpha_m (Flajolet et al. 2007, §4) for the
+# register counts this module exposes; m >= 128 uses the closed form.
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    m: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate (Flajolet et al.
+    2007) with the small-range linear-counting correction.
+
+    Register index = hash % m; rank rho = 1 + position of the highest
+    set bit of hash // m (a 31-bit affine-cipher hash, so rho is exact
+    integer math: 26 - bit_length(rest) when m = 64). ONE groupBy with
+    m map-side-combining max aggregates — per-group shuffle state is m
+    bytes-ish regardless of group size, the property that makes HLL the
+    100 TB cardinality operator (KMV's bottom-k costs k*8 bytes and a
+    sort; HLL is max-merge only).
+
+    Exactness of the twin: every 2^-rho is dyadic with lsb >= 2^-26 and
+    the register sum stays < m+1, so the double sum is EXACT in any
+    accumulation order — Spark and DuckDB agree bit-for-bit before the
+    single rounded division."""
+    if m & (m - 1) or m < 2:
+        raise ValueError("m must be a power of two >= 2")
+    hi_bits = 31 - m.bit_length() + 1  # bits in hash // m
+    h = kmv_hash(F.col(value_col), seed)
+    idx = (h % m).cast("int")
+    rest = (h / m).cast("long")  # floor: h, m positive
+    # bit_length via base-2 string length — exact in both engines
+    # (F.conv/DuckDB bin), no float log2 whose libm rounding could
+    # disagree at power-of-two boundaries.
+    rho = F.when(rest == 0, F.lit(hi_bits + 1)).otherwise(
+        F.lit(hi_bits + 1) - F.length(F.conv(rest, 10, 2))
+    )
+    base = df.select(*group_cols, idx.alias("_i"), rho.alias("_r")).filter(
+        F.col("_r").isNotNull()
+    )
+    regs = base.groupBy(*group_cols).agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("_i") == j, F.col("_r"))), F.lit(0)
+            ).alias(f"_m{j}")
+            for j in range(m)
+        ]
+    )
+    ssum = sum(
+        (F.lit(1.0) / F.pow(F.lit(2.0), F.col(f"_m{j}")) for j in range(m)),
+        F.lit(0.0),
+    )
+    zeros = sum(
+        (F.when(F.col(f"_m{j}") == 0, 1).otherwise(0) for j in range(m)),
+        F.lit(0),
+    )
+    raw = F.lit(_alpha(m) * m * m) / ssum
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return regs.select(
+        *group_cols,
+        zeros.cast("long").alias("n_zero_regs"),
+        F.round(ssum, 9).alias("reg_sum"),
+        F.round(est, 6).alias("est_distinct"),
+    )
+
+
+def hll_sketch_sql(
+    table: str,
+    group_cols: list[str],
+    value_expr: str,
+    m: int = 64,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin: registers via GROUP BY (g, idx) then the identical
+    exact dyadic sum + correction. bit-length via length(bin()) trimmed
+    of leading zeros like Spark's conv(_, 10, 2)."""
+    hi_bits = 31 - m.bit_length() + 1
+    g = ", ".join(group_cols)
+    h = kmv_hash_sql(value_expr, seed)
+    a = _alpha(m)
+    return f"""
+      WITH hashes AS (
+        SELECT {g}, ({h}) % {m} AS idx,
+               CASE WHEN ({h}) // {m} = 0 THEN {hi_bits + 1}
+                    ELSE {hi_bits + 1}
+                         - length(ltrim(bin(({h}) // {m}), '0'))
+               END AS rho
+        FROM {table} WHERE ({h}) IS NOT NULL
+      ),
+      regs AS (
+        SELECT {g}, idx, max(rho) AS r FROM hashes GROUP BY {g}, idx
+      ),
+      agg AS (
+        SELECT {g},
+               CAST({m} - count(*) AS BIGINT) AS n_zero_regs,
+               sum(1.0 / pow(2.0, r)) + ({m} - count(*)) AS reg_sum
+        FROM regs GROUP BY {g}
+      )
+      SELECT {g}, n_zero_regs, round(reg_sum, 9) AS reg_sum,
+             round(CASE WHEN {a} * {m} * {m} / reg_sum <= {2.5 * m}
+                         AND n_zero_regs > 0
+                    THEN {float(m)} * ln({float(m)} / n_zero_regs)
+                    ELSE {a} * {m} * {m} / reg_sum END, 6) AS est_distinct
+      FROM agg
+    """

@@ -138,3 +138,34 @@ def running_total(
     local = F.coalesce(F.sum("_ord_v").over(w), F.lit(0).cast("long"))
     out = local + _offset_expr([(r[_PID], r["t"] or 0) for r in totals])
     return work.withColumn(out_col, out).drop(_PID, "_ord_v")
+
+
+def grouped_topk(
+    df: DataFrame,
+    by: list[str],
+    order: list[Column],
+    k: int,
+    prune: bool = True,
+) -> DataFrame:
+    """Top-k rows per group, skew-safe: a one-group-per-window
+    ``row_number`` is O(group size) in a single task's memory, so a hot
+    group (one language, one domain) becomes the straggler at scale.
+    With ``prune`` the first window partitions by (ORIGINAL scan
+    partition, group) — each cell yields <= k rows with NO extra data
+    movement beyond the pid-hash exchange — bounding the final
+    per-group window to k x input-partitions rows regardless of group
+    size. ``order`` must totally order rows (append an id tiebreak) for
+    a deterministic result."""
+    if prune:
+        w1 = Window.partitionBy(F.spark_partition_id(), *by).orderBy(*order)
+        df = (
+            df.withColumn("_gtk", F.row_number().over(w1))
+            .filter(F.col("_gtk") <= k)
+            .drop("_gtk")
+        )
+    w2 = Window.partitionBy(*by).orderBy(*order)
+    return (
+        df.withColumn("_gtk", F.row_number().over(w2))
+        .filter(F.col("_gtk") <= k)
+        .drop("_gtk")
+    )

@@ -1566,3 +1566,136 @@ def test_pagerank_matches_sql_oracle_and_converges(docs, ddb):
     # mass conservation up to floor losses (ppb per iteration)
     total = sum(got.values())
     assert 0 < gr.MICRO - total < 10_000 * len(got)
+
+
+# --- heavy hitters / CMS / weighted sampling -------------------------------
+
+
+def test_top_k_words_matches_sql_oracle(docs, ddb):
+    from pdal_spark.datapipe import frequency as freq
+
+    out = freq.top_k_words(docs, k=20)
+    exp = ddb.sql(freq.top_k_words_sql(k=20))
+    _cmp(out, exp, ["word"])
+
+
+def test_top_k_words_exact_under_forced_contraction(spark):
+    """cap=8 forces Misra-Gries eviction on a skewed corpus; the
+    heavy hitters must still come out EXACT (candidate completeness:
+    global count > N/(cap+1) survives some partition summary)."""
+    from pdal_spark.datapipe import frequency as freq
+
+    # 40 docs: "hot" in all, "warm" in half, 200 distinct cold words
+    rows = []
+    for i in range(40):
+        cold = " ".join(f"cold{i}_{j}" for j in range(5))
+        body = "hot hot hot" + (" warm warm warm" if i % 2 == 0 else "")
+        rows.append((i, f"{body} {cold}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    out = freq.top_k_words(df, k=2, cap=8).collect()
+    assert [(r["word"], r["n"]) for r in out] == [("hot", 120), ("warm", 60)]
+    topk = freq.top_k_words(df, k=2, cap=8)
+    assert freq.topk_certificate(df, topk, cap=8)
+
+
+def test_mg_summaries_bounded(spark):
+    from pdal_spark.datapipe import frequency as freq
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    words = freq.corpus_words(df)
+    summ = freq._mg_summaries(words, cap=16).toPandas()
+    # bounded state: at most cap rows per input partition
+    assert len(summ) <= 16 * words.rdd.getNumPartitions()
+    # the corpus is uniform (all counts 1): certificate must refuse
+    topk = freq.top_k_words(df, k=5, cap=16)
+    assert not freq.topk_certificate(df, topk, cap=16)
+
+
+def test_cms_overestimates_never_under(docs):
+    from pdal_spark.datapipe import frequency as freq
+
+    top = freq.top_k_words(docs, k=15)
+    est = freq.cms_estimate(freq.cms_build(docs, d=4, w=512), top, d=4, w=512)
+    pdf = est.toPandas()
+    assert (pdf["est"] >= pdf["n"]).all()
+    # d=4 rows of 512 buckets: the top word's min-row estimate should be
+    # within the standard 2N/w slack of truth on this corpus
+    n_total = freq.corpus_words(docs).count()
+    assert (pdf["est"] - pdf["n"]).max() <= 2 * n_total / 512
+
+
+def test_grouped_topk_prune_equals_plain(spark):
+    from pyspark.sql import Window
+
+    from pdal_spark.operators.ordered import grouped_topk
+
+    rows = [(i, i % 3, (i * 37) % 101) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g int, v int").repartition(7)
+    order = [F.col("v").desc(), F.col("id")]
+    got = grouped_topk(df, ["g"], order, 5, prune=True)
+    ref = grouped_topk(df, ["g"], order, 5, prune=False)
+    key = lambda r: (r["g"], r["v"], r["id"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, ref.collect()))
+    assert got.count() == 15
+
+
+def test_weighted_sample_exact_k_and_bias(spark):
+    """A-ES: exactly k per stratum, and heavier docs are overrepresented
+    (size-biased inclusion), unlike uniform sampling."""
+    from pdal_spark.datapipe import contamination as cont
+
+    rows = []
+    for i in range(400):
+        lang = "en" if i % 2 == 0 else "de"
+        # docs 0..199 heavy (60 tokens), 200..399 light (3 tokens)
+        n_tok = 60 if i < 200 else 3
+        rows.append((i, lang, " ".join(f"t{j}" for j in range(n_tok))))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = cont.weighted_sample(df, k=40, by=("lang",), seed=11).toPandas()
+    assert (out.groupby("lang").size() == 40).all()
+    heavy = (out["doc_id"] < 200).mean()
+    assert heavy > 0.7  # 20x weight ratio -> heavy docs dominate
+    # deterministic across partitionings
+    out2 = cont.weighted_sample(
+        df.repartition(13), k=40, by=("lang",), seed=11
+    ).toPandas()
+    assert set(out2["doc_id"]) == set(out["doc_id"])
+
+
+def test_weighted_sample_matches_sql_oracle(docs, ddb):
+    from pdal_spark.datapipe import contamination as cont
+
+    out = cont.weighted_sample(docs, k=25)
+    exp = ddb.sql(cont.weighted_sample_sql(k=25))
+    _cmp(out, exp, ["lang", "doc_id"])
+
+
+def test_hll_accuracy_and_small_range(spark):
+    from pdal_spark.datapipe import sketch as sk
+
+    big = spark.range(5000).select(
+        F.lit("big").alias("g"), F.col("id").alias("v")
+    )
+    small = spark.range(10).select(
+        F.lit("small").alias("g"), (F.col("id") * 1000).alias("v")
+    )
+    out = {
+        r["g"]: r["est_distinct"]
+        for r in sk.hll_sketch(big.union(small), ["g"], "v", m=64).collect()
+    }
+    # m=64 -> relative std error ~1.04/sqrt(64) = 13%
+    assert abs(out["big"] - 5000) / 5000 < 0.3
+    # linear-counting branch: near-exact at 10 << m
+    assert abs(out["small"] - 10) < 2
+
+
+def test_hll_partition_invariance(spark):
+    from pdal_spark.datapipe import sketch as sk
+
+    df = spark.range(2000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") * 7).alias("v")
+    )
+    a = sk.hll_sketch(df.repartition(1), ["g"], "v").sort("g").collect()
+    b = sk.hll_sketch(df.repartition(17), ["g"], "v").sort("g").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
