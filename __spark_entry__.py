@@ -1392,6 +1392,22 @@ _PAGERANK_EDGES_SQL = (
 )
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities over the same deterministic link graph
+    as q_pagerank: exact fixed-point integers with L1 normalization by
+    integral div each half-step (scale-invariant for the ranking,
+    bit-exact across engines four unrolled iterations deep). Two
+    exchanges per iteration — the HITS data-flow minimum."""
+    df = _table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    e1 = df.select((i % 601).alias("src"), ((i * 7 + 1) % 601).alias("dst"))
+    e2 = df.select(
+        ((i * 3) % 601).alias("src"), ((i * 13 + 5) % 601).alias("dst")
+    )
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+    return graphrank_op.hits(edges, n_iters=4)
+
+
 def q_c4_clean(spark, sf_dir):
     """C4 cleaning rules (Raffel et al. arXiv:1910.10683 §2.2) over a
     deterministic line-structured view (the flat test corpus carries no
@@ -1899,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "c4_clean": q_c4_clean,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "text_repetition": q_text_repetition,
         "substring_dedup": q_substring_dedup,
         "dsir_weights": q_dsir_weights,
@@ -3972,6 +3989,11 @@ def _datapipe_oracles() -> dict[str, str]:
             table="(" + c4_op.with_synth_lines_sql() + ")"
         ),
         "pagerank": graphrank_op.pagerank_sql(
+            "SELECT src, dst FROM (" + _PAGERANK_EDGES_SQL + ")"
+            " WHERE src <> dst",
+            n_iters=4,
+        ),
+        "hits": graphrank_op.hits_sql(
             "SELECT src, dst FROM (" + _PAGERANK_EDGES_SQL + ")"
             " WHERE src <> dst",
             n_iters=4,

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "pagerank_sql", "MICRO"]
+__all__ = ["pagerank", "pagerank_sql", "MICRO", "hits", "hits_sql", "HMICRO"]
 
 MICRO = 10**12  # 1.0 of rank, in integer micro-units
 
@@ -141,4 +141,146 @@ def pagerank_sql(
         f"{body}\n"
         f"SELECT node, CAST(rm AS BIGINT) AS rank_micro,"
         f" rm / {float(MICRO)} AS rank FROM r{n_iters}"
+    )
+
+
+HMICRO = 10**9  # HITS unit: keeps a'·HMICRO <= 10^18 < 2^63 (no overflow)
+
+
+def hits(
+    edges: DataFrame,
+    n_iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) in exact fixed-point
+    integers: auth'(v) = sum of hub over in-edges, hub'(u) = sum of auth
+    over out-edges, each side L1-normalized to HMICRO total by integral
+    div every half-step. L1 (not the textbook L2) keeps every operation
+    in BIGINT — the normalization constant is scale-invariant for the
+    RANKING, and makes the unrolled DuckDB twin bit-exact the same way
+    pagerank's micro-units do. Two exchanges per iteration (one per
+    side) — the HITS data flow minimum; sums ride as 1-row broadcast
+    aggregates, nothing collected."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()  # referenced twice per iteration
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_tbl = nodes.agg(F.count("*").alias("n"))
+    hubs = nodes.crossJoin(F.broadcast(n_tbl)).select(
+        "node", F.expr(f"CAST({HMICRO} AS BIGINT) div n").alias("h")
+    )
+    # Unlike pagerank's single-join recurrence, each HITS half-step
+    # feeds BOTH the next join and its own normalizing sum — the
+    # logical plan would grow 4^k and Catalyst analysis time with it
+    # (measured: 8 s at 2 iterations, 48 s at 3, unusable at 4).
+    # localCheckpoint() per iteration truncates lineage to the
+    # materialized 1-row-per-node result — the standard per-iteration
+    # materialization of distributed iterative graph engines (GraphX
+    # does exactly this); on a real cluster checkpoint() to reliable
+    # storage restores fault tolerance.
+    auth = None
+    for _ in range(n_iters):
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("ar"))
+            .persist()  # referenced by the join AND the sum below
+        )
+        s_a = a_raw.agg(F.sum("ar").alias("sa"))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(s_a))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(ar, CAST(0 AS BIGINT)) * {HMICRO} div sa"
+                ).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("hr"))
+            .persist()
+        )
+        s_h = h_raw.agg(F.sum("hr").alias("sh"))
+        hubs = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(s_h))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(hr, CAST(0 AS BIGINT)) * {HMICRO} div sh"
+                ).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(auth, "node", "left")
+        .join(hubs, "node", "left")
+        .select(
+            "node",
+            F.col("a").alias("auth_micro"),
+            F.col("h").alias("hub_micro"),
+            (F.col("a") / F.lit(float(HMICRO))).alias("authority"),
+            (F.col("h") / F.lit(float(HMICRO))).alias("hub"),
+        )
+    )
+
+
+def hits_sql(edges_sql: str, n_iters: int = 4) -> str:
+    """DuckDB twin: identical unrolled integer half-steps. Every
+    half-step is a MATERIALIZED CTE — referenced twice (join +
+    normalizing sum), inlining would re-evaluate the whole prefix and
+    the query cost would grow 4^k."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"h0 AS MATERIALIZED (SELECT node, CAST({HMICRO} AS BIGINT) // n AS h"
+        f" FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(n_iters):
+        ph, ca, ch = f"h{k}", f"a{k + 1}", f"h{k + 1}"
+        parts.append(
+            f"ar{k + 1} AS MATERIALIZED ("
+            f" SELECT e.dst AS node, sum(p.h) AS ar FROM e"
+            f" JOIN {ph} p ON e.src = p.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f"{ca} AS MATERIALIZED ("
+            f" SELECT nodes.node,"
+            f"  coalesce(r.ar, CAST(0 AS BIGINT)) * {HMICRO}"
+            f"   // (SELECT sum(ar) FROM ar{k + 1}) AS a"
+            f" FROM nodes LEFT JOIN ar{k + 1} r ON nodes.node = r.node)"
+        )
+        parts.append(
+            f"hr{k + 1} AS MATERIALIZED ("
+            f" SELECT e.src AS node, sum(p.a) AS hr FROM e"
+            f" JOIN {ca} p ON e.dst = p.node GROUP BY e.src)"
+        )
+        parts.append(
+            f"{ch} AS MATERIALIZED ("
+            f" SELECT nodes.node,"
+            f"  coalesce(r.hr, CAST(0 AS BIGINT)) * {HMICRO}"
+            f"   // (SELECT sum(hr) FROM hr{k + 1}) AS h"
+            f" FROM nodes LEFT JOIN hr{k + 1} r ON nodes.node = r.node)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT nodes.node, a.a AS auth_micro, h.h AS hub_micro,"
+        f" a.a / {float(HMICRO)} AS authority,"
+        f" h.h / {float(HMICRO)} AS hub"
+        f" FROM nodes JOIN a{n_iters} a ON nodes.node = a.node"
+        f" JOIN h{n_iters} h ON nodes.node = h.node"
     )

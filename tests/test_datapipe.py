@@ -1699,3 +1699,50 @@ def test_hll_partition_invariance(spark):
     a = sk.hll_sketch(df.repartition(1), ["g"], "v").sort("g").collect()
     b = sk.hll_sketch(df.repartition(17), ["g"], "v").sort("g").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_hits_literal_fixed_point(spark):
+    """Exact-integer reference replication of the L1-normalized HITS
+    half-steps on a 4-node graph, plus the structural expectation that
+    the node every hub points to tops the authority ranking."""
+    from pdal_spark.datapipe import graphrank as gr
+
+    edges = [(0, 3), (1, 3), (2, 3), (3, 1), (0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {
+        r["node"]: (r["auth_micro"], r["hub_micro"])
+        for r in gr.hits(df, n_iters=3).collect()
+    }
+
+    M = gr.HMICRO
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    h = {v: M // n for v in nodes}
+    a = {}
+    for _ in range(3):
+        ar = {v: sum(h[u] for u, w in edges if w == v) for v in nodes}
+        sa = sum(ar.values())
+        a = {v: ar[v] * M // sa for v in nodes}
+        hr = {u: sum(a[w] for x, w in edges if x == u) for u in nodes}
+        sh = sum(hr.values())
+        h = {u: hr[u] * M // sh for u in nodes}
+    assert out == {v: (a[v], h[v]) for v in nodes}
+    assert max(a, key=a.get) == 3  # everyone links to 3
+    assert max(h, key=h.get) == 0  # 0 links to both strong authorities
+
+
+def test_hits_matches_sql_oracle(docs, ddb):
+    from pdal_spark.datapipe import graphrank as gr
+
+    i = F.col("doc_id")
+    df = docs.select("doc_id")
+    e = df.select((i % 601).alias("src"), ((i * 7 + 1) % 601).alias("dst")).unionByName(
+        df.select(((i * 3) % 601).alias("src"), ((i * 13 + 5) % 601).alias("dst"))
+    ).filter(F.col("src") != F.col("dst"))
+    out = gr.hits(e, n_iters=4)
+    sql = gr.hits_sql(
+        "SELECT src, dst FROM (SELECT doc_id % 601 AS src, (doc_id * 7 + 1) % 601 AS dst FROM documents"
+        " UNION ALL SELECT (doc_id * 3) % 601, (doc_id * 13 + 5) % 601 FROM documents)"
+        " WHERE src <> dst",
+    )
+    _cmp(out, ddb.sql(sql), ["node"])
