@@ -550,6 +550,29 @@ def q_transformation(spark, sf_dir):
     return out.select("doc_id", F.round("x", 9).alias("x"), F.round("y", 9).alias("y"))
 
 
+def _doclen_quantiles_oracle() -> str:
+    from pdal_spark.operators.quantiles import grouped_quantiles_sql
+
+    return grouped_quantiles_sql(
+        "(SELECT doc_id, lang, length(text) AS n_chars FROM documents)",
+        ["lang"],
+        "n_chars",
+    )
+
+
+def q_doclen_quantiles(spark, sf_dir):
+    """Exact per-language p25/p50/p75 document length (discrete type-1
+    quantile at rank ceil(q*n), id tiebreak): one group exchange, a
+    row_number/count window pair, inline rank-cut test — the summary
+    that drives CCNet-style length-bucket cuts. Integers end to end."""
+    from pdal_spark.operators.quantiles import grouped_quantiles
+
+    df = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("long").alias("n_chars")
+    )
+    return grouped_quantiles(df, ["lang"], "n_chars")
+
+
 def q_info_bounds(spark, sf_dir):
     """filters.info: bounds-grow + count summary."""
     return stats_op.info_bounds(_docs_geo(spark, sf_dir), ["x", "y"])
@@ -1958,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reprojection_utm": q_reprojection_utm,
         "transformation": q_transformation,
         "info_bounds": q_info_bounds,
+        "doclen_quantiles": q_doclen_quantiles,
         "voxel_center_nn": q_voxel_center_nn,
         "voxel_centroid_nn": q_voxel_centroid_nn,
         "tindex": q_tindex,
@@ -2332,6 +2356,7 @@ def _misc_oracles() -> dict[str, str]:
         "outlier_stat": outlier_stat,
         "transformation": transformation,
         "info_bounds": info,
+        "doclen_quantiles": _doclen_quantiles_oracle(),
         "voxel_center_nn": vox,
         "voxel_centroid_nn": vcn,
         "tindex": tind,
