@@ -573,6 +573,37 @@ def q_doclen_quantiles(spark, sf_dir):
     return grouped_quantiles(df, ["lang"], "n_chars")
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Storage-level co-location: docs + per-doc scores written as
+    co-bucketed tables (murmur3 bucketBy, one sorted file per bucket),
+    then sort-merge-joined with ZERO shuffle exchanges and zero sorts
+    (asserted in tests/test_bucketing.py) — the write-once/join-many
+    layout for 100 TB sidecar joins. Returns a per-lang rollup of the
+    joined table; the oracle replays the derivation in plain SQL."""
+    import tempfile
+
+    from pdal_spark.bucketing import bucketed_join, write_bucketed
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("long").alias("n_chars")
+    )
+    scores = docs.select("doc_id", (F.col("n_chars") % 97).alias("score"))
+    write_bucketed(
+        docs, "bj_docs", ["doc_id"], 8,
+        path=tempfile.mkdtemp(prefix="bj_docs_"),
+    )
+    write_bucketed(
+        scores, "bj_scores", ["doc_id"], 8,
+        path=tempfile.mkdtemp(prefix="bj_scores_"),
+    )
+    j = bucketed_join(spark, "bj_docs", "bj_scores", ["doc_id"])
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("score").alias("sum_score"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def q_info_bounds(spark, sf_dir):
     """filters.info: bounds-grow + count summary."""
     return stats_op.info_bounds(_docs_geo(spark, sf_dir), ["x", "y"])
@@ -1982,6 +2013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transformation": q_transformation,
         "info_bounds": q_info_bounds,
         "doclen_quantiles": q_doclen_quantiles,
+        "bucketed_join": q_bucketed_join,
         "voxel_center_nn": q_voxel_center_nn,
         "voxel_centroid_nn": q_voxel_centroid_nn,
         "tindex": q_tindex,
@@ -2357,6 +2389,12 @@ def _misc_oracles() -> dict[str, str]:
         "transformation": transformation,
         "info_bounds": info,
         "doclen_quantiles": _doclen_quantiles_oracle(),
+        "bucketed_join": (
+            "SELECT lang, count(*) AS n,"
+            " CAST(sum(length(text) % 97) AS BIGINT) AS sum_score,"
+            " CAST(sum(length(text)) AS BIGINT) AS sum_chars"
+            " FROM documents GROUP BY lang"
+        ),
         "voxel_center_nn": vox,
         "voxel_centroid_nn": vcn,
         "tindex": tind,
