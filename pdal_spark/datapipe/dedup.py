@@ -1162,3 +1162,58 @@ def paragraph_dedup_sql(
         f"  count(*) AS n_kept, max(n_chunks) AS n_chunks "
         f"FROM first_occ WHERE rn = 1 GROUP BY id"
     )
+
+
+def minhash_band_keys_cols(
+    df: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, key): LSH band keys via PURE per-row column math — no
+    groupBy, no shuffle, no state. h_i = min over the doc's distinct
+    words of the affine hash of pmod(xxhash64(word), P31), i.e.
+    algebraically identical to minhash_signature_arrays(
+    word_id_mode="hash") and producing byte-identical band keys (same
+    slice + cast + ',' join). The batch path prefers the groupBy form
+    (words are already exploded for the verifier); THIS form is the
+    streaming/ingest shape — stateless, so it runs on a readStream
+    frame ahead of the stateful novelty screen."""
+    rows_n = k // bands
+    elems = F.array_distinct(F.split(F.col(text_col), " "))
+
+    def _minh(a: int, c: int):
+        # closure factory: Spark introspects HOF lambda arity, so the
+        # params can't ride as defaulted lambda args
+        return lambda w: (
+            F.pmod(F.xxhash64(w), F.lit(P31)) * F.lit(a) + F.lit(c)
+        ) % F.lit(P31)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(elems, _minh(a, c)))
+            for (a, c) in _hash_params(k)
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), sig.alias("_sig"))
+        .select(
+            "id",
+            "_sig",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        )
+        .select(
+            "id",
+            F.col("band").cast("int").alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.col("_sig"), F.col("band") * rows_n + 1, F.lit(rows_n)
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("key"),
+        )
+    )

@@ -262,3 +262,69 @@ def stream_cell_rollup(
         .groupBy("level", "cell_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def stream_band_novelty(df: DataFrame) -> DataFrame:
+    """Streaming incremental near-dup screen: every document's LSH band
+    keys (dedup.minhash_band_keys_cols — pure per-row math, stateless)
+    claim their (band, key) group; the FIRST claimant (min id within
+    the first micro-batch that touches the group) becomes the owner,
+    held in per-group state, and every later arrival is emitted as a
+    collision candidate ``(id, band, key, first_id)`` — the ingest-time
+    "have we crawled something like this before" signal, with state
+    bounded per group to ONE owner id (dropDuplicates-sized state, not
+    signature-sized). Candidates are per-band; downstream batch dedup
+    verifies with true Jaccard exactly like minhash_dedup_pairs.
+
+    Batch twin: band_claims_batch (min-id owner per group) — equal
+    output when ingestion order is id order, the stream==batch
+    invariant the tests pin."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pdal_spark.datapipe.dedup import minhash_band_keys_cols
+
+    keys = minhash_band_keys_cols(df)
+    out_schema = "id long, band int, key string, first_id long"
+    state_schema = "owner long"
+
+    def claim(key, pdfs, state: GroupState):
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(v) for v in pdf["id"])
+        ids.sort()
+        if state.exists:
+            owner = state.get[0]
+            emit = ids
+        else:
+            owner = ids[0]
+            state.update((owner,))
+            emit = ids[1:]
+        if emit:
+            yield pd.DataFrame(
+                {
+                    "id": emit,
+                    "band": key[0],
+                    "key": key[1],
+                    "first_id": owner,
+                }
+            )
+
+    return keys.groupBy("band", "key").applyInPandasWithState(
+        claim, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def band_claims_batch(df: DataFrame) -> DataFrame:
+    """Batch twin of stream_band_novelty: min-id owner per (band, key),
+    non-owners emitted as collision candidates."""
+    from pdal_spark.datapipe.dedup import minhash_band_keys_cols
+
+    keys = minhash_band_keys_cols(df)
+    owners = keys.groupBy("band", "key").agg(F.min("id").alias("first_id"))
+    return (
+        keys.join(owners, ["band", "key"])
+        .filter(F.col("id") != F.col("first_id"))
+        .select("id", "band", "key", "first_id")
+    )

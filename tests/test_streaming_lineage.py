@@ -280,3 +280,94 @@ def test_stream_cell_rollup_equals_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got[["level", "cell_id", "n"]],
                                   batch[["level", "cell_id", "n"]],
                                   check_dtype=False)
+
+
+def test_band_keys_cols_equals_groupby_signature_path(spark):
+    """The per-row (streaming-safe) band keys are byte-identical to the
+    batch groupBy signature path's keys."""
+    import pandas as pd
+
+    from pdal_spark.datapipe import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    cols = dedup.minhash_band_keys_cols(docs).toPandas()
+
+    rows_n = dedup.MINHASH_K // dedup.MINHASH_BANDS
+    sig = dedup.minhash_signature_arrays(docs, word_id_mode="hash")
+    from pyspark.sql import functions as F
+
+    ref = sig.select(
+        "id", "sig",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(dedup.MINHASH_BANDS - 1))
+        ).alias("band"),
+    ).select(
+        "id",
+        F.col("band").cast("int").alias("band"),
+        F.array_join(
+            F.transform(
+                F.slice(F.col("sig"), F.col("band") * rows_n + 1, F.lit(rows_n)),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("key"),
+    ).toPandas()
+    key = lambda p: sorted(map(tuple, p[["id", "band", "key"]].values))
+    assert key(cols) == key(ref)
+
+
+def test_stream_band_novelty_matches_batch(spark, tmp_path):
+    """Cross-batch LSH novelty: a clone arriving in a later micro-batch
+    is flagged against the ORIGINAL's id; full claim set equals the
+    batch twin when ingestion is id-ordered."""
+    import pandas as pd
+
+    from pdal_spark.streaming.jobs import (
+        band_claims_batch,
+        run_stream_to_memory,
+        stream_band_novelty,
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    t0 = "alpha beta gamma delta"
+    t4 = "epsilon zeta eta theta"
+    b1 = pd.DataFrame(
+        {"doc_id": [0, 1, 2],
+         "text": [t0, "one two three four", "five six seven eight"]}
+    )
+    b2 = pd.DataFrame({"doc_id": [3, 4, 5], "text": [t0, t4, t4]})
+    # one FILE per batch: the stream==batch invariant is conditioned on
+    # id-ordered arrival, and a multi-file batch would split into
+    # arbitrarily-ordered micro-batches
+    spark.createDataFrame(b1).repartition(1).write.parquet(str(d / "b1"))
+    spark.createDataFrame(b2).repartition(1).write.parquet(str(d / "b2"))
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(d) + "/*")
+    q = run_stream_to_memory(
+        stream_band_novelty(stream), "novelty_sink", output_mode="update"
+    )
+    try:
+        got = {
+            (r.id, r.band, r.key, r.first_id)
+            for r in spark.sql("SELECT * FROM novelty_sink").collect()
+        }
+    finally:
+        q.stop()
+
+    # doc 3 is an exact clone of doc 0 -> collides on every band with
+    # first_id=0 (claimed in the EARLIER micro-batch); doc 5 clones doc
+    # 4 within the same batch -> min-id owner 4
+    assert {(i, f) for i, _, _, f in got} == {(3, 0), (5, 4)}
+    assert sum(1 for i, *_ in got if i == 3) == 4  # all 4 bands
+
+    batch = spark.createDataFrame(pd.concat([b1, b2]))
+    exp = {
+        (r.id, r.band, r.key, r.first_id)
+        for r in band_claims_batch(batch).collect()
+    }
+    assert got == exp
