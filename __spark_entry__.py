@@ -29,6 +29,7 @@ from pdal_spark.datapipe import quality_rules as qrules_op
 from pdal_spark.datapipe import curate as curate_op
 from pdal_spark.datapipe import c4_rules as c4_op
 from pdal_spark.datapipe import graphrank as graphrank_op
+from pdal_spark.datapipe import boilerplate as boiler_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
 from pdal_spark.operators import asof as asof_op
@@ -1473,6 +1474,18 @@ def q_c4_clean(spark, sf_dir):
     return c4_op.c4_clean(c4_op.with_synth_lines(df))
 
 
+def q_boilerplate(spark, sf_dir):
+    """Host-template boilerplate removal: lines verbatim-repeated in
+    >= 60% (and >= 2) of a host's pages are template chrome, stripped
+    from every page of the host. Runs over a deterministic
+    host-structured view (host = doc_id %% 10, 8-word body lines, the
+    host's nav header + footer on every page — identical synthesis in
+    both engines). One (host, line)-keyed exchange for detection, one
+    broadcast host join + map-only array rebuild for the strip."""
+    df = _table(spark, sf_dir, "documents")
+    return boiler_op.strip_boilerplate(boiler_op.with_synth_host_pages(df))
+
+
 def q_curate(spark, sf_dir):
     """The composed curation pipeline (C4/Gopher/CCNet stage order):
     Gopher quality rules -> exact dedup -> 3-gram Jaccard near-dup
@@ -1968,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "curate": q_curate,
         "c4_clean": q_c4_clean,
+        "boilerplate_host": q_boilerplate,
         "pagerank": q_pagerank,
         "hits": q_hits,
         "text_repetition": q_text_repetition,
@@ -4050,6 +4064,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "curate": curate_op.curate_counts_sql(min_words=50, min_stopwords=1),
         "c4_clean": c4_op.c4_clean_sql(
             table="(" + c4_op.with_synth_lines_sql() + ")"
+        ),
+        "boilerplate_host": boiler_op.strip_boilerplate_sql(
+            boiler_op.with_synth_host_pages_sql()
         ),
         "pagerank": graphrank_op.pagerank_sql(
             "SELECT src, dst FROM (" + _PAGERANK_EDGES_SQL + ")"
