@@ -30,6 +30,7 @@ from pdal_spark.datapipe import curate as curate_op
 from pdal_spark.datapipe import c4_rules as c4_op
 from pdal_spark.datapipe import graphrank as graphrank_op
 from pdal_spark.datapipe import boilerplate as boiler_op
+from pdal_spark.datapipe import classifier as clf_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
 from pdal_spark.operators import asof as asof_op
@@ -1486,6 +1487,17 @@ def q_boilerplate(spark, sf_dir):
     return boiler_op.strip_boilerplate(boiler_op.with_synth_host_pages(df))
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality gate (fastText-style hashed linear
+    classifier, Joulin et al. 1607.01759 — the CCNet/LLaMA filtering
+    step): unigram + word-bigram features hashed into 4096 buckets,
+    integer micro-unit weights (closed-form affine stand-in for a
+    trained layer), mean-score threshold via cross-multiplication.
+    Map-only — the weight lookup is arithmetic, not a join."""
+    df = _table(spark, sf_dir, "documents")
+    return clf_op.hashed_linear_score(df, threshold_micro=25)
+
+
 def q_curate(spark, sf_dir):
     """The composed curation pipeline (C4/Gopher/CCNet stage order):
     Gopher quality rules -> exact dedup -> 3-gram Jaccard near-dup
@@ -1982,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "c4_clean": q_c4_clean,
         "boilerplate_host": q_boilerplate,
+        "quality_classifier": q_quality_classifier,
         "pagerank": q_pagerank,
         "hits": q_hits,
         "text_repetition": q_text_repetition,
@@ -4067,6 +4080,9 @@ def _datapipe_oracles() -> dict[str, str]:
         ),
         "boilerplate_host": boiler_op.strip_boilerplate_sql(
             boiler_op.with_synth_host_pages_sql()
+        ),
+        "quality_classifier": clf_op.hashed_linear_score_sql(
+            threshold_micro=25
         ),
         "pagerank": graphrank_op.pagerank_sql(
             "SELECT src, dst FROM (" + _PAGERANK_EDGES_SQL + ")"

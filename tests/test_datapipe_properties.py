@@ -50,7 +50,7 @@ def test_pack_sequences_law(counts, max_len):
 @given(
     st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=24),
              min_size=1, max_size=30),
-    st.integers(min_value=64, max_value=4096).filter(lambda m: m % 64 == 0),
+    st.integers(min_value=1, max_value=64).map(lambda i: i * 64),
     st.integers(min_value=1, max_value=5),
     st.integers(min_value=2, max_value=5),
 )
