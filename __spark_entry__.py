@@ -1498,6 +1498,63 @@ def q_quality_classifier(spark, sf_dir):
     return clf_op.hashed_linear_score(df, threshold_micro=25)
 
 
+_DHASH_IMG_SQL = """
+  WITH g AS (
+    SELECT i.range AS doc_id, y.range AS y, x.range AS x,
+      (((x.range*12)//9*7 + y.range*13 + i.range) % 256)
+      + (((x.range*12)//9*7 + y.range*13 + i.range + 85) % 256)
+      + (((x.range*12)//9*7 + y.range*13 + i.range + 170) % 256) AS v
+    FROM range(0,500) i, range(0,8) y, range(0,9) x
+  ),
+  bits AS (
+    SELECT a.doc_id, a.y, a.x, CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+    FROM g a JOIN g b ON a.doc_id=b.doc_id AND a.y=b.y AND b.x=a.x+1
+    WHERE a.x < 8
+  ),
+  halves AS (
+    SELECT doc_id,
+      CAST(sum(CASE WHEN y*8+x < 32
+        THEN bit * (CAST(1 AS BIGINT) << CAST(y*8+x AS INT))
+        ELSE 0 END) AS BIGINT) AS lo,
+      CAST(sum(CASE WHEN y*8+x >= 32
+        THEN bit * (CAST(1 AS BIGINT) << CAST(y*8+x-32 AS INT))
+        ELSE 0 END) AS BIGINT) AS hi
+    FROM bits GROUP BY doc_id
+  )
+  SELECT doc_id,
+    (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+      * 4294967296 + lo AS dhash
+  FROM halves
+"""
+
+
+def q_image_dhash(spark, sf_dir):
+    """Image perceptual hash (dHash) through the REAL decode path: P6
+    PPM fixtures (12x8 gradient keyed by doc_id) -> numpy decode ->
+    nearest-neighbor 9x8 resample -> integer gray -> 64-bit
+    horizontal-difference hash. Map-only Arrow kernel; the oracle
+    replays decode+resample+hash closed-form from the pixel function
+    (two 32-bit halves reassembled into the two's-complement int64)."""
+    from pdal_spark.datapipe import multimodal as mm
+
+    return mm.dhash_images(mm.synth_ppm_docs(spark, 500, w=12, h=8))
+
+
+def q_image_dhash_pairs(spark, sf_dir):
+    """Image near-dup pairs: dHash -> the banded Hamming pigeonhole
+    join (dedup.simhash_pairs, bits=64 — NO crossJoin in the engine
+    plan) at max_hamming=2. The synth corpus plants exact clones (doc
+    i and i+256 share every pixel). The oracle cross-joins the 500
+    closed-form hashes — valid as the EXACT reference because banded
+    recall is total for h < bands (pigeonhole) and the engine verifies
+    true bit_count, so both sides emit exactly the hamming<=2 set."""
+    from pdal_spark.datapipe import multimodal as mm
+
+    return mm.image_near_dup_pairs(
+        mm.synth_ppm_docs(spark, 500, w=12, h=8), max_hamming=2
+    )
+
+
 def q_curate(spark, sf_dir):
     """The composed curation pipeline (C4/Gopher/CCNet stage order):
     Gopher quality rules -> exact dedup -> 3-gram Jaccard near-dup
@@ -1995,6 +2052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "boilerplate_host": q_boilerplate,
         "quality_classifier": q_quality_classifier,
+        "image_dhash": q_image_dhash,
+        "image_dhash_pairs": q_image_dhash_pairs,
         "pagerank": q_pagerank,
         "hits": q_hits,
         "text_repetition": q_text_repetition,
@@ -4083,6 +4142,15 @@ def _datapipe_oracles() -> dict[str, str]:
         ),
         "quality_classifier": clf_op.hashed_linear_score_sql(
             threshold_micro=25
+        ),
+        "image_dhash": _DHASH_IMG_SQL,
+        "image_dhash_pairs": (
+            "WITH h AS (" + _DHASH_IMG_SQL + ") "
+            "SELECT a.doc_id AS id1, b.doc_id AS id2, "
+            "CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming "
+            "FROM h a, h b "
+            "WHERE a.doc_id < b.doc_id "
+            "AND bit_count(xor(a.dhash, b.dhash)) <= 2"
         ),
         "pagerank": graphrank_op.pagerank_sql(
             "SELECT src, dst FROM (" + _PAGERANK_EDGES_SQL + ")"

@@ -991,7 +991,9 @@ def simhash_pairs(
             F.struct(
                 F.lit(i).alias("band"),
                 F.shiftright(F.col("simhash"), shift)
-                .bitwiseAND(F.lit((1 << width) - 1))
+                # width=64 (single band over a full long): (1<<64)-1
+                # overflows a Java long; -1 is the same all-ones mask
+                .bitwiseAND(F.lit(-1 if width >= 64 else (1 << width) - 1))
                 .alias("bval"),
             )
             for i, (shift, width) in enumerate(bounds)

@@ -436,3 +436,70 @@ def synth_wav_docs(
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
     return base.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hashing — dHash (difference hash) over the REAL
+# decoders above, feeding the SAME banded Hamming machinery text
+# near-dup uses (dedup.simhash_pairs): the multimodal member of the
+# dedup family. dHash (a published perceptual-hash scheme: resize to
+# (w+1) x h, compare horizontal neighbors, pack 64 bits) is invariant
+# to uniform brightness shifts and JPEG-grade noise — the standard
+# cheap screen for near-identical crawled images.
+
+
+def dhash_images(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    out_w: int = 9,
+    out_h: int = 8,
+) -> DataFrame:
+    """-> (id_col, dhash): 64-bit perceptual hash per image.
+
+    decode (PPM/BMP) -> nearest-neighbor resample to out_w x out_h
+    (same integer index law as resize_image) -> integer gray = r+g+b
+    (no float luma: exact, and SQL-replayable) -> bit (y*8+x) set when
+    gray[y][x] > gray[y][x+1] -> two's-complement int64.
+
+    Map-only Arrow kernel — embarrassingly parallel at any scale; pair
+    generation afterwards is `dedup.simhash_pairs(..., bits=64)`, the
+    banded pigeonhole join (no crossJoin)."""
+    n_bits = (out_w - 1) * out_h
+    if n_bits > 64:
+        raise ValueError("dhash wider than 64 bits")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.uint64(1) << np.arange(n_bits, dtype=np.uint64)
+        for pdf in batches:
+            hashes = []
+            for b in pdf[binary_col]:
+                img = decode_any(bytes(b)).astype(np.int64)
+                h, w = img.shape[:2]
+                yi = np.arange(out_h) * h // out_h
+                xi = np.arange(out_w) * w // out_w
+                gray = img[yi][:, xi].sum(axis=2)
+                bits = (gray[:, :-1] > gray[:, 1:]).flatten()
+                h64 = int((bits.astype(np.uint64) * weights).sum(
+                    dtype=np.uint64))
+                hashes.append(h64 - (1 << 64) if h64 >= 1 << 63 else h64)
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash": hashes})
+
+    return df.mapInPandas(kernel, schema=f"{id_col} long, dhash long")
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 2,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    banded: bool = True,
+) -> DataFrame:
+    """(id1, id2, hamming) image near-dup candidates: dHash then the
+    banded Hamming join. banded=False = the exact all-pairs twin."""
+    from pdal_spark.datapipe.dedup import simhash_pairs
+
+    sig = dhash_images(df, binary_col, id_col).select(
+        F.col(id_col).alias("id"), F.col("dhash").alias("simhash")
+    )
+    return simhash_pairs(sig, max_hamming, banded=banded, bits=64)
