@@ -328,3 +328,142 @@ def band_claims_batch(df: DataFrame) -> DataFrame:
         .filter(F.col("id") != F.col("first_id"))
         .select("id", "band", "key", "first_id")
     )
+
+
+def stream_weighted_sample(
+    df: DataFrame,
+    k: int = 10,
+    by: str = "lang",
+    seed: int = 11,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming A-ES weighted sample: the exact-k-per-stratum pick of
+    contamination.weighted_sample maintained INCREMENTALLY over an
+    unbounded stream. The A-ES key insight makes this stateful form
+    exact, not approximate: the k largest priorities of a union are
+    computable from the k largest of each part, so per-stratum state
+    is just the running top-k (priority, id) heap — bounded at k rows
+    per group forever.
+
+    The priority u^(1/w) is computed as a per-row COLUMN pre-state
+    (same deterministic affine uniform + JVM pow as the batch twin, so
+    floats are bit-identical); the state kernel only merge-sorts
+    tuples, never recomputes math. Emits the group's full current
+    sample each trigger tagged with a state version — the final sample
+    is the max-version row set (tests assert it equals the batch twin
+    on the same data)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pdal_spark.operators.relational import shuffle_key_sql
+
+    key = F.expr(shuffle_key_sql(seed, id_col))
+    u = (key + F.lit(1)).cast("double") / F.lit(2147483648.0)
+    w = F.size(F.split(F.col(text_col), " ")).cast("double")
+    pri = F.pow(u, F.lit(1.0) / w)
+    rows = df.select(
+        F.col(by).alias("g"),
+        F.col(id_col).alias("id"),
+        pri.alias("pri"),
+    )
+    out_schema = "g string, version int, id long, priority double"
+    state_schema = "version int, ids array<bigint>, pris array<double>"
+
+    def fold(gkey, pdfs, state: GroupState):
+        cand: list[tuple] = []
+        for pdf in pdfs:
+            cand.extend(
+                (-float(p), int(i)) for i, p in zip(pdf["id"], pdf["pri"])
+            )
+        if state.exists:
+            version, ids, pris = state.get
+            cand.extend((-float(p), int(i)) for i, p in zip(ids, pris))
+        else:
+            version = 0
+        # (-pri, id) ascending == pri desc, id asc — the batch tiebreak
+        cand.sort()
+        top = cand[:k]
+        version += 1
+        state.update(
+            (version, [i for _, i in top], [-p for p, _ in top])
+        )
+        yield pd.DataFrame(
+            {
+                "g": gkey[0],
+                "version": version,
+                "id": [i for _, i in top],
+                "priority": [-p for p, _ in top],
+            }
+        )
+
+    return rows.groupBy("g").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_kmv_distinct(
+    df: DataFrame,
+    k: int = 64,
+    by: str = "lang",
+    value_col: str = "text",
+    seed: int = 7,
+) -> DataFrame:
+    """Streaming KMV (bottom-k) distinct-count sketch per group: state
+    is the k smallest distinct hashes ever seen — KMV's merge is a
+    set-union-then-truncate, so the stateful fold is EXACT (identical
+    sketch content to the batch kmv_sketch over the drained stream,
+    which the tests assert element-for-element). State is bounded at k
+    longs per group regardless of stream length. Hashing is the same
+    pre-state column as batch; the kernel only merges integers."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pdal_spark.datapipe.bloom import _content_key
+    from pdal_spark.datapipe.sketch import P31, kmv_hash
+
+    v = F.col(value_col)
+    if dict(df.dtypes).get(value_col) == "string":
+        # strings enter the hash domain through the exact 60-bit md5
+        # content key (bloom.py idiom) — a raw string->long cast is
+        # NULL (or an ANSI error on streams)
+        v = _content_key(v)
+    rows = df.select(
+        F.col(by).alias("g"),
+        kmv_hash(v, seed).alias("h"),
+    ).filter(F.col("h").isNotNull())
+    out_schema = (
+        "g string, version int, sketch array<bigint>, "
+        "n_in_sketch long, kth_hash long, est_distinct double"
+    )
+    state_schema = "version int, sketch array<bigint>"
+
+    def fold(gkey, pdfs, state: GroupState):
+        s: set[int] = set()
+        for pdf in pdfs:
+            s.update(int(v) for v in pdf["h"])
+        if state.exists:
+            version, sketch = state.get
+            s.update(int(v) for v in sketch)
+        else:
+            version = 0
+        merged = sorted(s)[:k]
+        version += 1
+        state.update((version, merged))
+        m = len(merged)
+        kth = merged[min(k, m) - 1] if m else None
+        est = float(m) if m < k else float(k - 1) * float(P31) / kth
+        yield pd.DataFrame(
+            {
+                "g": [gkey[0]],
+                "version": [version],
+                "sketch": [merged],
+                "n_in_sketch": [m],
+                "kth_hash": [kth],
+                "est_distinct": [round(est, 6)],
+            }
+        )
+
+    return rows.groupBy("g").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -371,3 +371,102 @@ def test_stream_band_novelty_matches_batch(spark, tmp_path):
         for r in band_claims_batch(batch).collect()
     }
     assert got == exp
+
+
+def _two_batch_stream(spark, tmp_path, name="docs2"):
+    """documents rows split into two single-file micro-batches."""
+    import pandas as pd
+
+    src = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang").toPandas()
+    d = tmp_path / name
+    d.mkdir()
+    half = len(src) // 2
+    spark.createDataFrame(src.iloc[:half]).repartition(1).write.parquet(
+        str(d / "b1")
+    )
+    spark.createDataFrame(src.iloc[half:]).repartition(1).write.parquet(
+        str(d / "b2")
+    )
+    return spark.readStream.schema(
+        "doc_id long, text string, lang string"
+    ).option("maxFilesPerTrigger", 1).parquet(str(d) + "/*")
+
+
+def _final_version(rows):
+    """Max-version emission per group from an update-mode sink."""
+    vmax = {}
+    for r in rows:
+        vmax[r.g] = max(vmax.get(r.g, 0), r.version)
+    return [r for r in rows if r.version == vmax[r.g]]
+
+
+def test_stream_weighted_sample_equals_batch(spark, tmp_path):
+    """The stateful top-k A-ES fold over two micro-batches lands on the
+    IDENTICAL sample (ids + float-exact priorities) as the batch
+    sampler over the drained data."""
+    from pdal_spark.datapipe.contamination import weighted_sample
+    from pdal_spark.streaming.jobs import (
+        run_stream_to_memory,
+        stream_weighted_sample,
+    )
+
+    stream = _two_batch_stream(spark, tmp_path, "ws")
+    q = run_stream_to_memory(
+        stream_weighted_sample(stream, k=7), "ws_sink", output_mode="update"
+    )
+    try:
+        rows = spark.sql("SELECT * FROM ws_sink").collect()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.g, r.id, round(r.priority, 9)) for r in _final_version(rows)
+    )
+
+    batch = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    exp = sorted(
+        (r.lang, r.doc_id, r.priority)
+        for r in weighted_sample(batch, k=7, by=("lang",)).collect()
+    )
+    assert got == exp
+    # and state genuinely crossed micro-batches: versions reached 2
+    assert max(r.version for r in rows) == 2
+
+
+def test_stream_kmv_equals_batch_sketch(spark, tmp_path):
+    """Bottom-k union-then-truncate is an exact merge: after draining,
+    the streaming sketch CONTENT equals batch kmv_sketch's, element
+    for element, plus the same estimate."""
+    from pdal_spark.datapipe.sketch import kmv_sketch
+    from pdal_spark.streaming.jobs import (
+        run_stream_to_memory,
+        stream_kmv_distinct,
+    )
+
+    stream = _two_batch_stream(spark, tmp_path, "kmv")
+    q = run_stream_to_memory(
+        stream_kmv_distinct(stream, k=32), "kmv_sink", output_mode="update"
+    )
+    try:
+        rows = spark.sql("SELECT * FROM kmv_sink").collect()
+    finally:
+        q.stop()
+    got = {
+        r.g: (list(r.sketch), r.n_in_sketch, r.kth_hash, r.est_distinct)
+        for r in _final_version(rows)
+    }
+
+    from pdal_spark.datapipe.bloom import _content_key
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).withColumn("_key", _content_key(F.col("text")))
+    exp = {
+        r.lang: (list(r.sketch), r.n_in_sketch, r.kth_hash, r.est_distinct)
+        for r in kmv_sketch(batch, ["lang"], "_key", k=32).collect()
+    }
+    assert got == exp
