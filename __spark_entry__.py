@@ -31,6 +31,7 @@ from pdal_spark.datapipe import c4_rules as c4_op
 from pdal_spark.datapipe import graphrank as graphrank_op
 from pdal_spark.datapipe import boilerplate as boiler_op
 from pdal_spark.datapipe import classifier as clf_op
+from pdal_spark.datapipe import pq as pq_entry_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
 from pdal_spark.operators import asof as asof_op
@@ -1807,6 +1808,25 @@ def q_sim_ivf_topk(spark, sf_dir):
     return sim_op.ivf_topk(df, k=3, nlist=8, nprobe=8, n_iters=2)
 
 
+def q_sim_pq_topk(spark, sf_dir):
+    """Product quantization (Jegou et al. 2011) ANN: per-subspace
+    Lloyd codebooks (deterministic init/tiebreak/rounding, trained
+    distributed) -> 8-byte codes -> ADC top-k via a broadcast lookup
+    table with partition-local prune. The oracle unrolls train ->
+    encode -> LUT -> ADC as CTEs, accumulating distances in the same
+    fixed subspace order."""
+    import numpy as np
+
+    from pdal_spark.datapipe import pq as pq_op
+
+    df = _table(spark, sf_dir, "embeddings")
+    books = pq_op.pq_train(df)
+    enc = pq_op.pq_encode(df, books)
+    qrows = df.filter(F.col("vec_id") < 4).collect()
+    queries = [(r.vec_id, np.array(r.embedding)) for r in qrows]
+    return pq_op.pq_topk(enc, books, queries, k=10)
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): spherical-k-means clusters ->
     within-cluster cosine pairs -> connected components -> keep the
@@ -2090,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_pq_topk": q_sim_pq_topk,
         "feat_lof": q_feat_lof,
         "feat_reciprocity": q_feat_reciprocity,
         "feat_eigenvalues": q_feat_eigenvalues,
@@ -4244,6 +4265,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "sim_cosine_topk": sim_op.cosine_topk_sql(3),
         "sim_lsh_topk": sim_op.lsh_cosine_topk_sql(3),
         "sim_ivf_topk": sim_op.ivf_topk_sql(3),
+        "sim_pq_topk": pq_entry_op.pq_topk_sql([0, 1, 2, 3], k=10),
     }
 
 
