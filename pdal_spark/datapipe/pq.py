@@ -335,3 +335,119 @@ def pq_topk_sql(
         FROM adc
       ) WHERE rank <= {k}
     """
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: list[tuple[int, "np.ndarray"]],
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    n_iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """IVF x PQ composition (the classic IVF-PQ index): the coarse
+    spherical-k-means quantizer prunes to each query's ``nprobe``
+    nearest lists, ADC over PQ codes reranks ONLY those candidates —
+    the two orthogonal savings multiplied (touch 1/nlist-ish of the
+    corpus, at 32x compression). This variant encodes raw vectors
+    (not residuals): reuses the exact codebooks/codes of `pq_encode`,
+    so at nprobe = nlist it equals `pq_topk` row-for-row — the
+    law the tests pin, alongside the nprobe < nlist subset law.
+
+    Scale shape: probe selection is driver-side numpy on the tiny
+    (nlist, d) centroid matrix; the (qid, list_id) probe table
+    broadcast-joins the encoded corpus (one hash of the corpus on
+    list_id was already paid at assignment), ADC is map-side with
+    partition-local prune, then grouped_topk."""
+    import numpy as np
+    import pandas as pd
+
+    from pdal_spark.datapipe.simsearch import (
+        _seq_dot_matrix,
+        _seq_norms,
+        ivf_assign,
+        ivf_train,
+    )
+    from pdal_spark.operators.ordered import grouped_topk
+
+    spark = df.sparkSession
+    cents = ivf_train(df, nlist, n_iters, id_col, vec_col, sample_mod)
+    members = ivf_assign(df, cents, 1, id_col, vec_col).select(
+        "id", "list_id"
+    )
+    books = pq_train(df, m, ksub, n_iters, id_col, vec_col, sample_mod)
+    enc = pq_encode(df, books, id_col, vec_col)
+    corpus = enc.join(members, "id")
+
+    # probe selection: same argmax-cosine + smallest-list tie-break as
+    # ivf_assign, on the driver (queries are few, centroids tiny)
+    probe_rows = []
+    lists = np.arange(cents.shape[0])
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)[None, :]
+        sims = (_seq_dot_matrix(q, cents) / _seq_norms(q)[:, None])[0]
+        order = np.lexsort((lists, -sims))[: int(nprobe)]
+        probe_rows.extend((int(qid), int(l)) for l in lists[order])
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=["qid", "list_id"])
+    )
+
+    mm, kk_, dd = books.shape
+    lut = {}
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        t = np.empty((mm, kk_))
+        for s in range(mm):
+            t[s] = ((q[s * dd:(s + 1) * dd][None, :] - books[s]) ** 2).sum(-1)
+        lut[int(qid)] = t
+    bc = spark.sparkContext.broadcast(lut)
+    kq = int(k)
+
+    def kernel(batches):
+        L = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            ids = pdf["id"].to_numpy(np.int64)
+            qids = pdf["qid"].to_numpy(np.int64)
+            out = []
+            for qid in np.unique(qids):
+                sel = qids == qid
+                t = L[int(qid)]
+                acc = np.zeros(int(sel.sum()))
+                csel = codes[sel]
+                for s in range(t.shape[0]):
+                    acc = acc + t[s][csel[:, s]]
+                isel = ids[sel]
+                order = np.lexsort((isel, np.round(acc, ROUND)))[:kq]
+                out.append(
+                    pd.DataFrame(
+                        {"qid": qid, "id": isel[order], "adc_dist": acc[order]}
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    cand = corpus.join(F.broadcast(probes), "list_id").select(
+        "qid", "id", "codes"
+    )
+    local = cand.mapInPandas(
+        kernel, schema="qid long, id long, adc_dist double"
+    ).withColumn("adc_dist", F.round("adc_dist", ROUND))
+    top = grouped_topk(
+        local, ["qid"], [F.col("adc_dist").asc(), F.col("id").asc()], kq
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc_dist").asc(), F.col("id").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "qid", "id", "adc_dist", "rank"
+    )

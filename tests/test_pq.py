@@ -137,3 +137,68 @@ def test_compression_is_real(spark, emb):
     row = enc.first()
     assert len(row.codes) == pq.PQ_M
     assert all(0 <= c < pq.PQ_KSUB for c in row.codes)
+
+
+def test_ivfpq_full_probe_equals_pq(spark, emb, V):
+    """nprobe = nlist probes everything -> IVF-PQ == plain PQ ADC."""
+    books = pq.pq_train(emb)
+    enc = pq.pq_encode(emb, books)
+    queries = [(0, V[0]), (7, V[7])]
+    a = (
+        pq.ivfpq_topk(emb, queries, k=8, nlist=8, nprobe=8)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        pq.pq_topk(enc, books, queries, k=8)
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_ivfpq_subset_law(spark, emb, V):
+    """At nprobe < nlist the result is exactly the PQ ranking RESTRICTED
+    to members of the probed lists (computed independently in numpy)."""
+    from pdal_spark.datapipe.simsearch import (
+        _seq_dot_matrix,
+        _seq_norms,
+        ivf_assign,
+        ivf_train,
+    )
+
+    nlist, nprobe, k = 8, 2, 6
+    cents = ivf_train(emb, nlist, 2)
+    member = {
+        r.id: r.list_id for r in ivf_assign(emb, cents, 1).collect()
+    }
+    books = pq.pq_train(emb)
+    codes = _ref_encode(V, books)
+    mm, _, dd = books.shape
+
+    q = V[3]
+    sims = (_seq_dot_matrix(q[None, :], cents) / _seq_norms(q[None, :])[:, None])[0]
+    lists = np.arange(nlist)
+    probed = set(lists[np.lexsort((lists, -sims))[:nprobe]])
+
+    # numpy ADC over probed members only
+    cand = np.array([i for i in range(len(V)) if member[i] in probed])
+    acc = np.zeros(len(cand))
+    for s in range(mm):
+        t = ((q[s * dd:(s + 1) * dd][None, :] - books[s]) ** 2).sum(-1)
+        acc = acc + t[codes[cand, s]]
+    order = np.lexsort((cand, np.round(acc, pq.ROUND)))[:k]
+    exp = list(zip(cand[order], np.round(acc[order], pq.ROUND)))
+
+    out = (
+        pq.ivfpq_topk(emb, [(3, q)], k=k, nlist=nlist, nprobe=nprobe)
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert list(out.id) == [int(i) for i, _ in exp]
+    assert np.allclose(out.adc_dist, [d for _, d in exp], atol=0)
+
+
+def test_ivfpq_probe_join_is_broadcast(spark, emb, V):
+    plan = pq.ivfpq_topk(
+        emb, [(0, V[0])], k=5, nlist=8, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
