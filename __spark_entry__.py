@@ -32,6 +32,7 @@ from pdal_spark.datapipe import graphrank as graphrank_op
 from pdal_spark.datapipe import boilerplate as boiler_op
 from pdal_spark.datapipe import classifier as clf_op
 from pdal_spark.datapipe import pq as pq_entry_op
+from pdal_spark.datapipe import htmlextract as hx_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
 from pdal_spark.operators import asof as asof_op
@@ -1556,6 +1557,25 @@ def q_image_dhash_pairs(spark, sf_dir):
     )
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction over binary html payloads (the
+    input_hint's 'byte-identical extracted text' step made explicit):
+    deterministic page markup wrapped around the corpus (head/style/
+    title, split <p> body, id-keyed script, entity footer — identical
+    synthesis both engines), then the map-only regexp extraction chain
+    (block-drop, comment-drop, tag-strip, entity decode, whitespace
+    collapse). No backreferences anywhere — RE2 (DuckDB) and Java
+    (Spark) must compile the SAME patterns."""
+    df = _table(spark, sf_dir, "documents")
+    pages = hx_op.with_synth_html(df)
+    return hx_op.extract_text(pages).select(
+        "doc_id", "extracted",
+        (F.col("extracted") == F.concat(
+            F.col("text"), F.lit(" Tom & Jerry <3")
+        )).alias("is_faithful"),
+    )
+
+
 def q_curate(spark, sf_dir):
     """The composed curation pipeline (C4/Gopher/CCNet stage order):
     Gopher quality rules -> exact dedup -> 3-gram Jaccard near-dup
@@ -2072,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "boilerplate_host": q_boilerplate,
         "quality_classifier": q_quality_classifier,
+        "html_extract": q_html_extract,
         "image_dhash": q_image_dhash,
         "image_dhash_pairs": q_image_dhash_pairs,
         "pagerank": q_pagerank,
@@ -4163,6 +4184,12 @@ def _datapipe_oracles() -> dict[str, str]:
         ),
         "quality_classifier": clf_op.hashed_linear_score_sql(
             threshold_micro=25
+        ),
+        "html_extract": (
+            "SELECT doc_id, " + hx_op.extract_text_sql() + " AS extracted, "
+            + hx_op.extract_text_sql()
+            + " = text || ' Tom & Jerry <3' AS is_faithful FROM ("
+            + hx_op.with_synth_html_sql() + ")"
         ),
         "image_dhash": _DHASH_IMG_SQL,
         "image_dhash_pairs": (
