@@ -1576,6 +1576,37 @@ def q_html_extract(spark, sf_dir):
     )
 
 
+def q_video_meta(spark, sf_dir):
+    """REAL video decode in the driver gate: YUV4MPEG2 fixtures
+    (closed-form luma keyed by doc_id/frame) -> numpy y4m parser ->
+    typed meta; the oracle recomputes byte_len arithmetic and mean
+    luma from the pixel function."""
+    from pdal_spark.datapipe import multimodal as mm
+
+    df = mm.synth_y4m_docs(spark, 64, w=10, h=8, n_frames=6)
+    out = mm.decode_video_meta_real(df)
+    return out.select(
+        "doc_id",
+        F.col("video_meta.width").alias("width"),
+        F.col("video_meta.height").alias("height"),
+        F.col("video_meta.fps_num").alias("fps_num"),
+        F.col("video_meta.n_frames").alias("n_frames"),
+        F.col("video_meta.byte_len").alias("byte_len"),
+        F.round("video_meta.mean_luma", 6).alias("mean_luma"),
+    )
+
+
+def q_video_frame_dhash(spark, sf_dir):
+    """REAL frame sampling + per-frame perceptual hash: y4m decode,
+    every 2nd frame, dHash of the luma plane (10->9 integer resample
+    exercised). Oracle replays decode + resample + hash closed-form,
+    two's-complement halves like image_dhash."""
+    from pdal_spark.datapipe import multimodal as mm
+
+    df = mm.synth_y4m_docs(spark, 64, w=10, h=8, n_frames=6)
+    return mm.video_frame_dhash(df, every_n=2)
+
+
 def q_curate(spark, sf_dir):
     """The composed curation pipeline (C4/Gopher/CCNet stage order):
     Gopher quality rules -> exact dedup -> 3-gram Jaccard near-dup
@@ -2094,6 +2125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "html_extract": q_html_extract,
         "image_dhash": q_image_dhash,
+        "video_meta": q_video_meta,
+        "video_frame_dhash": q_video_frame_dhash,
         "image_dhash_pairs": q_image_dhash_pairs,
         "pagerank": q_pagerank,
         "hits": q_hits,
@@ -4192,6 +4225,49 @@ def _datapipe_oracles() -> dict[str, str]:
             + hx_op.with_synth_html_sql() + ")"
         ),
         "image_dhash": _DHASH_IMG_SQL,
+
+        "video_meta": """
+          SELECT i.range AS doc_id, CAST(10 AS INT) AS width,
+                 CAST(8 AS INT) AS height, CAST(30 AS INT) AS fps_num,
+                 CAST(6 AS INT) AS n_frames,
+                 CAST(36 + 6*(6 + 80 + 2*20) AS BIGINT) AS byte_len,
+                 round((SELECT avg(CAST(
+                          (x.range*7 + y.range*13 + f.range*5 + i.range)
+                          % 256 AS DOUBLE))
+                        FROM range(0,10) x, range(0,8) y, range(0,6) f), 6)
+                   AS mean_luma
+          FROM range(0, 64) i
+        """,
+        "video_frame_dhash": """
+          WITH g AS (
+            SELECT i.range AS id, f.range*2 AS frame_idx,
+                   y.range AS y, x.range AS x,
+              CAST(((x.range*10)//9*7 + y.range*13 + f.range*2*5
+                    + i.range) % 256 AS BIGINT) AS v
+            FROM range(0,64) i, range(0,3) f, range(0,8) y, range(0,9) x
+          ),
+          bits AS (
+            SELECT a.id, a.frame_idx, a.y, a.x,
+                   CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+            FROM g a JOIN g b ON a.id=b.id AND a.frame_idx=b.frame_idx
+                              AND a.y=b.y AND b.x=a.x+1
+            WHERE a.x < 8
+          ),
+          halves AS (
+            SELECT id, frame_idx,
+              CAST(sum(CASE WHEN y*8+x < 32
+                THEN bit * (CAST(1 AS BIGINT) << CAST(y*8+x AS INT))
+                ELSE 0 END) AS BIGINT) AS lo,
+              CAST(sum(CASE WHEN y*8+x >= 32
+                THEN bit * (CAST(1 AS BIGINT) << CAST(y*8+x-32 AS INT))
+                ELSE 0 END) AS BIGINT) AS hi
+            FROM bits GROUP BY id, frame_idx
+          )
+          SELECT id, CAST(frame_idx AS INT) AS frame_idx,
+            (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+              * 4294967296 + lo AS dhash
+          FROM halves
+        """,
         "image_dhash_pairs": (
             "WITH h AS (" + _DHASH_IMG_SQL + ") "
             "SELECT a.doc_id AS id1, b.doc_id AS id2, "

@@ -503,3 +503,178 @@ def image_near_dup_pairs(
         F.col(id_col).alias("id"), F.col("dhash").alias("simhash")
     )
     return simhash_pairs(sig, max_hamming, banded=banded, bits=64)
+
+
+# ---------------------------------------------------------------------------
+# REAL video — YUV4MPEG2 (.y4m) is a public raw container (plain-text
+# header, 'FRAME' markers, planar YUV420 payload) fully parseable with
+# numpy alone, so the VIDEO modality graduates from the fake frame
+# slicer above to a real decode path like PPM/BMP (images) and WAV
+# (audio): decode -> frame-sample -> per-frame perceptual hash.
+
+
+def encode_y4m(
+    frames: "np.ndarray", fps_num: int = 30, fps_den: int = 1
+) -> bytes:
+    """(n, h, w) uint8 LUMA frames -> y4m bytes (YUV420: U=V=128)."""
+    n, h, w = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C420\n"
+    uv = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    out = [head.encode()]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[f].astype(np.uint8).tobytes())
+        out.append(uv)
+        out.append(uv)
+    return b"".join(out)
+
+
+def decode_y4m(buf: bytes) -> tuple[int, int, int, int, "np.ndarray"]:
+    """-> (w, h, fps_num, fps_den, (n, h, w) luma frames). Chroma
+    planes are skipped (C420 sizes derived from the header)."""
+    nl = buf.index(b"\n")
+    head = buf[:nl].decode("ascii")
+    if not head.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = fn = fd = None
+    for tok in head.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fn, fd = (int(x) for x in tok[1:].split(":"))
+    if not (w and h and fn and fd):
+        raise ValueError("y4m header missing W/H/F")
+    ysz = w * h
+    fsz = ysz + 2 * (w // 2) * (h // 2)
+    frames = []
+    pos = nl + 1
+    marker = b"FRAME"
+    while pos < len(buf):
+        if buf[pos:pos + 5] != marker:
+            raise ValueError("bad FRAME marker")
+        pos = buf.index(b"\n", pos) + 1  # frame params ignored
+        y = np.frombuffer(buf[pos:pos + ysz], dtype=np.uint8)
+        frames.append(y.reshape(h, w))
+        pos += fsz
+    return w, h, fn, fd, np.stack(frames) if frames else np.empty((0, h, w))
+
+
+VIDEO_META_SCHEMA = (
+    "width int, height int, fps_num int, fps_den int, "
+    "n_frames int, byte_len long, mean_luma double"
+)
+
+
+def decode_video_meta_real(
+    df: DataFrame, binary_col: str = "payload", out_col: str = "video_meta"
+) -> DataFrame:
+    """Real y4m decode -> typed meta struct (same contract shape as
+    decode_image_meta_real / decode_audio_meta_real)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for b in pdf[binary_col]:
+                raw = bytes(b)
+                w, h, fn, fd, frames = decode_y4m(raw)
+                metas.append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "fps_num": fn,
+                        "fps_den": fd,
+                        "n_frames": int(frames.shape[0]),
+                        "byte_len": len(raw),
+                        "mean_luma": float(
+                            frames.astype(np.float64).mean()
+                        ) if frames.size else 0.0,
+                    }
+                )
+            yield pdf.assign(**{out_col: metas})
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(
+            out_col,
+            StructType([
+                StructField("width", IntegerType()),
+                StructField("height", IntegerType()),
+                StructField("fps_num", IntegerType()),
+                StructField("fps_den", IntegerType()),
+                StructField("n_frames", IntegerType()),
+                StructField("byte_len", LongType()),
+                StructField("mean_luma", DoubleType()),
+            ]),
+        )]
+    )
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def video_frame_dhash(
+    df: DataFrame,
+    every_n: int = 2,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    out_w: int = 9,
+    out_h: int = 8,
+) -> DataFrame:
+    """REAL frame sampling + per-frame perceptual hash: decode y4m,
+    take every ``every_n``-th frame, dHash its LUMA plane (same
+    integer resample + neighbor-comparison law as dhash_images, single
+    plane) -> (id, frame_idx, dhash). Near-dup VIDEO detection then
+    rides the existing banded Hamming join on (frame_idx, dhash) —
+    1->N explode stays inside the Arrow kernel, map-only."""
+    n_bits = (out_w - 1) * out_h
+    if n_bits > 64:
+        raise ValueError("dhash wider than 64 bits")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.uint64(1) << np.arange(n_bits, dtype=np.uint64)
+        for pdf in batches:
+            ids, fidx, hashes = [], [], []
+            for i, b in zip(pdf[id_col], pdf[binary_col]):
+                w, h, _, _, frames = decode_y4m(bytes(b))
+                yi = np.arange(out_h) * h // out_h
+                xi = np.arange(out_w) * w // out_w
+                for f in range(0, frames.shape[0], every_n):
+                    gray = frames[f].astype(np.int64)[yi][:, xi]
+                    bits = (gray[:, :-1] > gray[:, 1:]).flatten()
+                    h64 = int(
+                        (bits.astype(np.uint64) * weights).sum(dtype=np.uint64)
+                    )
+                    ids.append(int(i))
+                    fidx.append(f)
+                    hashes.append(
+                        h64 - (1 << 64) if h64 >= 1 << 63 else h64
+                    )
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": fidx, "dhash": hashes}
+            )
+
+    src = df.select(F.col(id_col).alias(id_col), F.col(binary_col))
+    return src.mapInPandas(
+        kernel, schema="id long, frame_idx int, dhash long"
+    )
+
+
+def synth_y4m_docs(
+    spark, n: int, w: int = 9, h: int = 8, n_frames: int = 6,
+) -> DataFrame:
+    """Deterministic REAL y4m fixtures keyed by id: luma(x, y, f, i) =
+    (x*7 + y*13 + f*5 + i) % 256 — the closed-form the SQL oracles
+    replay (same family as synth_ppm_docs)."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bufs = []
+            for i in pdf["doc_id"]:
+                ff, yy, xx = np.mgrid[0:n_frames, 0:h, 0:w]
+                frames = (xx * 7 + yy * 13 + ff * 5 + int(i)) % 256
+                bufs.append(encode_y4m(frames.astype(np.uint8)))
+            yield pdf.assign(payload=bufs)
+
+    base = spark.range(n).select(F.col("id").alias("doc_id"))
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return base.mapInPandas(kernel, schema=schema)
