@@ -1607,6 +1607,19 @@ def q_video_frame_dhash(spark, sf_dir):
     return mm.video_frame_dhash(df, every_n=2)
 
 
+def q_band_claims(spark, sf_dir):
+    """Batch twin of the streaming LSH novelty screen: min-id owner
+    per MinHash band key, later arrivals emitted as collision
+    candidates. Band keys are the hash-domain (xxhash64) family —
+    not SQL-replayable, so this row is rows-only like
+    dedup_minhash_hash; the stream==batch identity and the per-row==
+    groupBy band-key byte equality are pytest-pinned."""
+    from pdal_spark.streaming.jobs import band_claims_batch
+
+    df = _table(spark, sf_dir, "documents")
+    return band_claims_batch(df.select("doc_id", "text"))
+
+
 def q_curate(spark, sf_dir):
     """The composed curation pipeline (C4/Gopher/CCNet stage order):
     Gopher quality rules -> exact dedup -> 3-gram Jaccard near-dup
@@ -2124,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_host": q_boilerplate,
         "quality_classifier": q_quality_classifier,
         "html_extract": q_html_extract,
+        "band_claims": q_band_claims,
         "image_dhash": q_image_dhash,
         "video_meta": q_video_meta,
         "video_frame_dhash": q_video_frame_dhash,
