@@ -33,6 +33,7 @@ from pdal_spark.datapipe import boilerplate as boiler_op
 from pdal_spark.datapipe import classifier as clf_op
 from pdal_spark.datapipe import pq as pq_entry_op
 from pdal_spark.datapipe import htmlextract as hx_op
+from pdal_spark.datapipe import anchors as anchors_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
 from pdal_spark.operators import asof as asof_op
@@ -1620,6 +1621,33 @@ def q_band_claims(spark, sf_dir):
     return band_claims_batch(df.select("doc_id", "text"))
 
 
+_ANCHOR_LINKS_SQL = (
+    "SELECT doc_id AS src, (doc_id*7+1) % 601 AS dst, "
+    "array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')"
+    " AS anchor FROM documents "
+    "UNION ALL SELECT doc_id, (doc_id*13+5) % 601, "
+    "array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')"
+    " FROM documents"
+)
+
+
+def q_anchor_profile(spark, sf_dir):
+    """Inbound anchor-text aggregation (the classic web-IR signal):
+    deterministic link synthesis (each doc links two id-derived
+    targets, anchor = its first 3 words), then the two-level rollup —
+    one (dst, anchor) exchange with map-side counts, one dst rollup
+    whose argmax rides min_by over a (-count, anchor) struct (no
+    window). Oracle replays with an explicit window."""
+    df = _table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    a = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
+    l1 = df.select(i.alias("src"), ((i * 7 + 1) % 601).alias("dst"),
+                   a.alias("anchor"))
+    l2 = df.select(i.alias("src"), ((i * 13 + 5) % 601).alias("dst"),
+                   a.alias("anchor"))
+    return anchors_op.anchor_profile(l1.unionByName(l2))
+
+
 def q_curate(spark, sf_dir):
     """The composed curation pipeline (C4/Gopher/CCNet stage order):
     Gopher quality rules -> exact dedup -> 3-gram Jaccard near-dup
@@ -2138,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "html_extract": q_html_extract,
         "band_claims": q_band_claims,
+        "anchor_profile": q_anchor_profile,
         "image_dhash": q_image_dhash,
         "video_meta": q_video_meta,
         "video_frame_dhash": q_video_frame_dhash,
@@ -4238,6 +4267,7 @@ def _datapipe_oracles() -> dict[str, str]:
             + " = text || ' Tom & Jerry <3' AS is_faithful FROM ("
             + hx_op.with_synth_html_sql() + ")"
         ),
+        "anchor_profile": anchors_op.anchor_profile_sql(_ANCHOR_LINKS_SQL),
         "image_dhash": _DHASH_IMG_SQL,
 
         "video_meta": """
