@@ -1839,6 +1839,16 @@ def q_dedup_jaccard_3gram(spark, sf_dir):
     return dedup_op.jaccard_pairs(df, threshold=0.5, shingle=3)
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Directed 2-shingle containment (Broder's asymmetric measure):
+    |S(src) inter S(dst)| / |S(src)| >= 0.5 — finds quote/superset
+    relations (snippet inside host page) that resemblance measures
+    structurally miss. Src-side prefix filter against the full
+    rarest-first inverted index, count-gated hot-token salting."""
+    df = _table(spark, sf_dir, "documents")
+    return dedup_op.containment_pairs(df, threshold=0.5, shingle=2)
+
+
 def q_dedup_minhash(spark, sf_dir):
     df = _table(spark, sf_dir, "documents")
     return dedup_op.minhash_dedup_pairs(df, threshold=0.8)
@@ -2198,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_pnp_join": q_cell_pnp_join,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
+        "dedup_containment": q_dedup_containment,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -4395,6 +4406,7 @@ def _datapipe_oracles() -> dict[str, str]:
         ),
         "dedup_jaccard": dedup_op.jaccard_pairs_sql(0.8),
         "dedup_jaccard_3gram": dedup_op.jaccard_pairs_sql(0.5, shingle=3),
+        "dedup_containment": dedup_op.containment_pairs_sql(0.5, shingle=2),
         "dedup_minhash": dedup_op.minhash_dedup_pairs_sql(0.8),
         "dedup_simhash": (
             f"SELECT id AS doc_id, CAST(simhash AS BIGINT) AS simhash "

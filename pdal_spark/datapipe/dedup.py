@@ -507,6 +507,135 @@ def jaccard_pairs_sql(threshold: float, table: str = "documents",
     """
 
 
+def containment_pairs(
+    df: DataFrame, threshold: float, text_col: str = "text",
+    id_col: str = "doc_id", shingle: int = 1, n_salts: int = 16,
+) -> DataFrame:
+    """Directed shingle containment C(src->dst) = |S(src) inter S(dst)|
+    / |S(src)| >= threshold, emitted as (src_id, dst_id, containment).
+
+    The ASYMMETRIC near-dup measure (Broder 1997): a short document
+    quoted verbatim inside a long host page has containment 1.0 while
+    its Jaccard resemblance (inter/union) vanishes as the host grows —
+    so the resemblance pipelines (jaccard/minhash) structurally cannot
+    find quote/superset relations. Web-corpus uses: snippet farms,
+    syndicated excerpts, quote-with-commentary pages.
+
+    Scale shape: src-side prefix filter — C >= t forces
+    inter >= ceil(t*sz_src), so the intersection cannot hide entirely in
+    src's last ceil(t*sz_src) - 1 tokens of the global rare-first order;
+    a candidate must share a token within src's first
+    sz - ceil(t*sz) + 1 tokens (the bound involves ONLY the src size,
+    which is why dst cannot be prefix-filtered and is indexed on every
+    token). Rarest-first ordering keeps the postings lists the join
+    fans out over the smallest in the corpus, and hot tokens are
+    count-gated salted (same heuristic as _with_hot_salt: dst postings
+    get salt = hash(id) % n_salts, src prefix rows explode — every pair
+    meets exactly once). Verify = sorted word-hash arrays with a
+    dst-size filter (inter <= sz_dst, so sz_dst >= t*sz_src) before the
+    intersection. One candidate distinct(), two pair-side set joins —
+    the wide-vocabulary (open web) payload shape.
+    """
+    words = doc_words(df, text_col, id_col, shingle).persist()
+    dfreq = words.groupBy("word").agg(F.count("*").alias("df"))
+    order = global_rank(
+        dfreq, [F.col("df").asc(), F.col("word").asc()], out_col="ord"
+    ).select("word", "ord")
+    indexed = words.join(F.broadcast(order), "word").withColumn(
+        "sz", F.count("*").over(Window.partitionBy("id"))
+    ).persist()
+    pref_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    prefix = (
+        indexed.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("id").orderBy(F.col("ord").asc())),
+        )
+        .filter(F.col("rk") <= pref_len)
+        .select("id", "ord")
+    )
+    # count-gated hot-token salting over the FULL postings side (the
+    # side a hot token actually blows up); the hot set is broadcast to
+    # both sides so each pair meets exactly once.
+    spark = df.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    total = indexed.count()
+    thr = max(AUTO_SALT_FLOOR, (8 * total) // max(parts, 1))
+    hot = (
+        indexed.groupBy("ord").agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > thr)
+        .select("ord").withColumn("_hot", F.lit(True))
+    )
+    a = (
+        prefix.join(F.broadcast(hot), "ord", "left")
+        .select(
+            "ord", F.col("id").alias("src_id"),
+            F.explode(
+                F.when(F.coalesce(F.col("_hot"), F.lit(False)),
+                       F.sequence(F.lit(0), F.lit(n_salts - 1)))
+                .otherwise(F.array(F.lit(0)))
+            ).alias("_salt"),
+        )
+        .withColumn("_salt", F.col("_salt").cast("int"))
+    )
+    b = (
+        indexed.join(F.broadcast(hot), "ord", "left")
+        .select(
+            "ord", F.col("id").alias("dst_id"),
+            F.when(F.coalesce(F.col("_hot"), F.lit(False)),
+                   F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)))
+            .otherwise(F.lit(0)).cast("int").alias("_salt"),
+        )
+    )
+    cand = (
+        a.join(b, ["ord", "_salt"])
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id")
+        .distinct()
+    )
+    sets = words.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.xxhash64("word"))).alias("masks"),
+        F.count("*").alias("sz"),
+    )
+    m1 = sets.select(F.col("id").alias("src_id"), F.col("sz").alias("sz1"),
+                     F.col("masks").alias("ma"))
+    m2 = sets.select(F.col("id").alias("dst_id"), F.col("sz").alias("sz2"),
+                     F.col("masks").alias("mb"))
+    return (
+        cand.join(m1, "src_id").join(m2, "dst_id")
+        # inter <= sz_dst, so containment >= t needs sz_dst >= t*sz_src
+        .filter(F.col("sz2") >= F.lit(threshold) * F.col("sz1"))
+        .withColumn("inter", F.size(F.array_intersect("ma", "mb")).cast("long"))
+        .withColumn(
+            "containment",
+            F.round(F.col("inter").cast("double") / F.col("sz1"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("src_id", "dst_id", "containment")
+    )
+
+
+def containment_pairs_sql(threshold: float, table: str = "documents",
+                          text: str = "text", id_col: str = "doc_id",
+                          shingle: int = 1) -> str:
+    """Naive shared-token formulation — the cross-engine check for
+    containment_pairs (the prefix filter is exact, so both agree)."""
+    dw = _doc_words_sql(table, text, id_col, shingle)
+    return f"""
+      WITH words AS ({dw}),
+      sizes AS (SELECT id, count(*) AS sz FROM words GROUP BY 1),
+      inter AS (
+        SELECT a.id AS src_id, b.id AS dst_id, count(*) AS inter
+        FROM words a JOIN words b USING (word)
+        WHERE a.id <> b.id GROUP BY 1, 2
+      )
+      SELECT src_id, dst_id,
+             round(CAST(inter AS DOUBLE) / s1.sz, 6) AS containment
+      FROM inter
+      JOIN sizes s1 ON s1.id = src_id
+      WHERE round(CAST(inter AS DOUBLE) / s1.sz, 6) >= {threshold!r}
+    """
+
+
 def vocab(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     mode: str = "rank", shingle: int = 1, words: DataFrame | None = None,

@@ -129,6 +129,33 @@ def test_jaccard_pairs(docs, ddb):
     _cmp(out, exp, ["id1", "id2"])
 
 
+def test_containment_pairs(docs, ddb):
+    out = dedup.containment_pairs(docs, threshold=0.5, shingle=2)
+    exp = ddb.sql(dedup.containment_pairs_sql(0.5, shingle=2))
+    _cmp(out, exp, ["src_id", "dst_id"])
+
+
+def test_containment_literal(spark):
+    """A snippet fully inside a host page: containment(snippet->host)=1.0
+    while Jaccard vanishes — the asymmetric case the measure exists for.
+    Tie-down of the direction convention and the prefix filter."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta eps zeta eta theta iota kappa"),
+            (3, "nu xi omicron pi rho sigma"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.src_id, r.dst_id): r.containment
+        for r in dedup.containment_pairs(df, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): 1.0}  # host->snippet is 4/10, below 0.5
+    # Jaccard at the same threshold misses the quote relation entirely
+    assert dedup.jaccard_pairs(df, threshold=0.5).count() == 0
+
+
 def test_minhash_lsh_pairs(docs, ddb):
     out = dedup.minhash_dedup_pairs(docs, threshold=0.8)
     exp = ddb.sql(dedup.minhash_dedup_pairs_sql(0.8))
