@@ -1841,12 +1841,12 @@ def q_dedup_jaccard_3gram(spark, sf_dir):
 
 def q_dedup_containment(spark, sf_dir):
     """Directed 2-shingle containment (Broder's asymmetric measure):
-    |S(src) inter S(dst)| / |S(src)| >= 0.5 — finds quote/superset
+    |S(src) inter S(dst)| / |S(src)| >= 0.7 — finds quote/superset
     relations (snippet inside host page) that resemblance measures
     structurally miss. Src-side prefix filter against the full
     rarest-first inverted index, count-gated hot-token salting."""
     df = _table(spark, sf_dir, "documents")
-    return dedup_op.containment_pairs(df, threshold=0.5, shingle=2)
+    return dedup_op.containment_pairs(df, threshold=0.7, shingle=2)
 
 
 def q_dedup_minhash(spark, sf_dir):
@@ -1889,6 +1889,18 @@ def q_dedup_cosine(spark, sf_dir):
     dot bit-for-bit."""
     df = _table(spark, sf_dir, "embeddings")
     return sim_op.cosine_dedup_pairs(df, threshold=0.3)
+
+
+def q_bitext_align(spark, sf_dir):
+    """Ratio-margin alignment (Artetxe & Schwenk 2019) between the two
+    label-parity halves of the embeddings table: per src vector the
+    best candidate by cos / mean-of-kNN-averages, kept at margin >= 1.
+    Exact BIGINT micro-cosine sums make the two avg() terms order-free,
+    so the DuckDB twin is bit-comparable."""
+    df = _table(spark, sf_dir, "embeddings")
+    src = df.filter(F.col("label") % 2 == 0)
+    cand = df.filter(F.col("label") % 2 == 1)
+    return sim_op.margin_align(src, cand, k=4, threshold=1.0)
 
 
 def q_sim_cosine_topk(spark, sf_dir):
@@ -2216,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine": q_dedup_cosine,
         "dedup_semantic": q_dedup_semantic,
         "sim_cosine_topk": q_sim_cosine_topk,
+        "bitext_align": q_bitext_align,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_pq_topk": q_sim_pq_topk,
@@ -4406,7 +4419,7 @@ def _datapipe_oracles() -> dict[str, str]:
         ),
         "dedup_jaccard": dedup_op.jaccard_pairs_sql(0.8),
         "dedup_jaccard_3gram": dedup_op.jaccard_pairs_sql(0.5, shingle=3),
-        "dedup_containment": dedup_op.containment_pairs_sql(0.5, shingle=2),
+        "dedup_containment": dedup_op.containment_pairs_sql(0.7, shingle=2),
         "dedup_minhash": dedup_op.minhash_dedup_pairs_sql(0.8),
         "dedup_simhash": (
             f"SELECT id AS doc_id, CAST(simhash AS BIGINT) AS simhash "
@@ -4422,6 +4435,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "dedup_cosine": sim_op.cosine_dedup_pairs_sql(0.3),
         "dedup_semantic": sim_op.semdedup_sql(0.3),
         "sim_cosine_topk": sim_op.cosine_topk_sql(3),
+        "bitext_align": sim_op.margin_align_sql(k=4, threshold=1.0),
         "sim_lsh_topk": sim_op.lsh_cosine_topk_sql(3),
         "sim_ivf_topk": sim_op.ivf_topk_sql(3),
         "sim_pq_topk": pq_entry_op.pq_topk_sql([0, 1, 2, 3], k=10),

@@ -551,7 +551,7 @@ def containment_pairs(
             F.row_number().over(Window.partitionBy("id").orderBy(F.col("ord").asc())),
         )
         .filter(F.col("rk") <= pref_len)
-        .select("id", "ord")
+        .select("id", "ord", "sz")
     )
     # count-gated hot-token salting over the FULL postings side (the
     # side a hot token actually blows up); the hot set is broadcast to
@@ -568,7 +568,7 @@ def containment_pairs(
     a = (
         prefix.join(F.broadcast(hot), "ord", "left")
         .select(
-            "ord", F.col("id").alias("src_id"),
+            "ord", F.col("id").alias("src_id"), F.col("sz").alias("_sza"),
             F.explode(
                 F.when(F.coalesce(F.col("_hot"), F.lit(False)),
                        F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -580,7 +580,7 @@ def containment_pairs(
     b = (
         indexed.join(F.broadcast(hot), "ord", "left")
         .select(
-            "ord", F.col("id").alias("dst_id"),
+            "ord", F.col("id").alias("dst_id"), F.col("sz").alias("_szb"),
             F.when(F.coalesce(F.col("_hot"), F.lit(False)),
                    F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)))
             .otherwise(F.lit(0)).cast("int").alias("_salt"),
@@ -589,6 +589,9 @@ def containment_pairs(
     cand = (
         a.join(b, ["ord", "_salt"])
         .filter(F.col("src_id") != F.col("dst_id"))
+        # size filter INSIDE the candidate join (before the distinct
+        # exchange): inter <= sz_dst, so C >= t forces sz_dst >= t*sz_src
+        .filter(F.col("_szb") >= F.lit(threshold) * F.col("_sza"))
         .select("src_id", "dst_id")
         .distinct()
     )

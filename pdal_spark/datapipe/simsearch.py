@@ -104,12 +104,28 @@ def cosine_topk(
     beyond the scan. Bounded by broadcast size (~0.5 GB per 10^6 x 64-d
     float64); beyond that, the LSH/IVF path is the ANN answer and this
     kernel re-ranks within buckets."""
+    return _cross_topk(df, df, k, id_col=id_col, vec_col=vec_col,
+                       exclude_self=True)
+
+
+def _cross_topk(
+    src_df: DataFrame,
+    cand_df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k cosine neighbors of every src vector within the CANDIDATE
+    collection (cand_df may be a different set — the cross-collection
+    primitive behind bitext/semantic alignment). Same broadcast +
+    Arrow-batched block-product shape as cosine_topk."""
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
+    spark = src_df.sparkSession
     cand_rows = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        cand_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy("id")
         .collect()
     )
@@ -117,8 +133,9 @@ def cosine_topk(
     C = np.array([r.v for r in cand_rows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((ids_c, C, _seq_norms(C)))
     kk = int(k)
+    excl = bool(exclude_self)
 
-    src = df.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("v"))
+    src = src_df.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("v"))
 
     def kernel(batches):
         ids_cand, Cm, nC = bc.value
@@ -132,9 +149,13 @@ def cosine_topk(
             out_src, out_cand, out_cos, out_rank = [], [], [], []
             for i in range(len(S)):
                 row = sims[i]
-                mask = ids_cand != src_ids[i]
-                cands = ids_cand[mask]
-                vals = row[mask]
+                if excl:
+                    mask = ids_cand != src_ids[i]
+                    cands = ids_cand[mask]
+                    vals = row[mask]
+                else:
+                    cands = ids_cand
+                    vals = row
                 order = np.lexsort((cands, -vals))[:kk]
                 out_src.extend([src_ids[i]] * len(order))
                 out_cand.extend(cands[order])
@@ -150,6 +171,137 @@ def cosine_topk(
     return src.mapInPandas(
         kernel, schema="src_id long, cand_id long, cosine double, rank int"
     )
+
+
+def margin_align(
+    src_df: DataFrame,
+    cand_df: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ratio-margin alignment (Artetxe & Schwenk 2019, CCMatrix-style
+    bitext mining): for every src vector, its best candidate by
+
+        margin(x, y) = cos(x, y) / ((avgNN_k(x, Y) + avgNN_k(y, X)) / 2)
+
+    kept when margin >= threshold — the absolute-cosine-free criterion
+    that survives hubness (a candidate close to EVERYTHING has a high
+    denominator, so generic hubs never win).
+
+    Determinism: neighbor cosines are 6-dp-rounded, so their per-side
+    k-sums are accumulated as exact BIGINT micro-cosines
+    (round(cos * 1e6)) — order-free across engines — and the margin is
+    ONE fixed-shape double expression over those integer sums, rounded
+    to 6 dp. That is what makes the DuckDB twin bit-comparable despite
+    the two avg() aggregations inside the formula.
+
+    Scale shape: two _cross_topk passes (broadcast candidate matrix,
+    Arrow block products, no pair shuffle) + two map-side-combined
+    integer sums + a per-src argmax window over k rows. At
+    larger-than-broadcast collections the forward/backward top-k swap
+    to the LSH/IVF candidates with this same scorer on top."""
+    fwd = _cross_topk(src_df, cand_df, k, id_col=id_col, vec_col=vec_col)
+    bwd = _cross_topk(cand_df, src_df, k, id_col=id_col, vec_col=vec_col)
+
+    def _micro_sums(df: DataFrame, out_id: str, s: str, c: str) -> DataFrame:
+        return df.groupBy(F.col("src_id").alias(out_id)).agg(
+            F.sum(F.round(F.col("cosine") * 1e6).cast("long")).alias(s),
+            F.count("*").alias(c),
+        )
+
+    ax = _micro_sums(fwd, "_x", "smx", "kx")
+    ay = _micro_sums(bwd, "_y", "smy", "ky")
+    scored = (
+        fwd.join(ax, fwd["src_id"] == ax["_x"])
+        .join(ay, fwd["cand_id"] == ay["_y"])
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cosine") * F.lit(2000000.0) * F.col("kx") * F.col("ky")
+                / (F.col("smx") * F.col("ky") + F.col("smy") * F.col("kx")),
+                ROUND,
+            ),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("margin") >= threshold))
+        .select(
+            "src_id", F.col("cand_id").alias("dst_id"), "cosine", "margin"
+        )
+    )
+
+
+def margin_align_sql(
+    k: int = 4,
+    threshold: float = 1.0,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src_pred: str = "label % 2 = 0",
+    cand_pred: str = "label % 2 = 1",
+) -> str:
+    dot = _dot_sql("a.v", "b.v")
+    return f"""
+      WITH base AS (
+        SELECT {id_col} AS id, {vec_col} AS v, {_norm_sql(vec_col)} AS n,
+               ({src_pred}) AS is_src, ({cand_pred}) AS is_cand
+        FROM {table}
+      ),
+      fwd AS (
+        SELECT * FROM (
+          SELECT a.id AS src_id, b.id AS cand_id,
+                 round(({dot}) / (a.n * b.n), {ROUND}) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY a.id
+                   ORDER BY round(({dot}) / (a.n * b.n), {ROUND}) DESC,
+                            b.id ASC
+                 ) AS rk
+          FROM base a JOIN base b ON a.is_src AND b.is_cand
+        ) WHERE rk <= {k}
+      ),
+      bwd AS (
+        SELECT * FROM (
+          SELECT a.id AS src_id, b.id AS cand_id,
+                 round(({dot}) / (a.n * b.n), {ROUND}) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY a.id
+                   ORDER BY round(({dot}) / (a.n * b.n), {ROUND}) DESC,
+                            b.id ASC
+                 ) AS rk
+          FROM base a JOIN base b ON a.is_cand AND b.is_src
+        ) WHERE rk <= {k}
+      ),
+      ax AS (
+        SELECT src_id AS x, SUM(CAST(round(cosine * 1e6) AS BIGINT)) AS smx,
+               count(*) AS kx
+        FROM fwd GROUP BY 1
+      ),
+      ay AS (
+        SELECT src_id AS y, SUM(CAST(round(cosine * 1e6) AS BIGINT)) AS smy,
+               count(*) AS ky
+        FROM bwd GROUP BY 1
+      ),
+      scored AS (
+        SELECT f.src_id, f.cand_id, f.cosine,
+               round(f.cosine * 2000000.0 * ax.kx * ay.ky
+                     / (ax.smx * ay.ky + ay.smy * ax.kx), {ROUND}) AS margin
+        FROM fwd f JOIN ax ON ax.x = f.src_id JOIN ay ON ay.y = f.cand_id
+      ),
+      best AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY src_id ORDER BY margin DESC, cand_id ASC
+        ) AS rn
+        FROM scored
+      )
+      SELECT src_id, cand_id AS dst_id, cosine, margin
+      FROM best WHERE rn = 1 AND margin >= {threshold!r}
+    """
 
 
 def cosine_topk_sql(

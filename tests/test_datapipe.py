@@ -241,6 +241,49 @@ def test_cosine_topk(embs, ddb):
     assert (cnt["count"] == 3).all()
 
 
+def test_margin_align(embs, ddb):
+    src = embs.filter(F.col("label") % 2 == 0)
+    cand = embs.filter(F.col("label") % 2 == 1)
+    out = simsearch.margin_align(src, cand, k=4, threshold=1.0)
+    exp = ddb.sql(simsearch.margin_align_sql(k=4, threshold=1.0))
+    _cmp(out, exp, ["src_id"])
+    # at most one aligned dst per src
+    cnt = out.groupBy("src_id").count().toPandas()
+    assert (cnt["count"] == 1).all()
+
+
+def test_margin_align_hub_suppression(spark):
+    """A generic hub close to EVERYTHING must lose to a specific match:
+    raw cosine prefers the hub, ratio margin (denominator = the hub's
+    own high neighborhood average) prefers the exclusive pair."""
+    import numpy as np
+
+    def vec(*xs):
+        return [float(v) for v in xs]
+
+    # src 1 has an exclusive partner (dst 10, cos 0.55) and a
+    # slightly-closer hub (dst 11, cos 0.577) that is equally near
+    # every OTHER src too — the hub's backward kNN average (~0.577)
+    # inflates its margin denominator, the partner's (~0.275) does not.
+    rows = [
+        (1, vec(1.0, 0.0, 0.0, 0.0)),
+        (2, vec(0.0, 1.0, 0.0, 0.0)),
+        (3, vec(0.0, 0.0, 1.0, 0.0)),
+        (10, vec(0.55, 0.0, 0.0, 0.8352)),  # exclusive partner of 1
+        (11, vec(1.0, 1.0, 1.0, 0.0)),      # hub: cos 0.577 to all srcs
+        (12, vec(0.0, 0.0, 0.0, 1.0)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = df.filter(F.col("vec_id") < 10)
+    cand = df.filter(F.col("vec_id") >= 10)
+    got = {r.src_id: r.dst_id
+           for r in simsearch.margin_align(src, cand, k=2).collect()}
+    raw = simsearch._cross_topk(src, cand, k=1).collect()
+    raw_best = {r.src_id: r.cand_id for r in raw}
+    assert raw_best[1] == 11      # cosine alone picks the hub...
+    assert got[1] == 10           # ...margin picks the exclusive partner
+
+
 def test_lsh_cosine_topk(embs, ddb):
     out = simsearch.lsh_cosine_topk(embs, k=3)
     exp = ddb.sql(simsearch.lsh_cosine_topk_sql(3))
