@@ -2001,6 +2001,60 @@ _VARIANT_PAGES_SQL = (
 )
 
 
+def _policy_rules(spark):
+    """Deterministic robots-style rule set over the variant-page hosts
+    (sites 0-14; 15-19 stay ruleless): a root rule disallowing every
+    3rd site, a longer allow override for pages 10-19, a still-longer
+    disallow pinning page 12, and an equal-length allow/disallow pair
+    on '/p/00003' exercising the RFC 9309 least-restrictive tie."""
+    base = spark.range(15).select(
+        F.concat(
+            F.lit("site"), F.lpad(F.col("id").cast("string"), 5, "0"),
+            F.lit(".example"),
+        ).alias("host"),
+        (F.col("id") % 3 != 0).alias("root_allow"),
+    )
+    rule = F.explode(
+        F.array(
+            F.struct(F.lit("/").alias("prefix"), F.col("root_allow").alias("allow")),
+            F.struct(F.lit("/p/00001").alias("prefix"), F.lit(True).alias("allow")),
+            F.struct(F.lit("/p/000012").alias("prefix"), F.lit(False).alias("allow")),
+            F.struct(F.lit("/p/00003").alias("prefix"), F.lit(True).alias("allow")),
+            F.struct(F.lit("/p/00003").alias("prefix"), F.lit(False).alias("allow")),
+        )
+    ).alias("r")
+    return base.select("host", rule).select(
+        "host", F.col("r.prefix").alias("prefix"), F.col("r.allow").alias("allow")
+    )
+
+
+_POLICY_RULES_SQL = (
+    "SELECT host, prefix, CASE WHEN prefix = '/' THEN s % 3 <> 0"
+    " ELSE allow END AS allow FROM ("
+    "SELECT s, concat('site', lpad(CAST(s AS VARCHAR), 5, '0'), '.example')"
+    " AS host, prefix, allow FROM (SELECT unnest(range(15)) AS s), ("
+    " SELECT '/' AS prefix, CAST(NULL AS BOOLEAN) AS allow"
+    " UNION ALL SELECT '/p/00001', TRUE"
+    " UNION ALL SELECT '/p/000012', FALSE"
+    " UNION ALL SELECT '/p/00003', TRUE"
+    " UNION ALL SELECT '/p/00003', FALSE))"
+)
+
+
+def q_crawl_policy(spark, sf_dir):
+    """Robots-style crawl-policy verdicts (RFC 9309 longest-match,
+    allow wins length ties, no rule -> allowed) over canonicalized
+    variant pages: broadcast rules join + per-page argmax window."""
+    from pdal_spark.datapipe import weburl
+
+    pages = _variant_pages(spark, sf_dir).select(
+        "doc_id", weburl.canonical_url(F.col("url")).alias("url")
+    )
+    return weburl.policy_verdicts(
+        pages, _policy_rules(spark), url_col="url", id_col="doc_id"
+    )
+
+
 def q_url_canonical(spark, sf_dir):
     """Per-row URL canonicalization (projection only, no shuffle)."""
     from pdal_spark.datapipe import weburl
@@ -2210,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_paragraph": q_dedup_paragraph,
         "url_canonical": q_url_canonical,
+        "crawl_policy": q_crawl_policy,
         "url_dedup": q_url_dedup,
         "pii_redact": q_pii_redact,
         "domain_stats": q_domain_stats,
@@ -4367,6 +4422,14 @@ def _datapipe_oracles() -> dict[str, str]:
         "url_dedup": weburl_op.url_dedup_sql(
             f"({_VARIANT_PAGES_SQL})", id_col="doc_id",
             select="doc_id, canonical_url, warc_ts",
+        ),
+        "crawl_policy": weburl_op.policy_verdicts_sql(
+            pages_sql=(
+                f"SELECT doc_id, {weburl_op.canonical_url_sql('url')} AS url "
+                f"FROM ({_VARIANT_PAGES_SQL})"
+            ),
+            rules_sql=_POLICY_RULES_SQL,
+            id_col="doc_id",
         ),
         "pii_redact": (
             lambda e: (

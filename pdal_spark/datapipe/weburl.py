@@ -240,3 +240,95 @@ def domain_cap_sql(
         f"    PARTITION BY {dom} ORDER BY {key}, {id_col}) AS _rn"
         f"  FROM {table}) WHERE _rn <= {max_per_domain}"
     )
+
+
+def url_path(url: Column) -> Column:
+    """Path component (leading slash, no query/fragment); '' -> '/'."""
+    p = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def url_path_sql(url: str = "url") -> str:
+    p = (
+        f"coalesce(regexp_extract({url}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '')"
+    )
+    return f"CASE WHEN {p} = '' THEN '/' ELSE {p} END"
+
+
+def policy_verdicts(
+    df: DataFrame, rules: DataFrame, url_col: str = "url",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """Robots-style crawl-policy evaluation (RFC 9309 matching): per
+    page, among the rules whose (host, path-prefix) match, the LONGEST
+    prefix wins; at equal length ALLOW wins (least-restrictive rule);
+    a page with no matching rule is allowed.
+
+    ``rules`` = (host, prefix, allow) — robots rule sets are
+    dimension-sized next to 10^12 pages, so the join is a BROADCAST on
+    the host key with the prefix test as the join residual; unmatched
+    pages ride the left join through. One partitioned window (per page
+    id, over that page's handful of matched rules) picks the verdict —
+    no global window, no shuffle beyond the id partition.
+
+    Returns (id_col, host, path, rule_prefix, allowed); rule_prefix is
+    NULL for unmatched pages.
+    """
+    pages = df.select(
+        F.col(id_col),
+        url_domain(F.col(url_col)).alias("host"),
+        url_path(F.col(url_col)).alias("path"),
+    )
+    r = rules.select(
+        F.col("host"), F.col("prefix"), F.col("allow").cast("boolean")
+    )
+    joined = pages.join(
+        F.broadcast(r),
+        (pages["host"] == r["host"]) & F.col("path").startswith(F.col("prefix")),
+        "left",
+    ).select(
+        F.col(id_col), pages["host"].alias("host"), "path", "prefix", "allow"
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.length("prefix").desc(), F.col("allow").desc(), F.col("prefix").asc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col, "host", "path",
+            F.col("prefix").alias("rule_prefix"),
+            F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
+        )
+    )
+
+
+def policy_verdicts_sql(
+    pages_sql: str, rules_sql: str, url: str = "url",
+    id_col: str = "page_id",
+) -> str:
+    """DuckDB twin: pages_sql/rules_sql are full SELECTs producing
+    ({id_col}, {url}) and (host, prefix, allow)."""
+    host = url_domain_sql(url)
+    path = url_path_sql(url)
+    return f"""
+      WITH pages AS (
+        SELECT {id_col}, {host} AS host, {path} AS path
+        FROM ({pages_sql})
+      ),
+      rules AS ({rules_sql}),
+      matched AS (
+        SELECT p.{id_col}, p.host, p.path, r.prefix, r.allow,
+               row_number() OVER (
+                 PARTITION BY p.{id_col}
+                 ORDER BY len(r.prefix) DESC, r.allow DESC, r.prefix ASC
+               ) AS _rn
+        FROM pages p
+        LEFT JOIN rules r
+          ON r.host = p.host AND starts_with(p.path, r.prefix)
+      )
+      SELECT {id_col}, host, path, prefix AS rule_prefix,
+             coalesce(allow, TRUE) AS allowed
+      FROM matched WHERE _rn = 1
+    """

@@ -1002,6 +1002,44 @@ def test_url_domain_and_blocklist(spark):
     assert kept.count() == int(got[~got.domain.isin(blocked)].n_pages.sum())
 
 
+def test_policy_verdicts_literal(spark):
+    """RFC 9309 semantics tie-down: longest prefix wins, allow wins an
+    equal-length tie, no matching rule -> allowed."""
+    from pdal_spark.datapipe import weburl
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.example/p/1"),     # '/' disallow only
+            (2, "https://a.example/ok/x"),    # '/ok/' allow beats '/'
+            (3, "https://a.example/ok/sec"),  # '/ok/sec' disallow (longest)
+            (4, "https://a.example/tie/z"),   # equal-length pair -> allow
+            (5, "https://b.example/"),        # no rules for host -> allowed
+        ],
+        "page_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.example", "/", False),
+            ("a.example", "/ok/", True),
+            ("a.example", "/ok/sec", False),
+            ("a.example", "/tie/", False),
+            ("a.example", "/tie/", True),
+        ],
+        "host string, prefix string, allow boolean",
+    )
+    got = {
+        r.page_id: (r.allowed, r.rule_prefix)
+        for r in weburl.policy_verdicts(pages, rules).collect()
+    }
+    assert got == {
+        1: (False, "/"),
+        2: (True, "/ok/"),
+        3: (False, "/ok/sec"),
+        4: (True, "/tie/"),
+        5: (True, None),
+    }
+
+
 def test_domain_cap(spark):
     import duckdb as _dd
 
