@@ -2055,6 +2055,28 @@ def q_crawl_policy(spark, sf_dir):
     )
 
 
+def q_crawl_revisit(spark, sf_dir):
+    """Revisit/change detection over the variant-page capture history:
+    5 captures per canonical page, content synthesized so consecutive
+    captures alternate identical/different — per-URL lag window labels
+    new/changed/unchanged."""
+    from pdal_spark.datapipe import weburl
+
+    pages = _variant_pages(spark, sf_dir)
+    docs = _table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("content_doc"), "text"
+    )
+    capt = (
+        pages.withColumn(
+            "content_doc",
+            F.expr("(doc_id DIV 200) * 200 + doc_id % 100"),
+        )
+        .join(docs, "content_doc")
+        .withColumn("content_hash", F.md5("text"))
+    )
+    return weburl.revisit_changes(capt, id_col="doc_id")
+
+
 def q_url_canonical(spark, sf_dir):
     """Per-row URL canonicalization (projection only, no shuffle)."""
     from pdal_spark.datapipe import weburl
@@ -2265,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph": q_dedup_paragraph,
         "url_canonical": q_url_canonical,
         "crawl_policy": q_crawl_policy,
+        "crawl_revisit": q_crawl_revisit,
         "url_dedup": q_url_dedup,
         "pii_redact": q_pii_redact,
         "domain_stats": q_domain_stats,
@@ -4422,6 +4445,14 @@ def _datapipe_oracles() -> dict[str, str]:
         "url_dedup": weburl_op.url_dedup_sql(
             f"({_VARIANT_PAGES_SQL})", id_col="doc_id",
             select="doc_id, canonical_url, warc_ts",
+        ),
+        "crawl_revisit": weburl_op.revisit_changes_sql(
+            pages_sql=(
+                f"SELECT v.doc_id, v.url, v.warc_ts, md5(d.text) AS content_hash "
+                f"FROM ({_VARIANT_PAGES_SQL}) v JOIN documents d "
+                f"ON d.doc_id = (v.doc_id // 200) * 200 + v.doc_id % 100"
+            ),
+            id_col="doc_id",
         ),
         "crawl_policy": weburl_op.policy_verdicts_sql(
             pages_sql=(

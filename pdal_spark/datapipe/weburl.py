@@ -332,3 +332,53 @@ def policy_verdicts_sql(
              coalesce(allow, TRUE) AS allowed
       FROM matched WHERE _rn = 1
     """
+
+
+def revisit_changes(
+    df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts",
+    hash_col: str = "content_hash", id_col: str = "page_id",
+) -> DataFrame:
+    """Crawl revisit analysis: per canonical URL, captures ordered by
+    time are labeled ``new`` (first capture), ``changed`` (content hash
+    differs from the previous capture) or ``unchanged`` — the signal a
+    recrawl scheduler and an incremental-corpus builder both key on.
+
+    One exchange on the canonical key; the lag window is partitioned
+    per URL (a URL's capture history is dozens of rows, never global).
+    Returns (id_col, canonical_url, ts_col, status).
+    """
+    canon = canonical_url(F.col(url_col)).alias("canonical_url")
+    base = df.select(F.col(id_col), canon, F.col(ts_col), F.col(hash_col))
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    prev = F.lag(hash_col).over(w)
+    status = (
+        F.when(prev.isNull(), F.lit("new"))
+        .when(prev != F.col(hash_col), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return base.select(
+        id_col, "canonical_url", ts_col, status.alias("status")
+    )
+
+
+def revisit_changes_sql(
+    pages_sql: str, url: str = "url", ts_col: str = "warc_ts",
+    hash_col: str = "content_hash", id_col: str = "page_id",
+) -> str:
+    canon = canonical_url_sql(url)
+    return f"""
+      WITH caps AS (
+        SELECT {id_col}, {canon} AS canonical_url, {ts_col}, {hash_col},
+               lag({hash_col}) OVER (
+                 PARTITION BY {canon} ORDER BY {ts_col} ASC, {id_col} ASC
+               ) AS _prev
+        FROM ({pages_sql})
+      )
+      SELECT {id_col}, canonical_url, {ts_col},
+             CASE WHEN _prev IS NULL THEN 'new'
+                  WHEN _prev <> {hash_col} THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM caps
+    """

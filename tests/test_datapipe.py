@@ -1040,6 +1040,27 @@ def test_policy_verdicts_literal(spark):
     }
 
 
+def test_revisit_changes_literal(spark):
+    """Capture-history labeling: first capture 'new', identical hash
+    'unchanged', differing hash 'changed'; URL variants of the same
+    page share one history via canonicalization."""
+    from pdal_spark.datapipe import weburl
+
+    rows = [
+        (1, "https://a.example/p", "2024-01-01 00:00:00", "h1"),
+        # www variant of the SAME canonical url — one history
+        (2, "https://www.a.example/p", "2024-01-01 00:01:00", "h1"),
+        (3, "https://a.example/p", "2024-01-01 00:02:00", "h2"),
+        (4, "https://b.example/q", "2024-01-01 00:00:30", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "page_id long, url string, warc_ts string, content_hash string"
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    got = {r.page_id: r.status
+           for r in weburl.revisit_changes(df).collect()}
+    assert got == {1: "new", 2: "unchanged", 3: "changed", 4: "new"}
+
+
 def test_domain_cap(spark):
     import duckdb as _dd
 
