@@ -1501,6 +1501,20 @@ def q_quality_classifier(spark, sf_dir):
     return clf_op.hashed_linear_score(df, threshold_micro=25)
 
 
+def q_classifier_pr(spark, sf_dir):
+    """Threshold-sweep evaluation of the hashed linear classifier
+    against a lang=='en' ground truth: one PR point per distinct score.
+    Running rank and running-TP come from ONE range-partitioned
+    prefix-sum pass (operators/ordered.py) — no global window."""
+    df = _table(spark, sf_dir, "documents")
+    scored = clf_op.hashed_linear_score(df).select("id", "score_micro")
+    labels = df.select(
+        F.col("doc_id").alias("id"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return clf_op.pr_curve(scored.join(labels, "id"))
+
+
 _DHASH_IMG_SQL = """
   WITH g AS (
     SELECT i.range AS doc_id, y.range AS y, x.range AS x,
@@ -2262,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "boilerplate_host": q_boilerplate,
         "quality_classifier": q_quality_classifier,
+        "classifier_pr": q_classifier_pr,
         "html_extract": q_html_extract,
         "band_claims": q_band_claims,
         "anchor_profile": q_anchor_profile,
@@ -4362,6 +4377,14 @@ def _datapipe_oracles() -> dict[str, str]:
         ),
         "quality_classifier": clf_op.hashed_linear_score_sql(
             threshold_micro=25
+        ),
+        "classifier_pr": clf_op.pr_curve_sql(
+            scored_sql=(
+                f"SELECT s.id, s.score_micro, "
+                f"CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label "
+                f"FROM ({clf_op.hashed_linear_score_sql()}) s "
+                f"JOIN documents d ON d.doc_id = s.id"
+            )
         ),
         "html_extract": (
             "SELECT doc_id, " + hx_op.extract_text_sql() + " AS extracted, "

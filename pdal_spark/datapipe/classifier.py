@@ -41,6 +41,8 @@ __all__ = [
     "feature_buckets",
     "hashed_linear_score",
     "hashed_linear_score_sql",
+    "pr_curve",
+    "pr_curve_sql",
     "weight_table",
 ]
 
@@ -214,4 +216,85 @@ def hashed_linear_score_sql(
       SELECT {id_col} AS id, n_features, score_micro,
              score_micro >= {threshold_micro} * n_features AS keep
       FROM s
+    """
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str = "score_micro",
+    label_col: str = "label",
+    id_col: str = "id",
+) -> DataFrame:
+    """Precision/recall curve of a scored corpus against ground-truth
+    labels — one point per distinct score value (the classifier
+    threshold sweep a gating decision is calibrated on).
+
+    point(s) = (threshold = s,
+                n_pred = #docs with score >= s,
+                tp     = #positives among them,
+                prec   = tp / n_pred, recall = tp / total_positives)
+
+    Scale shape: ONE range-partitioned pass (operators/ordered.py
+    prefix_sums: per-partition window + driver offsets over #partitions
+    partials) computes the running rank and running true-positive count
+    in global (score desc, id asc) order WITHOUT a global window —
+    Spark's own ORDER BY ... ROWS UNBOUNDED window would funnel the
+    corpus through one task. Per-score argmax collapses ties; the two
+    divisions are single deterministic double ops over exact integer
+    counts (prefix sums of 0/1 stay exact in double far past 10^12
+    rows), so the DuckDB twin — which CAN afford the textbook global
+    window — bit-matches.
+    """
+    from pdal_spark.operators.ordered import prefix_sums
+
+    keys = [F.col(score_col).desc(), F.col(id_col).asc()]
+    base = df.select(id_col, score_col, label_col)
+    pos = base.agg(F.sum(label_col).alias("p")).collect()[0]["p"] or 0
+    run = prefix_sums(
+        base, keys,
+        {"_tp": F.col(label_col), "_rk": F.lit(1)},
+        inclusive=True,
+    )
+    pts = run.groupBy(F.col(score_col).alias("threshold_micro")).agg(
+        F.max("_rk").cast("long").alias("n_pred"),
+        F.max("_tp").cast("long").alias("tp"),
+    )
+    return pts.select(
+        "threshold_micro", "n_pred", "tp",
+        F.round(F.col("tp").cast("double") / F.col("n_pred"), 6).alias("prec"),
+        F.round(F.col("tp").cast("double") / F.lit(float(pos)), 6).alias("recall"),
+    )
+
+
+def pr_curve_sql(
+    scored_sql: str,
+    score_col: str = "score_micro",
+    label_col: str = "label",
+    id_col: str = "id",
+) -> str:
+    """DuckDB twin: scored_sql produces ({id_col}, {score_col},
+    {label_col}); the oracle uses the textbook global window."""
+    return f"""
+      WITH j AS (SELECT {id_col}, {score_col}, {label_col}
+                 FROM ({scored_sql})),
+      r AS (
+        SELECT {score_col},
+               row_number() OVER (
+                 ORDER BY {score_col} DESC, {id_col} ASC) AS rk,
+               SUM({label_col}) OVER (
+                 ORDER BY {score_col} DESC, {id_col} ASC
+                 ROWS UNBOUNDED PRECEDING) AS tp
+        FROM j
+      ),
+      pts AS (
+        SELECT {score_col} AS threshold_micro,
+               max(rk) AS n_pred, max(tp) AS tp
+        FROM r GROUP BY 1
+      ),
+      tot AS (SELECT SUM({label_col}) AS pos FROM j)
+      SELECT threshold_micro, CAST(n_pred AS BIGINT) AS n_pred,
+             CAST(tp AS BIGINT) AS tp,
+             round(CAST(tp AS DOUBLE) / n_pred, 6) AS prec,
+             round(CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE), 6) AS recall
+      FROM pts, tot
     """

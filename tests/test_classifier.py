@@ -111,3 +111,52 @@ def test_sql_twin(spark, sf_dir):
         assert (out[c].values == ref[c].values).all(), c
     # the gate actually discriminates at this threshold
     assert 0.05 < out.keep.mean() < 0.95
+
+
+def test_pr_curve_literal(spark):
+    """Hand-computed sweep: scores 30,20,20,10 with labels 1,0,1,1.
+    Thresholds: 30 -> (1 pred, 1 tp), 20 -> (3, 2), 10 -> (4, 3)."""
+    df = spark.createDataFrame(
+        [(1, 30, 1), (2, 20, 0), (3, 20, 1), (4, 10, 1)],
+        "id long, score_micro long, label int",
+    )
+    got = {
+        r.threshold_micro: (r.n_pred, r.tp, r.prec, r.recall)
+        for r in clf.pr_curve(df).collect()
+    }
+    assert got == {
+        30: (1, 1, 1.0, round(1 / 3, 6)),
+        20: (3, 2, round(2 / 3, 6), round(2 / 3, 6)),
+        10: (4, 3, 0.75, 1.0),
+    }
+
+
+def test_pr_curve_sql_twin(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = clf.hashed_linear_score(docs).select("id", "score_micro")
+    labels = docs.selectExpr(
+        "doc_id AS id", "CAST(lang = 'en' AS INT) AS label"
+    )
+    out = (
+        clf.pr_curve(scored.join(labels, "id"))
+        .toPandas().sort_values("threshold_micro").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    ref = con.sql(clf.pr_curve_sql(
+        "SELECT s.id, s.score_micro, "
+        "CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label "
+        f"FROM ({clf.hashed_linear_score_sql()}) s "
+        "JOIN documents d ON d.doc_id = s.id"
+    )).df().sort_values("threshold_micro").reset_index(drop=True)
+    import pandas as _pd
+
+    _pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], ref[sorted(ref.columns)],
+        check_dtype=False, check_exact=True,
+    )
+    # recall is monotone non-increasing in the threshold
+    assert (out.recall.diff().dropna() <= 0).all()
