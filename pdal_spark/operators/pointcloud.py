@@ -350,12 +350,42 @@ def fps(
 _INT_MAX = 2147483647
 
 
+# byte -> its 8 bits spread to even positions (so a 31-bit spread is 4
+# table lookups instead of 31 shift-mask-add terms: the unrolled form
+# compiles to a ~60-node tree that Janino re-compiles per stage — the
+# range-partitioner sample pass, the count pass, and the final pass each
+# paid ~2 s of codegen for a 5k-row input; the LUT keys the same values
+# out of ONE array literal).
+_SPREAD_LUT = [
+    sum(((b >> i) & 1) << (2 * i) for i in range(8)) for b in range(256)
+]
+# byte -> bit-reversed byte (for the reverse-morton 32-bit reversal)
+_REV8_LUT = [int(f"{b:08b}"[::-1], 2) for b in range(256)]
+
+
 def _interleave_bits(v: Column, bits: int) -> Column:
-    """Spread the low `bits` bits of v to even positions (codegen expr)."""
+    """Spread the low `bits` bits of v to even positions (codegen expr).
+
+    Bit-identical to the naive per-bit unroll; per-byte LUT keeps the
+    expression tree small (codegen compile time, not row throughput,
+    dominated the unrolled version). The cast matters: F.lit infers
+    array<int>, and shiftleft on IntegerType wraps the shift mod 32."""
+    lut = F.lit(_SPREAD_LUT).cast("array<bigint>")
     out = F.lit(0).cast("long")
-    for b in range(bits):
+    for byte in range((bits + 7) // 8):
+        idx = F.shiftright(v, 8 * byte).bitwiseAND(F.lit(255))
+        out = out + F.shiftleft(F.element_at(lut, (idx + 1).cast("int")), 16 * byte)
+    return out
+
+
+def _reverse_bits32(code: Column) -> Column:
+    """32-bit bit reversal (ReverseZOrder::reverse_morton) via byte LUT."""
+    lut = F.lit(_REV8_LUT).cast("array<bigint>")
+    out = F.lit(0).cast("long")
+    for byte in range(4):
+        idx = F.shiftright(code, 8 * byte).bitwiseAND(F.lit(255))
         out = out + F.shiftleft(
-            F.shiftright(v, b).bitwiseAND(F.lit(1)).cast("long"), 2 * b
+            F.element_at(lut, (idx + 1).cast("int")), 8 * (3 - byte)
         )
     return out
 
@@ -399,12 +429,8 @@ def morton_order(
         code = _interleave_bits(xp.bitwiseAND(F.lit(0xFFFF)), 16) + F.shiftleft(
             _interleave_bits(yp.bitwiseAND(F.lit(0xFFFF)), 16), 1
         )
-        # 32-bit bit reversal, unrolled (ReverseZOrder::reverse_morton)
-        key = F.lit(0).cast("long")
-        for b in range(32):
-            key = key + F.shiftleft(
-                F.shiftright(code, b).bitwiseAND(F.lit(1)).cast("long"), 31 - b
-            )
+        # 32-bit bit reversal (ReverseZOrder::reverse_morton), byte-LUT
+        key = _reverse_bits32(code)
     keyed = df.withColumn("_mkey", key)
     rank_keys = [F.col("_mkey").asc()] + (
         [F.col(order_col).asc()] if order_col else []
