@@ -298,6 +298,18 @@ def q_sessionize(spark, sf_dir):
     return ts_op.sessionize(ev, key="user_id", ts="ts", gap_seconds=600.0)
 
 
+def q_crawl_schedule(spark, sf_dir):
+    """Crawl-politeness scheduler (30 s per-host delay; user_id stands
+    in for host): earliest dispatch times from the prefix-max closed
+    form of d_i = max(t_i, d_{i-1}+delay) — one host-key exchange, two
+    partitioned windows, int64 micros end to end (bit-exact twin)."""
+    ev = _table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = ts_op.rate_limit_schedule(
+        ev, key="user_id", ts="ts", delay_seconds=30.0, id_col="event_id"
+    )
+    return out.select("event_id", "user_id", "dispatch_us", "wait_us")
+
+
 def q_interval_join(spark, sf_dir):
     """Bounded-interval (range) join: click x error pairs of the same
     user within +-6 h — delta-wide time-bin bucket join (1-D analog of
@@ -2246,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_agg_events": q_window_agg_events,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "crawl_schedule": q_crawl_schedule,
         "interval_join": q_interval_join,
         "kmv_distinct": q_kmv_distinct,
         "hll_distinct": q_hll_distinct,
@@ -4655,6 +4668,11 @@ def _relational_oracles() -> dict[str, str]:
             "(SELECT event_id, user_id, ts FROM events)",
             key="user_id", ts="ts", gap_seconds=600.0,
             select="event_id, user_id, ts, session_id",
+        ),
+        "crawl_schedule": ts_op.rate_limit_schedule_sql(
+            "(SELECT event_id, user_id, ts FROM events)",
+            key="user_id", ts="ts", delay_seconds=30.0, id_col="event_id",
+            select="event_id, user_id",
         ),
         "interval_join": ts_op.interval_join_sql(
             "(SELECT event_id, user_id, ts FROM events "

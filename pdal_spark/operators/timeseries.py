@@ -119,6 +119,91 @@ def interval_join(
     )
 
 
+def _epoch_micros(df: DataFrame, ts: str) -> Column:
+    """Epoch MICROSECONDS as bigint — the integer twin of
+    ``_epoch_seconds`` (same NTZ re-tagging), used where bit-exact
+    cross-engine arithmetic matters more than unit convenience."""
+    c = F.col(ts)
+    if df.schema[ts].dataType.typeName() == "timestamp_ntz":
+        return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
+    return (c.cast("double") * F.lit(1e6)).cast("long")
+
+
+def rate_limit_schedule(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    delay_seconds: float,
+    id_col: str,
+    dispatch_col: str = "dispatch_us",
+    wait_col: str = "wait_us",
+) -> DataFrame:
+    """Crawl-politeness scheduler: earliest dispatch time per request so
+    that same-``key`` (host) fetches are spaced >= ``delay_seconds``
+    apart, preserving per-key arrival order (RFC 9309 Crawl-delay /
+    frontier politeness — the scheduling half of filters.splitter's
+    "one tile at a time" discipline applied to hosts).
+
+    The defining recurrence is sequential::
+
+        d_0 = t_0;  d_i = max(t_i, d_{i-1} + delay)
+
+    which unrolls to the closed form ``d_i = max_{j<=i} (t_j +
+    (i-j)*delay)``; with ``r_j = t_j - j*delay`` that is ``d_i =
+    i*delay + running_max(r)`` — two PARTITIONED cumulative windows
+    (row_number, running max) after ONE exchange on the host key.
+    Never a global window, nothing sequential on the driver.
+
+    All arithmetic is int64 epoch-microseconds, so the DuckDB twin is
+    bit-exact. Ties on ``ts`` are ordered by ``id_col`` in both engines.
+
+    Scale note: a window per host sorts within the host's partition.
+    Hot hosts are self-bounding here — the schedule output itself says a
+    host fetched every ``delay`` seconds accumulates only ~1M requests
+    per year — and AQE's skew split cannot apply (the recurrence is a
+    per-host chain by definition).
+    """
+    delay_us = int(round(delay_seconds * 1e6))
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(id_col).asc())
+    us = _epoch_micros(df, ts)
+    i = (F.row_number().over(w) - F.lit(1)).cast("long")
+    r = us - i * F.lit(delay_us)
+    runmax = F.max(r).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dispatch = i * F.lit(delay_us) + runmax
+    return df.withColumn("_us", us).withColumn(
+        dispatch_col, dispatch
+    ).withColumn(wait_col, F.col(dispatch_col) - F.col("_us")).drop("_us")
+
+
+def rate_limit_schedule_sql(
+    table: str,
+    key: str,
+    ts: str,
+    delay_seconds: float,
+    id_col: str,
+    dispatch_col: str = "dispatch_us",
+    wait_col: str = "wait_us",
+    select: str = "*",
+) -> str:
+    """DuckDB twin — identical integer window algebra (epoch_us gives
+    int64 micros; row_number/max windows keyed and ordered the same)."""
+    delay_us = int(round(delay_seconds * 1e6))
+    order = f"PARTITION BY {key} ORDER BY {ts}, {id_col}"
+    return (
+        f"SELECT {select}, _i * {delay_us} + max(_r) OVER ("
+        f"    {order} ROWS UNBOUNDED PRECEDING) AS {dispatch_col},"
+        f"  _i * {delay_us} + max(_r) OVER ("
+        f"    {order} ROWS UNBOUNDED PRECEDING) - _us AS {wait_col} "
+        f"FROM (SELECT *, epoch_us({ts}) AS _us,"
+        f"  CAST(row_number() OVER ({order}) - 1 AS BIGINT) AS _i,"
+        f"  epoch_us({ts}) - CAST(row_number() OVER ({order}) - 1 AS BIGINT)"
+        f"    * {delay_us} AS _r"
+        f"  FROM {table})"
+    )
+
+
 def interval_join_sql(
     left_table: str,
     right_table: str,
