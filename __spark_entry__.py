@@ -365,6 +365,30 @@ def q_bm25_rank(spark, sf_dir):
     return ranking.bm25_score(df, BM25_QUERY)
 
 
+PHRASE_QUERY = ["spark", "window"]
+
+
+def q_boolean_and(spark, sf_dir):
+    """Conjunctive boolean retrieval (docs containing ALL query terms):
+    posting intersection by counting — scan-side isin filter, distinct
+    (doc, term), ONE doc_id exchange, hit-count == n_terms. Never a
+    k-way posting self-join."""
+    from pdal_spark.datapipe import ranking
+
+    df = _table(spark, sf_dir, "documents")
+    return ranking.conjunctive_search(df, BM25_QUERY)
+
+
+def q_phrase_search(spark, sf_dir):
+    """Phrase retrieval: the conjunctive AND narrowed to adjacent
+    in-order terms via the tokenizer-exact padded-contains predicate
+    (map-only on candidates)."""
+    from pdal_spark.datapipe import ranking
+
+    df = _table(spark, sf_dir, "documents")
+    return ranking.conjunctive_search(df, PHRASE_QUERY, phrase=True)
+
+
 BPE_N_MERGES = 8
 
 
@@ -2263,6 +2287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "hll_distinct": q_hll_distinct,
         "bm25_rank": q_bm25_rank,
+        "boolean_and": q_boolean_and,
+        "phrase_search": q_phrase_search,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
         "hexbin_density": q_hexbin_density,
@@ -4654,6 +4680,10 @@ def _relational_oracles() -> dict[str, str]:
             "FROM events GROUP BY 1, 2, 3, 4"
         ),
         "bm25_rank": ranking_op.bm25_score_sql(BM25_QUERY),
+        "boolean_and": ranking_op.conjunctive_search_sql(BM25_QUERY),
+        "phrase_search": ranking_op.conjunctive_search_sql(
+            PHRASE_QUERY, phrase=True
+        ),
         "kmv_distinct": sketch_op.kmv_sketch_sql(
             f"(SELECT source, ({text_op.fingerprint_sql()[1]}) AS fp_roll "
             f"FROM documents)",

@@ -86,6 +86,75 @@ def bm25_score(
     )
 
 
+def conjunctive_search(
+    df: DataFrame,
+    query_terms: list[str],
+    phrase: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boolean retrieval: documents containing ALL ``query_terms``
+    (posting-list intersection), optionally as an ADJACENT phrase.
+
+    The AND is counting, not joining: explode -> isin filter AT THE SCAN
+    (a handful of strings, evaluated before any shuffle) -> distinct
+    (doc, term) -> one combinable doc_id exchange -> keep docs whose
+    distinct-hit count equals len(query_terms). k query terms never
+    become a k-way self-join of the postings table.
+
+    ``phrase=True`` additionally requires the terms adjacent in order —
+    a whitespace-boundary match on the raw text (the same tokenizer law
+    as doc_terms: terms are space-separated atoms), i.e. a map-only
+    predicate on the already-matched candidates.
+    """
+    n = len(set(query_terms))  # a repeated phrase term is one AND atom
+    toks = F.split(F.col(text_col), " ")
+    hits = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("_k"))
+        .filter(F.col("_k") == n)
+        .select("doc_id")
+    )
+    if not phrase:
+        return hits
+    # adjacency: ' text ' contains ' t1 t2 ... tn ' — tokenizer-exact
+    # (split(' ') atoms), no regex metacharacter exposure
+    needle = " " + " ".join(query_terms) + " "
+    cand = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(F.lit(" "), F.col(text_col), F.lit(" ")).alias("_padded"),
+    ).filter(F.col("_padded").contains(needle))
+    return hits.join(cand.select("doc_id"), "doc_id")
+
+
+def conjunctive_search_sql(
+    query_terms: list[str],
+    phrase: bool = False,
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    qlist = ", ".join(f"'{t}'" for t in query_terms)
+    base = (
+        f"SELECT {id_col} AS doc_id FROM ("
+        f"  SELECT {id_col}, unnest(string_split({text}, ' ')) AS term"
+        f"  FROM {table}) "
+        f"WHERE term IN ({qlist}) "
+        f"GROUP BY {id_col} HAVING count(DISTINCT term) = {len(set(query_terms))}"
+    )
+    if not phrase:
+        return base
+    needle = " " + " ".join(query_terms) + " "
+    return (
+        f"SELECT doc_id FROM ({base}) "
+        f"JOIN (SELECT {id_col} AS doc_id FROM {table}"
+        f"  WHERE position('{needle}' IN ' ' || {text} || ' ') > 0) "
+        f"USING (doc_id)"
+    )
+
+
 def bm25_score_sql(
     query_terms: list[str],
     table: str = "documents",

@@ -1212,6 +1212,47 @@ def test_bm25_duckdb_twin(docs, ddb):
     _cmp(out, exp, ["doc_id"])
 
 
+def test_conjunctive_search_literal(spark):
+    """AND semantics: all terms required; repeated phrase term is one
+    AND atom; phrase mode requires adjacency in order."""
+    from pdal_spark.datapipe import ranking
+
+    corpus = [
+        (0, "cat dog bird"),        # has both, not adjacent in order
+        (1, "dog cat"),             # adjacent "dog cat"
+        (2, "cat only here"),       # missing dog
+        (3, "a dog cat b"),         # adjacent, embedded
+        (4, "dogcat dog"),          # token law: "dogcat" is not "cat"
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    both = {r["doc_id"] for r in
+            ranking.conjunctive_search(df, ["cat", "dog"]).collect()}
+    assert both == {0, 1, 3}
+    phr = {r["doc_id"] for r in
+           ranking.conjunctive_search(df, ["dog", "cat"], phrase=True).collect()}
+    assert phr == {1, 3}
+    # repeated term: "cat cat" needs adjacency of the same token
+    df2 = spark.createDataFrame(
+        [(0, "cat dog cat"), (1, "x cat cat y")], ["doc_id", "text"]
+    )
+    rep = {r["doc_id"] for r in
+           ranking.conjunctive_search(df2, ["cat", "cat"], phrase=True).collect()}
+    assert rep == {1}
+
+
+def test_conjunctive_search_duckdb_twin(docs, ddb):
+    from pdal_spark.datapipe import ranking
+
+    out = ranking.conjunctive_search(docs, ["spark", "window", "merge"])
+    exp = ddb.sql(ranking.conjunctive_search_sql(["spark", "window", "merge"]))
+    _cmp(out, exp, ["doc_id"])
+    outp = ranking.conjunctive_search(docs, ["spark", "window"], phrase=True)
+    expp = ddb.sql(
+        ranking.conjunctive_search_sql(["spark", "window"], phrase=True)
+    )
+    _cmp(outp, expp, ["doc_id"])
+
+
 def test_canonical_url_idempotent(spark):
     """canonical(canonical(u)) == canonical(u) — canonical forms are
     fixpoints (catches rules that keep rewriting their own output)."""
