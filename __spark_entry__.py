@@ -1503,6 +1503,39 @@ def q_hits(spark, sf_dir):
     return graphrank_op.hits(edges, n_iters=4)
 
 
+def q_triangles(spark, sf_dir):
+    """Per-vertex triangle counts over a deterministic link graph
+    (link-farm/cohesion signal): degree-oriented wedge join — every
+    out-neighborhood bounded O(sqrt(m)) regardless of hub degree, each
+    triangle counted once at its min-rank apex. Oracle is the
+    orientation-free id-ordered closed-triple join. Denser graph than
+    q_pagerank's (3 generators mod 211) so the triangle set is a real
+    workload, not a handful of accidents."""
+    df = _table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    gens = [(1, 7, 1), (3, 13, 5), (5, 11, 2)]
+    parts = [
+        df.select(
+            ((i * a) % 211).alias("src"), ((i * b + c) % 211).alias("dst")
+        )
+        for a, b, c in gens
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2]).filter(
+        F.col("src") != F.col("dst")
+    )
+    return graphrank_op.triangles(edges)
+
+
+_TRIANGLE_EDGES_SQL = (
+    "SELECT (doc_id * 1) % 211 AS src, (doc_id * 7 + 1) % 211 AS dst"
+    " FROM documents"
+    " UNION ALL SELECT (doc_id * 3) % 211, (doc_id * 13 + 5) % 211"
+    " FROM documents"
+    " UNION ALL SELECT (doc_id * 5) % 211, (doc_id * 11 + 2) % 211"
+    " FROM documents"
+)
+
+
 def q_c4_clean(spark, sf_dir):
     """C4 cleaning rules (Raffel et al. arXiv:1910.10683 §2.2) over a
     deterministic line-structured view (the flat test corpus carries no
@@ -2325,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_pairs": q_image_dhash_pairs,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "triangles": q_triangles,
         "text_repetition": q_text_repetition,
         "substring_dedup": q_substring_dedup,
         "dsir_weights": q_dsir_weights,
@@ -4483,6 +4517,10 @@ def _datapipe_oracles() -> dict[str, str]:
             "FROM h a, h b "
             "WHERE a.doc_id < b.doc_id "
             "AND bit_count(xor(a.dhash, b.dhash)) <= 2"
+        ),
+        "triangles": graphrank_op.triangles_sql(
+            "SELECT src, dst FROM (" + _TRIANGLE_EDGES_SQL + ")"
+            " WHERE src <> dst"
         ),
         "pagerank": graphrank_op.pagerank_sql(
             "SELECT src, dst FROM (" + _PAGERANK_EDGES_SQL + ")"

@@ -35,7 +35,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "pagerank_sql", "MICRO", "hits", "hits_sql", "HMICRO"]
+__all__ = [
+    "pagerank", "pagerank_sql", "MICRO", "hits", "hits_sql", "HMICRO",
+    "triangles", "triangles_sql",
+]
 
 MICRO = 10**12  # 1.0 of rank, in integer micro-units
 
@@ -283,4 +286,94 @@ def hits_sql(edges_sql: str, n_iters: int = 4) -> str:
         f" h.h / {float(HMICRO)} AS hub"
         f" FROM nodes JOIN a{n_iters} a ON nodes.node = a.node"
         f" JOIN h{n_iters} h ON nodes.node = h.node"
+    )
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle counts of the UNDIRECTED simple graph under
+    ``edges`` (self-loops dropped, direction and duplicates collapsed)
+    — the web-graph cohesion/spam-farm signal (link farms are
+    triangle-dense; Becchetti et al., "Efficient semi-streaming
+    algorithms for local triangle counting").
+
+    Scale shape — degree orientation (the standard shuffle-safe form):
+    orient every edge from its (degree, id)-smaller endpoint to the
+    larger, which bounds every out-neighborhood by O(sqrt(m)) no matter
+    how big a hub's raw degree is; wedges come from the self-join of
+    the ORIENTED edges (hub explosion impossible by construction), and
+    each triangle is counted exactly once at its unique minimum-rank
+    apex, then credited to all three corners. Exchanges: degree agg,
+    two degree joins, the wedge self-join, the closing-edge join, one
+    final corner rollup — all on vertex/edge keys, nothing global.
+
+    Returns (vertex, n_triangles) for vertices in >= 1 triangle.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionByName(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # rank = (degree, id) lexicographic — a total order, ties impossible
+    ranked = (
+        e.join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lo_first, F.col("du")).otherwise(F.col("dv")).alias("da"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    # wedges at apex a: unordered {b, c} pairs of a's out-neighborhood,
+    # emitted in rank order so the closing edge is probed one way only
+    w1 = oriented.select("a", F.col("b").alias("p"), F.col("db").alias("dp"))
+    w2 = oriented.select("a", F.col("b").alias("q"), F.col("db").alias("dq"))
+    p_first = (F.col("dp") < F.col("dq")) | (
+        (F.col("dp") == F.col("dq")) & (F.col("p") < F.col("q"))
+    )
+    wedges = w1.join(w2, "a").filter(p_first).select(
+        "a", F.col("p").alias("b"), F.col("q").alias("c")
+    )
+    closing = oriented.select(
+        F.col("a").alias("b"), F.col("b").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"])
+    corners = (
+        tri.select(F.col("a").alias("vertex"))
+        .unionByName(tri.select(F.col("b").alias("vertex")))
+        .unionByName(tri.select(F.col("c").alias("vertex")))
+    )
+    return corners.groupBy("vertex").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def triangles_sql(edges_sql: str) -> str:
+    """DuckDB twin — the orientation-free exact form: triangles are the
+    (u < v < w) id-ordered closed triples of the canonical edge set;
+    corners credited via a 3-way UNION ALL."""
+    return (
+        f"WITH raw AS ({edges_sql}),"
+        f"e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v"
+        f"      FROM raw WHERE src <> dst),"
+        f"tri AS ("
+        f"  SELECT e1.u AS a, e1.v AS b, e2.v AS c"
+        f"  FROM e e1 JOIN e e2 ON e2.u = e1.v"
+        f"  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)"
+        f"SELECT vertex, count(*) AS n_triangles FROM ("
+        f"  SELECT a AS vertex FROM tri"
+        f"  UNION ALL SELECT b FROM tri"
+        f"  UNION ALL SELECT c FROM tri) GROUP BY vertex"
     )

@@ -1871,6 +1871,44 @@ def test_hll_partition_invariance(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_triangles_literal(spark):
+    """K4 -> every vertex in C(3,2)=3 triangles; a star hub has none;
+    duplicate / reversed / self-loop edges collapse first."""
+    from pdal_spark.datapipe import graphrank as gr
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    star = [(10, x) for x in (11, 12, 13, 14)]
+    noise = [(1, 0), (2, 2), (0, 1)]  # reversed dup, self-loop, dup
+    df = spark.createDataFrame(k4 + star + noise, ["src", "dst"])
+    got = {r["vertex"]: r["n_triangles"] for r in gr.triangles(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_matches_sql_oracle(docs, ddb):
+    """Degree-oriented engine count == DuckDB's orientation-free
+    id-ordered closed-triple join, on the dense 3-generator graph."""
+    from pdal_spark.datapipe import graphrank as gr
+
+    i = F.col("doc_id")
+    df = docs.select("doc_id")
+    parts = [
+        df.select(((i * a) % 211).alias("src"), ((i * b + c) % 211).alias("dst"))
+        for a, b, c in [(1, 7, 1), (3, 13, 5), (5, 11, 2)]
+    ]
+    e = parts[0].unionByName(parts[1]).unionByName(parts[2]).filter(
+        F.col("src") != F.col("dst")
+    )
+    out = gr.triangles(e)
+    sql = gr.triangles_sql(
+        "SELECT (doc_id * 1) % 211 AS src, (doc_id * 7 + 1) % 211 AS dst FROM documents"
+        " UNION ALL SELECT (doc_id * 3) % 211, (doc_id * 13 + 5) % 211 FROM documents"
+        " UNION ALL SELECT (doc_id * 5) % 211, (doc_id * 11 + 2) % 211 FROM documents"
+    )
+    _cmp(out, ddb.sql(sql), ["vertex"])
+    # sanity: the workload is real (not a couple of accidental triples)
+    assert out.count() > 20
+
+
 def test_hits_literal_fixed_point(spark):
     """Exact-integer reference replication of the L1-normalized HITS
     half-steps on a 4-node graph, plus the structural expectation that
