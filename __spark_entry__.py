@@ -1411,6 +1411,21 @@ def q_text_fingerprint(spark, sf_dir):
     return text_op.fingerprint(df).select("doc_id", "fp_md5", "fp_roll")
 
 
+def q_compression_ratio(spark, sf_dir):
+    """DEFLATE compressibility quality gate (CCNet/RefinedWeb-style):
+    zlib-compressed/raw byte ratio per doc — the one signal that
+    genuinely needs Python (Arrow-batched mapInPandas, map-only, no
+    shuffle). Rows-only: no SQL engine has DEFLATE; the exact replay
+    oracle lives in pytest. Ratio rounded to 6 dp for a stable driver
+    hash."""
+    df = _table(spark, sf_dir, "documents")
+    out = text_op.compression_ratio(df)
+    return out.select(
+        "doc_id", "n_raw_bytes", "n_zlib_bytes",
+        F.round("ratio", 6).alias("ratio"), "keep",
+    )
+
+
 def q_text_bigram_lm(spark, sf_dir):
     """CCNet-style LM quality filter (arXiv:1911.00359 §3), reduced to
     an exactly-reproducible model: per-doc mean -log2 p of character
@@ -2339,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "compression_ratio": q_compression_ratio,
         "text_bigram_lm": q_text_bigram_lm,
         "ppl_buckets": q_ppl_buckets,
         "pack_sequences": q_pack_sequences,

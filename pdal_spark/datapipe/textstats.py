@@ -386,3 +386,60 @@ def perplexity_buckets_sql(
                   ELSE 'tail' END AS ppl_bucket
       FROM scored s JOIN thresholds t USING ({lang_col})
     """
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+    max_ratio_keep: float = 0.85,
+) -> DataFrame:
+    """DEFLATE compressibility quality signal: compressed/raw byte
+    ratio per document (repetitive or templated text compresses far
+    below prose; gibberish/encrypted blobs barely compress — both tails
+    are drop candidates in CCNet/RefinedWeb-style cleaning).
+
+    The one datapipe signal that genuinely needs Python (no DEFLATE in
+    SQL engines): an Arrow-batched mapInPandas kernel — map-only, no
+    shuffle, scans only (id, text) thanks to the select below. zlib
+    output bytes are deterministic for a fixed (level, zlib build), and
+    only the LENGTH is used, which is stable across platforms for the
+    stdlib's bundled zlib; the pytest oracle replays it exactly.
+
+    Emits n_raw_bytes, n_zlib_bytes, ratio (double), keep (ratio <=
+    max_ratio_keep — the gibberish gate; compose with a lower cut for
+    the template tail if wanted). Rows-only at the driver (no SQL twin
+    possible); the strong oracle lives in tests.
+    """
+    import pandas as pd  # noqa: F401 — signature types only
+
+    out_schema = (
+        f"{id_col} long, n_raw_bytes long, n_zlib_bytes long, "
+        f"ratio double, keep boolean"
+    )
+    src = df.select(id_col, text_col)
+
+    def kernel(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n_raw = raw.str.len().astype("int64")
+            n_z = raw.map(lambda b: len(zlib.compress(b, level))).astype(
+                "int64"
+            )
+            ratio = n_z / n_raw.where(n_raw > 0, 1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_raw_bytes": n_raw,
+                    "n_zlib_bytes": n_z,
+                    "ratio": ratio,
+                    "keep": ratio <= max_ratio_keep,
+                }
+            )
+
+    return src.mapInPandas(kernel, out_schema)

@@ -1212,6 +1212,37 @@ def test_bm25_duckdb_twin(docs, ddb):
     _cmp(out, exp, ["doc_id"])
 
 
+def test_compression_ratio_exact_replay(spark):
+    """Engine output == a direct zlib replay per document, including the
+    empty-doc guard and the keep flag."""
+    import zlib
+
+    from pdal_spark.datapipe import textstats
+
+    corpus = [
+        (0, "the quick brown fox jumps over the lazy dog " * 3),
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),   # template tail
+        (2, "xq9#kL!2mZ@7vB$4nW^8cR&1pT*5hJ(3gF)6dS_0"),   # gibberish tail
+        (3, ""),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in textstats.compression_ratio(df, max_ratio_keep=0.85).collect()
+    }
+    for i, text in corpus:
+        raw = text.encode("utf-8")
+        nz = len(zlib.compress(raw, 6))
+        assert got[i]["n_raw_bytes"] == len(raw)
+        assert got[i]["n_zlib_bytes"] == nz
+        exp_ratio = nz / max(len(raw), 1)
+        assert abs(got[i]["ratio"] - exp_ratio) < 1e-12
+        assert got[i]["keep"] == (exp_ratio <= 0.85)
+    # the signal separates the tails: repetitive << prose < gibberish
+    assert got[1]["ratio"] < got[0]["ratio"] < got[2]["ratio"]
+    assert not got[2]["keep"] and got[1]["keep"]
+
+
 def test_conjunctive_search_literal(spark):
     """AND semantics: all terms required; repeated phrase term is one
     AND atom; phrase mode requires adjacency in order."""
