@@ -1411,6 +1411,41 @@ def q_text_fingerprint(spark, sf_dir):
     return text_op.fingerprint(df).select("doc_id", "fp_md5", "fp_roll")
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC web-archive container (ISO 28500 — Common Crawl's format
+    for exactly this engine's pages): encode documents as per-record
+    gzip members + CDX sidecar, read back index-parallel (each task
+    seeks its records' exact (offset, length) slices). The oracle
+    regenerates every field from the documents table: url/date are
+    closed-form in doc_id, record_id = urn:md5(url), payload decodes
+    back to the text byte-identically (the input_hint invariant through
+    a full container round trip)."""
+    import tempfile
+
+    from pdal_spark.formats import warc as warc_fmt
+
+    df = _table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://corpus.example/doc/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        F.concat(
+            F.lit("2026-08-19T00:"),
+            F.lpad(F.expr("cast((doc_id % 3600) div 60 as string)"), 2, "0"),
+            F.lit(":"),
+            F.lpad(F.expr("cast(doc_id % 60 as string)"), 2, "0"),
+            F.lit("Z"),
+        ).alias("warc_date"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    path = tempfile.mktemp(prefix="warc_rt_", suffix=".warc.gz")
+    warc_fmt.write_warc(df, path, gzip_records=True, index=True)
+    out = warc_fmt.read_warc(spark, path)
+    return out.select(
+        "url", "warc_date", "record_id", "content_length",
+        F.decode("payload", "utf-8").alias("text"),
+    )
+
+
 def q_compression_ratio(spark, sf_dir):
     """DEFLATE compressibility quality gate (CCNet/RefinedWeb-style):
     zlib-compressed/raw byte ratio per doc — the one signal that
@@ -2428,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voxel_centroid_nn": q_voxel_centroid_nn,
         "tindex": q_tindex,
         "las_roundtrip": q_las_roundtrip,
+        "warc_roundtrip": q_warc_roundtrip,
         "ept_query": q_ept_query,
         "ept_addon": q_ept_addon,
         "tindex_read": q_tindex_read,
@@ -2787,10 +2823,23 @@ def _misc_oracles() -> dict[str, str]:
       SELECT g.doc_id, {_lq('g.x')} AS x, {_lq('g.y')} AS y
       FROM g JOIN keep USING (tx, ty)
     """
+    warc_rt = """
+      SELECT 'http://corpus.example/doc/' || doc_id AS url,
+             '2026-08-19T00:' ||
+               lpad(CAST((doc_id % 3600) // 60 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z' AS warc_date,
+             '<urn:md5:' || md5('http://corpus.example/doc/' || doc_id)
+               || '>' AS record_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+               AS content_length,
+             text
+      FROM documents
+    """
     return {
         "reprojection": reproj,
         "reprojection_utm": reproj_utm,
         "las_roundtrip": las_rt,
+        "warc_roundtrip": warc_rt,
         "ept_query": ept_q,
         "ept_addon": ept_addon_q,
         "tindex_read": tindex_read_q,
