@@ -1586,6 +1586,29 @@ _TRIANGLE_EDGES_SQL = (
 )
 
 
+def q_harmonic(spark, sf_dir):
+    """Bounded-radius (r=4) harmonic centrality — the crawl-authority
+    ranking Common Crawl publishes for its host graph. Exact BFS
+    layering (level d = one-edge extension of level d-1 anti-join all
+    seen), integer lcm(1..4)/d weights so h_num is an exact BIGINT;
+    HyperBall is the documented open-web-scale drop-in (same iteration,
+    HLL registers instead of exact pair sets)."""
+    df = _table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    gens = [(1, 7, 1), (3, 13, 5), (5, 11, 2)]
+    parts = [
+        df.select(
+            ((i * a) % 211).alias("src"), ((i * b + c) % 211).alias("dst")
+        )
+        for a, b, c in gens
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2]).filter(
+        F.col("src") != F.col("dst")
+    )
+    out = graphrank_op.harmonic_centrality(edges, radius=4)
+    return out.select("node", "h_num", F.round("harmonic", 6).alias("harmonic"))
+
+
 def q_c4_clean(spark, sf_dir):
     """C4 cleaning rules (Raffel et al. arXiv:1910.10683 §2.2) over a
     deterministic line-structured view (the flat test corpus carries no
@@ -2410,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "hits": q_hits,
         "triangles": q_triangles,
+        "harmonic": q_harmonic,
         "text_repetition": q_text_repetition,
         "substring_dedup": q_substring_dedup,
         "dsir_weights": q_dsir_weights,
@@ -4582,6 +4606,15 @@ def _datapipe_oracles() -> dict[str, str]:
             "FROM h a, h b "
             "WHERE a.doc_id < b.doc_id "
             "AND bit_count(xor(a.dhash, b.dhash)) <= 2"
+        ),
+        "harmonic": (
+            "SELECT node, h_num, round(harmonic, 6) AS harmonic FROM ("
+            + graphrank_op.harmonic_centrality_sql(
+                "SELECT src, dst FROM (" + _TRIANGLE_EDGES_SQL + ")"
+                " WHERE src <> dst",
+                radius=4,
+            )
+            + ")"
         ),
         "triangles": graphrank_op.triangles_sql(
             "SELECT src, dst FROM (" + _TRIANGLE_EDGES_SQL + ")"

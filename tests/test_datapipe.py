@@ -1902,6 +1902,44 @@ def test_hll_partition_invariance(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_harmonic_literal_chain(spark):
+    """Path a->b->c->d: H(d) = 1 + 1/2 + 1/3 -> h_num = 12+6+4 = 22;
+    H(b) = 1; source a unreachable (absent). A shortcut edge must
+    SHORTEN distances (BFS layering, not path counting)."""
+    from pdal_spark.datapipe import graphrank as gr
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], ["src", "dst"]
+    )
+    got = {r["node"]: r["h_num"]
+           for r in gr.harmonic_centrality(df, radius=4).collect()}
+    assert got == {1: 12, 2: 12 + 6, 3: 12 + 6 + 4}
+    # add shortcut 0->2: d(0,3) becomes 2, d(0,2)=1
+    df2 = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2)], ["src", "dst"]
+    )
+    got2 = {r["node"]: r["h_num"]
+            for r in gr.harmonic_centrality(df2, radius=4).collect()}
+    assert got2 == {1: 12, 2: 12 + 12, 3: 12 + 6 + 6}
+
+
+def test_harmonic_matches_sql_oracle(docs, ddb):
+    from pdal_spark.datapipe import graphrank as gr
+
+    i = F.col("doc_id")
+    df = docs.select("doc_id")
+    e = df.select((i % 211).alias("src"), ((i * 7 + 1) % 211).alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    out = gr.harmonic_centrality(e, radius=4)
+    sql = gr.harmonic_centrality_sql(
+        "SELECT doc_id % 211 AS src, (doc_id * 7 + 1) % 211 AS dst"
+        " FROM documents WHERE doc_id % 211 <> (doc_id * 7 + 1) % 211",
+        radius=4,
+    )
+    _cmp(out, ddb.sql(sql), ["node"])
+
+
 def test_triangles_literal(spark):
     """K4 -> every vertex in C(3,2)=3 triangles; a star hub has none;
     duplicate / reversed / self-loop edges collapse first."""
