@@ -1609,6 +1609,29 @@ def q_harmonic(spark, sf_dir):
     return out.select("node", "h_num", F.round("harmonic", 6).alias("harmonic"))
 
 
+def q_hyperball(spark, sf_dir):
+    """HyperBall (Boldi & Vigna 2013) over the same graph as
+    q_harmonic: per-node HLL registers, elementwise-max iteration — the
+    open-web-scale twin of the exact BFS layering (state O(n·m)
+    regardless of ball sizes). Rows-only (iterative register algebra is
+    not SQL-replayable); pytest validates estimates against the exact
+    operator (ball median rel err ~0.14 at m=64 — the nominal HLL
+    stderr)."""
+    df = _table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    gens = [(1, 7, 1), (3, 13, 5), (5, 11, 2)]
+    parts = [
+        df.select(
+            ((i * a) % 211).alias("src"), ((i * b + c) % 211).alias("dst")
+        )
+        for a, b, c in gens
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2]).filter(
+        F.col("src") != F.col("dst")
+    )
+    return graphrank_op.hyperball(edges, radius=4, m=64)
+
+
 def q_c4_clean(spark, sf_dir):
     """C4 cleaning rules (Raffel et al. arXiv:1910.10683 §2.2) over a
     deterministic line-structured view (the flat test corpus carries no
@@ -2434,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "triangles": q_triangles,
         "harmonic": q_harmonic,
+        "hyperball": q_hyperball,
         "text_repetition": q_text_repetition,
         "substring_dedup": q_substring_dedup,
         "dsir_weights": q_dsir_weights,

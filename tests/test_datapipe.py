@@ -1940,6 +1940,53 @@ def test_harmonic_matches_sql_oracle(docs, ddb):
     _cmp(out, ddb.sql(sql), ["node"])
 
 
+def test_hyperball_vs_exact(docs, ddb):
+    """HyperBall estimates vs the exact operator on the same graph:
+    ball-size and harmonic medians near the nominal m=64 HLL stderr
+    (~13%), rank signal present, and fully deterministic."""
+    import numpy as np
+
+    from pdal_spark.datapipe import graphrank as gr
+
+    i = F.col("doc_id")
+    df = docs.select("doc_id")
+    parts = [
+        df.select(((i * a) % 211).alias("src"), ((i * b + c) % 211).alias("dst"))
+        for a, b, c in [(1, 7, 1), (3, 13, 5), (5, 11, 2)]
+    ]
+    e = parts[0].unionByName(parts[1]).unionByName(parts[2]).filter(
+        F.col("src") != F.col("dst")
+    ).persist()
+    hb = gr.hyperball(e, radius=4, m=64).toPandas().set_index("node")
+    ex = gr.harmonic_centrality(e, radius=4).toPandas().set_index("node")
+    # exact ball size = in-reach pairs within radius + self
+    ec = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).distinct()
+    seen, cur = ec, ec
+    e2 = ec.select(F.col("u").alias("_x"), F.col("v").alias("_y"))
+    for _ in range(2, 5):
+        ext = (
+            cur.join(e2, cur["v"] == e2["_x"])
+            .select("u", F.col("_y").alias("v"))
+            .filter(F.col("u") != F.col("v")).distinct()
+        )
+        cur = ext.join(seen, ["u", "v"], "left_anti").localCheckpoint()
+        seen = seen.unionByName(cur).localCheckpoint()
+    ball = (
+        seen.groupBy(F.col("v").alias("node")).count()
+        .toPandas().set_index("node")["count"] + 1
+    )
+    j = hb.join(ball.rename("exact_ball"), how="inner").join(ex, how="inner")
+    assert len(j) == 211
+    relb = (j["est_ball_r"] - j["exact_ball"]).abs() / j["exact_ball"]
+    relh = (j["harmonic_est"] - j["harmonic"]).abs() / j["harmonic"].clip(lower=1)
+    assert relb.median() < 0.2 and relb.quantile(0.9) < 0.4
+    assert relh.median() < 0.2 and relh.quantile(0.9) < 0.4
+    assert np.corrcoef(j["est_ball_r"], j["exact_ball"])[0, 1] > 0.5
+    # deterministic: a second run is bit-identical
+    hb2 = gr.hyperball(e, radius=4, m=64).toPandas().set_index("node")
+    assert hb.sort_index().equals(hb2.sort_index())
+
+
 def test_triangles_literal(spark):
     """K4 -> every vertex in C(3,2)=3 triangles; a star hub has none;
     duplicate / reversed / self-loop edges collapse first."""
