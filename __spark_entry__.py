@@ -1910,6 +1910,17 @@ def q_mixture_sample(spark, sf_dir):
     return cont_op.mixture_sample(df, budget=300).select("doc_id", "lang")
 
 
+def q_split_assign(spark, sf_dir):
+    """Stratified train/val/test split with EXACT per-stratum counts:
+    rank by the affine-cipher uniform within each lang stratum, integer
+    cross-multiplied rank cutoffs (90/5/5) — reruns and partitioning
+    cannot move a row between splits; bit-exact twin."""
+    from pdal_spark.datapipe import contamination as cont_op
+
+    df = _table(spark, sf_dir, "documents")
+    return cont_op.split_assign(df).select("doc_id", "lang", "split")
+
+
 def q_word_topk(spark, sf_dir):
     """Exact corpus heavy hitters: mergeable Misra-Gries partition
     summaries (bounded state, the full vocabulary never reaches a
@@ -2464,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": q_text_contamination,
         "source_mixture": q_source_mixture,
         "mixture_sample": q_mixture_sample,
+        "split_assign": q_split_assign,
         "word_topk": q_word_topk,
         "word_freq_cms": q_word_freq_cms,
         "weighted_sample": q_weighted_sample,
@@ -4478,6 +4490,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "mixture_sample": cont_op.mixture_sample_sql(
             300, select="doc_id, lang"
         ),
+        "split_assign": cont_op.split_assign_sql(select="doc_id, lang"),
         "word_topk": freq_op.top_k_words_sql(k=20),
         "word_freq_cms": freq_op.cms_topk_sql(k=15, d=4, w=512),
         "weighted_sample": cont_op.weighted_sample_sql(k=25),

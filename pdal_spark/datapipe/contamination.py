@@ -25,7 +25,7 @@ broadcast of G group sums.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdal_spark.datapipe.repetition import _ngrams
@@ -290,3 +290,94 @@ def weighted_sample_sql(
       SELECT {keys}, {id_col}, round(p, 9) AS priority
       FROM r WHERE rn <= {k}
     """
+
+
+def split_assign(
+    docs: DataFrame,
+    fractions: dict[str, int] | None = None,
+    by: tuple[str, ...] = ("lang",),
+    seed: int = 7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified train/val/test assignment with EXACT
+    per-stratum counts (not expected counts): within each stratum,
+    rows rank by the affine-cipher uniform (id tiebreak) and the split
+    label falls out of integer rank cutoffs — stratum of size n gets
+    exactly n*f_i // den rows of split i, remainder to the last split.
+
+    ``fractions`` maps label -> integer numerator over the implicit
+    common denominator sum(values) (default {train: 90, val: 5,
+    test: 5}) — cross-multiplied rank comparisons keep everything in
+    BIGINT, so the DuckDB twin is bit-exact and reruns/partitioning
+    cannot move a single row between splits (the reproducibility
+    property eval protocols need).
+
+    Scale shape: one stratum exchange + a partitioned rank window and
+    a 1-row-per-stratum count — strata (lang, source, ...) are few and
+    fat, and the window computes only row_number, so the sort is the
+    only cost; a global split (by=()) would be a single partition and
+    should instead hash-bucket on the uniform directly (documented, not
+    silently chosen)."""
+    if not by:
+        raise ValueError(
+            "by=() would rank one global window; split on the uniform "
+            "key directly (mixture_sample's Bernoulli form) instead"
+        )
+    from pdal_spark.operators.relational import shuffle_key_sql
+
+    fractions = fractions or {"train": 90, "val": 5, "test": 5}
+    labels = list(fractions)
+    den = sum(fractions.values())
+    cums = []
+    acc = 0
+    for lb in labels:
+        acc += int(fractions[lb])
+        cums.append(acc)
+    key = F.expr(shuffle_key_sql(seed, id_col))
+    w = Window.partitionBy(*by).orderBy(key.asc(), F.col(id_col).asc())
+    cnt = Window.partitionBy(*by)
+    rk = F.row_number().over(w).cast("long")
+    n = F.count(F.lit(1)).over(cnt).cast("long")
+    out = docs.withColumn("_rk", rk).withColumn("_n", n)
+    # chained whens, smallest cutoff first — first match wins, like the
+    # SQL CASE in the twin
+    cond = None
+    for lb, cum in zip(labels[:-1], cums[:-1]):
+        c = F.col("_rk") * den <= F.col("_n") * cum
+        cond = F.when(c, F.lit(lb)) if cond is None else cond.when(c, F.lit(lb))
+    cond = (
+        cond.otherwise(F.lit(labels[-1]))
+        if cond is not None
+        else F.lit(labels[-1])
+    )
+    return out.withColumn("split", cond).drop("_rk", "_n")
+
+
+def split_assign_sql(
+    fractions: dict[str, int] | None = None,
+    by: tuple[str, ...] = ("lang",),
+    seed: int = 7,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    select: str = "*",
+) -> str:
+    from pdal_spark.operators.relational import shuffle_key_sql
+
+    fractions = fractions or {"train": 90, "val": 5, "test": 5}
+    labels = list(fractions)
+    den = sum(fractions.values())
+    keys = ", ".join(by)
+    key = shuffle_key_sql(seed, id_col)
+    cases, acc = [], 0
+    for lb in labels[:-1]:
+        acc += int(fractions[lb])
+        cases.append(f"WHEN _rk * {den} <= _n * {acc} THEN '{lb}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{labels[-1]}' END"
+    return (
+        f"SELECT {select}, {case} AS split FROM ("
+        f"  SELECT *,"
+        f"    CAST(row_number() OVER (PARTITION BY {keys}"
+        f"      ORDER BY {key}, {id_col}) AS BIGINT) AS _rk,"
+        f"    CAST(count(*) OVER (PARTITION BY {keys}) AS BIGINT) AS _n"
+        f"  FROM {table})"
+    )

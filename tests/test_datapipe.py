@@ -1940,6 +1940,46 @@ def test_harmonic_matches_sql_oracle(docs, ddb):
     _cmp(out, ddb.sql(sql), ["node"])
 
 
+def test_split_assign_exact_counts(docs, ddb):
+    """Exact per-stratum counts (floor cutoffs, remainder to last
+    split), determinism across reruns AND repartitioning, and the
+    bit-exact DuckDB twin."""
+    from pdal_spark.datapipe import contamination as ct
+
+    out = ct.split_assign(docs).select("doc_id", "lang", "split")
+    pdf = out.toPandas()
+    for lang, g in pdf.groupby("lang"):
+        n = len(g)
+        c = g["split"].value_counts()
+        assert c.get("train", 0) == n * 90 // 100
+        assert c.get("val", 0) == n * 95 // 100 - n * 90 // 100
+        assert c.get("test", 0) == n - n * 95 // 100
+    # partitioning cannot move a row
+    out2 = ct.split_assign(docs.repartition(13)).select(
+        "doc_id", "lang", "split"
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert out2.equals(pdf.sort_values("doc_id").reset_index(drop=True))
+    _cmp(out, ddb.sql(ct.split_assign_sql(select="doc_id, lang")),
+         ["doc_id"])
+
+
+def test_split_assign_custom_fractions(spark):
+    from pdal_spark.datapipe import contamination as ct
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("lang")
+    )
+    out = ct.split_assign(
+        df, fractions={"a": 1, "b": 1}, by=("lang",)
+    ).toPandas()
+    assert (out["split"] == "a").sum() == 5
+    assert (out["split"] == "b").sum() == 5
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="global window"):
+        ct.split_assign(df, by=())
+
+
 def test_hyperball_vs_exact(docs, ddb):
     """HyperBall estimates vs the exact operator on the same graph:
     ball-size and harmonic medians near the nominal m=64 HLL stderr
