@@ -1205,6 +1205,47 @@ def q_morton_forward(spark, sf_dir):
     return out.select("doc_id", "morton_key", "morton_rank")
 
 
+def q_hilbert_key(spark, sf_dir):
+    """Hilbert space-filling-curve key (the layout-clustering twin of
+    q_morton_forward — strictly better locality for the catalog's
+    OPTIMIZE rewrite): 4-state DFA over the 32-bit morton code, one
+    1024-entry array lookup per byte, pure codegen."""
+    from pdal_spark.operators import layout as layout_op
+
+    out = _docs_geo(spark, sf_dir).withColumn(
+        "hilbert_key",
+        layout_op.hilbert_key(F.col("x"), F.col("y"), MORTON_BOUNDS),
+    )
+    return out.select("doc_id", "hilbert_key")
+
+
+def q_layout_optimize(spark, sf_dir):
+    """Catalog OPTIMIZE (lakehouse ZORDER-rewrite analog): ingest the
+    geocoded docs arrival-ordered into the snapshot catalog, rewrite
+    clustered by Hilbert key (one repartitionByRange exchange), then
+    answer a bbox query through the footer-stats-pruned read. Returns
+    the query rows — the oracle is the plain filter, proving the
+    pruned clustered read is lossless."""
+    import tempfile
+
+    from pdal_spark.catalog import SnapshotTable
+    from pdal_spark.operators import layout as layout_op
+
+    cat = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="layout_opt_"), stats_cols=("x", "y")
+    )
+    cat.append(_docs_geo(spark, sf_dir).repartition(8))
+    layout_op.optimize_catalog(cat, MORTON_BOUNDS, n_files=8)
+    minx, miny, maxx, maxy = 10.0, 10.0, 60.0, 40.0
+    out = cat.read(bbox=(minx, miny, maxx, maxy)).filter(
+        (F.col("x") >= minx) & (F.col("x") <= maxx)
+        & (F.col("y") >= miny) & (F.col("y") <= maxy)
+    )
+    return out.select(
+        "doc_id", F.round("x", 9).alias("x"), F.round("y", 9).alias("y")
+    )
+
+
 def q_hag(spark, sf_dir):
     """filters.hag: height above ground via 1/d^2 IDW over 3 nearest
     ground points (HAGFilter.cpp:150-170)."""
@@ -2546,6 +2587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colorinterp": q_colorinterp,
         "overlay": q_overlay,
         "morton_forward": q_morton_forward,
+        "hilbert_key": q_hilbert_key,
+        "layout_optimize": q_layout_optimize,
         "hag": q_hag,
         "ground_smrf": q_ground_smrf,
         "ground_pmf": q_ground_pmf,
@@ -3107,8 +3150,27 @@ def _pointcloud_oracles() -> dict[str, str]:
         "colorinterp": colorinterp,
         "overlay": overlay,
         "morton_forward": morton,
+        "hilbert_key": _hilbert_oracle(),
+        "layout_optimize": _layout_optimize_oracle(),
         "hag": hag,
     }
+
+
+def _hilbert_oracle() -> str:
+    from pdal_spark.operators.layout import hilbert_key_sql
+
+    return hilbert_key_sql(
+        "x", "y", MORTON_BOUNDS, _DOCS_GEO_SQL, "doc_id"
+    )
+
+
+def _layout_optimize_oracle() -> str:
+    # the pruned clustered read must equal the plain filter
+    return f"""
+      SELECT doc_id, round(x, 9) AS x, round(y, 9) AS y
+      FROM ({_DOCS_GEO_SQL})
+      WHERE x >= 10.0 AND x <= 60.0 AND y >= 10.0 AND y <= 40.0
+    """
 
 
 def _eigen_cov_sql(pts_sql: str, k: int, three_d: bool,
