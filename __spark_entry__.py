@@ -9,6 +9,7 @@ arithmetic — bit-identical in Spark, DuckDB, and numpy).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 import numpy as np
@@ -1243,6 +1244,44 @@ def q_layout_optimize(spark, sf_dir):
     )
     return out.select(
         "doc_id", F.round("x", 9).alias("x"), F.round("y", 9).alias("y")
+    )
+
+
+def q_gk_quantiles(spark, sf_dir):
+    """Mergeable eps-approximate quantile summary (GK-style) over
+    n_chars: one map-only pass emits <= 2/eps+1 exact-rank picks per
+    partition, driver merges the tiny summaries. The query returns the
+    CERTIFICATE, re-proved by an exact distributed recount of each
+    answer's rank (one aggregate pass) — so the oracle's constant
+    `true` columns are backed by engine-side exact arithmetic, the
+    word_topk pattern. (The quantile values themselves are valid for
+    ANY partition layout only within the eps band, hence not
+    hash-compared.)"""
+    from pdal_spark.operators.gksketch import gk_quantiles
+
+    eps, qs = 0.01, (0.25, 0.5, 0.9, 0.99)
+    df = _table(spark, sf_dir, "documents").repartition(8, "doc_id")
+    res = gk_quantiles(df, "n_chars", qs=qs, eps=eps)
+    n = res[0]["n"]
+    lt = df.agg(
+        *[
+            F.sum((F.col("n_chars") < r["value"]).cast("long")).alias(f"lt{i}")
+            for i, r in enumerate(res)
+        ],
+        *[
+            F.sum((F.col("n_chars") <= r["value"]).cast("long")).alias(f"le{i}")
+            for i, r in enumerate(res)
+        ],
+    ).collect()[0]
+    rows = []
+    for i, r in enumerate(res):
+        target = math.ceil(r["q"] * n)
+        exact_ok = (
+            lt[f"lt{i}"] + 1 - eps * n <= target <= lt[f"le{i}"] + eps * n
+        )
+        rows.append((r["q"], r["n"], bool(r["eps_bound_ok"]), bool(exact_ok)))
+    return spark.createDataFrame(
+        rows, "q double, n long, certified boolean, exact_ok boolean"
     )
 
 
@@ -2589,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morton_forward": q_morton_forward,
         "hilbert_key": q_hilbert_key,
         "layout_optimize": q_layout_optimize,
+        "gk_quantiles": q_gk_quantiles,
         "hag": q_hag,
         "ground_smrf": q_ground_smrf,
         "ground_pmf": q_ground_pmf,
@@ -3152,6 +3192,11 @@ def _pointcloud_oracles() -> dict[str, str]:
         "morton_forward": morton,
         "hilbert_key": _hilbert_oracle(),
         "layout_optimize": _layout_optimize_oracle(),
+        "gk_quantiles": """
+          SELECT q, (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+                 true AS certified, true AS exact_ok
+          FROM (VALUES (0.25), (0.5), (0.9), (0.99)) t(q)
+        """,
         "hag": hag,
     }
 
