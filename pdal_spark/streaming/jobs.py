@@ -541,3 +541,51 @@ def stream_sessionize(
     return rows.groupBy("k").applyInPandasWithState(
         fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    delta_seconds: float,
+    watermark: str = "1 hour",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream bounded-interval join: same-``key`` (left, right)
+    pairs within ±``delta_seconds`` of event time.
+
+    On streams this is Spark's watermarked symmetric hash join — BOTH
+    sides buffered in keyed state, the explicit time-range predicate
+    lets the engine evict a buffered row once the other side's
+    watermark passes ``ts + delta`` (state is bounded by
+    rate × (watermark + 2·delta), independent of stream length — the
+    property that makes the join runnable forever). On batch the same
+    code is a plain equi-join + range predicate; the batch twin used
+    for correctness at scale is ``timeseries.interval_join`` (bucketed,
+    no inequality fallback), and tests pin stream == batch-twin.
+
+    Output timestamps are carried from both sides so append-mode sinks
+    see a deterministic row set once the watermark passes.
+    """
+    lcols = [c for c in left.columns]
+    rsel = [F.col(key).alias("_rkey"), F.col(ts).alias("_rts")] + [
+        F.col(c).alias(f"{c}{suffix}")
+        for c in right.columns
+        if c not in (key, ts)
+    ]
+    l = left.withColumn(ts, F.col(ts).cast("timestamp"))
+    r = right.withColumn(ts, F.col(ts).cast("timestamp")).select(*rsel)
+    if l.isStreaming:
+        l = l.withWatermark(ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark("_rts", watermark)
+    dt = F.col(ts).cast("double") - F.col("_rts").cast("double")
+    joined = l.join(
+        r,
+        (F.col(key) == F.col("_rkey"))
+        & (dt >= -float(delta_seconds))
+        & (dt <= float(delta_seconds)),
+        "inner",
+    )
+    return joined.drop("_rkey").withColumnRenamed("_rts", f"{ts}{suffix}")

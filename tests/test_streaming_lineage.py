@@ -524,3 +524,83 @@ def test_stream_sessionize_equals_batch(spark, tmp_path):
     # full result exceeds the max within any single slice alone
     per_user = batch.groupby("user_id")["session_id"].max()
     assert (per_user > 0).any()
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream watermarked interval join == bucketed batch twin.
+
+    Both event streams arrive in several micro-batches (file source,
+    one file per trigger) so the symmetric hash join must actually
+    buffer/match across triggers; append-mode output after the source
+    drains is compared against timeseries.interval_join on the same
+    data."""
+    from pdal_spark.operators import timeseries as ts_op
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    clicks.repartition(3).write.parquet(lsrc)
+    errors.repartition(3).write.parquet(rsrc)
+
+    def stream_of(path):
+        schema = spark.read.parquet(path).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    # files replay in arbitrary event-time order -> a watermark wider
+    # than the table's whole span means no row is "late" in the replay;
+    # short-watermark eviction is pinned by the state-bound test below
+    out = sj.stream_interval_join(
+        stream_of(lsrc), stream_of(rsrc),
+        key="user_id", ts="ts", delta_seconds=21600.0, watermark="90 days",
+    )
+    assert out.isStreaming
+    q = sj.run_stream_to_memory(out, "ss_ij", output_mode="append")
+    try:
+        got = spark.sql("SELECT event_id, event_id_r FROM ss_ij").collect()
+    finally:
+        q.stop()
+
+    batch = ts_op.interval_join(
+        clicks, errors, key="user_id", ts="ts", delta_seconds=21600.0
+    ).select("event_id", "event_id_r").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+    assert len(batch) > 0
+
+
+def test_stream_interval_join_state_is_watermark_bounded(spark, tmp_path):
+    """The planned stream-stream join must carry a state watermark on
+    both sides (the eviction predicate) — guard the plan property that
+    makes infinite streams runnable."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    src = str(tmp_path / "s")
+    ev.limit(50).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    mk = lambda: (
+        spark.readStream.schema(schema).parquet(src)
+    )
+    out = sj.stream_interval_join(
+        mk(), mk(), key="user_id", ts="ts", delta_seconds=60.0,
+        watermark="10 minutes",
+    )
+    q = sj.run_stream_to_memory(out, "ss_wm", output_mode="append")
+    try:
+        prog = q.lastProgress
+        # the stateful symmetric join reports watermark progress
+        assert "watermark" in (prog.get("eventTime") or {})
+        assert any(
+            op.get("operatorName") == "symmetricHashJoin"
+            for op in prog.get("stateOperators", [])
+        )
+    finally:
+        q.stop()
