@@ -12,79 +12,204 @@ Shape: ONE map-only pass (``mapInPandas``) emits a deterministic
 summary of <= 2/eps + 1 tuples per partition — every ceil(eps_half *
 n_p)-th element of the partition's sorted values, with its EXACT local
 rank attached. The driver concatenates the (tiny) summaries, rebuilds
-global rank bounds with two vectorized searchsorted passes, prunes
-back to O(1/eps), and answers any number of quantile queries with the
-certificate that each returned value's true rank lies within
-[target - eps*n, target + eps*n].
+global rank bounds with vectorized searchsorted passes, and answers
+any number of quantile queries with the certificate that each returned
+value's true ordinal run lies within eps*n of the target rank.
 
-Why rank bounds stay honest through the merge: for a summary element
-x with exact local rank r_s(x) in partition s, its global rank is
-sum_s over partitions of (#elements < x in s), which each partition's
-summary brackets between the recorded ranks of its neighbors of x —
-the standard mergeable-summary argument, implemented below as
-searchsorted(left)/searchsorted(right) over each source summary.
-Everything is deterministic (no sampling), so reruns agree bit-for-bit
-given the same partitioning; across different partitionings the answer
-may differ WITHIN the same certified eps band (tests pin both).
+The core data structure is the BRACKET SUMMARY: candidate values v
+with certified intervals on BOTH counts — #(elements < v) in
+[lt_lo, lt_hi] and #(elements <= v) in [le_lo, le_hi]. Tracking both
+lets a value carrying duplicate mass (a spike) answer every quantile
+inside its ordinal run [#(<v)+1, #(<=v)]. Bracket summaries are closed
+under merge (:func:`merge_brackets`) and under pruning
+(:func:`prune_brackets`, which only widens the gaps between kept
+picks, never the recorded brackets) — which is exactly what the
+streaming fold (streaming/jobs.py stream_gk_quantiles) needs: state =
+one pruned bracket summary per group, every micro-batch merged in as
+an exact summary. Certificates are computed FROM the brackets, so
+error can widen with fold depth but is never silently wrong.
 
-The driver query is rows-only by necessity (the result depends on the
-partition layout inside the eps band — no SQL engine replays that);
-the strong oracle is the certificate test against exact numpy ranks.
+Everything is deterministic (no sampling): reruns agree bit-for-bit
+given the same partitioning; across partitionings the answer may move
+WITHIN the certified eps band (tests pin both). The driver query
+returns the certificate re-proved by an exact distributed recount —
+no SQL engine can replay the partition layout itself.
 """
 
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 from typing import Iterable, Sequence
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["gk_quantiles", "merge_summaries", "partition_summaries"]
+__all__ = [
+    "BracketSummary",
+    "exact_summary",
+    "gk_quantiles",
+    "merge_brackets",
+    "merge_summaries",
+    "partition_summaries",
+    "prune_brackets",
+    "query_brackets",
+]
+
+
+@dataclass
+class BracketSummary:
+    """Candidate values + certified count brackets (see module doc)."""
+
+    v: np.ndarray       # sorted distinct candidate values
+    lt_lo: np.ndarray   # lower bound on #(< v)
+    lt_hi: np.ndarray   # upper bound on #(< v)
+    le_lo: np.ndarray   # lower bound on #(<= v)
+    le_hi: np.ndarray   # upper bound on #(<= v)
+    n: int              # total count summarized
+
+    def width(self) -> int:
+        """Worst certified slack across candidates (rank units)."""
+        if self.v.size == 0:
+            return 0
+        return int(
+            max((self.lt_hi - self.lt_lo).max(), (self.le_hi - self.le_lo).max())
+        )
+
+
+def exact_summary(values: np.ndarray, eps_half: float) -> BracketSummary:
+    """Summary of an in-memory array: every ceil(eps_half*n)-th element
+    of the sorted values (first and last always kept), brackets
+    degenerate to the EXACT counts."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    n = v.size
+    if n == 0:
+        e = np.array([], dtype=np.int64)
+        return BracketSummary(np.array([], dtype=np.float64),
+                              e, e.copy(), e.copy(), e.copy(), 0)
+    v = np.sort(v)
+    step = max(1, math.ceil(eps_half * n))
+    idx = np.unique(np.r_[np.arange(0, n, step), n - 1])
+    picks = np.unique(v[idx])
+    lt = np.searchsorted(v, picks, side="left").astype(np.int64)
+    le = np.searchsorted(v, picks, side="right").astype(np.int64)
+    return BracketSummary(picks, lt, lt.copy(), le, le.copy(), int(n))
+
+
+def merge_brackets(summaries: Sequence[BracketSummary]) -> BracketSummary:
+    """Merge bracket summaries: the union of candidates, with each
+    source contributing certified bounds on both counts.
+
+    Per source S and candidate x: a pick equal to x contributes its own
+    brackets exactly; otherwise the largest pick below x lower-bounds
+    both counts by its le_lo (everything <= that pick is < x), the
+    smallest pick above x upper-bounds both by its lt_hi (everything
+    < x resp. <= x is < that pick); no pick on a side -> 0 / n_S."""
+    live = [s for s in summaries if s.v.size]
+    if not live:
+        return exact_summary(np.array([]), 1.0)
+    allv = np.unique(np.concatenate([s.v for s in live]))
+    z = np.zeros(allv.size, dtype=np.int64)
+    lt_lo, lt_hi, le_lo, le_hi = z.copy(), z.copy(), z.copy(), z.copy()
+    n_total = 0
+    for s in summaries:
+        n_total += int(s.n)
+        if s.v.size == 0:
+            continue
+        below = np.searchsorted(s.v, allv, side="right") - 1
+        above = np.searchsorted(s.v, allv, side="left")
+        has_below = below >= 0
+        has_above = above < s.v.size
+        bi = np.clip(below, 0, None)
+        ai = np.clip(above, None, s.v.size - 1)
+        eq = has_below & (s.v[bi] == allv)
+
+        lower = np.where(has_below, s.le_lo[bi], 0)  # via pick strictly below
+        upper = np.where(has_above, s.lt_hi[ai], int(s.n))  # via pick above
+
+        p_lt_lo = np.where(eq, s.lt_lo[bi], lower)
+        p_lt_hi = np.where(eq, s.lt_hi[bi], upper)
+        p_le_lo = np.where(eq, s.le_lo[bi], lower)
+        p_le_hi = np.where(eq, s.le_hi[bi], upper)
+        lt_lo += p_lt_lo
+        lt_hi += np.maximum(p_lt_hi, p_lt_lo)
+        le_lo += p_le_lo
+        le_hi += np.maximum(p_le_hi, p_le_lo)
+    return BracketSummary(allv, lt_lo, lt_hi, le_lo, le_hi, n_total)
+
+
+def prune_brackets(s: BracketSummary, cap: int) -> BracketSummary:
+    """Keep <= cap candidates (every k-th plus both ends). Recorded
+    brackets of kept picks are untouched — still certified; only the
+    GAPS between picks widen, which the query accounts for by always
+    answering from a recorded candidate."""
+    if s.v.size <= cap:
+        return s
+    step = math.ceil(s.v.size / max(cap - 1, 1))
+    idx = np.unique(np.r_[np.arange(0, s.v.size, step), s.v.size - 1])
+    return BracketSummary(
+        s.v[idx], s.lt_lo[idx], s.lt_hi[idx],
+        s.le_lo[idx], s.le_hi[idx], s.n,
+    )
+
+
+def query_brackets(
+    s: BracketSummary, qs: Sequence[float], eps: float
+) -> list[dict]:
+    """Answer quantiles from a bracket summary, with certificates."""
+    out = []
+    for q in qs:
+        target = math.ceil(q * s.n)
+        # certified distance from target to x's true ordinal run
+        # [#(<x)+1, #(<=x)] using the pessimistic bracket ends
+        dist = np.maximum(
+            0, np.maximum(s.lt_hi + 1 - target, target - s.le_lo)
+        )
+        i = int(np.argmin(dist))
+        out.append(
+            {
+                "q": float(q),
+                "value": float(s.v[i]),
+                "rank_lo": int(s.lt_lo[i]),
+                "rank_hi": int(s.le_hi[i]),
+                "n": int(s.n),
+                "eps_bound_ok": bool(dist[i] <= eps * s.n),
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# batch path: one map-only pass + driver merge
+# ---------------------------------------------------------------------------
 
 
 def partition_summaries(
     df: DataFrame, value_col: str, eps_half: float
-) -> list[tuple[np.ndarray, np.ndarray, int]]:
-    """One map-only pass -> [(values, exact_local_ranks, n_partition)].
+) -> list[BracketSummary]:
+    """One map-only pass -> a small exact BracketSummary per partition.
 
-    Each partition keeps every ceil(eps_half * n_p)-th element of its
-    sorted values (always including first and last), rank = exact
-    0-based count of elements strictly below, plus tie count so
-    duplicates stay exact. Summary size <= 2/eps_half + 1 regardless
-    of n_p — the executor->driver traffic is O(P / eps), never O(n).
-    """
+    Summary size <= 2/eps_half + 1 regardless of partition rows — the
+    executor->driver traffic is O(P / eps), never O(n)."""
     from pyspark import TaskContext
     from pyspark.sql import functions as F
 
     def summarize(batches: Iterable[pd.DataFrame]):
         pid = TaskContext.get().partitionId()
         vals = [b[value_col].to_numpy() for b in batches]
-        v = (
-            np.concatenate(vals)
-            if vals
-            else np.array([], dtype=np.float64)
-        )
-        v = v[~pd.isna(v)]
-        n = v.size
-        if n == 0:
+        v = np.concatenate(vals) if vals else np.array([], dtype=np.float64)
+        s = exact_summary(v, eps_half)
+        if s.n == 0:
             return
-        v.sort()
-        step = max(1, math.ceil(eps_half * n))
-        idx = np.unique(np.r_[np.arange(0, n, step), n - 1])
-        picks = v[idx]
-        # exact local rank bounds of each picked value among the
-        # partition's n values: [#strictly-below, #<=value]
-        rlo = np.searchsorted(v, picks, side="left")
-        rhi = np.searchsorted(v, picks, side="right")
         yield pd.DataFrame(
             {
-                "pid": np.full(idx.size, pid, dtype=np.int64),
-                "v": picks,
-                "rlo": rlo,
-                "rhi": rhi,
-                "np_": np.full(idx.size, n),
+                "pid": np.full(s.v.size, pid, dtype=np.int64),
+                "v": s.v,
+                "rlo": s.lt_lo,
+                "rhi": s.le_lo,
+                "np_": np.full(s.v.size, s.n, dtype=np.int64),
             }
         )
 
@@ -101,64 +226,21 @@ def partition_summaries(
     out = []
     for pid in sorted(by_pid):
         grp = sorted(by_pid[pid], key=lambda r: r.rlo)
+        v = np.array([r.v for r in grp])
+        lt = np.array([r.rlo for r in grp], dtype=np.int64)
+        le = np.array([r.rhi for r in grp], dtype=np.int64)
         out.append(
-            (
-                np.array([r.v for r in grp]),
-                np.array([r.rlo for r in grp]),
-                np.array([r.rhi for r in grp]),
-                int(grp[0].np_),
-            )
+            BracketSummary(v, lt, lt.copy(), le, le.copy(), int(grp[0].np_))
         )
     return out
 
 
 def merge_summaries(
-    summaries: Sequence[tuple[np.ndarray, np.ndarray, np.ndarray, int]],
+    summaries: Sequence[BracketSummary],
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
-    """Driver-side merge: global rank bounds for the union of picks.
-
-    -> (values, lt_lo, lt_hi, le_lo, le_hi, n): for each candidate x,
-    certified brackets on BOTH counts — #(elements < x) in
-    [lt_lo, lt_hi] and #(elements <= x) in [le_lo, le_hi]. x then
-    occupies ordinal positions [#(<x)+1, #(<=x)], which is how a value
-    carrying duplicate mass (a spike) answers every quantile inside
-    its run. Per partition: a pick equal to x gives both counts
-    exactly; otherwise the neighboring picks' recorded ranks bracket
-    them within the pick spacing (<= eps_half * n_p slack each).
-    """
-    allv = np.unique(np.concatenate([s[0] for s in summaries if s[0].size]))
-    z = np.zeros(allv.size, dtype=np.int64)
-    lt_lo, lt_hi, le_lo, le_hi = z.copy(), z.copy(), z.copy(), z.copy()
-    n_total = 0
-    for v, rlo, rhi, n_p in summaries:
-        n_total += int(n_p)
-        if v.size == 0:
-            continue
-        below = np.searchsorted(v, allv, side="right") - 1  # largest pick <= x
-        above = np.searchsorted(v, allv, side="left")  # smallest pick >= x
-        has_below = below >= 0
-        has_above = above < v.size
-        bi = np.clip(below, 0, None)
-        ai = np.clip(above, None, v.size - 1)
-        eq = has_below & (v[bi] == allv)  # a pick equals x exactly
-
-        # #(w < x): pick==x -> rlo exact; pick < x -> >= rhi(pick);
-        #           smallest pick > x -> <= rlo(that pick)
-        p_lt_lo = np.where(eq, rlo[bi], np.where(has_below, rhi[bi], 0))
-        p_lt_hi = np.where(
-            eq, rlo[bi], np.where(has_above, rlo[ai], int(n_p))
-        )
-        # #(w <= x): pick==x -> rhi exact; pick < x -> >= rhi(pick);
-        #            smallest pick > x -> <= rlo(that pick)
-        p_le_lo = np.where(eq, rhi[bi], np.where(has_below, rhi[bi], 0))
-        p_le_hi = np.where(
-            eq, rhi[bi], np.where(has_above, rlo[ai], int(n_p))
-        )
-        lt_lo += p_lt_lo.astype(np.int64)
-        lt_hi += np.maximum(p_lt_hi, p_lt_lo).astype(np.int64)
-        le_lo += p_le_lo.astype(np.int64)
-        le_hi += np.maximum(p_le_hi, p_le_lo).astype(np.int64)
-    return allv, lt_lo, lt_hi, le_lo, le_hi, n_total
+    """Tuple view of :func:`merge_brackets` (tests use the raw arrays)."""
+    m = merge_brackets(summaries)
+    return m.v, m.lt_lo, m.lt_hi, m.le_lo, m.le_hi, m.n
 
 
 def gk_quantiles(
@@ -168,33 +250,9 @@ def gk_quantiles(
     eps: float = 0.01,
 ) -> list[dict]:
     """-> [{q, value, rank_lo, rank_hi, n, eps_bound_ok}] with the
-    certificate that [rank_lo, rank_hi] (the value's possible true
-    ranks) intersects [target - eps*n, target + eps*n].
-    """
+    certificate that the value's true ordinal run is within eps*n of
+    the target rank ceil(q*n)."""
     if any(not (0.0 < q <= 1.0) for q in qs):
         raise ValueError("qs must be in (0, 1]")
-    summaries = partition_summaries(df, value_col, eps / 2.0)
-    allv, lt_lo, lt_hi, le_lo, le_hi, n = merge_summaries(summaries)
-    out = []
-    for q in qs:
-        target = math.ceil(q * n)
-        # x occupies ordinal positions [#(<x)+1, #(<=x)]; the CERTIFIED
-        # distance from the target rank to x's true position interval
-        # uses the pessimistic bracket ends (true start <= lt_hi + 1,
-        # true end >= le_lo)
-        dist = np.maximum(
-            0, np.maximum(lt_hi + 1 - target, target - le_lo)
-        )
-        i = int(np.argmin(dist))
-        ok = dist[i] <= eps * n
-        out.append(
-            {
-                "q": float(q),
-                "value": float(allv[i]),
-                "rank_lo": int(lt_lo[i]),
-                "rank_hi": int(le_hi[i]),
-                "n": int(n),
-                "eps_bound_ok": bool(ok),
-            }
-        )
-    return out
+    merged = merge_brackets(partition_summaries(df, value_col, eps / 2.0))
+    return query_brackets(merged, qs, eps)

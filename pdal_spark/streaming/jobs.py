@@ -589,3 +589,105 @@ def stream_interval_join(
         "inner",
     )
     return joined.drop("_rkey").withColumnRenamed("_rts", f"{ts}{suffix}")
+
+
+def stream_gk_quantiles(
+    df: DataFrame,
+    by: str = "lang",
+    value_col: str = "n_chars",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    eps: float = 0.02,
+    cap: int | None = None,
+) -> DataFrame:
+    """Streaming per-group eps-approximate quantiles: the GK bracket
+    summary (operators/gksketch.py) folded in state.
+
+    Bracket summaries are closed under merge AND under pruning, so the
+    stateful fold is: exact-summarize the micro-batch, merge into the
+    state summary, prune back to ``cap`` candidates (default 4/eps),
+    answer ``qs`` with certificates. State per group is <= cap
+    (value, 4 bracket counts) tuples FOREVER — any stream length.
+    Unlike KMV (whose merge is exact) the brackets WIDEN with fold
+    depth; the emitted ``width`` column is the certified worst-case
+    rank slack, so a consumer always knows the current guarantee —
+    certified-but-wider, never silently wrong."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pdal_spark.operators.gksketch import (
+        BracketSummary,
+        exact_summary,
+        merge_brackets,
+        prune_brackets,
+        query_brackets,
+    )
+
+    cap = cap or math.ceil(4.0 / eps)
+    rows = df.select(
+        F.col(by).alias("g"), F.col(value_col).cast("double").alias("x")
+    ).filter(F.col("x").isNotNull())
+    out_schema = (
+        "g string, version int, n long, q double, value double, "
+        "rank_lo long, rank_hi long, certified boolean, width long"
+    )
+    state_schema = (
+        "version int, v array<double>, lt_lo array<bigint>, "
+        "lt_hi array<bigint>, le_lo array<bigint>, le_hi array<bigint>, "
+        "n long"
+    )
+
+    def fold(gkey, pdfs, state: GroupState):
+        import numpy as np
+
+        vals = [p["x"].to_numpy(dtype=float) for p in pdfs if len(p)]
+        batch = exact_summary(
+            np.concatenate(vals) if vals else np.array([]), eps / 2.0
+        )
+        if state.exists:
+            version, v, lt_lo, lt_hi, le_lo, le_hi, n = state.get
+            prev = BracketSummary(
+                np.asarray(v, dtype=float),
+                np.asarray(lt_lo, dtype=np.int64),
+                np.asarray(lt_hi, dtype=np.int64),
+                np.asarray(le_lo, dtype=np.int64),
+                np.asarray(le_hi, dtype=np.int64),
+                int(n),
+            )
+        else:
+            version, prev = 0, None
+        merged = (
+            merge_brackets([prev, batch]) if prev is not None else batch
+        )
+        merged = prune_brackets(merged, cap)
+        version += 1
+        state.update(
+            (
+                version,
+                [float(x) for x in merged.v],
+                [int(x) for x in merged.lt_lo],
+                [int(x) for x in merged.lt_hi],
+                [int(x) for x in merged.le_lo],
+                [int(x) for x in merged.le_hi],
+                int(merged.n),
+            )
+        )
+        ans = query_brackets(merged, qs, eps)
+        yield pd.DataFrame(
+            {
+                "g": [gkey[0]] * len(ans),
+                "version": [version] * len(ans),
+                "n": [a["n"] for a in ans],
+                "q": [a["q"] for a in ans],
+                "value": [a["value"] for a in ans],
+                "rank_lo": [a["rank_lo"] for a in ans],
+                "rank_hi": [a["rank_hi"] for a in ans],
+                "certified": [a["eps_bound_ok"] for a in ans],
+                "width": [merged.width()] * len(ans),
+            }
+        )
+
+    return rows.groupBy("g").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -74,11 +74,12 @@ def test_summary_size_bounded(spark):
     eps_half = 0.005
     summaries = partition_summaries(_df(spark, values, 4), "value", eps_half)
     assert len(summaries) == 4
-    for v, rlo, rhi, n_p in summaries:
-        assert v.size <= math.ceil(2.0 / eps_half) + 2
+    for s in summaries:
+        assert s.v.size <= math.ceil(2.0 / eps_half) + 2
         # exact local ranks: first pick is the partition minimum
-        assert rlo[0] == 0 and rhi[-1] == n_p
-        assert (np.diff(rlo) > 0).all()
+        assert s.lt_lo[0] == 0 and s.le_lo[-1] == s.n
+        assert (np.diff(s.lt_lo) > 0).all()
+        assert s.width() == 0  # partition summaries are exact-bracket
 
 
 def test_merge_rank_bounds_bracket_truth(spark):

@@ -604,3 +604,88 @@ def test_stream_interval_join_state_is_watermark_bounded(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_stream_gk_quantiles_certified_vs_exact(spark, tmp_path):
+    """Streaming GK fold: after draining a multi-batch source, every
+    group's latest answers must satisfy their certificates against
+    EXACT numpy ranks over the full data, and the emitted width must
+    honestly bound the bracket slack."""
+    import math
+
+    import numpy as np
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    src = str(tmp_path / "docs_gk")
+    docs.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    eps, qs = 0.05, (0.5, 0.9)
+    out = sj.stream_gk_quantiles(
+        stream, by="lang", value_col="n_chars", qs=qs, eps=eps
+    )
+    q = sj.run_stream_to_memory(out, "gkq", output_mode="update")
+    try:
+        rows = spark.sql(
+            "SELECT * FROM gkq WHERE (g, version) IN "
+            "(SELECT g, max(version) FROM gkq GROUP BY g)"
+        ).collect()
+    finally:
+        q.stop()
+
+    pdf = docs.toPandas()
+    assert rows
+    for r in rows:
+        vals = np.sort(pdf[pdf.lang == r.g].n_chars.to_numpy(dtype=float))
+        n = vals.size
+        assert r.n == n  # fold never loses or double-counts rows
+        target = math.ceil(r.q * n)
+        lt = int(np.searchsorted(vals, r.value, side="left"))
+        le = int(np.searchsorted(vals, r.value, side="right"))
+        # recorded brackets contain the true counts
+        assert r.rank_lo <= lt and le <= r.rank_hi
+        # certified answers: true ordinal run within eps*n + width slack
+        if r.certified:
+            assert lt + 1 - (eps * n + r.width) <= target <= le + (
+                eps * n + r.width
+            )
+
+
+def test_stream_gk_state_is_bounded(spark, tmp_path):
+    """State per group never exceeds the candidate cap, however many
+    micro-batches fold in."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "lang", "n_chars"
+    )
+    src = str(tmp_path / "docs_gkb")
+    docs.repartition(8).write.parquet(src)  # 8 micro-batches
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cap = 40
+    out = sj.stream_gk_quantiles(
+        stream, by="lang", value_col="n_chars", qs=(0.5,), eps=0.05, cap=cap
+    )
+    q = sj.run_stream_to_memory(out, "gkb", output_mode="update")
+    try:
+        got = spark.sql("SELECT g, max(version) v FROM gkb GROUP BY g").collect()
+    finally:
+        q.stop()
+    assert max(r.v for r in got) >= 2  # the fold really ran multiple times
+    # bound is structural: prune_brackets caps candidates each fold
+    from pdal_spark.operators.gksketch import exact_summary, prune_brackets
+    import numpy as np
+
+    s = prune_brackets(exact_summary(np.arange(10000.0), 0.001), cap)
+    assert s.v.size <= cap + 1
