@@ -1351,3 +1351,66 @@ def minhash_band_keys_cols(
             ).alias("key"),
         )
     )
+
+
+def lsh_plan(
+    n_hashes: int,
+    threshold: float,
+    resolution: int = 1000,
+) -> dict:
+    """Choose the (bands, rows) split of an ``n_hashes`` MinHash budget
+    for a target Jaccard ``threshold`` — the S-curve planner.
+
+    A pair with true Jaccard s collides in at least one of b bands of r
+    rows with probability P(s) = 1 - (1 - s^r)^b. The planner picks the
+    divisor pair b*r = n_hashes minimizing the integrated deviation of
+    P from the ideal step at ``threshold`` (the datasketch/MMDS
+    criterion: integral of P below the threshold = false-positive area,
+    integral of 1-P above = false-negative area). Returns the chosen
+    plan plus its operating curve so callers can trade shuffle volume
+    (more bands = more candidate rows through the bucket exchange)
+    against recall BEFORE running the 100-TB job.
+
+    Driver-side closed-form arithmetic only — no Spark job; feeds
+    minhash_bands(bands=...) / minhash_dedup_pairs.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    if n_hashes < 2:
+        raise ValueError("need at least 2 hashes")
+    import numpy as np
+
+    ss = (np.arange(resolution) + 0.5) / resolution
+    best = None
+    for r in range(1, n_hashes + 1):
+        if n_hashes % r:
+            continue
+        b = n_hashes // r
+        p = 1.0 - (1.0 - ss**r) ** b
+        fp_area = float(p[ss < threshold].sum()) / resolution
+        fn_area = float((1.0 - p)[ss >= threshold].sum()) / resolution
+        err = fp_area + fn_area
+        if best is None or err < best["error"]:
+            best = {
+                "bands": b,
+                "rows": r,
+                "error": err,
+                "fp_area": fp_area,
+                "fn_area": fn_area,
+            }
+    b, r = best["bands"], best["rows"]
+
+    def p_collide(s: float) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    best["threshold_est"] = float((1.0 / b) ** (1.0 / r))
+    best["p_at_threshold"] = p_collide(threshold)
+    best["recall_at"] = {
+        round(threshold + d, 4): round(p_collide(min(threshold + d, 1.0)), 6)
+        for d in (0.0, 0.05, 0.1, 0.2)
+    }
+    best["fp_at"] = {
+        round(threshold - d, 4): round(p_collide(max(threshold - d, 0.0)), 6)
+        for d in (0.1, 0.2, 0.3)
+    }
+    return best
