@@ -2152,6 +2152,27 @@ def q_dedup_minhash_hash(spark, sf_dir):
     return dedup_op.minhash_dedup_pairs(df, threshold=0.8, word_id_mode="hash")
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Snapshot-incremental near-dup dedup: two crawl increments (docs
+    split by id parity) ingested into the persistent LSH+verifier
+    index — the second screens against the first WITHOUT re-reading
+    its text (mtime-pinned in tests). Returns the final deduped corpus
+    ids. Rows-only at the driver (xxhash64 featurize has no DuckDB
+    twin); batch-CC parity incl. cross-increment chains is
+    pytest-pinned (tests/test_incremental_dedup.py)."""
+    import tempfile
+
+    from pdal_spark.datapipe.incremental_dedup import NearDupIndex
+
+    df = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = NearDupIndex(
+        spark, tempfile.mkdtemp(prefix="incdedup_"), threshold=0.8
+    )
+    idx.ingest(df.filter(F.col("doc_id") % 2 == 0))
+    idx.ingest(df.filter(F.col("doc_id") % 2 == 1))
+    return idx.corpus().select("doc_id").orderBy("doc_id")
+
+
 def q_dedup_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH bucket join + inline exact
     cosine verify, one verification per pair (first colliding table).
@@ -2582,6 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dedup_minhash_hash": q_dedup_minhash_hash,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_cosine": q_dedup_cosine,
         "dedup_semantic": q_dedup_semantic,
         "sim_cosine_topk": q_sim_cosine_topk,

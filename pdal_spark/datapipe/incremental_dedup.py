@@ -1,0 +1,213 @@
+"""Snapshot-incremental near-dup dedup: screen each crawl increment
+against everything already ingested — WITHOUT rescanning the corpus.
+
+At 100 TB the corpus is append-only (weekly crawl drops); re-running
+batch MinHash dedup over the whole table per drop re-pays the full
+scan + signature cost for data that cannot have changed. The index
+here persists exactly what the LSH join needs — per-doc banded bucket
+keys and the sorted word-hash array the exact verifier uses — in
+snapshot catalogs (catalog.SnapshotTable), so an ingest touches:
+
+* the increment (full featurize: ONE pass, open-vocabulary hashed
+  word ids — zero vocabulary shuffles, dedup.vocab() hash mode), and
+* the index tables, via a bucket equi-join on (band, key) — only
+  bucket-mates of new docs are ever read as pairs.
+
+The corpus TEXT table is never read during ingest; candidates verify
+against the stored word-hash arrays (exact Jaccard on the hashed-word
+sets, the same semantics as minhash_dedup_pairs word_id_mode="hash").
+
+Online semantics (documented, tested): ALL new docs' features enter
+the index (so later increments can match docs that were themselves
+dropped — near-dup chains across increments resolve like batch), but
+survivors are decided at ingest time: the connected components of the
+verified pairs touching this increment, canonical = smallest id.
+Requires ids monotone across increments (crawl ids are). The one
+divergence from whole-corpus batch CC is a LATER doc bridging two
+already-kept components — batch would retroactively merge them and
+keep one; online keeps both (the bridge itself is dropped either
+way). tests/test_incremental_dedup.py pins batch parity on non-
+bridging corpora and documents the bridge case explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdal_spark.catalog import SnapshotTable
+from pdal_spark.datapipe.dedup import (
+    MINHASH_BANDS,
+    MINHASH_K,
+    P31,
+    _hash_params,
+    canonicalize,
+    doc_words,
+)
+
+__all__ = ["NearDupIndex"]
+
+
+class NearDupIndex:
+    """Persistent LSH + verifier index over snapshot catalogs.
+
+    Tables under ``root``: ``docs`` (the deduped corpus — survivors
+    only), ``arrays`` (id, sz, warr — ALL ingested docs' sorted
+    word-hash sets), ``bands`` (id, band, key — ALL ingested docs'
+    bucket keys). Features of dropped docs stay indexed on purpose —
+    see the module docstring's chain argument."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        threshold: float = 0.8,
+        k: int = MINHASH_K,
+        bands: int = MINHASH_BANDS,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        shingle: int = 1,
+    ):
+        if k % bands:
+            raise ValueError("bands must divide k")
+        self.spark = spark
+        self.threshold = threshold
+        self.k, self.bands = k, bands
+        self.text_col, self.id_col = text_col, id_col
+        self.shingle = shingle
+        self.docs = SnapshotTable(spark, f"{root}/docs")
+        self.arrays = SnapshotTable(spark, f"{root}/arrays")
+        self.bands_t = SnapshotTable(spark, f"{root}/bands")
+
+    # -- featurize ----------------------------------------------------------
+
+    def _featurize(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """-> (arrays (id, sz, warr), bands (id, band, key)). One pass
+        over the increment text; everything downstream uses these."""
+        words = doc_words(df, self.text_col, self.id_col, self.shingle)
+        wids = words.select(
+            "id", F.pmod(F.xxhash64("word"), F.lit(P31)).alias("wid")
+        )
+        rows_n = self.k // self.bands
+        mins = wids.groupBy("id").agg(
+            F.sort_array(F.collect_set("wid")).alias("warr"),
+            *[
+                F.min((F.col("wid") * F.lit(a) + F.lit(c)) % P31).alias(f"_m{i}")
+                for i, (a, c) in enumerate(_hash_params(self.k))
+            ],
+        )
+        arrays = mins.select(
+            "id", F.size("warr").alias("sz"), "warr"
+        )
+        sig = mins.select(
+            "id", F.array(*[f"_m{i}" for i in range(self.k)]).alias("sig")
+        )
+        bands = sig.select(
+            "id",
+            "sig",
+            F.explode(F.sequence(F.lit(0), F.lit(self.bands - 1))).alias("band"),
+        ).select(
+            "id",
+            "band",
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.col("sig"), F.col("band") * rows_n + 1, F.lit(rows_n)
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("key"),
+        )
+        return arrays, bands
+
+    # -- ingest -------------------------------------------------------------
+
+    def ingest(self, df: DataFrame) -> dict:
+        """Dedup the increment against the index AND itself; append
+        survivors to ``docs``, ALL features to ``arrays``/``bands``.
+        Returns counts + the new snapshot versions."""
+        df = df.persist()
+        new_arrays, new_bands = self._featurize(df)
+        new_arrays = new_arrays.persist()
+        new_bands = new_bands.persist()
+
+        have_index = self.bands_t.current_version() > 0
+        if have_index:
+            all_bands = self.bands_t.read().unionByName(new_bands)
+            all_arrays = self.arrays.read().unionByName(new_arrays)
+        else:
+            all_bands, all_arrays = new_bands, new_arrays
+
+        # candidates: new docs vs (past + new) bucket-mates, normalized
+        other = all_bands.select(
+            F.col("id").alias("id2"), "band", "key"
+        )
+        cand = (
+            new_bands.join(other, ["band", "key"])
+            .filter(F.col("id") != F.col("id2"))
+            .select(
+                F.least("id", "id2").alias("id1"),
+                F.greatest("id", "id2").alias("id2"),
+            )
+            .distinct()
+        )
+        # exact verify on the stored hashed-word sets (few candidates
+        # post-LSH; arrays join fans out over pairs, not the corpus)
+        a1 = all_arrays.select(
+            F.col("id").alias("id1"), F.col("sz").alias("sz1"),
+            F.col("warr").alias("w1"),
+        )
+        a2 = all_arrays.select(
+            F.col("id").alias("id2"), F.col("sz").alias("sz2"),
+            F.col("warr").alias("w2"),
+        )
+        inter = F.size(F.array_intersect("w1", "w2"))
+        pairs = (
+            cand.join(a1, "id1").join(a2, "id2")
+            .withColumn(
+                "jaccard",
+                inter.cast("double")
+                / (F.col("sz1") + F.col("sz2") - inter),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+            .select("id1", "id2")
+            .persist()
+        )
+        # survivors: components over the touched ids, canonical =
+        # smallest id (monotone ids -> oldest doc wins; components
+        # containing any past doc keep the past doc)
+        touched = (
+            pairs.select(F.col("id1").alias("id"))
+            .unionByName(pairs.select(F.col("id2").alias("id")))
+            .distinct()
+        )
+        new_ids = df.select(F.col(self.id_col).alias("id"))
+        canon = canonicalize(
+            touched.withColumnRenamed("id", self.id_col),
+            pairs,
+            id_col=self.id_col,
+        )
+        dropped = canon.filter(F.col("is_canonical") == 0).join(
+            new_ids.withColumnRenamed("id", self.id_col), self.id_col, "semi"
+        ).select(self.id_col)
+        survivors = df.join(dropped, self.id_col, "anti")
+
+        n_new = df.count()
+        n_kept = survivors.count()
+        v_docs = self.docs.append(survivors)
+        v_arr = self.arrays.append(new_arrays)
+        v_bands = self.bands_t.append(new_bands)
+        for d in (df, new_arrays, new_bands, pairs):
+            d.unpersist()
+        return {
+            "n_ingested": n_new,
+            "n_kept": n_kept,
+            "n_dropped": n_new - n_kept,
+            "docs_version": v_docs,
+            "arrays_version": v_arr,
+            "bands_version": v_bands,
+        }
+
+    def corpus(self) -> DataFrame:
+        return self.docs.read()

@@ -80,6 +80,7 @@ def test_every_query_has_oracle_or_is_whitelisted():
     E = _entry()
     rows_only_ok = {
         "dedup_minhash_hash",  # xxhash64 has no DuckDB twin
+        "dedup_incremental",  # xxhash64 featurize; batch-CC parity in pytest
         "bpe_merges",  # iterative algorithm; python-reference oracle in tests
         "bpe_tokens",  # encoding under the iteratively-trained vocab
         "band_claims",  # xxhash64 band keys have no DuckDB twin
