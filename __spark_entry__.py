@@ -1617,6 +1617,27 @@ _PAGERANK_EDGES_SQL = (
 )
 
 
+PPR_SEEDS = [3, 41, 500]
+
+
+def q_pagerank_personal(spark, sf_dir):
+    """Personalized (topic-sensitive) PageRank: teleport + dangling
+    mass concentrate on a 3-node seed set over the same link graph as
+    q_pagerank — "authority as seen from these pages". Identical
+    integer micro-unit fixed point, so the unrolled DuckDB twin is
+    hash-green."""
+    df = _table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    e1 = df.select((i % 601).alias("src"), ((i * 7 + 1) % 601).alias("dst"))
+    e2 = df.select(
+        ((i * 3) % 601).alias("src"), ((i * 13 + 5) % 601).alias("dst")
+    )
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+    return graphrank_op.personalized_pagerank(
+        edges, seeds=PPR_SEEDS, n_iters=4
+    )
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs & authorities over the same deterministic link graph
     as q_pagerank: exact fixed-point integers with L1 normalization by
@@ -2566,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_dhash": q_video_frame_dhash,
         "image_dhash_pairs": q_image_dhash_pairs,
         "pagerank": q_pagerank,
+        "pagerank_personal": q_pagerank_personal,
         "hits": q_hits,
         "triangles": q_triangles,
         "harmonic": q_harmonic,
@@ -4789,6 +4811,12 @@ def _datapipe_oracles() -> dict[str, str]:
         "pagerank": graphrank_op.pagerank_sql(
             "SELECT src, dst FROM (" + _PAGERANK_EDGES_SQL + ")"
             " WHERE src <> dst",
+            n_iters=4,
+        ),
+        "pagerank_personal": graphrank_op.personalized_pagerank_sql(
+            "SELECT src, dst FROM (" + _PAGERANK_EDGES_SQL + ")"
+            " WHERE src <> dst",
+            seeds=PPR_SEEDS,
             n_iters=4,
         ),
         "hits": graphrank_op.hits_sql(

@@ -595,3 +595,123 @@ def hyperball(
         F.round(F.col(f"est_{radius}"), 6).alias("est_ball_r"),
         F.round(harm, 6).alias("harmonic_est"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    n_iters: int = 4,
+    damping: tuple[int, int] = (17, 20),
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Topic-sensitive / personalized PageRank (Haveliwala 2002): the
+    teleport vector concentrates on ``seeds`` (uniform over the set)
+    instead of the whole graph — "importance as seen from these pages".
+    Same exact integer fixed-point as :func:`pagerank` (micro-units,
+    BIGINT div), so the DuckDB twin is hash-green; dangling mass also
+    returns to the seeds, keeping total rank conserved.
+
+    Seeds ride as a broadcast literal — personalization sets are small
+    (topic seeds, a user's domains) by construction; the per-iteration
+    plan is the same single combinable src-keyed contribution aggregate
+    as the global walk. -> (node, rank_micro, rank)."""
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    p, q = int(damping[0]), int(damping[1])
+    ns = len(seeds)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outd"))
+    is_seed = F.col("node").isin([int(x) for x in seeds]).cast("int")
+
+    ranks = nodes.select(
+        "node",
+        (is_seed.cast("long") * F.lit(MICRO // ns)).alias("rm"),
+    )
+    for _ in range(n_iters):
+        r = ranks.join(deg, "node", "left")
+        contrib = (
+            r.filter(F.col("outd").isNotNull())
+            .join(e, r["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rm div outd")).alias("s"))
+        )
+        dang = r.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("outd").isNull(), F.col("rm"))),
+                F.lit(0).cast("long"),
+            ).alias("m")
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .withColumn("isd", is_seed)
+            .select(
+                "node",
+                F.expr(
+                    f"CASE WHEN isd = 1 THEN"
+                    f" CAST({(q - p) * MICRO} AS BIGINT) div {q * ns}"
+                    f" ELSE CAST(0 AS BIGINT) END"
+                    f" + {p} * (coalesce(s, CAST(0 AS BIGINT))"
+                    f" + CASE WHEN isd = 1 THEN m div {ns}"
+                    f"   ELSE CAST(0 AS BIGINT) END) div {q}"
+                ).alias("rm"),
+            )
+        )
+    return ranks.select(
+        "node",
+        F.col("rm").alias("rank_micro"),
+        (F.col("rm") / F.lit(float(MICRO))).alias("rank"),
+    )
+
+
+def personalized_pagerank_sql(
+    edges_sql: str,
+    seeds: list[int],
+    n_iters: int = 4,
+    damping: tuple[int, int] = (17, 20),
+) -> str:
+    """DuckDB twin of :func:`personalized_pagerank` — identical unrolled
+    integer iterations (same argument as pagerank_sql)."""
+    p, q = int(damping[0]), int(damping[1])
+    ns = len(seeds)
+    seed_list = ", ".join(str(int(x)) for x in seeds)
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src AS node, count(*) AS outd FROM e GROUP BY 1)",
+        f"r0 AS (SELECT node, CASE WHEN node IN ({seed_list})"
+        f" THEN CAST({MICRO // ns} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END AS rm FROM nodes)",
+    ]
+    for k in range(n_iters):
+        prev, cur = f"r{k}", f"r{k + 1}"
+        parts.append(
+            f"{cur} AS ("
+            f" SELECT nodes.node,"
+            f"   CASE WHEN nodes.node IN ({seed_list})"
+            f"     THEN CAST({(q - p) * MICRO} AS BIGINT) // {q * ns}"
+            f"     ELSE CAST(0 AS BIGINT) END"
+            f"   + {p} * (coalesce(c.s, CAST(0 AS BIGINT))"
+            f"     + CASE WHEN nodes.node IN ({seed_list})"
+            f"       THEN dg.m // {ns} ELSE CAST(0 AS BIGINT) END) // {q} AS rm"
+            f" FROM nodes"
+            f" LEFT JOIN (SELECT e.dst AS node, sum(p.rm // deg.outd) AS s"
+            f"            FROM e JOIN {prev} p ON e.src = p.node"
+            f"            JOIN deg ON deg.node = e.src"
+            f"            GROUP BY e.dst) c ON nodes.node = c.node"
+            f" CROSS JOIN (SELECT coalesce(sum(p.rm), 0) AS m"
+            f"             FROM {prev} p"
+            f"             WHERE p.node NOT IN (SELECT node FROM deg)) dg)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, CAST(rm AS BIGINT) AS rank_micro,"
+        f" rm / {float(MICRO)} AS rank FROM r{n_iters}"
+    )

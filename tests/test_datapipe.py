@@ -2110,3 +2110,45 @@ def test_hits_matches_sql_oracle(docs, ddb):
         " WHERE src <> dst",
     )
     _cmp(out, ddb.sql(sql), ["node"])
+
+
+def test_personalized_pagerank_literal_fixed_point(spark):
+    from pdal_spark.datapipe import graphrank as gr
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (4, 3)]
+    M, pq = gr.MICRO, (17, 20)
+    seeds = [0]
+    deg = {0: 2, 1: 1, 2: 1, 4: 1}
+    r = {i: (M // 1 if i in seeds else 0) for i in range(5)}
+    for _ in range(4):
+        dang = sum(v for k, v in r.items() if k not in deg)
+        s = {i: 0 for i in range(5)}
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        r = {
+            i: (3 * M // 20 if i in seeds else 0)
+            + 17 * (s[i] + (dang // 1 if i in seeds else 0)) // 20
+            for i in range(5)
+        }
+    e = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        x.node: x.rank_micro
+        for x in gr.personalized_pagerank(
+            e, seeds=seeds, n_iters=4, damping=pq
+        ).collect()
+    }
+    assert got == r
+    # mass concentrates around the seed's neighborhood; the component
+    # unreachable from the seed gets none
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+    assert got[3] == 0 and got[4] == 0
+
+
+def test_personalized_pagerank_rejects_empty_seeds(spark):
+    from pdal_spark.datapipe import graphrank as gr
+
+    e = spark.createDataFrame([(0, 1)], "src int, dst int")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        gr.personalized_pagerank(e, seeds=[])
