@@ -691,3 +691,173 @@ def stream_gk_quantiles(
     return rows.groupBy("g").applyInPandasWithState(
         fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_top_k_words(
+    df: DataFrame,
+    by: str = "lang",
+    text_col: str = "text",
+    k: int = 10,
+    cap: int = 4096,
+) -> DataFrame:
+    """Streaming per-group Misra-Gries heavy hitters: the batch
+    _mg_summaries contraction (datapipe/frequency.py) folded in state.
+
+    MG summaries merge by counter addition followed by one contraction,
+    with deficits adding — so state is <= cap counters per group FOREVER
+    and every emitted candidate carries certified bounds:
+    mg_count <= true count <= mg_count + deficit, deficit = running
+    total // (cap+1). A word whose true count exceeds the deficit can
+    never be evicted (the MG guarantee), so the candidate set always
+    contains every such heavy hitter — the streaming twin of
+    top_k_words' certificate."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    rows = (
+        df.select(
+            F.col(by).alias("g"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    out_schema = (
+        "g string, version int, word string, mg_count long, "
+        "count_hi long, total long, deficit long"
+    )
+    state_schema = (
+        "version int, words array<string>, counts array<long>, total long"
+    )
+
+    def fold(gkey, pdfs, state: GroupState):
+        batch = pd.Series(dtype="int64")
+        n_batch = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            vc = pdf["word"].value_counts()
+            n_batch += int(vc.sum())
+            batch = batch.add(vc, fill_value=0)
+        if state.exists:
+            version, words, counts, total = state.get
+            acc = batch.add(
+                pd.Series(list(counts), index=list(words)), fill_value=0
+            )
+            total = int(total) + n_batch
+        else:
+            version, acc, total = 0, batch, n_batch
+        if len(acc) > cap:  # MG contraction: subtract the (cap+1)-th count
+            thresh = acc.nlargest(cap + 1).iloc[-1]
+            acc = acc[acc > thresh] - thresh
+        acc = acc.astype("int64")
+        version += 1
+        state.update(
+            (version, list(acc.index), [int(x) for x in acc.values],
+             int(total))
+        )
+        deficit = total // (cap + 1)
+        top = acc.sort_values(ascending=False, kind="mergesort")
+        # deterministic ties: count desc, then word asc
+        top = (
+            top.rename_axis("w").reset_index(name="c")
+            .sort_values(["c", "w"], ascending=[False, True])
+            .head(k)
+        )
+        yield pd.DataFrame(
+            {
+                "g": [gkey[0]] * len(top),
+                "version": [version] * len(top),
+                "word": top["w"].values,
+                "mg_count": top["c"].values,
+                "count_hi": (top["c"] + deficit).values,
+                "total": [total] * len(top),
+                "deficit": [deficit] * len(top),
+            }
+        )
+
+    return rows.groupBy("g").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_hll_distinct(
+    df: DataFrame,
+    by: str = "lang",
+    value_col: str = "text",
+    m: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Streaming per-group HyperLogLog: register elementwise-max folded
+    in state — HLL's merge is EXACT (max of maxes), so the drained
+    stream's registers equal the batch hll_sketch's bit-for-bit, like
+    the KMV fold. State = m small ints per group, any stream length.
+
+    The (register, rho) columns are computed PRE-state by the same
+    column expressions as batch (affine-cipher hash, base-2 string
+    bit_length) — the kernel only folds integer maxes."""
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pdal_spark.datapipe.bloom import _content_key
+    from pdal_spark.datapipe.sketch import _alpha, kmv_hash
+
+    if m & (m - 1) or m < 2:
+        raise ValueError("m must be a power of two >= 2")
+    hi_bits = 31 - m.bit_length() + 1
+    v = F.col(value_col)
+    if dict(df.dtypes).get(value_col) == "string":
+        v = _content_key(v)
+    h = kmv_hash(v, seed)
+    idx = (h % m).cast("int")
+    rest = (h / m).cast("long")
+    rho = F.when(rest == 0, F.lit(hi_bits + 1)).otherwise(
+        F.lit(hi_bits + 1) - F.length(F.conv(rest, 10, 2))
+    )
+    rows = df.select(
+        F.col(by).alias("g"), idx.alias("i"), rho.alias("r")
+    ).filter(F.col("r").isNotNull())
+    out_schema = (
+        "g string, version int, registers array<int>, n_zero_regs long, "
+        "reg_sum double, est_distinct double"
+    )
+    state_schema = "version int, registers array<int>"
+
+    def fold(gkey, pdfs, state: GroupState):
+        regs = np.zeros(m, dtype=np.int64)
+        if state.exists:
+            version, stored = state.get
+            regs = np.asarray(stored, dtype=np.int64)
+        else:
+            version = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            np.maximum.at(regs, pdf["i"].to_numpy(), pdf["r"].to_numpy())
+        version += 1
+        state.update((version, [int(x) for x in regs]))
+        # identical summary algebra to batch hll_sketch: the dyadic sum
+        # is exact in any order, so stream == batch bit-for-bit
+        ssum = float(sum(1.0 / (2.0 ** int(r)) for r in regs))
+        zeros = int((regs == 0).sum())
+        raw = _alpha(m) * m * m / ssum
+        if raw <= 2.5 * m and zeros > 0:
+            est = float(m) * _math.log(float(m) / zeros)
+        else:
+            est = raw
+        yield pd.DataFrame(
+            {
+                "g": [gkey[0]],
+                "version": [version],
+                "registers": [[int(x) for x in regs]],
+                "n_zero_regs": [zeros],
+                "reg_sum": [round(ssum, 9)],
+                "est_distinct": [round(est, 6)],
+            }
+        )
+
+    return rows.groupBy("g").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

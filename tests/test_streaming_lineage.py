@@ -689,3 +689,130 @@ def test_stream_gk_state_is_bounded(spark, tmp_path):
 
     s = prune_brackets(exact_summary(np.arange(10000.0), 0.001), cap)
     assert s.v.size <= cap + 1
+
+
+def test_stream_top_k_words_exact_when_under_cap(spark, tmp_path):
+    """cap >= vocabulary: the MG fold is lossless — drained-stream
+    counts equal exact batch counts per group, deficit certifies it."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "lang", "text"
+    )
+    src = str(tmp_path / "mgw")
+    docs.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    k = 5
+    out = sj.stream_top_k_words(stream, k=k, cap=100000)
+    q = sj.run_stream_to_memory(out, "mgw", output_mode="update")
+    try:
+        got = spark.sql(
+            "SELECT * FROM mgw WHERE (g, version) IN "
+            "(SELECT g, max(version) FROM mgw GROUP BY g)"
+        ).collect()
+    finally:
+        q.stop()
+    exact = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .count()
+    ).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.lang, {})[r.word] = r["count"]
+    assert got
+    for r in got:
+        assert r.deficit == 0  # lossless under cap -> certified exact
+        assert truth[r.g][r.word] == r.mg_count
+    # per group: the emitted rows ARE the true top-k (count desc, word asc)
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.g, []).append(r)
+    for g, rows in by_g.items():
+        want = sorted(
+            truth[g].items(), key=lambda kv: (-kv[1], kv[0])
+        )[: len(rows)]
+        have = [
+            (r.word, r.mg_count)
+            for r in sorted(rows, key=lambda r: (-r.mg_count, r.word))
+        ]
+        assert have == want
+
+
+def test_stream_top_k_words_bounds_under_forced_contraction(spark, tmp_path):
+    """Tiny cap forces MG contractions across micro-batches: bounds
+    must still bracket the truth and no above-deficit word may vanish."""
+    import pandas as pd
+
+    rows = []
+    # skewed corpus: 'hot' dominates, tail of one-off words
+    for i in range(300):
+        rows.append(("en", "hot " * 5 + f"tail{i}"))
+    pdf = pd.DataFrame(rows, columns=["lang", "text"])
+    src = str(tmp_path / "mgc")
+    spark.createDataFrame(pdf).repartition(5).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cap = 8
+    out = sj.stream_top_k_words(stream, k=3, cap=cap)
+    q = sj.run_stream_to_memory(out, "mgc", output_mode="update")
+    try:
+        got = spark.sql(
+            "SELECT * FROM mgc WHERE version = (SELECT max(version) FROM mgc)"
+        ).collect()
+    finally:
+        q.stop()
+    total = 300 * 6
+    true_hot = 1500
+    r = {x.word: x for x in got}
+    assert "hot" in r  # above-deficit word survives every contraction
+    hot = r["hot"]
+    assert hot.total == total
+    assert hot.deficit == total // (cap + 1)
+    assert hot.mg_count <= true_hot <= hot.count_hi
+
+
+def test_stream_hll_registers_equal_batch(spark, tmp_path):
+    """HLL merge is exact (max of maxes): drained-stream summary equals
+    batch hll_sketch bit-for-bit on the same numeric values."""
+    from pdal_spark.datapipe.sketch import hll_sketch
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "lang", "n_chars"
+    )
+    src = str(tmp_path / "hll")
+    docs.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sj.stream_hll_distinct(stream, by="lang", value_col="n_chars")
+    q = sj.run_stream_to_memory(out, "hll", output_mode="update")
+    try:
+        got = spark.sql(
+            "SELECT g, n_zero_regs, reg_sum, est_distinct FROM hll "
+            "WHERE (g, version) IN "
+            "(SELECT g, max(version) FROM hll GROUP BY g)"
+        ).collect()
+    finally:
+        q.stop()
+    batch = {
+        r.lang: r
+        for r in hll_sketch(docs, ["lang"], "n_chars").collect()
+    }
+    assert got
+    for r in got:
+        b = batch[r.g]
+        assert r.n_zero_regs == b.n_zero_regs
+        assert r.reg_sum == b.reg_sum
+        assert r.est_distinct == pytest.approx(b.est_distinct, abs=2e-6)
