@@ -1638,6 +1638,21 @@ def q_pagerank_personal(spark, sf_dir):
     )
 
 
+def q_communities(spark, sf_dir):
+    """Deterministic synchronous label-propagation communities over the
+    q_pagerank link graph (smallest-label ties): per round, one
+    (node,label) count exchange + a per-node (never global) argmax
+    window; the DuckDB twin replays the identical trajectory."""
+    df = _table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    e1 = df.select((i % 601).alias("src"), ((i * 7 + 1) % 601).alias("dst"))
+    e2 = df.select(
+        ((i * 3) % 601).alias("src"), ((i * 13 + 5) % 601).alias("dst")
+    )
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+    return graphrank_op.label_propagation(edges, n_iters=4)
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs & authorities over the same deterministic link graph
     as q_pagerank: exact fixed-point integers with L1 normalization by
@@ -2588,6 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_pairs": q_image_dhash_pairs,
         "pagerank": q_pagerank,
         "pagerank_personal": q_pagerank_personal,
+        "communities": q_communities,
         "hits": q_hits,
         "triangles": q_triangles,
         "harmonic": q_harmonic,
@@ -4818,6 +4834,9 @@ def _datapipe_oracles() -> dict[str, str]:
             " WHERE src <> dst",
             seeds=PPR_SEEDS,
             n_iters=4,
+        ),
+        "communities": graphrank_op.label_propagation_sql(
+            _PAGERANK_EDGES_SQL, n_iters=4
         ),
         "hits": graphrank_op.hits_sql(
             "SELECT src, dst FROM (" + _PAGERANK_EDGES_SQL + ")"

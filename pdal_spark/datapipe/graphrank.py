@@ -715,3 +715,98 @@ def personalized_pagerank_sql(
         f"SELECT node, CAST(rm AS BIGINT) AS rank_micro,"
         f" rm / {float(MICRO)} AS rank FROM r{n_iters}"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan et al. 2007)
+    over the undirected view of the link graph: every node starts as
+    its own label; each round adopts the most frequent label among
+    neighbors, ties to the SMALLEST label — fully deterministic, so the
+    unrolled DuckDB twin is hash-green (no the-usual-LPA randomness).
+    Isolated-in-round nodes keep their label.
+
+    Plan per round: one groupBy (node, label) count exchange + one
+    per-node window (partitions are single nodes' label histograms —
+    tiny by construction, never global). Synchronous updates can
+    oscillate on bipartite structures; n_iters is a fixed budget and
+    the twin replays the same trajectory, oscillation included.
+    -> (node, label)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    from pyspark.sql import Window
+
+    for _ in range(n_iters):
+        hist = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("nl")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"), F.col("nl"))
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("nl").asc()
+        )
+        pick = (
+            hist.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("nl").alias("new_label"))
+        )
+        labels = (
+            nodes.join(labels, "node")
+            .join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+    return labels
+
+
+def label_propagation_sql(
+    edges_sql: str, n_iters: int = 4
+) -> str:
+    """DuckDB twin: identical unrolled deterministic rounds."""
+    parts = [
+        f"WITH e0 AS (SELECT src AS a, dst AS b FROM ({edges_sql})"
+        f" WHERE src <> dst)",
+        "und AS (SELECT DISTINCT a, b FROM"
+        " (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0))",
+        "nodes AS (SELECT DISTINCT a AS node FROM und)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for k in range(n_iters):
+        prev, cur = f"l{k}", f"l{k + 1}"
+        parts.append(
+            f"{cur} AS ("
+            f" SELECT nodes.node,"
+            f"  coalesce(p.new_label, q.label) AS label"
+            f" FROM nodes"
+            f" JOIN {prev} q ON q.node = nodes.node"
+            f" LEFT JOIN ("
+            f"   SELECT node, nl AS new_label FROM ("
+            f"     SELECT und.a AS node, l.label AS nl, count(*) AS c,"
+            f"       row_number() OVER (PARTITION BY und.a"
+            f"         ORDER BY count(*) DESC, l.label ASC) AS rn"
+            f"     FROM und JOIN {prev} l ON und.b = l.node"
+            f"     GROUP BY und.a, l.label)"
+            f"   WHERE rn = 1) p ON p.node = nodes.node)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\nSELECT node, CAST(label AS BIGINT) AS label"
+        f" FROM l{n_iters}"
+    )

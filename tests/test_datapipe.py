@@ -2152,3 +2152,36 @@ def test_personalized_pagerank_rejects_empty_seeds(spark):
 
     with _pytest.raises(ValueError):
         gr.personalized_pagerank(e, seeds=[])
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: LPA converges to one
+    label per triangle (the smallest member id), bridge notwithstanding."""
+    from pdal_spark.datapipe import graphrank as gr
+
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    e = spark.createDataFrame(
+        tri1 + tri2 + [(2, 10)], "src long, dst long"
+    )
+    got = {r.node: r.label
+           for r in gr.label_propagation(e, n_iters=4).collect()}
+    assert got[0] == got[1] == got[2] == 0
+    # the bridge leaks the smaller-side label into the tie at node 10
+    # (round 1: {11,12,2} all count 1 -> 2), which then wins the
+    # triangle — deterministic trajectory, two communities still
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[0]
+
+
+def test_label_propagation_deterministic_tie_to_smallest(spark):
+    """A node whose two neighbors carry equally frequent labels adopts
+    the smaller label."""
+    from pdal_spark.datapipe import graphrank as gr
+
+    # star center 5 with leaves 1 and 9: round 1 -> center sees {1, 9},
+    # tie -> label 1
+    e = spark.createDataFrame([(5, 1), (5, 9)], "src long, dst long")
+    got = {r.node: r.label
+           for r in gr.label_propagation(e, n_iters=1).collect()}
+    assert got[5] == 1
