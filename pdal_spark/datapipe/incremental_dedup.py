@@ -17,9 +17,10 @@ The corpus TEXT table is never read during ingest; candidates verify
 against the stored word-hash arrays (exact Jaccard on the hashed-word
 sets, the same semantics as minhash_dedup_pairs word_id_mode="hash").
 
-Online semantics (documented, tested): ALL new docs' features enter
-the index (so later increments can match docs that were themselves
-dropped — near-dup chains across increments resolve like batch), but
+Online semantics (documented, tested): every distinct feature set
+enters the index, including dropped docs' (so later increments can
+match docs that were themselves dropped — near-dup chains across
+increments resolve like batch), but
 survivors are decided at ingest time: the connected components of the
 verified pairs touching this increment, canonical = smallest id.
 Requires ids monotone across increments (crawl ids are). The one
@@ -52,10 +53,11 @@ class NearDupIndex:
     """Persistent LSH + verifier index over snapshot catalogs.
 
     Tables under ``root``: ``docs`` (the deduped corpus — survivors
-    only), ``arrays`` (id, sz, warr — ALL ingested docs' sorted
-    word-hash sets), ``bands`` (id, band, key — ALL ingested docs'
-    bucket keys). Features of dropped docs stay indexed on purpose —
-    see the module docstring's chain argument."""
+    only), ``arrays`` (id, sz, warr — sorted word-hash sets) and ``bands``
+    (id, band, key — bucket keys), both for exact-dup REPRESENTATIVES
+    (a member's features are bit-identical to its rep's, so indexing
+    them would add cost and no recall). Dropped near-dup reps stay
+    indexed on purpose — see the module docstring's chain argument."""
 
     def __init__(
         self,
@@ -125,12 +127,32 @@ class NearDupIndex:
 
     def ingest(self, df: DataFrame) -> dict:
         """Dedup the increment against the index AND itself; append
-        survivors to ``docs``, ALL features to ``arrays``/``bands``.
-        Returns counts + the new snapshot versions."""
+        survivors to ``docs``, representative features to
+        ``arrays``/``bands``. Returns counts + the new versions.
+
+        Exact-duplicate collapsing first: web crawls are duplicate-
+        DENSE, and m byte-identical docs share every band key — the
+        naive bucket self-join materializes m^2 candidate pairs of
+        arrays. Instead, docs with identical word-hash sets collapse
+        to their smallest-id representative (an exact dup IS Jaccard
+        1 — the member->rep edge needs no verification), only reps
+        enter the LSH join, the verify fan-out, and the index (a
+        member's features are bit-identical to its rep's, so future
+        increments lose nothing). Candidate volume goes from
+        O(dup-group^2) to O(distinct-rep bucket collisions)."""
         df = df.persist()
-        new_arrays, new_bands = self._featurize(df)
-        new_arrays = new_arrays.persist()
-        new_bands = new_bands.persist()
+        all_arrays_new, all_bands_new = self._featurize(df)
+        # exact-dup groups: identical warr -> identical features
+        ck = all_arrays_new.withColumn("_ck", F.xxhash64("warr"))
+        reps = ck.groupBy("_ck").agg(F.min("id").alias("rep"))
+        members = ck.join(reps, "_ck").select("id", "rep").persist()
+        rep_ids = members.filter(F.col("id") == F.col("rep")).select("id")
+        new_arrays = all_arrays_new.join(rep_ids, "id", "semi").persist()
+        new_bands = all_bands_new.join(rep_ids, "id", "semi").persist()
+        # member -> rep edges are certified pairs (Jaccard exactly 1)
+        exact_edges = members.filter(F.col("id") != F.col("rep")).select(
+            F.col("rep").alias("id1"), F.col("id").alias("id2")
+        )
 
         have_index = self.bands_t.current_version() > 0
         if have_index:
@@ -139,7 +161,7 @@ class NearDupIndex:
         else:
             all_bands, all_arrays = new_bands, new_arrays
 
-        # candidates: new docs vs (past + new) bucket-mates, normalized
+        # candidates: new reps vs (past + new) rep bucket-mates
         other = all_bands.select(
             F.col("id").alias("id2"), "band", "key"
         )
@@ -172,6 +194,7 @@ class NearDupIndex:
             )
             .filter(F.col("jaccard") >= self.threshold)
             .select("id1", "id2")
+            .unionByName(exact_edges)
             .persist()
         )
         # survivors: components over the touched ids, canonical =
@@ -194,11 +217,16 @@ class NearDupIndex:
         survivors = df.join(dropped, self.id_col, "anti")
 
         n_new = df.count()
-        n_kept = survivors.count()
+        before = self.docs.snapshot(self.docs.current_version()).get(
+            "total_rows", 0
+        ) if self.docs.current_version() else 0
         v_docs = self.docs.append(survivors)
+        # kept-count from the manifest delta — no second pass over the
+        # anti-join (the append already materialized it once)
+        n_kept = self.docs.snapshot(v_docs)["total_rows"] - before
         v_arr = self.arrays.append(new_arrays)
         v_bands = self.bands_t.append(new_bands)
-        for d in (df, new_arrays, new_bands, pairs):
+        for d in (df, members, new_arrays, new_bands, pairs):
             d.unpersist()
         return {
             "n_ingested": n_new,
