@@ -1653,6 +1653,21 @@ def q_communities(spark, sf_dir):
     return graphrank_op.label_propagation(edges, n_iters=4)
 
 
+def q_kcore(spark, sf_dir):
+    """3-core of the link graph (deterministic synchronous peel with a
+    fixed round budget + convergence certificate): one semi-join degree
+    aggregate per round, no windows; the DuckDB twin unrolls the same
+    trajectory."""
+    df = _table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    e1 = df.select((i % 601).alias("src"), ((i * 7 + 1) % 601).alias("dst"))
+    e2 = df.select(
+        ((i * 3) % 601).alias("src"), ((i * 13 + 5) % 601).alias("dst")
+    )
+    edges = e1.unionByName(e2).filter(F.col("src") != F.col("dst"))
+    return graphrank_op.kcore(edges, k=3, n_rounds=6)
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs & authorities over the same deterministic link graph
     as q_pagerank: exact fixed-point integers with L1 normalization by
@@ -2604,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pagerank_personal": q_pagerank_personal,
         "communities": q_communities,
+        "kcore": q_kcore,
         "hits": q_hits,
         "triangles": q_triangles,
         "harmonic": q_harmonic,
@@ -4837,6 +4853,9 @@ def _datapipe_oracles() -> dict[str, str]:
         ),
         "communities": graphrank_op.label_propagation_sql(
             _PAGERANK_EDGES_SQL, n_iters=4
+        ),
+        "kcore": graphrank_op.kcore_sql(
+            _PAGERANK_EDGES_SQL, k=3, n_rounds=6
         ),
         "hits": graphrank_op.hits_sql(
             "SELECT src, dst FROM (" + _PAGERANK_EDGES_SQL + ")"

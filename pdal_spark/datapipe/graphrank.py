@@ -810,3 +810,80 @@ def label_propagation_sql(
         f"{body}\nSELECT node, CAST(label AS BIGINT) AS label"
         f" FROM l{n_iters}"
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    n_rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core peeling over the undirected simple graph: repeatedly drop
+    nodes with degree < k; survivors after a fixed ``n_rounds`` budget
+    (web-spam / link-farm cohesion analysis — the k-core is where
+    dense reciprocal link structure concentrates, Seidman 1983).
+
+    Deterministic synchronous peel, so the unrolled DuckDB twin replays
+    the identical trajectory; a fixpoint certificate column reports
+    whether the LAST round still removed nodes (consumers see an
+    unconverged budget instead of silently trusting it). Plan per
+    round: one semi-join degree aggregate — no windows.
+    -> (node, degree, converged)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    live = und.select(F.col("a").alias("node")).distinct()
+    deg = None
+    for i in range(n_rounds):
+        sub = (
+            und.join(live.select(F.col("node").alias("a")), "a")
+            .join(live.select(F.col("node").alias("b")), "b")
+        )
+        deg = sub.groupBy(F.col("a").alias("node")).agg(
+            F.count("*").alias("degree")
+        )
+        nxt = deg.filter(F.col("degree") >= k).select("node")
+        if i < n_rounds - 1:
+            live = nxt
+            # truncate lineage growth across rounds
+            live = live.localCheckpoint(eager=False)
+    # converged iff the last filter removed nothing
+    n_before = deg.count()
+    survivors = deg.filter(F.col("degree") >= k)
+    converged = survivors.count() == n_before
+    return survivors.withColumn("converged", F.lit(bool(converged)))
+
+
+def kcore_sql(edges_sql: str, k: int = 3, n_rounds: int = 6) -> str:
+    """DuckDB twin: identical unrolled peel rounds."""
+    parts = [
+        f"WITH e0 AS (SELECT src AS a, dst AS b FROM ({edges_sql})"
+        f" WHERE src <> dst)",
+        "und AS (SELECT DISTINCT a, b FROM"
+        " (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0))",
+        "live0 AS (SELECT DISTINCT a AS node FROM und)",
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"deg{i} AS (SELECT und.a AS node, count(*) AS degree"
+            f" FROM und"
+            f" JOIN live{i} la ON la.node = und.a"
+            f" JOIN live{i} lb ON lb.node = und.b"
+            f" GROUP BY und.a)"
+        )
+        parts.append(
+            f"live{i + 1} AS (SELECT node FROM deg{i} WHERE degree >= {k})"
+        )
+    last = n_rounds - 1
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT d.node, CAST(d.degree AS BIGINT) AS degree,"
+        f" (SELECT count(*) FROM live{last + 1})"
+        f"   = (SELECT count(*) FROM deg{last}) AS converged\n"
+        f"FROM deg{last} d WHERE d.degree >= {k}"
+    )

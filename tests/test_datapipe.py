@@ -2185,3 +2185,31 @@ def test_label_propagation_deterministic_tie_to_smallest(spark):
     got = {r.node: r.label
            for r in gr.label_propagation(e, n_iters=1).collect()}
     assert got[5] == 1
+
+
+def test_kcore_literal_peel(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle —
+    the pendant peels in round 1, its support in round 2."""
+    from pdal_spark.datapipe import graphrank as gr
+
+    # triangle 0-1-2; chain 2-3, 3-4
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = gr.kcore(e, k=2, n_rounds=4).collect()
+    nodes = sorted(r.node for r in got)
+    assert nodes == [0, 1, 2]
+    assert all(r.degree == 2 and r.converged for r in got)
+
+
+def test_kcore_unconverged_budget_is_reported(spark):
+    """A long chain peels one node per round from each end: with a
+    1-round budget the certificate must say not converged."""
+    from pdal_spark.datapipe import graphrank as gr
+
+    chain = [(i, i + 1) for i in range(10)]
+    e = spark.createDataFrame(chain, "src long, dst long")
+    got = gr.kcore(e, k=2, n_rounds=1).collect()
+    assert got and not got[0].converged
+    # ...and with enough rounds the 2-core of a chain is empty
+    assert gr.kcore(e, k=2, n_rounds=8).count() == 0
