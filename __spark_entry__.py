@@ -191,7 +191,10 @@ def q_head_tail(spark, sf_dir):
 
 def q_divider_round_robin(spark, sf_dir):
     """filters.divider round_robin: view_id = i mod count (DividerFilter.cpp:141)."""
-    df = _table(spark, sf_dir, "documents")
+    # Project before the arrival-rank shuffle: global_rank range-partitions
+    # whole rows, and dragging the html binary column through that exchange
+    # is ~10x the bytes this query needs.
+    df = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     out = rel_op.divider(df, count=4, mode="round_robin", order_col="doc_id")
     return out.groupBy("view_id").agg(
         F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("sum_chars")
