@@ -35,6 +35,7 @@ from pdal_spark.datapipe import classifier as clf_op
 from pdal_spark.datapipe import pq as pq_entry_op
 from pdal_spark.datapipe import htmlextract as hx_op
 from pdal_spark.datapipe import anchors as anchors_op
+from pdal_spark.datapipe import wordlm as wordlm_op
 from pdal_spark.functions.dimrange import parse_range, range_sql
 from pdal_spark.functions.mongo import mongo_sql
 from pdal_spark.operators import asof as asof_op
@@ -1553,6 +1554,17 @@ def q_text_bigram_lm(spark, sf_dir):
     return text_op.char_bigram_logloss(df)
 
 
+def q_word_lm(spark, sf_dir):
+    """Stupid-backoff trigram LM (Brants et al. 2007 §4): model trained
+    on the even-doc_id half, every doc scored via ONE gram-keyed join
+    against the unioned count tables (corpus-sized model — never
+    broadcast-required), conditional scores precomputed into the gram
+    tables so scoring needs no denominator lookups. Exact integer
+    OOV/backoff diagnostics bit-compare with the twin."""
+    df = _table(spark, sf_dir, "documents")
+    return wordlm_op.word_lm_logloss(df)
+
+
 def q_ppl_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity bucketing (arXiv:1911.00359
     §4.4): per-language tercile thresholds over the bigram-LM score,
@@ -2603,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "compression_ratio": q_compression_ratio,
         "text_bigram_lm": q_text_bigram_lm,
+        "word_lm": q_word_lm,
         "ppl_buckets": q_ppl_buckets,
         "pack_sequences": q_pack_sequences,
         "bloom_screen": q_bloom_screen,
@@ -4745,6 +4758,7 @@ def _datapipe_oracles() -> dict[str, str]:
         ),
         "text_langid": text_op.lang_id_sql(),
         "text_bigram_lm": text_op.char_bigram_logloss_sql(),
+        "word_lm": wordlm_op.word_lm_logloss_sql(),
         "ppl_buckets": text_op.perplexity_buckets_sql(),
         "pack_sequences": pack_op.pack_sequences_sql(256, ws),
         "bloom_screen": bloom_op.bloom_screen_sql(
