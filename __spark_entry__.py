@@ -2094,6 +2094,19 @@ def q_word_freq_cms(spark, sf_dir):
     return est.select("word", "n", F.col("est").cast("long").alias("est"))
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """PMI collocation mining (Church & Hanks 1990) in the distributed
+    "pairs" formulation: two map-side-combinable exchanges over the
+    exploded token stream (pair counts, word counts), corpus scalars
+    read off the AGGREGATED tables and attached as a one-row broadcast,
+    min_count filter BEFORE the vocabulary joins. Open vocabulary —
+    nothing collected, nothing corpus-sized broadcast."""
+    from pdal_spark.datapipe import collocations as coll_op
+
+    df = _table(spark, sf_dir, "documents")
+    return coll_op.pmi_collocations(df, min_count=3)
+
+
 def q_weighted_sample(spark, sf_dir):
     """A-ES weighted sampling without replacement, k=25 per lang:
     priority u^(1/tokens) with the affine-cipher uniform, per-stratum
@@ -2649,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "word_topk": q_word_topk,
         "word_freq_cms": q_word_freq_cms,
+        "pmi_collocations": q_pmi_collocations,
         "weighted_sample": q_weighted_sample,
         "dedup_canonical": q_dedup_canonical,
         "image_meta": q_image_meta,
@@ -4671,6 +4685,7 @@ def _raster_oracles() -> dict[str, str]:
 
 
 def _datapipe_oracles() -> dict[str, str]:
+    from pdal_spark.datapipe import collocations as coll_op
     from pdal_spark.datapipe import contamination as cont_op
     from pdal_spark.datapipe import dsir as dsir_op
     from pdal_spark.datapipe import frequency as freq_op
@@ -4692,6 +4707,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "split_assign": cont_op.split_assign_sql(select="doc_id, lang"),
         "word_topk": freq_op.top_k_words_sql(k=20),
         "word_freq_cms": freq_op.cms_topk_sql(k=15, d=4, w=512),
+        "pmi_collocations": coll_op.pmi_collocations_sql(min_count=3),
         "weighted_sample": cont_op.weighted_sample_sql(k=25),
         # real PPM decode vs the closed-form pixel function: channel 0 =
         # (x*7 + y*13 + id) % 256, channels 1/2 offset by 85/170; header
