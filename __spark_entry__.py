@@ -2107,6 +2107,29 @@ def q_pmi_collocations(spark, sf_dir):
     return coll_op.pmi_collocations(df, min_count=3)
 
 
+def q_winnow_fp(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — MOSS):
+    per-window rightmost-minimum k-gram hash selection as pure
+    higher-order array expressions. MAP-ONLY — zero shuffles; the
+    sketch (expected density 2/(w+1)) is what ships to the dedup
+    index, never the text."""
+    from pdal_spark.datapipe import winnow as win_op
+
+    df = _table(spark, sf_dir, "documents")
+    return win_op.winnow_fingerprints(df, k=8, w=4)
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Fingerprint-overlap near-dup pairs over the winnowing sketch:
+    document-frequency cap (max_df) drops boilerplate fingerprints
+    BEFORE the fp-keyed self-join (the hot-bucket guard), one pair
+    exchange counts shared values."""
+    from pdal_spark.datapipe import winnow as win_op
+
+    df = _table(spark, sf_dir, "documents")
+    return win_op.winnow_pairs(df, k=8, w=4, min_shared=8, max_df=20)
+
+
 def q_weighted_sample(spark, sf_dir):
     """A-ES weighted sampling without replacement, k=25 per lang:
     priority u^(1/tokens) with the affine-cipher uniform, per-stratum
@@ -2663,6 +2686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_topk": q_word_topk,
         "word_freq_cms": q_word_freq_cms,
         "pmi_collocations": q_pmi_collocations,
+        "winnow_fp": q_winnow_fp,
+        "winnow_pairs": q_winnow_pairs,
         "weighted_sample": q_weighted_sample,
         "dedup_canonical": q_dedup_canonical,
         "image_meta": q_image_meta,
@@ -4687,6 +4712,7 @@ def _raster_oracles() -> dict[str, str]:
 def _datapipe_oracles() -> dict[str, str]:
     from pdal_spark.datapipe import collocations as coll_op
     from pdal_spark.datapipe import contamination as cont_op
+    from pdal_spark.datapipe import winnow as win_op
     from pdal_spark.datapipe import dsir as dsir_op
     from pdal_spark.datapipe import frequency as freq_op
     from pdal_spark.datapipe import substring as ss_op
@@ -4708,6 +4734,10 @@ def _datapipe_oracles() -> dict[str, str]:
         "word_topk": freq_op.top_k_words_sql(k=20),
         "word_freq_cms": freq_op.cms_topk_sql(k=15, d=4, w=512),
         "pmi_collocations": coll_op.pmi_collocations_sql(min_count=3),
+        "winnow_fp": win_op.winnow_fingerprints_sql(k=8, w=4),
+        "winnow_pairs": win_op.winnow_pairs_sql(
+            k=8, w=4, min_shared=8, max_df=20
+        ),
         "weighted_sample": cont_op.weighted_sample_sql(k=25),
         # real PPM decode vs the closed-form pixel function: channel 0 =
         # (x*7 + y*13 + id) % 256, channels 1/2 offset by 85/170; header
