@@ -2130,6 +2130,28 @@ def q_winnow_pairs(spark, sf_dir):
     return win_op.winnow_pairs(df, k=8, w=4, min_shared=8, max_df=20)
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Per-language Zipf rank-frequency fit over the top-1000 words:
+    one (lang, word) combinable exchange, skew-safe grouped_topk (no
+    vocabulary-sized window), regression points quantized to integer
+    log-micro-units so the five sums are EXACT BIGINTs (order-free
+    accumulation — the pagerank fixed-point contract)."""
+    from pdal_spark.datapipe import corpusstats as cs_op
+
+    df = _table(spark, sf_dir, "documents")
+    return cs_op.zipf_fit(df, max_rank=1000)
+
+
+def q_heaps_fit(spark, sf_dir):
+    """Heaps/Herdan vocabulary-growth fit ln V = ln k + beta ln N
+    across (lang, source) sub-corpora; same exact fixed-point
+    regression as zipf_fit."""
+    from pdal_spark.datapipe import corpusstats as cs_op
+
+    df = _table(spark, sf_dir, "documents")
+    return cs_op.heaps_fit(df)
+
+
 def q_weighted_sample(spark, sf_dir):
     """A-ES weighted sampling without replacement, k=25 per lang:
     priority u^(1/tokens) with the affine-cipher uniform, per-stratum
@@ -2688,6 +2710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
+        "zipf_fit": q_zipf_fit,
+        "heaps_fit": q_heaps_fit,
         "weighted_sample": q_weighted_sample,
         "dedup_canonical": q_dedup_canonical,
         "image_meta": q_image_meta,
@@ -4712,6 +4736,7 @@ def _raster_oracles() -> dict[str, str]:
 def _datapipe_oracles() -> dict[str, str]:
     from pdal_spark.datapipe import collocations as coll_op
     from pdal_spark.datapipe import contamination as cont_op
+    from pdal_spark.datapipe import corpusstats as cs_op
     from pdal_spark.datapipe import winnow as win_op
     from pdal_spark.datapipe import dsir as dsir_op
     from pdal_spark.datapipe import frequency as freq_op
@@ -4734,6 +4759,8 @@ def _datapipe_oracles() -> dict[str, str]:
         "word_topk": freq_op.top_k_words_sql(k=20),
         "word_freq_cms": freq_op.cms_topk_sql(k=15, d=4, w=512),
         "pmi_collocations": coll_op.pmi_collocations_sql(min_count=3),
+        "zipf_fit": cs_op.zipf_fit_sql(max_rank=1000),
+        "heaps_fit": cs_op.heaps_fit_sql(),
         "winnow_fp": win_op.winnow_fingerprints_sql(k=8, w=4),
         "winnow_pairs": win_op.winnow_pairs_sql(
             k=8, w=4, min_shared=8, max_df=20
