@@ -2130,6 +2130,20 @@ def q_winnow_pairs(spark, sf_dir):
     return win_op.winnow_pairs(df, k=8, w=4, min_shared=8, max_df=20)
 
 
+def q_textrank(spark, sf_dir):
+    """TextRank keywords (Mihalcea & Tarau 2004): per-doc word graph +
+    power iteration as ONE map-only Arrow kernel — zero shuffles,
+    embarrassingly parallel (the documented Python-kernel exception:
+    per-doc graphs are hundreds of nodes, where dense numpy beats a
+    distributed fixed point; graphrank.pagerank covers corpus-sized
+    graphs). Rows-only at the driver (iterative per doc); the strong
+    oracle is the pure-python reference in tests/test_textrank.py."""
+    from pdal_spark.datapipe import textrank as tr_op
+
+    df = _table(spark, sf_dir, "documents")
+    return tr_op.textrank_keywords(df, window=2, k=5)
+
+
 def q_zipf_fit(spark, sf_dir):
     """Per-language Zipf rank-frequency fit over the top-1000 words:
     one (lang, word) combinable exchange, skew-safe grouped_topk (no
@@ -2712,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "zipf_fit": q_zipf_fit,
         "heaps_fit": q_heaps_fit,
+        "textrank": q_textrank,
         "weighted_sample": q_weighted_sample,
         "dedup_canonical": q_dedup_canonical,
         "image_meta": q_image_meta,

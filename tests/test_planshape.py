@@ -86,6 +86,7 @@ def test_every_query_has_oracle_or_is_whitelisted():
         "band_claims",  # xxhash64 band keys have no DuckDB twin
         "compression_ratio",  # no SQL engine has DEFLATE; replay oracle in pytest
         "hyperball",  # iterative HLL register algebra; vs-exact oracle in pytest
+        "textrank",  # per-doc iterative power method; python-ref oracle in pytest
     }
     missing = set(E.queries()) - set(E.oracle_sql()) - rows_only_ok
     assert not missing, f"queries without oracle: {sorted(missing)}"
