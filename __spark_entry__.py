@@ -2130,6 +2130,19 @@ def q_winnow_pairs(spark, sf_dir):
     return win_op.winnow_pairs(df, k=8, w=4, min_shared=8, max_df=20)
 
 
+def q_source_keyness(spark, sf_dir):
+    """Dunning-G² keyness: words over-represented in one source vs the
+    rest (corpus-vs-rest 2x2 per (source, word)); one (source, word)
+    combinable exchange, marginals re-aggregated from it, N as a
+    one-row broadcast, min_count before the word-key join. Direction
+    test in deterministic double division (int64-overflow-safe at
+    10^12 tokens)."""
+    from pdal_spark.datapipe import corpusstats as cs_op
+
+    df = _table(spark, sf_dir, "documents")
+    return cs_op.source_keyness(df, min_count=5, min_llr=3.84)
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keywords (Mihalcea & Tarau 2004): per-doc word graph +
     power iteration as ONE map-only Arrow kernel — zero shuffles,
@@ -2727,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "heaps_fit": q_heaps_fit,
         "textrank": q_textrank,
+        "source_keyness": q_source_keyness,
         "weighted_sample": q_weighted_sample,
         "dedup_canonical": q_dedup_canonical,
         "image_meta": q_image_meta,
@@ -4776,6 +4790,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "pmi_collocations": coll_op.pmi_collocations_sql(min_count=3),
         "zipf_fit": cs_op.zipf_fit_sql(max_rank=1000),
         "heaps_fit": cs_op.heaps_fit_sql(),
+        "source_keyness": cs_op.source_keyness_sql(
+            min_count=5, min_llr=3.84
+        ),
         "winnow_fp": win_op.winnow_fingerprints_sql(k=8, w=4),
         "winnow_pairs": win_op.winnow_pairs_sql(
             k=8, w=4, min_shared=8, max_df=20

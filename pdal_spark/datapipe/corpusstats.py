@@ -138,6 +138,122 @@ def heaps_fit(
     )
 
 
+def source_keyness(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    min_count: int = 5,
+    min_llr: float = 10.83,
+) -> DataFrame:
+    """Keyness (Dunning 1993 G² applied corpus-vs-rest; Rayson &
+    Garside 2000): words significantly OVER-represented in one
+    sub-corpus relative to the remainder — the standard "what makes
+    this source different" report (and a template/spam tripwire: a
+    source whose key words are navigation chrome is boilerplate).
+
+    2x2 table per (source, word): k11 = c(w, s), row = N_s,
+    col = c(w); G² with the usual 0·ln0 = 0 guard; direction filter
+    keeps only over-representation (k11/N_s > c(w)/N, compared in
+    double — deterministic IEEE on both engines and safe past the
+    int64 cross-multiply bound at 10^12 tokens); significance filter
+    llr > min_llr (10.83 = chi², 1 dof, p < .001).
+
+    Plan: one (source, word) combinable exchange; c(w) and N_s are
+    re-aggregations of it; N attaches as a one-row broadcast; the
+    min_count filter runs BEFORE the word-key join.
+    """
+    df = ensure_min_partitions(df)
+    wc = (
+        df.select(
+            F.col(by), F.explode(F.split(F.col(text_col), " ")).alias("w")
+        )
+        .groupBy(by, "w")
+        .agg(F.count("*").alias("cnt_ws"))
+    )
+    cw = wc.groupBy("w").agg(F.sum("cnt_ws").alias("cnt_w"))
+    ns = wc.groupBy(by).agg(F.sum("cnt_ws").alias("n_s"))
+    n = ns.agg(F.sum("n_s").alias("n_tot"))
+    j = (
+        wc.filter(F.col("cnt_ws") >= min_count)
+        .join(cw, "w")
+        .join(ns, by)
+        .join(F.broadcast(n))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    k11, r1, c1, m = d("cnt_ws"), d("n_s"), d("cnt_w"), d("n_tot")
+
+    def term(k, r, c):
+        return F.when(k > 0, k * F.log(k * m / (r * c))).otherwise(F.lit(0.0))
+
+    llr = F.round(
+        2.0
+        * (
+            term(k11, r1, c1)
+            + term(r1 - k11, r1, m - c1)
+            + term(c1 - k11, m - r1, c1)
+            + term(m - r1 - c1 + k11, m - r1, m - c1)
+        ),
+        6,
+    )
+    return (
+        j.withColumn("llr", llr)
+        .filter((k11 / r1 > c1 / m) & (F.col("llr") > min_llr))
+        .select(by, "w", "cnt_ws", "cnt_w", "llr")
+    )
+
+
+def source_keyness_sql(
+    table: str = "documents",
+    text: str = "text",
+    by: str = "source",
+    min_count: int = 5,
+    min_llr: float = 10.83,
+) -> str:
+    """DuckDB twin of source_keyness (identical term association)."""
+
+    def term(k, r, c):
+        return (
+            f"(CASE WHEN {k} > 0 THEN {k} * ln({k} * m / ({r} * {c})) "
+            f"ELSE 0.0 END)"
+        )
+
+    k11, r1, c1 = "k11", "r1", "c1"
+    body = " + ".join(
+        [
+            term(k11, r1, c1),
+            term(f"({r1} - {k11})", r1, f"(m - {c1})"),
+            term(f"({c1} - {k11})", f"(m - {r1})", c1),
+            term(
+                f"(m - {r1} - {c1} + {k11})", f"(m - {r1})", f"(m - {c1})"
+            ),
+        ]
+    )
+    return f"""
+WITH wc AS (
+  SELECT {by}, w, count(*) AS cnt_ws
+  FROM (SELECT {by}, unnest(string_split({text}, ' ')) AS w FROM {table})
+  GROUP BY {by}, w
+),
+cw AS (SELECT w, CAST(sum(cnt_ws) AS BIGINT) AS cnt_w FROM wc GROUP BY w),
+ns AS (SELECT {by}, CAST(sum(cnt_ws) AS BIGINT) AS n_s
+       FROM wc GROUP BY {by}),
+n AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM ns),
+j AS (
+  SELECT wc.{by}, wc.w, cnt_ws, cnt_w,
+         CAST(cnt_ws AS DOUBLE) AS k11, CAST(n_s AS DOUBLE) AS r1,
+         CAST(cnt_w AS DOUBLE) AS c1, CAST(n_tot AS DOUBLE) AS m
+  FROM wc
+  JOIN cw USING (w) JOIN ns USING ({by}) CROSS JOIN n
+  WHERE cnt_ws >= {int(min_count)}
+)
+SELECT {by}, w, cnt_ws, cnt_w,
+       round(2.0 * ({body}), 6) AS llr
+FROM j
+WHERE k11 / r1 > c1 / m
+  AND round(2.0 * ({body}), 6) > {min_llr!r}
+""".strip()
+
+
 def _fit_sql(src: str, by: str) -> str:
     """Regression tail shared by both twins; src must yield
     (by, xi, yi) BIGINT micro-unit points."""

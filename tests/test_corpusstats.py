@@ -107,7 +107,8 @@ def test_heaps_beta_in_unit_range(spark, sf_dir):
 
 
 def _twin(spark, sf_dir, engine_df, sql, float_cols, int_cols, key):
-    got = engine_df.orderBy(key).toPandas()
+    keys = [k.strip() for k in key.split(",")]
+    got = engine_df.orderBy(*keys).toPandas()
     con = duckdb.connect()
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
@@ -143,6 +144,59 @@ def test_heaps_twin_sf0001(spark, sf_dir):
         ("heaps_beta", "heaps_ln_k"),
         ("lang", "n_points"),
         "lang",
+    )
+
+
+def test_keyness_planted_signal(spark):
+    """A source whose pages repeat a distinctive word must surface it;
+    a uniformly-shared word must not be key anywhere."""
+    rows = []
+    i = 0
+    for s, extra in (("blog", "casserole"), ("forum", "gearbox")):
+        for _ in range(6):
+            rows.append((i, "en", f"the common words and {extra} thing", s))
+            i += 1
+    for _ in range(6):
+        rows.append((i, "en", "the common words and plain thing", "news"))
+        i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string"
+    )
+    got = {
+        (r.source, r.w): r.llr
+        for r in CS.source_keyness(df, min_count=3, min_llr=3.84).collect()
+    }
+    assert ("blog", "casserole") in got
+    assert ("forum", "gearbox") in got
+    assert not any(w == "the" for _, w in got)
+    # G2 against a python reference for one cell
+    import math
+
+    # 18 docs x 6 tokens: N_s = 36, m = 108; casserole: 6 hits, all in blog
+    k11, r1, c1, m = 6.0, 36.0, 6.0, 108.0
+    cells = [
+        (k11, r1, c1),
+        (r1 - k11, r1, m - c1),
+        (c1 - k11, m - r1, c1),
+        (m - r1 - c1 + k11, m - r1, m - c1),
+    ]
+    exp = round(
+        2.0
+        * sum(k * math.log(k * m / (r * c)) for k, r, c in cells if k > 0),
+        6,
+    )
+    assert got[("blog", "casserole")] == pytest.approx(exp, abs=1e-6)
+
+
+def test_keyness_twin_sf0001(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _twin(
+        spark, sf_dir,
+        CS.source_keyness(df, min_llr=3.84),
+        CS.source_keyness_sql(min_llr=3.84),
+        ("llr",),
+        ("source", "w", "cnt_ws", "cnt_w"),
+        "source, w",
     )
 
 
