@@ -2130,6 +2130,17 @@ def q_winnow_pairs(spark, sf_dir):
     return win_op.winnow_pairs(df, k=8, w=4, min_shared=8, max_df=20)
 
 
+def q_chunk_docs(spark, sf_dir):
+    """RAG-style sliding-window chunk manifest (chunk_size/overlap
+    contract, word-granular): pure higher-order array exprs + one
+    explode — map-only, zero shuffles; chunk_text hash-compares
+    against the DuckDB list-slice replay."""
+    from pdal_spark.datapipe import chunking as ch_op
+
+    df = _table(spark, sf_dir, "documents")
+    return ch_op.chunk_documents(df, max_tokens=64, overlap=16)
+
+
 def q_source_keyness(spark, sf_dir):
     """Dunning-G² keyness: words over-represented in one source vs the
     rest (corpus-vs-rest 2x2 per (source, word)); one (source, word)
@@ -2741,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": q_heaps_fit,
         "textrank": q_textrank,
         "source_keyness": q_source_keyness,
+        "chunk_docs": q_chunk_docs,
         "weighted_sample": q_weighted_sample,
         "dedup_canonical": q_dedup_canonical,
         "image_meta": q_image_meta,
@@ -4763,6 +4775,7 @@ def _raster_oracles() -> dict[str, str]:
 
 
 def _datapipe_oracles() -> dict[str, str]:
+    from pdal_spark.datapipe import chunking as ch_op
     from pdal_spark.datapipe import collocations as coll_op
     from pdal_spark.datapipe import contamination as cont_op
     from pdal_spark.datapipe import corpusstats as cs_op
@@ -4793,6 +4806,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "source_keyness": cs_op.source_keyness_sql(
             min_count=5, min_llr=3.84
         ),
+        "chunk_docs": ch_op.chunk_documents_sql(max_tokens=64, overlap=16),
         "winnow_fp": win_op.winnow_fingerprints_sql(k=8, w=4),
         "winnow_pairs": win_op.winnow_pairs_sql(
             k=8, w=4, min_shared=8, max_df=20
