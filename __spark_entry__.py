@@ -2130,6 +2130,29 @@ def q_winnow_pairs(spark, sf_dir):
     return win_op.winnow_pairs(df, k=8, w=4, min_shared=8, max_df=20)
 
 
+def q_burst_windows(spark, sf_dir):
+    """Distributed burst screen over the events stream: tumbling
+    windows per event_type, per-key Poisson baseline over the active
+    span, KL/Chernoff surprise gate. One (key, window) combinable
+    exchange + a key rollup joined back — unbounded keys/history."""
+    from pdal_spark.datapipe import bursts as b_op
+
+    df = _table(spark, sf_dir, "events")
+    return b_op.burst_windows(df, width_s=3600, min_surprise=1.0)
+
+
+def q_kleinberg_bursts(spark, sf_dir):
+    """Kleinberg 2-state burst automaton (KDD 2002): exact Viterbi
+    over each key's inter-arrival gaps, one Arrow kernel per key with
+    an explicit max_events_per_key bound (screen with burst_windows at
+    scale). Rows-only (per-key DP); pure-python Viterbi oracle in
+    tests/test_bursts.py."""
+    from pdal_spark.datapipe import bursts as b_op
+
+    df = _table(spark, sf_dir, "events")
+    return b_op.kleinberg_bursts(df, s=2.0, gamma=0.5)
+
+
 def q_chunk_docs(spark, sf_dir):
     """RAG-style sliding-window chunk manifest (chunk_size/overlap
     contract, word-granular): pure higher-order array exprs + one
@@ -2753,6 +2776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "source_keyness": q_source_keyness,
         "chunk_docs": q_chunk_docs,
+        "burst_windows": q_burst_windows,
+        "kleinberg_bursts": q_kleinberg_bursts,
         "weighted_sample": q_weighted_sample,
         "dedup_canonical": q_dedup_canonical,
         "image_meta": q_image_meta,
@@ -4775,6 +4800,7 @@ def _raster_oracles() -> dict[str, str]:
 
 
 def _datapipe_oracles() -> dict[str, str]:
+    from pdal_spark.datapipe import bursts as b_op
     from pdal_spark.datapipe import chunking as ch_op
     from pdal_spark.datapipe import collocations as coll_op
     from pdal_spark.datapipe import contamination as cont_op
@@ -4807,6 +4833,9 @@ def _datapipe_oracles() -> dict[str, str]:
             min_count=5, min_llr=3.84
         ),
         "chunk_docs": ch_op.chunk_documents_sql(max_tokens=64, overlap=16),
+        "burst_windows": b_op.burst_windows_sql(
+            width_s=3600, min_surprise=1.0
+        ),
         "winnow_fp": win_op.winnow_fingerprints_sql(k=8, w=4),
         "winnow_pairs": win_op.winnow_pairs_sql(
             k=8, w=4, min_shared=8, max_df=20

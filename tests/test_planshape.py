@@ -87,6 +87,7 @@ def test_every_query_has_oracle_or_is_whitelisted():
         "compression_ratio",  # no SQL engine has DEFLATE; replay oracle in pytest
         "hyperball",  # iterative HLL register algebra; vs-exact oracle in pytest
         "textrank",  # per-doc iterative power method; python-ref oracle in pytest
+        "kleinberg_bursts",  # per-key Viterbi DP; python-ref oracle in pytest
     }
     missing = set(E.queries()) - set(E.oracle_sql()) - rows_only_ok
     assert not missing, f"queries without oracle: {sorted(missing)}"
