@@ -2130,6 +2130,24 @@ def q_winnow_pairs(spark, sf_dir):
     return win_op.winnow_pairs(df, k=8, w=4, min_shared=8, max_df=20)
 
 
+def q_cocitation(spark, sf_dir):
+    """Co-citation relatedness pairs (Small 1973) over the synthetic
+    link graph: key-bucketed self-join with the quadratic hub guard
+    (keys above max_degree dropped BEFORE the join — the winnow_pairs
+    max_df contract), one pair-count exchange."""
+    from pdal_spark.datapipe import graphrank as gr_op
+
+    df = _table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    edges = df.select((i % 53).alias("src"), ((i * 7 + 1) % 89).alias("dst"))
+    edges = edges.unionByName(
+        df.select(
+            ((i * 3) % 53).alias("src"), ((i * 13 + 5) % 89).alias("dst")
+        )
+    )
+    return gr_op.cocitation(edges, min_count=3, max_degree=50)
+
+
 def q_burst_windows(spark, sf_dir):
     """Distributed burst screen over the events stream: tumbling
     windows per event_type, per-key Poisson baseline over the active
@@ -2778,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "burst_windows": q_burst_windows,
         "kleinberg_bursts": q_kleinberg_bursts,
+        "cocitation": q_cocitation,
         "weighted_sample": q_weighted_sample,
         "dedup_canonical": q_dedup_canonical,
         "image_meta": q_image_meta,
@@ -5026,6 +5045,14 @@ def _datapipe_oracles() -> dict[str, str]:
             "SELECT src, dst FROM (" + _PAGERANK_EDGES_SQL + ")"
             " WHERE src <> dst",
             n_iters=4,
+        ),
+        "cocitation": graphrank_op.cocitation_sql(
+            "SELECT doc_id % 53 AS src, (doc_id * 7 + 1) % 89 AS dst"
+            " FROM documents UNION ALL"
+            " SELECT (doc_id * 3) % 53, (doc_id * 13 + 5) % 89"
+            " FROM documents",
+            min_count=3,
+            max_degree=50,
         ),
         "text_fingerprint": (
             f"SELECT doc_id, {md5_sql} AS fp_md5, "

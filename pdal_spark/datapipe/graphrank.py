@@ -887,3 +887,72 @@ def kcore_sql(edges_sql: str, k: int = 3, n_rounds: int = 6) -> str:
         f"   = (SELECT count(*) FROM deg{last}) AS converged\n"
         f"FROM deg{last} d WHERE d.degree >= {k}"
     )
+
+
+def cocitation(
+    edges: DataFrame,
+    mode: str = "cocitation",
+    min_count: int = 2,
+    max_degree: int = 1000,
+) -> DataFrame:
+    """Co-citation (Small 1973: pages cited TOGETHER are related) or
+    bibliographic coupling (Kessler 1963: pages CITING the same things
+    are related) over the link graph — the classic relatedness pair
+    measures behind "related pages" and link-farm detection.
+
+    mode="cocitation": pairs of DSTs sharing a src, counted over
+    distinct citing pages; mode="coupling": pairs of SRCs sharing a
+    dst. The join key's degree bounds the pair fan-out quadratically,
+    so keys above max_degree are DROPPED before the self-join (the
+    hub guard — a nav-bar page linking 10^5 targets, or a dst cited
+    by the whole web, would otherwise explode the bucket; same
+    contract as winnow_pairs' max_df). One (key)-bucketed self-join +
+    one pair-count exchange; dedup via id_a < id_b.
+
+    Output: (id_a, id_b, n_shared) with n_shared >= min_count.
+    """
+    if mode == "cocitation":
+        key, val = "src", "dst"
+    elif mode == "coupling":
+        key, val = "dst", "src"
+    else:
+        raise ValueError("mode must be 'cocitation' or 'coupling'")
+    e = edges.select(key, val).filter(F.col("src") != F.col("dst")).distinct()
+    ok = (
+        e.groupBy(key)
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") <= max_degree)
+        .select(key)
+    )
+    e = e.join(ok, key)
+    a = e.select(key, F.col(val).alias("id_a"))
+    b = e.select(key, F.col(val).alias("id_b"))
+    return (
+        a.join(b, key)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_count)
+    )
+
+
+def cocitation_sql(
+    edges_sql: str,
+    mode: str = "cocitation",
+    min_count: int = 2,
+    max_degree: int = 1000,
+) -> str:
+    """DuckDB twin of cocitation()."""
+    key, val = ("src", "dst") if mode == "cocitation" else ("dst", "src")
+    return f"""
+WITH e AS (
+  SELECT DISTINCT {key} AS k, {val} AS v
+  FROM ({edges_sql}) WHERE src <> dst
+),
+ok AS (SELECT k FROM e GROUP BY k HAVING count(*) <= {int(max_degree)})
+SELECT a.v AS id_a, b.v AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM e a JOIN ok USING (k) JOIN e b USING (k)
+WHERE a.v < b.v
+GROUP BY 1, 2
+HAVING count(*) >= {int(min_count)}
+""".strip()
