@@ -2130,6 +2130,17 @@ def q_winnow_pairs(spark, sf_dir):
     return win_op.winnow_pairs(df, k=8, w=4, min_shared=8, max_df=20)
 
 
+def q_jl_project(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 projection 64 -> 16 dims (Achlioptas
+    2003): sign matrix derived once in the driver and inlined as
+    literals, each output dim one ordered left fold — map-only, zero
+    shuffles; cuts downstream embedding exchanges 4x."""
+    from pdal_spark.datapipe import jl as jl_op
+
+    df = _table(spark, sf_dir, "embeddings")
+    return jl_op.jl_project(df, d_in=64, d_out=16)
+
+
 def q_cocitation(spark, sf_dir):
     """Co-citation relatedness pairs (Small 1973) over the synthetic
     link graph: key-bucketed self-join with the quadratic hub guard
@@ -2797,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_windows": q_burst_windows,
         "kleinberg_bursts": q_kleinberg_bursts,
         "cocitation": q_cocitation,
+        "jl_project": q_jl_project,
         "weighted_sample": q_weighted_sample,
         "dedup_canonical": q_dedup_canonical,
         "image_meta": q_image_meta,
@@ -4821,6 +4833,7 @@ def _raster_oracles() -> dict[str, str]:
 def _datapipe_oracles() -> dict[str, str]:
     from pdal_spark.datapipe import bursts as b_op
     from pdal_spark.datapipe import chunking as ch_op
+    from pdal_spark.datapipe import jl as jl_op
     from pdal_spark.datapipe import collocations as coll_op
     from pdal_spark.datapipe import contamination as cont_op
     from pdal_spark.datapipe import corpusstats as cs_op
@@ -4855,6 +4868,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "burst_windows": b_op.burst_windows_sql(
             width_s=3600, min_surprise=1.0
         ),
+        "jl_project": jl_op.jl_project_sql(d_in=64, d_out=16),
         "winnow_fp": win_op.winnow_fingerprints_sql(k=8, w=4),
         "winnow_pairs": win_op.winnow_pairs_sql(
             k=8, w=4, min_shared=8, max_df=20
