@@ -2130,6 +2130,19 @@ def q_winnow_pairs(spark, sf_dir):
     return win_op.winnow_pairs(df, k=8, w=4, min_shared=8, max_df=20)
 
 
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the undirected synthetic link
+    graph: per-neighbor weight 1/ln(deg) quantized ONCE to integer
+    micro-units so per-pair sums are exact BIGINTs (order-free), hub
+    neighbors dropped before the quadratic pair join."""
+    from pdal_spark.datapipe import graphrank as gr_op
+
+    df = _table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    edges = df.select((i % 53).alias("src"), ((i * 7 + 1) % 89).alias("dst"))
+    return gr_op.adamic_adar(edges, max_degree=60)
+
+
 def q_jl_project(spark, sf_dir):
     """Johnson-Lindenstrauss ±1 projection 64 -> 16 dims (Achlioptas
     2003): sign matrix derived once in the driver and inlined as
@@ -2808,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_windows": q_burst_windows,
         "kleinberg_bursts": q_kleinberg_bursts,
         "cocitation": q_cocitation,
+        "adamic_adar": q_adamic_adar,
         "jl_project": q_jl_project,
         "weighted_sample": q_weighted_sample,
         "dedup_canonical": q_dedup_canonical,
@@ -5059,6 +5073,11 @@ def _datapipe_oracles() -> dict[str, str]:
             "SELECT src, dst FROM (" + _PAGERANK_EDGES_SQL + ")"
             " WHERE src <> dst",
             n_iters=4,
+        ),
+        "adamic_adar": graphrank_op.adamic_adar_sql(
+            "SELECT doc_id % 53 AS src, (doc_id * 7 + 1) % 89 AS dst"
+            " FROM documents",
+            max_degree=60,
         ),
         "cocitation": graphrank_op.cocitation_sql(
             "SELECT doc_id % 53 AS src, (doc_id * 7 + 1) % 89 AS dst"

@@ -956,3 +956,101 @@ WHERE a.v < b.v
 GROUP BY 1, 2
 HAVING count(*) >= {int(min_count)}
 """.strip()
+
+
+def adamic_adar(
+    edges: DataFrame,
+    min_score_mu: int = 1,
+    max_degree: int = 1000,
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003, "Friends and
+    neighbors on the Web"): candidate pairs scored by their shared
+    neighbors, rare neighbors weighted up —
+
+        AA(a, b) = Σ_{z ∈ Γ(a) ∩ Γ(b)} 1 / ln(deg(z))
+
+    over the UNDIRECTED graph. The score predicts missing links
+    (related-page suggestion, link-farm cohesion).
+
+    Hash-exactness: the per-z weight is quantized ONCE to integer
+    micro-units (round(1e6/ln deg) — single libm call + HALF_UP), so
+    the per-pair sum is an exact BIGINT (order-free across the shuffle,
+    the pagerank fixed-point contract); score = sum/1e6 at the end.
+    Degree-1 neighbors (ln deg = 0) contribute to no pair by
+    construction. Hub guard: z above max_degree dropped BEFORE the
+    pair join (quadratic fan-out bound, the cocitation contract).
+
+    Output: (id_a, id_b, n_shared, aa_mu, aa_score), aa_mu the exact
+    integer micro-unit sum, rows with aa_mu >= min_score_mu.
+    """
+    e0 = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    und = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    # und: (node, neighbor z); deg(z) = z's neighbor count
+    deg = und.groupBy("dst").agg(F.count("*").alias("deg"))
+    wz = (
+        deg.filter((F.col("deg") > 1) & (F.col("deg") <= max_degree))
+        .select(
+            F.col("dst").alias("z"),
+            F.round(
+                F.lit(1_000_000.0) / F.log(F.col("deg").cast("double"))
+            )
+            .cast("long")
+            .alias("w_mu"),
+        )
+    )
+    e = und.select(F.col("dst").alias("z"), F.col("src").alias("node")).join(
+        wz, "z"
+    )
+    a = e.select("z", "w_mu", F.col("node").alias("id_a"))
+    b = e.select("z", F.col("node").alias("id_b"))
+    return (
+        a.join(b, "z")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum("w_mu").alias("aa_mu"),
+        )
+        .filter(F.col("aa_mu") >= min_score_mu)
+        .withColumn(
+            "aa_score",
+            F.round(F.col("aa_mu").cast("double") / 1_000_000.0, 6),
+        )
+    )
+
+
+def adamic_adar_sql(
+    edges_sql: str,
+    min_score_mu: int = 1,
+    max_degree: int = 1000,
+) -> str:
+    """DuckDB twin: identical micro-unit quantization and guards."""
+    return f"""
+WITH e0 AS (SELECT src, dst FROM ({edges_sql}) WHERE src <> dst),
+und AS (
+  SELECT DISTINCT src, dst FROM
+  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+),
+deg AS (SELECT dst, count(*) AS deg FROM und GROUP BY dst),
+wz AS (
+  SELECT dst AS z,
+         CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT)
+           AS w_mu
+  FROM deg WHERE deg > 1 AND deg <= {int(max_degree)}
+),
+e AS (
+  SELECT und.dst AS z, w_mu, und.src AS node
+  FROM und JOIN wz ON und.dst = wz.z
+)
+SELECT a.node AS id_a, b.node AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       CAST(sum(a.w_mu) AS BIGINT) AS aa_mu,
+       round(CAST(CAST(sum(a.w_mu) AS BIGINT) AS DOUBLE) / 1000000.0, 6)
+         AS aa_score
+FROM e a JOIN e b USING (z)
+WHERE a.node < b.node
+GROUP BY 1, 2
+HAVING CAST(sum(a.w_mu) AS BIGINT) >= {int(min_score_mu)}
+""".strip()
