@@ -2605,6 +2605,17 @@ def q_url_canonical(spark, sf_dir):
     )
 
 
+def q_url_templates(spark, sf_dir):
+    """URL pattern mining over the variant pages: numeric/hex path
+    segments generalized to {n}/{hex} map-only, ONE template-keyed
+    combinable exchange — the crawl-frontier compressor (parametric
+    page families, trap detection, per-template caps)."""
+    from pdal_spark.datapipe import weburl
+
+    pages = _variant_pages(spark, sf_dir)
+    return weburl.url_templates(pages, min_count=2)
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level dedup: keep the LATEST capture per canonical URL
 """
@@ -2830,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_paragraph": q_dedup_paragraph,
         "url_canonical": q_url_canonical,
+        "url_templates": q_url_templates,
         "crawl_policy": q_crawl_policy,
         "crawl_revisit": q_crawl_revisit,
         "url_dedup": q_url_dedup,
@@ -5096,6 +5108,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "url_canonical": (
             f"SELECT doc_id, {weburl_op.canonical_url_sql('url')} AS canonical_url "
             f"FROM ({_VARIANT_PAGES_SQL})"
+        ),
+        "url_templates": weburl_op.url_templates_sql(
+            _VARIANT_PAGES_SQL, min_count=2
         ),
         "url_dedup": weburl_op.url_dedup_sql(
             f"({_VARIANT_PAGES_SQL})", id_col="doc_id",

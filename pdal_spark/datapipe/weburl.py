@@ -382,3 +382,79 @@ def revisit_changes_sql(
                   ELSE 'unchanged' END AS status
       FROM caps
     """
+
+
+def url_templates(
+    df: DataFrame,
+    url_col: str = "url",
+    min_count: int = 2,
+) -> DataFrame:
+    """URL pattern/template mining: generalize path segments —
+    all-digit segments to ``{n}``, long hex runs (8+) to ``{hex}`` —
+    and count occurrences per (host, template). The classic crawl-
+    frontier compressor: a template with 10^6 instances is a
+    parametric page family (product/{n}), which drives crawl
+    prioritization, per-template sampling caps, and infinite-space
+    trap detection (calendars, session ids).
+
+    Map-only generalization (regexp + higher-order array exprs, no
+    UDF) then ONE template-keyed combinable exchange. Output:
+    (template, n_urls, n_pages) with n_urls >= min_count, n_pages =
+    distinct concrete paths under the template.
+    """
+    u = F.col(url_col)
+    host = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1)
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    segs = F.split(path, "/")
+    gen = F.transform(
+        segs,
+        lambda s: F.when(s.rlike("^[0-9]+$"), F.lit("{n}"))
+        .when(s.rlike("^[0-9a-f]{8,}$"), F.lit("{hex}"))
+        .otherwise(s),
+    )
+    template = F.concat(host, F.array_join(gen, "/"))
+    return (
+        df.select(template.alias("template"), path.alias("_path"))
+        .groupBy("template")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.count_distinct(F.col("_path")).alias("n_pages"),
+        )
+        .filter(F.col("n_urls") >= min_count)
+    )
+
+
+def url_templates_sql(
+    pages_sql: str,
+    url: str = "url",
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin of url_templates (identical regexes; list_transform
+    + CASE mirrors the engine's generalization)."""
+    return f"""
+WITH p AS (
+  SELECT
+    lower(regexp_extract({url},
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+    regexp_extract({url},
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path
+  FROM ({pages_sql})
+),
+t AS (
+  SELECT host || array_to_string(
+           list_transform(string_split(path, '/'),
+             s -> CASE WHEN regexp_matches(s, '^[0-9]+$') THEN '{{n}}'
+                       WHEN regexp_matches(s, '^[0-9a-f]{{8,}}$')
+                         THEN '{{hex}}'
+                       ELSE s END),
+           '/') AS template,
+         path
+  FROM p
+)
+SELECT template, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT path) AS BIGINT) AS n_pages
+FROM t GROUP BY template
+HAVING count(*) >= {int(min_count)}
+""".strip()
