@@ -861,3 +861,90 @@ def stream_hll_distinct(
     return rows.groupBy("g").applyInPandasWithState(
         fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_burst_windows(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    width_s: int = 3600,
+    min_surprise: float = 3.0,
+):
+    """Streaming ONLINE burst screen — the stateful twin of
+    ``datapipe.bursts.burst_windows``. State per key is FOUR numbers
+    (n_tot, min_w, cur_w, cur_n), no event buffer: window ids are
+    pre-state column math (same floor(epoch_us/width) as batch), and a
+    window is EVALUATED WHEN IT CLOSES (a later window's first event
+    arrives) against the baseline-so-far
+    ``lam = n_closed_so_far / span_so_far`` — the online detector
+    semantics (batch uses the full-history baseline; the two agree on
+    the final prefix). Emission gates (count > lam and KL surprise >=
+    min_surprise) are identical to batch.
+
+    Contract (asserted in tests): per-key event-time order across
+    micro-batches (in-order ingest, the stream_sessionize regime).
+    Emissions are a pure function of each key's event sequence —
+    micro-batch slicing cannot change them (slice-invariance test).
+    The currently-open window is never emitted (it may still grow)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import math as _math
+
+    import pandas as pd
+
+    from pdal_spark.datapipe.bursts import _micros
+
+    width_us = int(width_s) * 1_000_000
+    rows = df.select(
+        F.col(key).alias("k"),
+        F.floor(_micros(df, ts) / F.lit(width_us)).cast("long").alias("w"),
+    )
+    out_schema = (
+        f"{key} string, window_id long, n_events long, "
+        "lam double, surprise double"
+    )
+    state_schema = "n_tot long, min_w long, cur_w long, cur_n long"
+
+    def fold(gkey, pdfs, state: GroupState):
+        if state.exists:
+            n_tot, min_w, cur_w, cur_n = state.get
+        else:
+            n_tot, min_w, cur_w, cur_n = 0, None, None, 0
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values("w", kind="mergesort")
+        emitted = []
+        for w, cnt in pdf.groupby("w", sort=True).size().items():
+            w = int(w)
+            if cur_w is None:
+                min_w, cur_w, cur_n = w, w, 0
+            if w > cur_w:
+                # close cur_w
+                n_tot += cur_n
+                span = cur_w - min_w + 1
+                lam = n_tot / span
+                if cur_n > lam:
+                    srp = cur_n * _math.log(cur_n / lam) - (cur_n - lam)
+                    if round(srp, 6) >= min_surprise:
+                        emitted.append(
+                            (
+                                gkey[0],
+                                cur_w,
+                                cur_n,
+                                round(lam, 6),
+                                round(srp, 6),
+                            )
+                        )
+                cur_w, cur_n = w, 0
+            cur_n += int(cnt)
+        state.update((int(n_tot), int(min_w), int(cur_w), int(cur_n)))
+        if emitted:
+            yield pd.DataFrame(
+                emitted,
+                columns=[key, "window_id", "n_events", "lam", "surprise"],
+            )
+
+    return rows.groupBy("k").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

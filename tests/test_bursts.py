@@ -141,3 +141,95 @@ def test_burst_windows_plan_shape(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def _py_online_bursts(seq, width_us, min_surprise):
+    """Independent replay of the online rule: evaluate each window at
+    close against the baseline-so-far."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, us in seq:
+        by_key[k].append(us // width_us)
+    out = []
+    for k, ws in by_key.items():
+        ws.sort()
+        n_tot, min_w, cur_w, cur_n = 0, None, None, 0
+        for w in ws:
+            if cur_w is None:
+                min_w, cur_w = w, w
+            if w > cur_w:
+                n_tot += cur_n
+                lam = n_tot / (cur_w - min_w + 1)
+                if cur_n > lam:
+                    srp = cur_n * math.log(cur_n / lam) - (cur_n - lam)
+                    if round(srp, 6) >= min_surprise:
+                        out.append(
+                            (k, cur_w, cur_n, round(lam, 6), round(srp, 6))
+                        )
+                cur_w, cur_n = w, 0
+            cur_n += 1
+    return sorted(out)
+
+
+def _stream_rows(spark, tmp_path, rows, n_slices, name):
+    import time
+
+    src = str(tmp_path / name)
+    import pandas as pd
+
+    ev = pd.DataFrame(rows, columns=["event_id", "event_type", "us"])
+    ev = ev.sort_values(["us", "event_id"])
+    n = len(ev)
+    for i in range(n_slices):
+        sl = ev.iloc[i * n // n_slices : (i + 1) * n // n_slices]
+        spark.createDataFrame(sl).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+        .selectExpr("event_id", "event_type", "timestamp_micros(us) AS ts")
+    )
+
+
+def _planted_rows():
+    rows = []
+    eid = 0
+    for i in range(24):  # 1/hour baseline
+        rows.append((eid, "A", i * 3_600_000_000)); eid += 1
+    for i in range(30):  # dense hour 5
+        rows.append((eid, "A", 5 * 3_600_000_000 + i * 60_000_000)); eid += 1
+    for i in range(24):
+        rows.append((eid, "B", i * 3_600_000_000)); eid += 1
+    return rows
+
+
+def test_stream_burst_windows_matches_replay_and_slicing(spark, tmp_path):
+    from pdal_spark.streaming import jobs
+
+    rows = _planted_rows()
+    exp = _py_online_bursts(
+        [(k, us) for _, k, us in rows], 3_600_000_000, 3.0
+    )
+    assert exp, "planted burst must be emitted"
+    got = {}
+    for slices, name in ((1, "b1"), (4, "b4")):
+        stream = _stream_rows(spark, tmp_path, rows, slices, name)
+        out = jobs.stream_burst_windows(
+            stream, width_s=3600, min_surprise=3.0
+        )
+        q = jobs.run_stream_to_memory(
+            out, f"bw_{name}", output_mode="update"
+        )
+        df = spark.sql(f"SELECT * FROM bw_{name}").toPandas()
+        q.stop()
+        got[name] = sorted(
+            (r.event_type, r.window_id, r.n_events, r.lam, r.surprise)
+            for r in df.itertuples()
+        )
+    # slice-invariance: 1 micro-batch == 4 micro-batches
+    assert got["b1"] == got["b4"]
+    assert got["b1"] == exp
