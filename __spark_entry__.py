@@ -2130,6 +2130,18 @@ def q_winnow_pairs(spark, sf_dir):
     return win_op.winnow_pairs(df, k=8, w=4, min_shared=8, max_df=20)
 
 
+def q_frequent_pairs(spark, sf_dir):
+    """Market-basket frequent term pairs (Apriori two-pass, exact by
+    monotonicity): df-prune items in one combinable exchange, pruned
+    sorted baskets in one doc exchange, index-pair explode + one pair
+    exchange; quadratic hot-document fan-out REFUSED above max_basket
+    (not truncated — truncation would break exactness)."""
+    from pdal_spark.datapipe import itemsets as it_op
+
+    df = _table(spark, sf_dir, "documents")
+    return it_op.frequent_pairs(df, min_support=150)
+
+
 def q_adamic_adar(spark, sf_dir):
     """Adamic-Adar link prediction over the undirected synthetic link
     graph: per-neighbor weight 1/ln(deg) quantized ONCE to integer
@@ -2834,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": q_cocitation,
         "adamic_adar": q_adamic_adar,
         "jl_project": q_jl_project,
+        "frequent_pairs": q_frequent_pairs,
         "weighted_sample": q_weighted_sample,
         "dedup_canonical": q_dedup_canonical,
         "image_meta": q_image_meta,
@@ -4863,6 +4876,7 @@ def _datapipe_oracles() -> dict[str, str]:
     from pdal_spark.datapipe import collocations as coll_op
     from pdal_spark.datapipe import contamination as cont_op
     from pdal_spark.datapipe import corpusstats as cs_op
+    from pdal_spark.datapipe import itemsets as it_op
     from pdal_spark.datapipe import winnow as win_op
     from pdal_spark.datapipe import dsir as dsir_op
     from pdal_spark.datapipe import frequency as freq_op
@@ -4895,6 +4909,7 @@ def _datapipe_oracles() -> dict[str, str]:
             width_s=3600, min_surprise=1.0
         ),
         "jl_project": jl_op.jl_project_sql(d_in=64, d_out=16),
+        "frequent_pairs": it_op.frequent_pairs_sql(min_support=150),
         "winnow_fp": win_op.winnow_fingerprints_sql(k=8, w=4),
         "winnow_pairs": win_op.winnow_pairs_sql(
             k=8, w=4, min_shared=8, max_df=20
