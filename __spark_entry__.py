@@ -2130,6 +2130,17 @@ def q_winnow_pairs(spark, sf_dir):
     return win_op.winnow_pairs(df, k=8, w=4, min_shared=8, max_df=20)
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc TF-IDF top-5 keywords: idf quantized once per term to
+    integer log-micro-units so every score is an exact BIGINT and the
+    top-k cut is integer-deterministic (no rounded-double boundary);
+    grouped_topk keeps the per-doc windows bounded."""
+    from pdal_spark.datapipe import ranking as rank_op
+
+    df = _table(spark, sf_dir, "documents")
+    return rank_op.tfidf_keywords(df, k=5)
+
+
 def q_frequent_pairs(spark, sf_dir):
     """Market-basket frequent term pairs (Apriori two-pass, exact by
     monotonicity): df-prune items in one combinable exchange, pruned
@@ -2847,6 +2858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "jl_project": q_jl_project,
         "frequent_pairs": q_frequent_pairs,
+        "tfidf_keywords": q_tfidf_keywords,
         "weighted_sample": q_weighted_sample,
         "dedup_canonical": q_dedup_canonical,
         "image_meta": q_image_meta,
@@ -4910,6 +4922,7 @@ def _datapipe_oracles() -> dict[str, str]:
         ),
         "jl_project": jl_op.jl_project_sql(d_in=64, d_out=16),
         "frequent_pairs": it_op.frequent_pairs_sql(min_support=150),
+        "tfidf_keywords": ranking_op.tfidf_keywords_sql(k=5),
         "winnow_fp": win_op.winnow_fingerprints_sql(k=8, w=4),
         "winnow_pairs": win_op.winnow_pairs_sql(
             k=8, w=4, min_shared=8, max_df=20

@@ -182,3 +182,102 @@ def bm25_score_sql(
         f"FROM qt JOIN dfreq USING (term) CROSS JOIN corpus "
         f"GROUP BY doc_id"
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document TF-IDF keywords (Sparck Jones 1972): top-k terms
+    by tf · ln(N/df) — the oracled complement of textrank.py (which is
+    per-doc iterative and rows-only).
+
+    Hash-exact top-k selection: idf is quantized ONCE per term to
+    integer log-micro-units (round(ln(N/df)·1e6)), so every score is
+    an exact BIGINT tf·idf_mu and the (score desc, term asc) ranking
+    is integer-deterministic on both engines — no rounded-double
+    ordering at the cut boundary. Plan: one (doc, term) combinable
+    exchange, term df re-aggregated from it, N as a one-row broadcast,
+    then the skew-safe grouped_topk (bounded windows) + a k-sized
+    partitioned rank window."""
+    from pyspark.sql import Window
+
+    from pdal_spark.operators.ordered import grouped_topk
+    from pdal_spark.session import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_cnt"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "idf_mu",
+            F.round(
+                F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("df_cnt").cast("double")
+                )
+                * 1_000_000.0
+            ).cast("long"),
+        )
+        .withColumn("score_mu", F.col("tf") * F.col("idf_mu"))
+    )
+    top = grouped_topk(
+        scored, [id_col], [F.desc("score_mu"), F.asc("term")], k
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_mu"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col,
+        "term",
+        "tf",
+        "df_cnt",
+        "score_mu",
+        "rank",
+        F.round(F.col("score_mu").cast("double") / 1_000_000.0, 6).alias(
+            "tfidf"
+        ),
+    )
+
+
+def tfidf_keywords_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> str:
+    """DuckDB twin: identical integer quantization and rank order."""
+    return f"""
+WITH tf AS (
+  SELECT {id_col}, term, count(*) AS tf
+  FROM (SELECT {id_col},
+               unnest(string_split({text}, ' ')) AS term FROM {table})
+  GROUP BY {id_col}, term
+),
+dfreq AS (SELECT term, count(*) AS df_cnt FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM {table}),
+scored AS (
+  SELECT {id_col}, term, tf, df_cnt,
+         tf * CAST(round(ln(CAST(n_docs AS DOUBLE)
+                             / CAST(df_cnt AS DOUBLE)) * 1000000.0)
+                   AS BIGINT) AS score_mu
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT {id_col}, term, tf, df_cnt, score_mu,
+       CAST(row_number() OVER
+         (PARTITION BY {id_col} ORDER BY score_mu DESC, term) AS INT)
+         AS rank,
+       round(CAST(score_mu AS DOUBLE) / 1000000.0, 6) AS tfidf
+FROM scored
+QUALIFY rank <= {int(k)}
+""".strip()
