@@ -2130,6 +2130,15 @@ def q_winnow_pairs(spark, sf_dir):
     return win_op.winnow_pairs(df, k=8, w=4, min_shared=8, max_df=20)
 
 
+def q_dedup_edit(spark, sf_dir):
+    """Edit-distance-verified near-dup pairs: SimHash band screen (no
+    crossJoin), then the exact Levenshtein DP only on survivors —
+    character-level mutations (OCR noise, template fills) that word-set
+    Jaccard under-weights. Verify is bit-exact on both engines."""
+    df = _table(spark, sf_dir, "documents")
+    return dedup_op.edit_distance_pairs(df, max_dist=40)
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Per-doc TF-IDF top-5 keywords: idf quantized once per term to
     integer log-micro-units so every score is an exact BIGINT and the
@@ -2859,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_project": q_jl_project,
         "frequent_pairs": q_frequent_pairs,
         "tfidf_keywords": q_tfidf_keywords,
+        "dedup_edit": q_dedup_edit,
         "weighted_sample": q_weighted_sample,
         "dedup_canonical": q_dedup_canonical,
         "image_meta": q_image_meta,
@@ -5224,6 +5234,7 @@ def _datapipe_oracles() -> dict[str, str]:
             f"FROM sim a JOIN sim b ON a.id < b.id "
             f"WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
+        "dedup_edit": dedup_op.edit_distance_pairs_sql(max_dist=40),
         "dedup_cosine": sim_op.cosine_dedup_pairs_sql(0.3),
         "dedup_semantic": sim_op.semdedup_sql(0.3),
         "sim_cosine_topk": sim_op.cosine_topk_sql(3),

@@ -1414,3 +1414,80 @@ def lsh_plan(
         for d in (0.1, 0.2, 0.3)
     }
     return best
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_dist: int = 8,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance-verified near-dup pairs: SimHash bit-band screen
+    (no crossJoin — the pigeonhole candidate join) then EXACT
+    Levenshtein verify on the surviving candidates only. Levenshtein
+    is the right verifier for character-level mutations (OCR noise,
+    typo farms, template fills) that word-set Jaccard under-weights —
+    but the full n² distance matrix is unthinkable at corpus scale, so
+    the screen does the pruning and the O(len²) DP runs only on
+    screened pairs (both engines ship the same classic unit-cost DP,
+    so the verify is bit-exact).
+
+    Honest recall note: candidates come from the word-set SimHash
+    screen, so a pair must ALSO be within max_hamming there — a small
+    character edit usually is (it perturbs at most a couple of words);
+    pathological pairs (every word slightly misspelled) exceed the
+    screen and are missed. The oracle replays screen + verify, so the
+    contract is exact over the screened set.
+
+    Output: (id1, id2, hamming, edit_dist) with edit_dist <= max_dist.
+    """
+    sim = simhash(df, text_col=text_col, id_col=id_col)
+    cand = simhash_pairs(sim, max_hamming=max_hamming)
+    t1 = df.select(
+        F.col(id_col).alias("id1"), F.col(text_col).alias("_t1")
+    )
+    t2 = df.select(
+        F.col(id_col).alias("id2"), F.col(text_col).alias("_t2")
+    )
+    return (
+        cand.join(t1, "id1")
+        .join(t2, "id2")
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("_t1"), F.col("_t2"))
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+        .select(
+            "id1",
+            "id2",
+            F.col("hamming").cast("int").alias("hamming"),
+            F.col("edit_dist").cast("int").alias("edit_dist"),
+        )
+    )
+
+
+def edit_distance_pairs_sql(
+    table: str = "documents",
+    max_dist: int = 8,
+    max_hamming: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: identical screen (exact all-pairs Hamming — the
+    banded engine join is 100%-recall by pigeonhole, so the sets
+    match) + identical Levenshtein verify."""
+    return f"""
+WITH sim AS ({simhash_sql(table=table, text=text, id_col=id_col)}),
+cand AS (
+  SELECT a.id AS id1, b.id AS id2,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM sim a JOIN sim b ON a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {int(max_hamming)}
+)
+SELECT id1, id2, hamming,
+       CAST(levenshtein(d1.{text}, d2.{text}) AS INTEGER) AS edit_dist
+FROM cand
+JOIN {table} d1 ON cand.id1 = d1.{id_col}
+JOIN {table} d2 ON cand.id2 = d2.{id_col}
+WHERE levenshtein(d1.{text}, d2.{text}) <= {int(max_dist)}
+""".strip()
