@@ -2130,6 +2130,17 @@ def q_winnow_pairs(spark, sf_dir):
     return win_op.winnow_pairs(df, k=8, w=4, min_shared=8, max_df=20)
 
 
+def q_blocked_terms(spark, sf_dir):
+    """Obfuscation-robust blocked-term screen: lower + leet translate
+    + per-letter stretch collapse (26 chained replaces — RE2 has no
+    backreferences, so the portable form runs on both engines), one
+    broadcast term join, one doc rollup. Every doc gets a verdict."""
+    from pdal_spark.datapipe import contentfilter as cf_op
+
+    df = _table(spark, sf_dir, "documents")
+    return cf_op.blocked_terms(df, ["spark", "fast", "sl0w"])
+
+
 def q_dedup_edit(spark, sf_dir):
     """Edit-distance-verified near-dup pairs: SimHash band screen (no
     crossJoin), then the exact Levenshtein DP only on survivors —
@@ -2869,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_pairs": q_frequent_pairs,
         "tfidf_keywords": q_tfidf_keywords,
         "dedup_edit": q_dedup_edit,
+        "blocked_terms": q_blocked_terms,
         "weighted_sample": q_weighted_sample,
         "dedup_canonical": q_dedup_canonical,
         "image_meta": q_image_meta,
@@ -4894,6 +4906,7 @@ def _raster_oracles() -> dict[str, str]:
 def _datapipe_oracles() -> dict[str, str]:
     from pdal_spark.datapipe import bursts as b_op
     from pdal_spark.datapipe import chunking as ch_op
+    from pdal_spark.datapipe import contentfilter as cf_op
     from pdal_spark.datapipe import jl as jl_op
     from pdal_spark.datapipe import collocations as coll_op
     from pdal_spark.datapipe import contamination as cont_op
@@ -5235,6 +5248,9 @@ def _datapipe_oracles() -> dict[str, str]:
             f"WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         "dedup_edit": dedup_op.edit_distance_pairs_sql(max_dist=40),
+        "blocked_terms": cf_op.blocked_terms_sql(
+            ["spark", "fast", "sl0w"]
+        ),
         "dedup_cosine": sim_op.cosine_dedup_pairs_sql(0.3),
         "dedup_semantic": sim_op.semdedup_sql(0.3),
         "sim_cosine_topk": sim_op.cosine_topk_sql(3),
