@@ -2276,6 +2276,18 @@ def q_textrank(spark, sf_dir):
     return tr_op.textrank_keywords(df, window=2, k=5)
 
 
+def q_mirror_sources(spark, sf_dir):
+    """Mirror/syndication detection between sources over the winnowing
+    sketch: distinct (source, fp) with the max_df boilerplate guard
+    BEFORE the fp-keyed pair join — the corpus-level shared-ink
+    product (scrapers pair at the source level even when no single
+    page pair crosses the near-dup bar)."""
+    from pdal_spark.datapipe import winnow as win_op
+
+    df = _table(spark, sf_dir, "documents")
+    return win_op.mirror_sources(df, min_shared=5, max_df=10)
+
+
 def q_zipf_fit(spark, sf_dir):
     """Per-language Zipf rank-frequency fit over the top-1000 words:
     one (lang, word) combinable exchange, skew-safe grouped_topk (no
@@ -2867,6 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
+        "mirror_sources": q_mirror_sources,
         "zipf_fit": q_zipf_fit,
         "heaps_fit": q_heaps_fit,
         "textrank": q_textrank,
@@ -4949,6 +4962,9 @@ def _datapipe_oracles() -> dict[str, str]:
         "winnow_fp": win_op.winnow_fingerprints_sql(k=8, w=4),
         "winnow_pairs": win_op.winnow_pairs_sql(
             k=8, w=4, min_shared=8, max_df=20
+        ),
+        "mirror_sources": win_op.mirror_sources_sql(
+            min_shared=5, max_df=10
         ),
         "weighted_sample": cont_op.weighted_sample_sql(k=25),
         # real PPM decode vs the closed-form pixel function: channel 0 =

@@ -198,3 +198,81 @@ WHERE a.doc < b.doc
 GROUP BY 1, 2
 HAVING count(*) >= {int(min_shared)}
 """.strip()
+
+
+def mirror_sources(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 10,
+    max_df: int = 50,
+) -> DataFrame:
+    """Mirror/syndication detection between SOURCES (hosts): pairs of
+    sources whose page sets share many winnowing fingerprint values —
+    the corpus-level product built on the same sketch as winnow_pairs
+    (scrapers, mirrors, and syndication networks shared-ink at the
+    source level even when no single page pair crosses the near-dup
+    bar).
+
+    Same screen-then-verify contract: fingerprints with document
+    frequency > max_df dropped BEFORE the pair join (boilerplate
+    k-grams would pair every source with every other), distinct
+    (source, fp) so one source's internal duplication cannot inflate a
+    pair, one fp-keyed self-join + one pair-count exchange.
+
+    Output: (src_a, src_b, n_shared_fp) with n_shared_fp >= min_shared.
+    """
+    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w).select(
+        F.col(id_col).alias("_doc"), "fp"
+    )
+    docs = df.select(
+        F.col(id_col).alias("_doc"), F.col(group_col).alias("grp")
+    )
+    gfp = fp.join(docs, "_doc").select("grp", "fp").distinct()
+    rare = (
+        gfp.groupBy("fp")
+        .agg(F.count("*").alias("df_cnt"))
+        .filter(F.col("df_cnt") <= max_df)
+        .select("fp")
+    )
+    gfp = gfp.join(rare, "fp")
+    a = gfp.select("fp", F.col("grp").alias("src_a"))
+    b = gfp.select("fp", F.col("grp").alias("src_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= min_shared)
+    )
+
+
+def mirror_sources_sql(
+    table: str = "documents",
+    text: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 10,
+    max_df: int = 50,
+) -> str:
+    return f"""
+WITH {_fp_cte(table, text, id_col, k, w)},
+gfp AS (
+  SELECT DISTINCT d.{group_col} AS grp, fp.fp
+  FROM fp JOIN {table} d ON fp.{id_col} = d.{id_col}
+),
+rare AS (
+  SELECT fp FROM gfp GROUP BY fp HAVING count(*) <= {int(max_df)}
+)
+SELECT a.grp AS src_a, b.grp AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fp
+FROM gfp a JOIN rare USING (fp) JOIN gfp b USING (fp)
+WHERE a.grp < b.grp
+GROUP BY 1, 2
+HAVING count(*) >= {int(min_shared)}
+""".strip()

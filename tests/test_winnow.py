@@ -149,3 +149,51 @@ def test_plan_shape(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_mirror_sources_planted(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    docs = []
+    i = 0
+    for s in ("mirror-a", "mirror-b"):  # same content, two hosts
+        for j in range(3):
+            docs.append((i, base + f" page {j}", s)); i += 1
+    for j in range(3):  # unrelated host
+        docs.append(
+            (i, f"completely different article number {j} about query "
+                "planners and shuffle exchanges in distributed engines",
+             "indie")
+        )
+        i += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {
+        (r.src_a, r.src_b): r.n_shared_fp
+        for r in W.mirror_sources(
+            df, min_shared=3, max_df=50
+        ).collect()
+    }
+    assert ("mirror-a", "mirror-b") in got
+    assert all("indie" not in pair for pair in got)
+
+
+def test_mirror_sources_twin_sf0001(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = (
+        W.mirror_sources(df, min_shared=5, max_df=10)
+        .orderBy("src_a", "src_b")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    exp = con.sql(
+        W.mirror_sources_sql(min_shared=5, max_df=10)
+        + " ORDER BY src_a, src_b"
+    ).df()
+    assert len(got) == len(exp) > 0
+    for c in ("src_a", "src_b", "n_shared_fp"):
+        assert list(got[c]) == list(exp[c]), c
