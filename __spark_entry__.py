@@ -2276,6 +2276,23 @@ def q_textrank(spark, sf_dir):
     return tr_op.textrank_keywords(df, window=2, k=5)
 
 
+def q_vocab_overlap(spark, sf_dir):
+    """Pairwise source vocabulary overlap WITHOUT an exact join — HLL
+    set algebra (register max-merge union + inclusion-exclusion): one
+    corpus scan builds m=64 registers per source, the pair stage joins
+    GROUPS (broadcast nested-loop over the dimension-sized register
+    table), estimates bit-match the sparse-form DuckDB replay."""
+    from pdal_spark.datapipe import sketch as sketch_op
+    from pdal_spark.datapipe.bloom import _content_key
+
+    df = (
+        _table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .select("source", _content_key(F.col("w")).alias("wid"))
+    )
+    return sketch_op.hll_overlap(df, "source", "wid", m=64)
+
+
 def q_mirror_sources(spark, sf_dir):
     """Mirror/syndication detection between sources over the winnowing
     sketch: distinct (source, fp) with the max_df boilerplate guard
@@ -2880,6 +2897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
         "mirror_sources": q_mirror_sources,
+        "vocab_overlap": q_vocab_overlap,
         "zipf_fit": q_zipf_fit,
         "heaps_fit": q_heaps_fit,
         "textrank": q_textrank,
@@ -5372,6 +5390,15 @@ def _relational_oracles() -> dict[str, str]:
             f"(SELECT source, ({text_op.fingerprint_sql()[1]}) AS fp_roll "
             f"FROM documents)",
             ["source"], "fp_roll", m=64,
+        ),
+        "vocab_overlap": sketch_op.hll_overlap_sql(
+            "(SELECT source, "
+            "CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS wid "
+            "FROM (SELECT source, unnest(string_split(text, ' ')) AS w "
+            "FROM documents))",
+            "source",
+            "wid",
+            m=64,
         ),
         "sessionize": ts_op.sessionize_sql(
             "(SELECT event_id, user_id, ts FROM events)",

@@ -256,3 +256,181 @@ def hll_sketch_sql(
                     ELSE {a} * {m} * {m} / reg_sum END, 6) AS est_distinct
       FROM agg
     """
+
+
+def _hll_est_cols(prefix: str, m: int):
+    """(ssum, zeros, est) column triple over registers named
+    f'{prefix}{j}' — the exact expression sequence of hll_sketch."""
+    ssum = sum(
+        (
+            F.lit(1.0) / F.pow(F.lit(2.0), F.col(f"{prefix}{j}"))
+            for j in range(m)
+        ),
+        F.lit(0.0),
+    )
+    zeros = sum(
+        (
+            F.when(F.col(f"{prefix}{j}") == 0, 1).otherwise(0)
+            for j in range(m)
+        ),
+        F.lit(0),
+    )
+    raw = F.lit(_alpha(m) * m * m) / ssum
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return ssum, zeros, est
+
+
+def hll_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    m: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Pairwise set overlap between groups WITHOUT an exact join —
+    HyperLogLog set algebra: HLL union is exact (elementwise register
+    max), so |A∩B| ≈ est(A) + est(B) − est(A∪B) by inclusion-
+    exclusion (Flajolet et al. 2007 §5). The 100 TB shape for
+    "how much vocabulary do these sources share": each group's
+    register vector is m bytes-ish regardless of group size, the pair
+    stage joins GROUPS (dimension-sized — broadcast nested-loop on the
+    inequality, never a row-level join), and the corpus is scanned
+    once.
+
+    Output per (grp_a < grp_b): est_a, est_b, est_union, est_inter
+    (clamped at 0 — inclusion-exclusion noise can go slightly
+    negative). Estimates are the deterministic hll_sketch expressions,
+    so the DuckDB twin bit-matches.
+
+    value_col must be a WELL-MIXED integer key (md5 content key,
+    fingerprint roll) — the affine register hash is structured on
+    consecutive integers, which biases rho; same contract as every
+    sketch.py caller."""
+    if m & (m - 1) or m < 2:
+        raise ValueError("m must be a power of two >= 2")
+    hi_bits = 31 - m.bit_length() + 1
+    h = kmv_hash(F.col(value_col), seed)
+    idx = (h % m).cast("int")
+    rest = (h / m).cast("long")
+    rho = F.when(rest == 0, F.lit(hi_bits + 1)).otherwise(
+        F.lit(hi_bits + 1) - F.length(F.conv(rest, 10, 2))
+    )
+    base = df.select(
+        F.col(group_col).alias("grp"), idx.alias("_i"), rho.alias("_r")
+    ).filter(F.col("_r").isNotNull())
+    regs = base.groupBy("grp").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("_i") == j, F.col("_r"))), F.lit(0)
+            ).alias(f"_m{j}")
+            for j in range(m)
+        ]
+    )
+    a = regs.select(
+        F.col("grp").alias("grp_a"),
+        *[F.col(f"_m{j}").alias(f"_a{j}") for j in range(m)],
+    )
+    b = regs.select(
+        F.col("grp").alias("grp_b"),
+        *[F.col(f"_m{j}").alias(f"_b{j}") for j in range(m)],
+    )
+    pairs = F.broadcast(a).join(b, F.col("grp_a") < F.col("grp_b"))
+    pairs = pairs.select(
+        "grp_a",
+        "grp_b",
+        *[F.col(f"_a{j}") for j in range(m)],
+        *[F.col(f"_b{j}") for j in range(m)],
+        *[
+            F.greatest(F.col(f"_a{j}"), F.col(f"_b{j}")).alias(f"_u{j}")
+            for j in range(m)
+        ],
+    )
+    _, _, est_a = _hll_est_cols("_a", m)
+    _, _, est_b = _hll_est_cols("_b", m)
+    _, _, est_u = _hll_est_cols("_u", m)
+    inter = F.greatest(F.lit(0.0), est_a + est_b - est_u)
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        F.round(est_a, 6).alias("est_a"),
+        F.round(est_b, 6).alias("est_b"),
+        F.round(est_u, 6).alias("est_union"),
+        F.round(inter, 6).alias("est_inter"),
+    )
+
+
+def hll_overlap_sql(
+    table: str,
+    group_col: str,
+    value_expr: str,
+    m: int = 64,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin: sparse registers per group, pair max-merge via a
+    UNION ALL of the two sides keyed (pair, idx) — dyadic register
+    sums are exact in any accumulation order, so the wide-column
+    engine and this sparse form bit-match (the hll_sketch proof)."""
+    hi_bits = 31 - m.bit_length() + 1
+    h = kmv_hash_sql(value_expr, seed)
+    aa = _alpha(m)
+    est = (
+        "CASE WHEN {a} * {m} * {m} / {s} <= {lim} AND {z} > 0 "
+        "THEN {fm} * ln({fm} / {z}) ELSE {a} * {m} * {m} / {s} END"
+    )
+
+    def est_of(s, z):
+        return est.format(
+            a=aa, m=m, s=s, z=z, lim=2.5 * m, fm=float(m)
+        )
+
+    return f"""
+WITH hashes AS (
+  SELECT {group_col} AS grp, ({h}) % {m} AS idx,
+         CASE WHEN ({h}) // {m} = 0 THEN {hi_bits + 1}
+              ELSE {hi_bits + 1}
+                   - length(ltrim(bin(({h}) // {m}), '0'))
+         END AS rho
+  FROM {table} WHERE ({h}) IS NOT NULL
+),
+regs AS (SELECT grp, idx, max(rho) AS r FROM hashes GROUP BY grp, idx),
+agg AS (
+  SELECT grp,
+         sum(1.0 / pow(2.0, r)) + ({m} - count(*)) AS s,
+         CAST({m} - count(*) AS BIGINT) AS z
+  FROM regs GROUP BY grp
+),
+prs AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b
+  FROM (SELECT DISTINCT grp FROM regs) a
+  JOIN (SELECT DISTINCT grp FROM regs) b ON a.grp < b.grp
+),
+uregs AS (
+  SELECT grp_a, grp_b, idx, max(r) AS r
+  FROM (
+    SELECT p.grp_a, p.grp_b, r1.idx, r1.r
+    FROM prs p JOIN regs r1 ON r1.grp = p.grp_a
+    UNION ALL
+    SELECT p.grp_a, p.grp_b, r2.idx, r2.r
+    FROM prs p JOIN regs r2 ON r2.grp = p.grp_b
+  ) GROUP BY 1, 2, 3
+),
+uagg AS (
+  SELECT grp_a, grp_b,
+         sum(1.0 / pow(2.0, r)) + ({m} - count(*)) AS s,
+         CAST({m} - count(*) AS BIGINT) AS z
+  FROM uregs GROUP BY 1, 2
+)
+SELECT u.grp_a, u.grp_b,
+       round({est_of('ea.s', 'ea.z')}, 6) AS est_a,
+       round({est_of('eb.s', 'eb.z')}, 6) AS est_b,
+       round({est_of('u.s', 'u.z')}, 6) AS est_union,
+       round(greatest(0.0,
+         ({est_of('ea.s', 'ea.z')}) + ({est_of('eb.s', 'eb.z')})
+         - ({est_of('u.s', 'u.z')})), 6) AS est_inter
+FROM uagg u
+JOIN agg ea ON u.grp_a = ea.grp
+JOIN agg eb ON u.grp_b = eb.grp
+""".strip()
