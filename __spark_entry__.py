@@ -2276,6 +2276,20 @@ def q_textrank(spark, sf_dir):
     return tr_op.textrank_keywords(df, window=2, k=5)
 
 
+def q_cluster_ari(spark, sf_dir):
+    """Adjusted Rand Index between the lang and source partitions of
+    the corpus (are sources language-pure?): one id join + one
+    contingency exchange, margins re-aggregated from it, every C(x,2)
+    sum exact BIGINT (order-free), a single double sequence at the
+    end. The general tool for comparing dedup clusterings."""
+    from pdal_spark.datapipe import clustereval as ce_op
+
+    df = _table(spark, sf_dir, "documents")
+    a = df.selectExpr("doc_id", "lang AS label_a")
+    b = df.selectExpr("doc_id", "source AS label_b")
+    return ce_op.adjusted_rand(a, b)
+
+
 def q_vocab_overlap(spark, sf_dir):
     """Pairwise source vocabulary overlap WITHOUT an exact join — HLL
     set algebra (register max-merge union + inclusion-exclusion): one
@@ -2898,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "mirror_sources": q_mirror_sources,
         "vocab_overlap": q_vocab_overlap,
+        "cluster_ari": q_cluster_ari,
         "zipf_fit": q_zipf_fit,
         "heaps_fit": q_heaps_fit,
         "textrank": q_textrank,
@@ -5296,6 +5311,8 @@ def _datapipe_oracles() -> dict[str, str]:
 
 
 def _relational_oracles() -> dict[str, str]:
+    from pdal_spark.datapipe import clustereval as ce_oracle_op
+
     rq = [parse_range(r) for r in RANGES]
     # OR within l_quantity, AND with l_discount (both non-nullable doubles;
     # isnan() twin kept for exactness)
@@ -5390,6 +5407,10 @@ def _relational_oracles() -> dict[str, str]:
             f"(SELECT source, ({text_op.fingerprint_sql()[1]}) AS fp_roll "
             f"FROM documents)",
             ["source"], "fp_roll", m=64,
+        ),
+        "cluster_ari": ce_oracle_op.adjusted_rand_sql(
+            "SELECT doc_id, lang AS label_a FROM documents",
+            "SELECT doc_id, source AS label_b FROM documents",
         ),
         "vocab_overlap": sketch_op.hll_overlap_sql(
             "(SELECT source, "

@@ -1,0 +1,90 @@
+"""Adjusted Rand Index: sklearn-free hand-computed golden, identity /
+independence properties, DuckDB twin at sf0.001."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pdal_spark.datapipe import clustereval as CE
+
+
+def _py_ari(la, lb):
+    from collections import Counter
+
+    c2 = lambda x: x * (x - 1) // 2  # noqa: E731
+    cont = Counter(zip(la, lb))
+    s_idx = sum(c2(v) for v in cont.values())
+    ai = Counter(la)
+    bj = Counter(lb)
+    s_a = sum(c2(v) for v in ai.values())
+    s_b = sum(c2(v) for v in bj.values())
+    n = len(la)
+    exp = s_a * s_b / c2(n)
+    mx = (s_a + s_b) / 2.0
+    if mx == exp:
+        return 1.0
+    return round((s_idx - exp) / (mx - exp), 6)
+
+
+def _dfs(spark, la, lb):
+    a = spark.createDataFrame(
+        list(enumerate(la)), "doc_id long, label_a string"
+    )
+    b = spark.createDataFrame(
+        list(enumerate(lb)), "doc_id long, label_b string"
+    )
+    return a, b
+
+
+def test_hand_computed_golden(spark):
+    la = ["x", "x", "x", "y", "y", "y"]
+    lb = ["p", "p", "q", "q", "r", "r"]
+    a, b = _dfs(spark, la, lb)
+    r = CE.adjusted_rand(a, b).collect()[0]
+    assert r.n_items == 6 and r.n_clusters_a == 2 and r.n_clusters_b == 3
+    assert r.ari == pytest.approx(_py_ari(la, lb), abs=1e-9)
+
+
+def test_identical_labelings_score_one(spark):
+    la = ["a", "a", "b", "b", "c"]
+    a, b = _dfs(spark, la, la)
+    assert CE.adjusted_rand(a, b).collect()[0].ari == pytest.approx(1.0)
+
+
+def test_permuted_names_still_one(spark):
+    la = ["a", "a", "b", "b", "c"]
+    lb = ["z", "z", "q", "q", "m"]  # same partition, renamed
+    a, b = _dfs(spark, la, lb)
+    assert CE.adjusted_rand(a, b).collect()[0].ari == pytest.approx(1.0)
+
+
+def test_orthogonal_labelings_near_zero(spark):
+    # 4x4 grid: rows vs columns — classic independence case
+    la = [f"r{i // 4}" for i in range(16)]
+    lb = [f"c{i % 4}" for i in range(16)]
+    a, b = _dfs(spark, la, lb)
+    r = CE.adjusted_rand(a, b).collect()[0]
+    # no agreement beyond chance: <= 0 (this grid is anti-correlated,
+    # ARI = -0.25 exactly; negative values are in-range for ARI)
+    assert r.ari <= 0.0
+    assert r.ari == pytest.approx(_py_ari(la, lb), abs=1e-9)
+
+
+def test_duckdb_twin_sf0001(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = df.selectExpr("doc_id", "lang AS label_a")
+    b = df.selectExpr("doc_id", "source AS label_b")
+    got = CE.adjusted_rand(a, b).collect()[0]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    exp = con.sql(
+        CE.adjusted_rand_sql(
+            "SELECT doc_id, lang AS label_a FROM documents",
+            "SELECT doc_id, source AS label_b FROM documents",
+        )
+    ).fetchone()
+    assert (got.n_items, got.n_clusters_a, got.n_clusters_b) == exp[:3]
+    assert got.ari == pytest.approx(exp[3], abs=1e-9)
