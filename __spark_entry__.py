@@ -2290,6 +2290,19 @@ def q_cluster_ari(spark, sf_dir):
     return ce_op.adjusted_rand(a, b)
 
 
+def q_cluster_nmi(spark, sf_dir):
+    """Normalized Mutual Information between the lang and source
+    partitions: per-cell/margin terms quantized once to integer
+    nano-units -> exact BIGINT sums (order-free), one double sequence
+    at the end; the information-theoretic sibling of cluster_ari."""
+    from pdal_spark.datapipe import clustereval as ce_op
+
+    df = _table(spark, sf_dir, "documents")
+    a = df.selectExpr("doc_id", "lang AS label_a")
+    b = df.selectExpr("doc_id", "source AS label_b")
+    return ce_op.normalized_mutual_info(a, b)
+
+
 def q_vocab_overlap(spark, sf_dir):
     """Pairwise source vocabulary overlap WITHOUT an exact join — HLL
     set algebra (register max-merge union + inclusion-exclusion): one
@@ -2913,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_sources": q_mirror_sources,
         "vocab_overlap": q_vocab_overlap,
         "cluster_ari": q_cluster_ari,
+        "cluster_nmi": q_cluster_nmi,
         "zipf_fit": q_zipf_fit,
         "heaps_fit": q_heaps_fit,
         "textrank": q_textrank,
@@ -5409,6 +5423,10 @@ def _relational_oracles() -> dict[str, str]:
             ["source"], "fp_roll", m=64,
         ),
         "cluster_ari": ce_oracle_op.adjusted_rand_sql(
+            "SELECT doc_id, lang AS label_a FROM documents",
+            "SELECT doc_id, source AS label_b FROM documents",
+        ),
+        "cluster_nmi": ce_oracle_op.normalized_mutual_info_sql(
             "SELECT doc_id, lang AS label_a FROM documents",
             "SELECT doc_id, source AS label_b FROM documents",
         ),

@@ -129,3 +129,145 @@ SELECT n AS n_items, ka AS n_clusters_a, kb AS n_clusters_b,
        END AS ari
 FROM cells CROSS JOIN rows_m CROSS JOIN cols_m
 """.strip()
+
+
+def normalized_mutual_info(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    label_a: str = "label_a",
+    label_b: str = "label_b",
+) -> DataFrame:
+    """Normalized Mutual Information (sqrt normalization, the
+    scikit-learn default) — ARI's information-theoretic sibling:
+
+        MI  = Σ_ij (n_ij/n) · ln(n_ij·n / (a_i·b_j))
+        NMI = MI / sqrt(H_a · H_b),  H = Σ (m/n)·ln(n/m)
+
+    Same contingency plan as adjusted_rand plus two label-keyed margin
+    joins (vocabulary-sized). Hash-exactness: each cell's
+    UN-normalized term n_ij·ln(n_ij·n/(a_i·b_j)) and each margin's
+    m·ln(n/m) are quantized ONCE to integer nano-units (round(·1e9) —
+    one libm call per cell), summed exactly as BIGINTs, and the /n
+    normalizations + sqrt run once at the end. Degenerate single-
+    cluster sides (H = 0) emit NMI = 1.0 when the partitions carry
+    identical information (both entropies 0) else 0.0 — the sklearn
+    convention."""
+    j = a.select(F.col(id_col), F.col(label_a).alias("_la")).join(
+        b.select(F.col(id_col), F.col(label_b).alias("_lb")), id_col
+    )
+    cont = j.groupBy("_la", "_lb").agg(F.count("*").alias("nij"))
+    rows = cont.groupBy("_la").agg(F.sum("nij").alias("ai"))
+    cols = cont.groupBy("_lb").agg(F.sum("nij").alias("bj"))
+    n1 = cont.agg(F.sum("nij").alias("n"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    GIGA = 1_000_000_000.0
+    cells = (
+        cont.join(rows, "_la")
+        .join(cols, "_lb")
+        .join(F.broadcast(n1))
+        .select(
+            F.round(
+                d("nij")
+                * F.log(d("nij") * d("n") / (d("ai") * d("bj")))
+                * GIGA
+            )
+            .cast("long")
+            .alias("mi_mu")
+        )
+        .agg(F.sum("mi_mu").alias("s_mi"))
+    )
+
+    def _entropy(margin: DataFrame, mcol: str, out: str) -> DataFrame:
+        return (
+            margin.join(F.broadcast(n1))
+            .select(
+                F.round(
+                    d(mcol) * F.log(d("n") / d(mcol)) * GIGA
+                )
+                .cast("long")
+                .alias("h_mu")
+            )
+            .agg(F.sum("h_mu").alias(out))
+        )
+
+    ha = _entropy(rows, "ai", "s_ha")
+    hb = _entropy(cols, "bj", "s_hb")
+    one = (
+        cells.join(F.broadcast(ha))
+        .join(F.broadcast(hb))
+        .join(F.broadcast(n1))
+    )
+    mi = d("s_mi") / GIGA / d("n")
+    h_a = d("s_ha") / GIGA / d("n")
+    h_b = d("s_hb") / GIGA / d("n")
+    nmi = (
+        F.when((F.col("s_ha") == 0) & (F.col("s_hb") == 0), F.lit(1.0))
+        .when((F.col("s_ha") == 0) | (F.col("s_hb") == 0), F.lit(0.0))
+        .otherwise(F.round(mi / F.sqrt(h_a * h_b), 6))
+    )
+    return one.select(
+        F.col("n").alias("n_items"),
+        F.round(mi, 6).alias("mi"),
+        F.round(h_a, 6).alias("h_a"),
+        F.round(h_b, 6).alias("h_b"),
+        nmi.alias("nmi"),
+    )
+
+
+def normalized_mutual_info_sql(
+    a_sql: str,
+    b_sql: str,
+    id_col: str = "doc_id",
+    label_a: str = "label_a",
+    label_b: str = "label_b",
+) -> str:
+    """DuckDB twin: identical nano-unit quantization and final double
+    sequence."""
+    return f"""
+WITH j AS (
+  SELECT a.{label_a} AS la, b.{label_b} AS lb
+  FROM ({a_sql}) a JOIN ({b_sql}) b USING ({id_col})
+),
+cont AS (SELECT la, lb, count(*) AS nij FROM j GROUP BY la, lb),
+rows_m AS (SELECT la, CAST(sum(nij) AS BIGINT) AS ai FROM cont GROUP BY la),
+cols_m AS (SELECT lb, CAST(sum(nij) AS BIGINT) AS bj FROM cont GROUP BY lb),
+n1 AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cont),
+mi AS (
+  SELECT CAST(sum(CAST(round(
+           CAST(nij AS DOUBLE)
+           * ln(CAST(nij AS DOUBLE) * CAST(n AS DOUBLE)
+                / (CAST(ai AS DOUBLE) * CAST(bj AS DOUBLE)))
+           * 1000000000.0) AS BIGINT)) AS BIGINT) AS s_mi
+  FROM cont JOIN rows_m USING (la) JOIN cols_m USING (lb) CROSS JOIN n1
+),
+ha AS (
+  SELECT CAST(sum(CAST(round(
+           CAST(ai AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(ai AS DOUBLE))
+           * 1000000000.0) AS BIGINT)) AS BIGINT) AS s_ha
+  FROM rows_m CROSS JOIN n1
+),
+hb AS (
+  SELECT CAST(sum(CAST(round(
+           CAST(bj AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(bj AS DOUBLE))
+           * 1000000000.0) AS BIGINT)) AS BIGINT) AS s_hb
+  FROM cols_m CROSS JOIN n1
+)
+SELECT n AS n_items,
+       round(CAST(s_mi AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6)
+         AS mi,
+       round(CAST(s_ha AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6)
+         AS h_a,
+       round(CAST(s_hb AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6)
+         AS h_b,
+       CASE WHEN s_ha = 0 AND s_hb = 0 THEN 1.0
+            WHEN s_ha = 0 OR s_hb = 0 THEN 0.0
+            ELSE round(
+              (CAST(s_mi AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE))
+              / sqrt((CAST(s_ha AS DOUBLE) / 1000000000.0
+                        / CAST(n AS DOUBLE))
+                     * (CAST(s_hb AS DOUBLE) / 1000000000.0
+                          / CAST(n AS DOUBLE))), 6)
+       END AS nmi
+FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN n1
+""".strip()

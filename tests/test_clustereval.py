@@ -88,3 +88,64 @@ def test_duckdb_twin_sf0001(spark, sf_dir):
     ).fetchone()
     assert (got.n_items, got.n_clusters_a, got.n_clusters_b) == exp[:3]
     assert got.ari == pytest.approx(exp[3], abs=1e-9)
+
+
+def _py_nmi(la, lb):
+    import math
+    from collections import Counter
+
+    n = len(la)
+    cont, ai, bj = Counter(zip(la, lb)), Counter(la), Counter(lb)
+    g = 1_000_000_000.0
+    rh = lambda v: int(math.floor(v + 0.5)) if v >= 0 else -int(  # noqa: E731
+        math.floor(-v + 0.5)
+    )
+    s_mi = sum(
+        rh(v * math.log(v * n / (ai[x] * bj[y])) * g)
+        for (x, y), v in cont.items()
+    )
+    s_ha = sum(rh(v * math.log(n / v) * g) for v in ai.values())
+    s_hb = sum(rh(v * math.log(n / v) * g) for v in bj.values())
+    mi, ha, hb = s_mi / g / n, s_ha / g / n, s_hb / g / n
+    if s_ha == 0 and s_hb == 0:
+        return 1.0
+    if s_ha == 0 or s_hb == 0:
+        return 0.0
+    return round(mi / math.sqrt(ha * hb), 6)
+
+
+def test_nmi_matches_reference_and_bounds(spark):
+    la = ["x", "x", "x", "y", "y", "y"]
+    lb = ["p", "p", "q", "q", "r", "r"]
+    a, b = _dfs(spark, la, lb)
+    r = CE.normalized_mutual_info(a, b).collect()[0]
+    assert r.nmi == pytest.approx(_py_nmi(la, lb), abs=1e-9)
+    assert 0.0 <= r.nmi <= 1.0
+    # identical partitions -> 1
+    a2, b2 = _dfs(spark, la, ["z" + x for x in la])
+    assert CE.normalized_mutual_info(a2, b2).collect()[0].nmi == (
+        pytest.approx(1.0, abs=1e-6)
+    )
+    # single-cluster side -> 0 (sklearn convention)
+    a3, b3 = _dfs(spark, la, ["only"] * 6)
+    assert CE.normalized_mutual_info(a3, b3).collect()[0].nmi == 0.0
+
+
+def test_nmi_twin_sf0001(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = df.selectExpr("doc_id", "lang AS label_a")
+    b = df.selectExpr("doc_id", "source AS label_b")
+    got = CE.normalized_mutual_info(a, b).collect()[0]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    exp = con.sql(
+        CE.normalized_mutual_info_sql(
+            "SELECT doc_id, lang AS label_a FROM documents",
+            "SELECT doc_id, source AS label_b FROM documents",
+        )
+    ).fetchone()
+    assert got.n_items == exp[0]
+    for g, x in zip((got.mi, got.h_a, got.h_b, got.nmi), exp[1:]):
+        assert g == pytest.approx(x, abs=1e-9)
