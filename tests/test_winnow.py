@@ -197,3 +197,39 @@ def test_mirror_sources_twin_sf0001(spark, sf_dir):
     assert len(got) == len(exp) > 0
     for c in ("src_a", "src_b", "n_shared_fp"):
         assert list(got[c]) == list(exp[c]), c
+
+
+def test_xx_hash_mode_properties(spark, sf_dir):
+    """The xxhash64 scale path: same structural guarantees as md5 mode
+    (density band, substring sharing, determinism), different hash
+    family — selected positions/values legitimately differ."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    fp = W.winnow_fingerprints(df, k=K, w=WIN, hash_mode="xx")
+    n_fp = fp.count()
+    n_grams = df.selectExpr(f"sum(length(text) - {K - 1}) v").first().v
+    assert 0.5 * 2 / (WIN + 1) < n_fp / n_grams <= 1.0
+    # deterministic across repartitioning
+    a = sorted(map(tuple, fp.collect()))
+    b = sorted(
+        map(
+            tuple,
+            W.winnow_fingerprints(
+                df.repartition(7), k=K, w=WIN, hash_mode="xx"
+            ).collect(),
+        )
+    )
+    assert a == b
+    # non-negative 60-bit keys
+    assert fp.selectExpr("min(fp) v").first().v >= 0
+
+
+def test_xx_mode_substring_guarantee(spark):
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog tonight ok"),
+        (1, "quick brown fox jumps over the lazy dog tonight it is"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fp = W.winnow_fingerprints(df, k=K, w=WIN, hash_mode="xx")
+    a = {r.fp for r in fp.filter("doc_id = 0").collect()}
+    b = {r.fp for r in fp.filter("doc_id = 1").collect()}
+    assert a & b
