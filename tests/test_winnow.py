@@ -233,3 +233,47 @@ def test_xx_mode_substring_guarantee(spark):
     a = {r.fp for r in fp.filter("doc_id = 0").collect()}
     b = {r.fp for r in fp.filter("doc_id = 1").collect()}
     assert a & b
+
+
+@pytest.mark.parametrize("w", [1, 2, 4, 6])
+def test_runs_impl_equals_classic(spark, sf_dir, w):
+    """The run-length characterization selects EXACTLY the classic
+    per-window rightmost-min set — across window sizes, on real text
+    (ties, edge windows, short docs all present in the corpus)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    a = sorted(
+        map(tuple, W.winnow_fingerprints(df, k=5, w=w).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            W.winnow_fingerprints(df, k=5, w=w, impl="runs").collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_runs_impl_equals_classic_adversarial(spark):
+    """Tie-heavy and monotonic inputs — the cases where a wrong tie or
+    boundary rule would diverge."""
+    docs = [
+        (0, "aaaaaaaaaaaaaaaa"),              # all grams identical
+        (1, "abababababababab"),              # period-2 ties
+        (2, "abcdefghijklmnop"),              # distinct, increasing-ish
+        (3, "ponmlkjihgfedcba"),              # reversed
+        (4, "aabbaabbccaabb"),                # mixed runs
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for w in (2, 3, 4):
+        a = sorted(
+            map(tuple, W.winnow_fingerprints(df, k=3, w=w).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                W.winnow_fingerprints(
+                    df, k=3, w=w, impl="runs"
+                ).collect(),
+            )
+        )
+        assert a == b, w
