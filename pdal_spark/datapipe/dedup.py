@@ -1450,13 +1450,25 @@ def edit_distance_pairs(
     t2 = df.select(
         F.col(id_col).alias("id2"), F.col(text_col).alias("_t2")
     )
+    # two exact prunes before/inside the DP (a near-dup-dense corpus
+    # floods the screen — sf0.1 measured 157 s with the naive full
+    # matrix): (1) |len(a) − len(b)| is a Levenshtein lower bound, so
+    # longer-diff pairs drop for free; (2) the threshold form
+    # levenshtein(a, b, d) runs Ukkonen's O(len·d) band and returns -1
+    # above d — identical values for every surviving row.
     return (
         cand.join(t1, "id1")
         .join(t2, "id2")
-        .withColumn(
-            "edit_dist", F.levenshtein(F.col("_t1"), F.col("_t2"))
+        .filter(
+            F.abs(F.length("_t1") - F.length("_t2")) <= F.lit(max_dist)
         )
-        .filter(F.col("edit_dist") <= max_dist)
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("_t1"), F.col("_t2"), max_dist),
+        )
+        .filter(
+            (F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist)
+        )
         .select(
             "id1",
             "id2",
