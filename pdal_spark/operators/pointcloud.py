@@ -88,15 +88,18 @@ def _cc_union_find(pts: DataFrame, edges: DataFrame) -> DataFrame:
     Only ids that APPEAR IN AN EDGE ever reach the driver (isolated
     points are their own root by definition and stay distributed — a
     left join + coalesce at the end), so driver memory is bounded by
-    the edge list the caller already capped, not by |pts|."""
-    ids = [
-        r.id
-        for r in edges.select(F.col("src_id").alias("id"))
-        .union(edges.select(F.col("cand_id").alias("id")))
-        .distinct()
-        .collect()
-    ]
-    parent = {i: i for i in ids}
+    the edge list the caller already capped, not by |pts|. The edge
+    list crosses the boundary as ONE Arrow batch (toPandas), not
+    per-row pickled Rows — at the driver cap (5M edges) that is the
+    difference between ~1 s and ~30 s of driver deserialization."""
+    pdf = edges.select("src_id", "cand_id").toPandas()
+    src = pdf["src_id"].tolist()
+    dst = pdf["cand_id"].tolist()
+    parent: dict = {}
+    for i in src:
+        parent.setdefault(i, i)
+    for i in dst:
+        parent.setdefault(i, i)
 
     def find(a):
         root = a
@@ -106,14 +109,14 @@ def _cc_union_find(pts: DataFrame, edges: DataFrame) -> DataFrame:
             parent[a], a = root, parent[a]
         return root
 
-    for r in edges.collect():
-        ra, rb = find(r.src_id), find(r.cand_id)
+    for sa, sb in zip(src, dst):
+        ra, rb = find(sa), find(sb)
         if ra != rb:
             if ra < rb:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
-    rows = [(int(i), int(find(i))) for i in ids]
+    rows = [(int(i), int(find(i))) for i in parent]
     spark = pts.sparkSession
     edge_roots = (
         spark.createDataFrame(rows, "id long, _er long")
