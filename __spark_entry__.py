@@ -2835,6 +2835,59 @@ def q_cell_pnp_join(spark, sf_dir):
     return out.select("doc_id", F.col("geom_id").cast("long").alias("geom_id"))
 
 
+_DQ_COLS_NUM = ["doc_id", "n_chars"]
+_DQ_COLS_STR = ["text", "lang", "source"]
+_DQ_CONSTRAINTS = [
+    {"name": "rows_in_range", "kind": "row_count_between",
+     "lo": 100, "hi": 10_000_000},
+    {"name": "doc_id_not_null", "kind": "not_null", "col": "doc_id"},
+    {"name": "doc_id_unique", "kind": "unique", "col": "doc_id"},
+    {"name": "doc_id_nonneg", "kind": "min_ge", "col": "doc_id",
+     "bound": 0},
+    {"name": "text_not_null", "kind": "not_null", "col": "text"},
+    {"name": "text_min_len", "kind": "min_length_ge", "col": "text",
+     "bound": 1},
+    {"name": "lang_known", "kind": "values_in", "col": "lang",
+     "allowed": ["en", "de", "fr", "es", "zh"], "min_rate": 0.95},
+    {"name": "lang_mostly_en", "kind": "values_in", "col": "lang",
+     "allowed": ["en"], "min_rate": 0.9},  # intentionally failing row
+    {"name": "n_chars_mean", "kind": "mean_between", "col": "n_chars",
+     "lo": 50.0, "hi": 500.0},
+    {"name": "n_chars_max", "kind": "max_le", "col": "n_chars",
+     "bound": 100_000},
+    {"name": "source_shape", "kind": "pattern_rate", "col": "source",
+     "pattern": "^src[0-9]+$", "min_rate": 1.0},
+]
+
+
+def q_data_profile(spark, sf_dir):
+    """Deequ-style per-column profile (Schelter et al. VLDB 2018): all
+    completeness/distinctness/moment metrics for five columns in ONE
+    aggregate over ONE scan (map-side combined; the long form explodes
+    an array-of-structs on the single aggregate row — no metric-count
+    job fan-out). distinct_mode='exact' here for the bit-exact oracle;
+    the 100 TB default is the single-pass HLL mode."""
+    from pdal_spark.datapipe import dataquality as dq_op
+
+    df = _table(spark, sf_dir, "documents")
+    return dq_op.profile(
+        df, _DQ_COLS_NUM + _DQ_COLS_STR, distinct_mode="exact"
+    )
+
+
+def q_data_quality(spark, sf_dir):
+    """Declarative constraint suite over the ingest table — the gate a
+    crawl drop passes before training jobs may read it. 11 constraints
+    (completeness, key uniqueness, value ranges, set membership,
+    regex shape) compiled onto one shared aggregate pass; one
+    constraint is intentionally failing so the verdict path is
+    exercised."""
+    from pdal_spark.datapipe import dataquality as dq_op
+
+    df = _table(spark, sf_dir, "documents")
+    return dq_op.check(df, _DQ_CONSTRAINTS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crop_box": q_crop_box,
@@ -2959,6 +3012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_rollup": q_cell_rollup,
         "cell_range_scan": q_cell_range_scan,
         "cell_pnp_join": q_cell_pnp_join,
+        "data_profile": q_data_profile,
+        "data_quality": q_data_quality,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
         "dedup_containment": q_dedup_containment,
@@ -3065,6 +3120,7 @@ def oracle_sql() -> dict[str, str]:
         **_eigen_oracles(),
         **_pointcloud_oracles(),
         **_misc_oracles(),
+        **_dataquality_oracles(),
     }
 
 
@@ -4960,6 +5016,17 @@ def _raster_oracles() -> dict[str, str]:
         "raster_pixels": pixels_sql,
         "dem_keep": dem_sql,
         "colorization": colorization_sql,
+    }
+
+
+def _dataquality_oracles() -> dict[str, str]:
+    from pdal_spark.datapipe import dataquality as dq_op
+
+    return {
+        "data_profile": dq_op.profile_sql(
+            "documents", _DQ_COLS_NUM, _DQ_COLS_STR, distinct_mode="exact"
+        ),
+        "data_quality": dq_op.check_sql("documents", _DQ_CONSTRAINTS),
     }
 
 

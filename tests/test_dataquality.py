@@ -1,0 +1,168 @@
+"""Deequ-style data-quality suite (datapipe/dataquality.py): literal
+metric goldens, null handling, verdict semantics, plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pdal_spark.datapipe import dataquality as dq
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, v=10, s="aa", lang="en"),
+            Row(id=2, v=20, s="bbb", lang="en"),
+            Row(id=3, v=None, s=None, lang="de"),
+            Row(id=4, v=30, s="", lang="xx"),
+            Row(id=4, v=40, s="cc", lang="en"),  # duplicate id
+        ]
+    )
+
+
+def _metrics(df, column):
+    return {
+        r.metric: r.value
+        for r in df.collect()
+        if r.column == column
+    }
+
+
+def test_profile_numeric_literal(tbl):
+    m = _metrics(dq.profile(tbl, ["v"]), "v")
+    assert m["n"] == 5.0
+    assert m["n_null"] == 1.0
+    assert m["completeness"] == 0.8
+    assert m["min"] == 10.0 and m["max"] == 40.0
+    assert m["mean"] == 25.0
+    # population stddev of {10,20,30,40}
+    assert abs(m["stddev_pop"] - math.sqrt(125.0)) < 1e-6
+
+
+def test_profile_string_lengths_and_distinct(tbl):
+    m = _metrics(dq.profile(tbl, ["s"], distinct_mode="exact"), "s")
+    assert m["min_len"] == 0.0 and m["max_len"] == 3.0
+    # lengths 2,3,0,2 over 4 non-null values
+    assert m["mean_len"] == 1.75
+    assert m["n_distinct"] == 4.0
+
+
+def test_profile_all_null_column(spark):
+    df = spark.createDataFrame([Row(id=1, v=None), Row(id=2, v=None)],
+                               "id int, v int")
+    m = _metrics(dq.profile(df, ["v"]), "v")
+    assert m["completeness"] == 0.0
+    assert m["mean"] is None and m["min"] is None
+
+
+def test_profile_rejects_bad_mode(tbl):
+    with pytest.raises(ValueError):
+        dq.profile(tbl, ["v"], distinct_mode="bogus")
+
+
+def test_check_verdicts(tbl):
+    out = dq.check(tbl, [
+        {"name": "rows", "kind": "row_count_between", "lo": 5, "hi": 5},
+        {"name": "id_nn", "kind": "not_null", "col": "id"},
+        {"name": "id_uq", "kind": "unique", "col": "id"},
+        {"name": "v_nn", "kind": "not_null", "col": "v"},
+        {"name": "v_min", "kind": "min_ge", "col": "v", "bound": 10},
+        {"name": "v_max", "kind": "max_le", "col": "v", "bound": 39},
+        {"name": "v_mean", "kind": "mean_between", "col": "v",
+         "lo": 20.0, "hi": 30.0},
+        {"name": "lang_set", "kind": "values_in", "col": "lang",
+         "allowed": ["en", "de"], "min_rate": 0.75},
+        {"name": "s_pat", "kind": "pattern_rate", "col": "s",
+         "pattern": "^[a-c]+$", "min_rate": 0.5},
+        {"name": "s_len", "kind": "min_length_ge", "col": "s", "bound": 1},
+    ])
+    v = {r.name: (r.value, r.passed) for r in out.collect()}
+    assert v["rows"] == (5.0, 1)
+    assert v["id_nn"] == (1.0, 1)
+    assert v["id_uq"] == (0.8, 0)        # 4 distinct / 5 rows
+    assert v["v_nn"] == (0.8, 0)
+    assert v["v_min"] == (10.0, 1)
+    assert v["v_max"] == (40.0, 0)
+    assert v["v_mean"] == (25.0, 1)
+    assert v["lang_set"] == (0.8, 1)     # 4/5 in {en, de}
+    assert v["s_pat"] == (0.75, 1)       # aa, bbb, cc of 4 non-null
+    assert v["s_len"] == (0.0, 0)        # empty string fails
+    # output preserves constraint count
+    assert out.count() == 10
+
+
+def test_check_empty_table(spark):
+    df = spark.createDataFrame([], "id int, v int")
+    out = dq.check(df, [
+        {"name": "rows", "kind": "row_count_between", "lo": 1, "hi": 10},
+        {"name": "v_min", "kind": "min_ge", "col": "v", "bound": 0},
+    ])
+    v = {r.name: (r.value, r.passed) for r in out.collect()}
+    assert v["rows"] == (0.0, 0)
+    # no rows -> no min metric -> NULL value, failed verdict (not a crash)
+    assert v["v_min"] == (None, 0)
+
+
+def test_check_unknown_kind(tbl):
+    with pytest.raises(ValueError):
+        dq.check(tbl, [{"name": "x", "kind": "nope", "col": "id"}])
+
+
+def test_single_aggregate_plan(tbl):
+    """The whole suite compiles onto ONE aggregate: no join, and only
+    the single-row exchange of a global agg in the plan."""
+    out = dq.check(tbl, [
+        {"name": "id_nn", "kind": "not_null", "col": "id"},
+        {"name": "v_min", "kind": "min_ge", "col": "v", "bound": 0},
+        {"name": "s_pat", "kind": "pattern_rate", "col": "s",
+         "pattern": "^a", "min_rate": 0.1},
+    ])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_approx_mode_close_to_exact(spark):
+    df = spark.range(0, 2000).select(F.col("id"), (F.col("id") % 97).alias("g"))
+    ex = _metrics(dq.profile(df, ["g"], distinct_mode="exact"), "g")
+    ap = _metrics(dq.profile(df, ["g"], distinct_mode="approx"), "g")
+    assert ex["n_distinct"] == 97.0
+    assert abs(ap["n_distinct"] - 97.0) / 97.0 < 0.1
+
+
+def test_duckdb_twins(spark, tmp_path):
+    """profile_sql / check_sql replay the engine bit-for-bit on the
+    same parquet (the driver-gate compare, in miniature)."""
+    import duckdb
+    import pandas as pd
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = "/root/testdata/sf0.001/documents.parquet"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+
+    eng = (
+        dq.profile(df, ["doc_id", "n_chars", "text"], distinct_mode="exact")
+        .toPandas().sort_values(["column", "metric"]).reset_index(drop=True)
+    )
+    ora = (
+        con.sql(dq.profile_sql("documents", ["doc_id", "n_chars"], ["text"]))
+        .df().sort_values(["column", "metric"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+
+    cons = [
+        {"name": "uq", "kind": "unique", "col": "doc_id"},
+        {"name": "langs", "kind": "values_in", "col": "lang",
+         "allowed": ["en", "de"], "min_rate": 0.5},
+        {"name": "srcpat", "kind": "pattern_rate", "col": "source",
+         "pattern": "^src[0-9]+$", "min_rate": 1.0},
+    ]
+    eng2 = dq.check(df, cons).toPandas().sort_values("name").reset_index(drop=True)
+    ora2 = con.sql(dq.check_sql("documents", cons)).df().sort_values(
+        "name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(eng2, ora2, check_dtype=False)
