@@ -2377,6 +2377,18 @@ def q_dedup_canonical(spark, sf_dir):
     return out.select("doc_id", "canonical_id", "is_canonical")
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection (the FineWeb/CCNet 'keep the
+    best capture' rule): same 3-shingle Jaccard components as
+    dedup_canonical, but the survivor is the LONGEST member (n_chars
+    argmax, min-id tiebreak) — one extra component-keyed window over
+    the CC output. Oracle: recursive-CTE closure + the same argmax."""
+    df = _table(spark, sf_dir, "documents")
+    pairs = dedup_op.jaccard_pairs(df, threshold=0.5, shingle=3)
+    out = dedup_op.canonicalize(df, pairs, keep_by="n_chars")
+    return out.select("doc_id", "canonical_id", "is_canonical")
+
+
 def q_image_meta(spark, sf_dir):
     """Multimodal decode in the driver gate: REAL P6 PPM payloads
     synthesized in-query (deterministic gradient keyed by doc_id),
@@ -2996,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocked_terms": q_blocked_terms,
         "weighted_sample": q_weighted_sample,
         "dedup_canonical": q_dedup_canonical,
+        "dedup_keep_best": q_dedup_keep_best,
         "image_meta": q_image_meta,
         "audio_meta": q_audio_meta,
         "dedup_exact": q_dedup_exact,
@@ -5132,6 +5145,33 @@ def _datapipe_oracles() -> dict[str, str]:
           SELECT id AS doc_id, min(lab) AS canonical_id,
                  CASE WHEN id = min(lab) THEN 1 ELSE 0 END AS is_canonical
           FROM reach GROUP BY id
+        """,
+        # same closure, survivor = argmax(n_chars) w/ min-id tiebreak
+        "dedup_keep_best": f"""
+          WITH RECURSIVE prs AS (
+            {dedup_op.jaccard_pairs_sql(0.5, shingle=3)}
+          ),
+          reach(id, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, r.lab FROM reach r
+            JOIN (SELECT id1 AS a, id2 AS b FROM prs
+                  UNION ALL SELECT id2, id1 FROM prs) e
+              ON e.a = r.id
+          ),
+          comp AS (
+            SELECT id AS doc_id, min(lab) AS root FROM reach GROUP BY id
+          ),
+          best AS (
+            SELECT c.root, d.doc_id AS best_id,
+                   row_number() OVER (PARTITION BY c.root
+                     ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+          )
+          SELECT c.doc_id, b.best_id AS canonical_id,
+                 CASE WHEN c.doc_id = b.best_id THEN 1 ELSE 0 END
+                   AS is_canonical
+          FROM comp c JOIN best b ON b.root = c.root AND b.rn = 1
         """,
         "text_tokens": (
             f"SELECT doc_id, CAST({ws} AS BIGINT) AS n_ws_tokens, "

@@ -1161,18 +1161,24 @@ def simhash_pairs(
 
 def canonicalize(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-    driver_max_edges: int = 5_000_000,
+    driver_max_edges: int = 5_000_000, keep_by: str | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTERING -> canonical-document selection: connected
     components of the verified pair graph; canonical = the smallest
     member id of each group (the deterministic "keep first" rule every
-    dedup pipeline needs after pair generation).
+    dedup pipeline needs after pair generation), or — with ``keep_by``
+    — the member with the LARGEST value of that quality column
+    (smallest id on ties): the "keep the best capture" rule, where the
+    survivor is the longest / highest-scoring duplicate rather than
+    the oldest.
 
     Execution reuses the graph-generic CC primitives behind
     filters.cluster (operators/pointcloud): driver union-find under
     `driver_max_edges`, distributed min-label propagation above it — so
-    a 100 TB pair list never materializes on the driver. Adds
-    `canonical_id` and `is_canonical` (1 for the kept doc)."""
+    a 100 TB pair list never materializes on the driver. ``keep_by``
+    adds ONE component-keyed window (argmax over the root label the CC
+    output already carries). Adds `canonical_id` and `is_canonical`
+    (1 for the kept doc)."""
     from pdal_spark.operators.pointcloud import _cc_min_label, _cc_union_find
 
     pts = df.select(F.col(id_col).alias("id"))
@@ -1187,6 +1193,15 @@ def canonicalize(
         F.col("id").alias(id_col), F.col("root").alias("canonical_id")
     )
     out = df.join(side, id_col)
+    if keep_by is not None:
+        w = Window.partitionBy("canonical_id").orderBy(
+            F.col(keep_by).desc(), F.col(id_col).asc()
+        )
+        out = (
+            out.withColumn("_best", F.first(F.col(id_col)).over(w))
+            .drop("canonical_id")
+            .withColumnRenamed("_best", "canonical_id")
+        )
     return out.withColumn(
         "is_canonical",
         (F.col(id_col) == F.col("canonical_id")).cast("int"),

@@ -748,6 +748,19 @@ def test_canonicalize_transitive_groups(spark):
     assert got == {(3, 3, 1), (5, 3, 0), (9, 3, 0), (11, 11, 1)}
 
 
+def test_canonicalize_keep_by_quality(spark):
+    """keep_by: survivor = largest quality value, min-id tiebreak;
+    component membership identical to the min-id rule."""
+    df = spark.createDataFrame(
+        [(3, 10), (5, 40), (9, 40), (11, 7)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(3, 5), (5, 9)], "id1 long, id2 long")
+    out = dedup.canonicalize(df, pairs, keep_by="n_chars")
+    got = {(r.doc_id, r.canonical_id, r.is_canonical) for r in out.collect()}
+    # 5 and 9 tie at 40 -> smaller id 5 wins; isolated 11 keeps itself
+    assert got == {(3, 5, 0), (5, 5, 1), (9, 5, 0), (11, 11, 1)}
+
+
 def test_canonicalize_matches_driver_union_find_vs_distributed(spark):
     """Driver union-find and distributed min-label must agree (forced
     low edge cap exercises the scale path)."""
