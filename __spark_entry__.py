@@ -2872,6 +2872,29 @@ _DQ_CONSTRAINTS = [
 ]
 
 
+_QUANTILES = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+def q_quantiles_global(spark, sf_dir):
+    """Exact global order statistics by counting (no global sort): one
+    combinable exchange to per-value counts, range-partitioned prefix
+    sums over the value order (ordered.prefix_sums — no single-task
+    window), broadcast rank selection. percentile_disc semantics;
+    DuckDB's native quantile_disc agrees (pytest-pinned)."""
+    df = _table(spark, sf_dir, "events")
+    return stats_op.exact_quantiles(df, "value", _QUANTILES)
+
+
+def q_quantiles_by_type(spark, sf_dir):
+    """Exact per-group quantiles: same counting formulation with the
+    group key as the partition key (plain per-group windows — groups
+    distribute; no driver state)."""
+    df = _table(spark, sf_dir, "events")
+    return stats_op.exact_quantiles(
+        df, "value", _QUANTILES, by=["event_type"]
+    )
+
+
 def q_data_profile(spark, sf_dir):
     """Deequ-style per-column profile (Schelter et al. VLDB 2018): all
     completeness/distinctness/moment metrics for five columns in ONE
@@ -3027,6 +3050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_pnp_join": q_cell_pnp_join,
         "data_profile": q_data_profile,
         "data_quality": q_data_quality,
+        "quantiles_global": q_quantiles_global,
+        "quantiles_by_type": q_quantiles_by_type,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
         "dedup_containment": q_dedup_containment,
@@ -5036,6 +5061,12 @@ def _dataquality_oracles() -> dict[str, str]:
     from pdal_spark.datapipe import dataquality as dq_op
 
     return {
+        "quantiles_global": stats_op.exact_quantiles_sql(
+            "events", "value", _QUANTILES
+        ),
+        "quantiles_by_type": stats_op.exact_quantiles_sql(
+            "events", "value", _QUANTILES, by=["event_type"]
+        ),
         "data_profile": dq_op.profile_sql(
             "documents", _DQ_COLS_NUM, _DQ_COLS_STR, distinct_mode="exact"
         ),

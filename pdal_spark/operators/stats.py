@@ -124,3 +124,99 @@ def info_bounds(df: DataFrame, dims: list[str]) -> DataFrame:
     for d in dims:
         exprs += [F.min(d).alias(f"min_{d}"), F.max(d).alias(f"max_{d}")]
     return df.agg(*exprs)
+
+
+def exact_quantiles(
+    df: DataFrame,
+    dim: str,
+    qs: list[float],
+    by: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT order statistics without a global sort (the selection-
+    by-counting classic): percentile_disc semantics — the smallest
+    value whose cumulative count reaches ceil(q*n) (rank 1 for q=0).
+
+    Scale shape: ONE combinable exchange to per-value counts (the
+    map-side-combined groupBy collapses 100 TB of rows to the distinct
+    value domain), cumulative counts over the value order — range-
+    partitioned prefix sums globally (ordered.prefix_sums, no
+    single-task window), plain per-group windows when ``by`` is given
+    (groups ARE the partition key) — then each target rank selects its
+    owning value run with a broadcast of the tiny quantile list. No
+    sort of the raw table, no sampling, exact at any scale (counts are
+    exact in double up to 2^53 rows).
+
+    The streaming/approximate sibling is the GK sketch
+    (streaming/gk.py); this is the batch-exact path the reference's
+    filters.stats percentile output would want at 100 TB.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(q < 0.0 or q > 1.0 for q in qs):
+        raise ValueError("quantiles must lie in [0, 1]")
+    spark = df.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame([(float(q),) for q in qs], "q double")
+    )
+    if by:
+        vc = df.groupBy(*by, dim).agg(F.count("*").alias("_c"))
+        from pyspark.sql import Window
+
+        wcum = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(dim).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wtot = Window.partitionBy(*by)
+        cum = vc.withColumn("_cum", F.sum("_c").over(wcum)).withColumn(
+            "_n", F.sum("_c").over(wtot)
+        )
+    else:
+        from pdal_spark.operators.ordered import prefix_sums
+
+        vc = df.groupBy(dim).agg(F.count("*").alias("_c"))
+        cum = prefix_sums(
+            vc, [F.col(dim).asc()], {"_cum": F.col("_c")},
+            num_partitions=num_partitions,
+        ).withColumn("_cum", F.col("_cum").cast("long"))
+        tot = vc.agg(F.sum("_c").alias("_n"))
+        cum = cum.crossJoin(F.broadcast(tot))
+    k = F.greatest(F.ceil(F.col("q") * F.col("_n")), F.lit(1))
+    out = (
+        cum.join(
+            qdf,
+            ((F.col("_cum") - F.col("_c")) < k) & (k <= F.col("_cum")),
+        )
+        .select(*(by or []), "q", F.col(dim).alias("value"))
+    )
+    return out
+
+
+def exact_quantiles_sql(
+    table: str, dim: str, qs: list[float], by: list[str] | None = None,
+) -> str:
+    """DuckDB twin of exact_quantiles — the same counting formulation
+    (independently, DuckDB's native quantile_disc agrees; pytest pins
+    that equivalence)."""
+    qvals = ", ".join(f"({float(q)})" for q in qs)
+    grp = ", ".join(by) + ", " if by else ""
+    part = f"PARTITION BY {', '.join(by)} " if by else ""
+    return f"""
+      WITH vc AS (
+        SELECT {grp}{dim} AS v, count(*) AS c FROM {table}
+        GROUP BY {grp}{dim}
+      ),
+      cum AS (
+        SELECT {grp}v, c,
+               sum(c) OVER ({part}ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER ({part.rstrip() or ''}) AS n
+        FROM vc
+      ),
+      qs(q) AS (VALUES {qvals})
+      SELECT {grp}q, v AS value
+      FROM cum CROSS JOIN qs
+      WHERE (cum - c) < greatest(CAST(ceil(q * n) AS BIGINT), 1)
+        AND greatest(CAST(ceil(q * n) AS BIGINT), 1) <= cum
+    """

@@ -1,78 +1,104 @@
+"""Exact distributed quantiles (operators/stats.exact_quantiles):
+literal rank semantics, ties, DuckDB native quantile_disc agreement,
+grouped path, and the no-global-sort plan shape."""
+
 from __future__ import annotations
 
-import duckdb
-import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from pdal_spark.operators.quantiles import grouped_quantiles, grouped_quantiles_sql
-
-SF_DIR = "/root/testdata/sf0.001"
+from pdal_spark.operators import stats as stats_op
 
 
-def test_grouped_quantiles_literal(spark):
-    # group a: values 10..19 (n=10) -> p25 = rank ceil(2.5)=3 -> 12,
-    # p50 = rank 5 -> 14, p75 = rank ceil(7.5)=8 -> 17
-    rows = [(i, "a", 10 + i) for i in range(10)]
-    # group b: single row -> every q hits rank 1
-    rows += [(100, "b", 42)]
-    df = spark.createDataFrame(rows, "doc_id long, g string, v long")
-    out = sorted(
-        tuple(r)
-        for r in grouped_quantiles(df, ["g"], "v", id_col="doc_id").collect()
+def test_literal_ranks_and_ties(spark):
+    # values sorted: 1,1,1,2,5,5,9  (n=7)
+    df = spark.createDataFrame(
+        [(v,) for v in [5, 1, 9, 1, 2, 5, 1]], "v long"
     )
-    assert out == sorted(
-        [
-            ("a", 0.25, 10, 12),
-            ("a", 0.5, 10, 14),
-            ("a", 0.75, 10, 17),
-            ("b", 0.25, 1, 42),
-            ("b", 0.5, 1, 42),
-            ("b", 0.75, 1, 42),
-        ]
-    )
+    qs = [0.0, 0.5, 0.99, 1.0]
+    out = {
+        r.q: r.value
+        for r in stats_op.exact_quantiles(df, "v", qs).collect()
+    }
+    # q=0 -> rank 1 -> 1; q=.5 -> ceil(3.5)=4 -> 2; q=.99 -> ceil(6.93)=7
+    assert out == {0.0: 1, 0.5: 2, 0.99: 9, 1.0: 9}
 
 
-def test_grouped_quantiles_tie_determinism(spark):
-    # all-equal values: ranks resolve by id, value identical either way;
-    # result must not depend on partitioning
-    rows = [(i, "g", 7) for i in range(20)]
-    df = spark.createDataFrame(rows, "doc_id long, g string, v long")
-    a = sorted(map(tuple, grouped_quantiles(df, ["g"], "v").collect()))
-    b = sorted(
-        map(tuple, grouped_quantiles(df.repartition(9), ["g"], "v").collect())
-    )
-    assert a == b
-    assert all(r[3] == 7 for r in a)
+def test_matches_duckdb_native_quantile_disc(spark):
+    """The counting formulation equals DuckDB's independent native
+    implementation on a double column with duplicates."""
+    import duckdb
 
-
-def test_grouped_quantiles_matches_sql(spark):
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        "doc_id", "lang", F.length("text").cast("long").alias("n_chars")
-    )
-    out = (
-        grouped_quantiles(docs, ["lang"], "n_chars")
-        .toPandas()
-        .sort_values(["lang", "q"])
-        .reset_index(drop=True)
-    )
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = {
+        r.q: r.value
+        for r in stats_op.exact_quantiles(df, "value", qs).collect()
+    }
     con = duckdb.connect()
     con.sql(
-        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        "CREATE VIEW events AS SELECT * "
+        "FROM '/root/testdata/sf0.001/events.parquet'"
     )
-    exp = (
-        con.sql(
-            grouped_quantiles_sql(
-                "(SELECT doc_id, lang, length(text) AS n_chars"
-                " FROM documents)",
-                ["lang"],
-                "n_chars",
-            )
-        )
-        .df()
-        .sort_values(["lang", "q"])
-        .reset_index(drop=True)
-    )
-    pd.testing.assert_frame_equal(
-        out[sorted(out.columns)], exp[sorted(exp.columns)], check_dtype=False
-    )
+    for q in qs:
+        native = con.sql(
+            f"SELECT quantile_disc(value, {q}) FROM events"
+        ).fetchone()[0]
+        assert got[q] == native, q
+
+
+def test_grouped_equals_per_group_global(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    qs = [0.25, 0.5, 0.9]
+    grouped = {
+        (r.event_type, r.q): r.value
+        for r in stats_op.exact_quantiles(
+            df, "value", qs, by=["event_type"]
+        ).collect()
+    }
+    types = [r.event_type for r in df.select("event_type").distinct().collect()]
+    for t in types:
+        solo = {
+            r.q: r.value
+            for r in stats_op.exact_quantiles(
+                df.filter(F.col("event_type") == t), "value", qs
+            ).collect()
+        }
+        for q in qs:
+            assert grouped[(t, q)] == solo[q], (t, q)
+
+
+def test_partition_count_invariant(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    qs = [0.5, 0.9]
+    a = stats_op.exact_quantiles(df, "value", qs).collect()
+    b = stats_op.exact_quantiles(
+        df.repartition(13), "value", qs, num_partitions=3
+    ).collect()
+    assert {(r.q, r.value) for r in a} == {(r.q, r.value) for r in b}
+
+
+def test_no_global_sort_in_plan(spark):
+    """The raw table is never globally sorted: the first thing above
+    the scan is the partial count aggregate (map-side collapse to the
+    value domain); any Sort in the plan operates on the aggregated
+    table, never on the scan output directly."""
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = stats_op.exact_quantiles(df, "value", [0.5])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    scan_lines = [i for i, l in enumerate(lines) if "Scan parquet" in l]
+    assert scan_lines
+    for i in scan_lines:
+        # walk upward from the scan: the nearest enclosing operator
+        # chain must hit an aggregate before it hits any Sort
+        above = "\n".join(lines[max(0, i - 6):i])
+        assert "Sort" not in above or "HashAggregate" in above
+
+
+def test_validates_inputs(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError):
+        stats_op.exact_quantiles(df, "v", [])
+    with pytest.raises(ValueError):
+        stats_op.exact_quantiles(df, "v", [1.5])
