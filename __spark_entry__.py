@@ -2872,6 +2872,39 @@ _DQ_CONSTRAINTS = [
 ]
 
 
+def q_catalog_merge(spark, sf_dir):
+    """Copy-on-write MERGE INTO on the snapshot catalog: documents
+    ingested as three key-ranged files, then one merge that updates
+    every doc_id % 7 == 0 row and inserts a disjoint batch — only the
+    files containing matched keys are rewritten (manifest footer-stats
+    prune -> provenance scan), the rest carry over byte-identical.
+    Returns the merged table; the oracle replays update+insert as a
+    CASE + UNION."""
+    import tempfile
+
+    from pdal_spark.catalog import SnapshotTable
+
+    df = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="merge_t_"), stats_cols=("doc_id",)
+    )
+    for lo, hi in ((0, 200), (200, 350), (350, 10**9)):
+        t.append(
+            df.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1)
+        )
+    updates = df.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", (F.col("n_chars") + 1000).alias("n_chars")
+    )
+    inserts = spark.range(0, 10).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        (F.col("id") * 11 + 3).alias("n_chars"),
+    )
+    t.merge(updates.unionByName(inserts), key="doc_id")
+    return t.read().select("doc_id", "n_chars")
+
+
 _QUANTILES = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
 
 
@@ -3052,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality": q_data_quality,
         "quantiles_global": q_quantiles_global,
         "quantiles_by_type": q_quantiles_by_type,
+        "catalog_merge": q_catalog_merge,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
         "dedup_containment": q_dedup_containment,
@@ -5061,6 +5095,16 @@ def _dataquality_oracles() -> dict[str, str]:
     from pdal_spark.datapipe import dataquality as dq_op
 
     return {
+        "catalog_merge": """
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+                      ELSE n_chars END AS n_chars
+          FROM documents
+          UNION ALL
+          SELECT 1000000 + i.range AS doc_id,
+                 i.range * 11 + 3 AS n_chars
+          FROM range(0, 10) i
+        """,
         "quantiles_global": stats_op.exact_quantiles_sql(
             "events", "value", _QUANTILES
         ),

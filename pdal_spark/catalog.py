@@ -185,6 +185,104 @@ class SnapshotTable:
         new_files = self._stage(df)
         return self._commit(new_files, "overwrite", lambda s: [])
 
+    def merge(self, source: DataFrame, key: str,
+              when_matched: str = "update") -> dict:
+        """Copy-on-write MERGE (the Iceberg/Delta ``MERGE INTO`` shape):
+        target rows whose ``key`` appears in ``source`` are replaced by
+        the source row (``when_matched="update"``) or removed
+        (``"delete"``); unmatched source rows are inserted (update mode
+        only). Only data files that actually CONTAIN a matching key are
+        rewritten — every other file carries into the new snapshot
+        untouched, which is the property that makes point-updates
+        affordable on a 100 TB table (rewrite = touched files only,
+        not the table).
+
+        Candidate selection is two-level: manifest footer stats on the
+        key column prune files whose [min,max] range cannot intersect
+        the source keys (no data read — requires ``key`` in
+        ``stats_cols``; without stats every file is a candidate), then
+        one column-pruned scan of the candidates with per-row file
+        provenance (input_file_name) finds the files with real matches.
+
+        Source must be unique on ``key`` (checked) and schema-aligned
+        with the target in update mode. Commit is serializable: if
+        another writer commits between planning and commit, the merge
+        raises CommitConflict rather than committing against a file
+        list it did not plan on (Iceberg's validation semantics).
+        Returns counts + the new version."""
+        from pyspark.sql import functions as F
+
+        if when_matched not in ("update", "delete"):
+            raise ValueError("when_matched must be 'update' or 'delete'")
+        dup = source.groupBy(key).count().filter("count > 1").limit(1)
+        if dup.count():
+            raise ValueError(f"source is not unique on {key}")
+        planned_version = self.current_version()
+        snap = self.snapshot(planned_version)
+        files = snap["files"]
+
+        # level 1: manifest stats prune (no I/O)
+        bounds = source.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).collect()[0]
+        lo, hi = bounds.lo, bounds.hi
+
+        def may_match(f: dict) -> bool:
+            st = f.get("stats", {}).get(key)
+            if st is None or lo is None:
+                return True  # no stats -> must scan
+            return not (st[0] > hi or st[1] < lo)
+
+        cand = [f for f in files if may_match(f)]
+        # level 2: provenance scan of candidates, column-pruned to key
+        touched_paths: set = set()
+        if cand:
+            scan = self.spark.read.parquet(*[f["path"] for f in cand])
+            hit = (
+                scan.select(F.col(key), F.input_file_name().alias("_f"))
+                .join(source.select(key).distinct(), key, "semi")
+                .select("_f").distinct().collect()
+            )
+            touched_basenames = {os.path.basename(r._f) for r in hit}
+            touched_paths = {
+                f["path"] for f in cand
+                if os.path.basename(f["path"]) in touched_basenames
+            }
+        keep_files = [f for f in files if f["path"] not in touched_paths]
+
+        if touched_paths:
+            touched_scan = self.spark.read.parquet(*sorted(touched_paths))
+            kept_rows = touched_scan.join(
+                source.select(key).distinct(), key, "anti"
+            )
+        else:
+            kept_rows = None
+        if when_matched == "update":
+            new_data = (
+                kept_rows.unionByName(source) if kept_rows is not None
+                else source
+            )
+        else:
+            new_data = kept_rows
+        new_files = self._stage(new_data) if new_data is not None else []
+
+        def base(s: dict) -> list:
+            if s["version"] != planned_version:
+                raise CommitConflict(
+                    f"table advanced to v{s['version']} while merge "
+                    f"planned against v{planned_version}"
+                )
+            return list(keep_files)
+
+        v = self._commit(new_files, "merge", base, max_retries=1)
+        return {
+            "version": v,
+            "files_total": len(files),
+            "files_candidate": len(cand),
+            "files_rewritten": len(touched_paths),
+            "files_carried": len(keep_files),
+        }
+
     def rollback(self, version: int) -> int:
         """New snapshot re-pointing to an old file list (history intact)."""
         old = self.snapshot(version)["files"]

@@ -182,3 +182,84 @@ def test_incremental_read_with_bbox_prune(spark, table):
     }
     assert not (planned & hi_files)  # out-of-bbox new file pruned
     assert inc.count() == lo.count()
+
+
+def _kv(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.concat(F.lit(tag), F.col("id")).alias("v")
+    )
+
+
+@pytest.fixture()
+def ktable(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "kt"), stats_cols=("k",))
+    # three files with disjoint key ranges (coalesce(1) -> 1 file each)
+    t.append(_kv(spark, 0, 100).coalesce(1))
+    t.append(_kv(spark, 100, 200).coalesce(1))
+    t.append(_kv(spark, 200, 300).coalesce(1))
+    return t
+
+
+def test_merge_update_rewrites_only_touched_files(spark, ktable):
+    before = {f["path"] for f in ktable.snapshot()["files"]}
+    res = ktable.merge(_kv(spark, 150, 160, tag="new"), key="k")
+    # stats prune: keys 150-159 live in exactly the middle file
+    assert res["files_candidate"] == 1
+    assert res["files_rewritten"] == 1
+    assert res["files_carried"] == 2
+    after = {f["path"] for f in ktable.snapshot()["files"]}
+    # the two untouched files are literally the same bytes on disk
+    assert len(before & after) == 2
+    out = ktable.read()
+    assert out.count() == 300
+    assert out.filter("k = 155").collect()[0].v == "new155"
+    assert out.filter("k = 50").collect()[0].v == "a50"
+    # time travel to the pre-merge snapshot still sees the old value
+    assert ktable.read(version=3).filter("k = 155").collect()[0].v == "a155"
+
+
+def test_merge_insert_only(spark, ktable):
+    res = ktable.merge(_kv(spark, 400, 410, tag="ins"), key="k")
+    # range-disjoint inserts touch no existing file at either level
+    assert res["files_rewritten"] == 0
+    assert res["files_carried"] == 3
+    out = ktable.read()
+    assert out.count() == 310
+    assert out.filter("k = 405").collect()[0].v == "ins405"
+
+
+def test_merge_delete(spark, ktable):
+    res = ktable.merge(
+        _kv(spark, 290, 300).select("k"), key="k", when_matched="delete"
+    )
+    assert res["files_rewritten"] == 1
+    out = ktable.read()
+    assert out.count() == 290
+    assert out.filter("k >= 290").count() == 0
+
+
+def test_merge_rejects_duplicate_source_keys(spark, ktable):
+    dup = _kv(spark, 0, 5).unionByName(_kv(spark, 4, 5))
+    with pytest.raises(ValueError):
+        ktable.merge(dup, key="k")
+
+
+def test_merge_conflict_detected(spark, ktable, tmp_path):
+    """A concurrent commit between planning and commit must fail the
+    merge (serializable validation), not silently drop the racer's
+    files."""
+    from pdal_spark.catalog import CommitConflict
+
+    class Racy(SnapshotTable):
+        def _stage(self, df):
+            files = super()._stage(df)
+            # a second writer wins the race while our files stage
+            other = SnapshotTable(spark, self.path, stats_cols=("k",))
+            other.append(_kv(spark, 900, 910).coalesce(1))
+            return files
+
+    racy = Racy(spark, ktable.path, stats_cols=("k",))
+    with pytest.raises(CommitConflict):
+        racy.merge(_kv(spark, 150, 160, tag="new"), key="k")
+    # the racer's append is intact
+    assert SnapshotTable(spark, ktable.path).read().count() == 310
