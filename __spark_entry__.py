@@ -2905,6 +2905,38 @@ def q_catalog_merge(spark, sf_dir):
     return t.read().select("doc_id", "n_chars")
 
 
+def q_catalog_changes(spark, sf_dir):
+    """Change-data-feed across a copy-on-write merge: the file-level
+    diff reads ONLY added/removed files (carried files never enter the
+    comparison), rewritten files' carried rows cancel via exceptAll —
+    updates surface as their delete+insert pair. Oracle: the same
+    change set in closed form."""
+    import tempfile
+
+    from pdal_spark.catalog import SnapshotTable
+
+    df = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="cdf_t_"), stats_cols=("doc_id",)
+    )
+    for lo, hi in ((0, 200), (200, 350), (350, 10**9)):
+        t.append(
+            df.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1)
+        )
+    v_base = t.current_version()
+    updates = df.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", (F.col("n_chars") + 5000).alias("n_chars")
+    )
+    inserts = spark.range(0, 5).select(
+        (F.col("id") + 2_000_000).alias("doc_id"),
+        (F.col("id") * 7 + 1).alias("n_chars"),
+    )
+    t.merge(updates.unionByName(inserts), key="doc_id")
+    return t.changes(v_base).select("doc_id", "n_chars", "_change_type")
+
+
 _QUANTILES = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
 
 
@@ -3086,6 +3118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_global": q_quantiles_global,
         "quantiles_by_type": q_quantiles_by_type,
         "catalog_merge": q_catalog_merge,
+        "catalog_changes": q_catalog_changes,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
         "dedup_containment": q_dedup_containment,
@@ -5095,6 +5128,17 @@ def _dataquality_oracles() -> dict[str, str]:
     from pdal_spark.datapipe import dataquality as dq_op
 
     return {
+        "catalog_changes": """
+          SELECT doc_id, n_chars + 5000 AS n_chars,
+                 'insert' AS _change_type
+          FROM documents WHERE doc_id % 13 = 0
+          UNION ALL
+          SELECT 2000000 + i.range, i.range * 7 + 1, 'insert'
+          FROM range(0, 5) i
+          UNION ALL
+          SELECT doc_id, n_chars, 'delete'
+          FROM documents WHERE doc_id % 13 = 0
+        """,
         "catalog_merge": """
           SELECT doc_id,
                  CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000

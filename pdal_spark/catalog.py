@@ -283,6 +283,86 @@ class SnapshotTable:
             "files_carried": len(keep_files),
         }
 
+    def compact(self, small_threshold_rows: int,
+                target_partitions: int | None = None) -> dict:
+        """Small-file compaction (the lakehouse OPTIMIZE bin-pack):
+        rewrite files below ``small_threshold_rows`` into
+        ``target_partitions`` right-sized ones; every large file
+        carries into the new snapshot untouched. The weekly-crawl
+        failure mode this exists for: thousands of stripe-sized commit
+        files turning every scan's task list into driver pressure.
+
+        Needs >= 2 small files to do anything (a lone small file
+        cannot be packed tighter). Same serializable validation as
+        merge(). Returns counts + the new version (unchanged version
+        on no-op)."""
+        planned_version = self.current_version()
+        files = self.snapshot(planned_version)["files"]
+        small = [f for f in files if int(f["rows"]) < small_threshold_rows]
+        if len(small) < 2:
+            return {"version": planned_version, "files_compacted": 0,
+                    "files_carried": len(files)}
+        keep_files = [f for f in files if int(f["rows"]) >= small_threshold_rows]
+        rows_small = sum(int(f["rows"]) for f in small)
+        if target_partitions is None:
+            target_partitions = max(1, rows_small // small_threshold_rows)
+        packed = self.spark.read.parquet(
+            *[f["path"] for f in small]
+        ).repartition(target_partitions)
+        new_files = self._stage(packed)
+
+        def base(s: dict) -> list:
+            if s["version"] != planned_version:
+                raise CommitConflict(
+                    f"table advanced to v{s['version']} while compaction "
+                    f"planned against v{planned_version}"
+                )
+            return list(keep_files)
+
+        v = self._commit(new_files, "compact", base, max_retries=1)
+        return {"version": v, "files_compacted": len(small),
+                "files_new": len(new_files), "files_carried": len(keep_files)}
+
+    def changes(self, from_version: int,
+                to_version: Optional[int] = None) -> DataFrame:
+        """Change-data-feed between two snapshots (the Delta/Iceberg
+        CDF shape): every row added since ``from_version`` tagged
+        ``insert``, every row removed tagged ``delete`` (an update from
+        merge() appears as its delete+insert pair — the engine stores
+        no row ids, so that is the honest representation).
+
+        File-diff first (manifest-only): rows in carried-over files
+        never enter the comparison at all — the comparison reads ONLY
+        the added/removed file sets, so a 3-file merge against a 100 TB
+        table diffs 3 files, not the table. Rewritten files' carried
+        rows cancel via exceptAll (multiset semantics — duplicate rows
+        cancel one-for-one)."""
+        from pyspark.sql import functions as F
+
+        a = self.snapshot(from_version)["files"]
+        b = self.snapshot(to_version)["files"]
+        a_paths = {f["path"] for f in a}
+        b_paths = {f["path"] for f in b}
+        removed = sorted(f["path"] for f in a if f["path"] not in b_paths)
+        added = sorted(f["path"] for f in b if f["path"] not in a_paths)
+
+        def rd(paths):
+            if not paths:
+                ref = (b or a)
+                if not ref:
+                    raise ValueError("empty table and no snapshot schema")
+                return self.spark.read.parquet(ref[0]["path"]).limit(0)
+            return self.spark.read.parquet(*paths)
+
+        added_rows, removed_rows = rd(added), rd(removed)
+        inserts = added_rows.exceptAll(removed_rows).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = removed_rows.exceptAll(added_rows).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserts.unionByName(deletes)
+
     def rollback(self, version: int) -> int:
         """New snapshot re-pointing to an old file list (history intact)."""
         old = self.snapshot(version)["files"]

@@ -263,3 +263,57 @@ def test_merge_conflict_detected(spark, ktable, tmp_path):
         racy.merge(_kv(spark, 150, 160, tag="new"), key="k")
     # the racer's append is intact
     assert SnapshotTable(spark, ktable.path).read().count() == 310
+
+
+def test_compact_packs_small_files_only(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ct"))
+    t.append(_kv(spark, 0, 10000).coalesce(1))          # large
+    for i in range(4):                                   # 4 small stripes
+        t.append(_kv(spark, 10000 + i * 50, 10000 + (i + 1) * 50).coalesce(1))
+    before = {f["path"] for f in t.snapshot()["files"]}
+    res = t.compact(small_threshold_rows=1000)
+    assert res["files_compacted"] == 4
+    assert res["files_carried"] == 1
+    after = t.snapshot()["files"]
+    # the large file carried byte-identical; total rows preserved
+    assert len(before & {f["path"] for f in after}) == 1
+    assert t.read().count() == 10200
+    assert sum(int(f["rows"]) for f in after) == 10200
+    # fewer files than before
+    assert len(after) < 5
+    # no-op when nothing (or one file) is small
+    res2 = t.compact(small_threshold_rows=10)
+    assert res2["files_compacted"] == 0
+
+
+def test_changes_cdf_insert_delete_and_update_pair(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "cdf"), stats_cols=("k",))
+    t.append(_kv(spark, 0, 100).coalesce(1))
+    t.append(_kv(spark, 100, 200).coalesce(1))
+    v_base = t.current_version()
+    # append-only diff: pure inserts
+    t.append(_kv(spark, 200, 250).coalesce(1))
+    ch = t.changes(v_base)
+    assert ch.filter("_change_type = 'insert'").count() == 50
+    assert ch.filter("_change_type = 'delete'").count() == 0
+    # merge update: delete+insert pair for each touched key, and the
+    # carried rows of the rewritten file cancel out
+    v_mid = t.current_version()
+    t.merge(_kv(spark, 150, 155, tag="new"), key="k")
+    ch2 = t.changes(v_mid)
+    ins = {(r.k, r.v) for r in ch2.filter("_change_type = 'insert'").collect()}
+    dels = {(r.k, r.v) for r in ch2.filter("_change_type = 'delete'").collect()}
+    assert ins == {(k, f"new{k}") for k in range(150, 155)}
+    assert dels == {(k, f"a{k}") for k in range(150, 155)}
+    # full-span diff composes both changes
+    ch3 = t.changes(v_base)
+    assert ch3.filter("_change_type = 'insert'").count() == 55
+    assert ch3.filter("_change_type = 'delete'").count() == 5
+    # compaction is invisible to CDF (same rows, repacked)
+    v_pre = t.current_version()
+    t.append(_kv(spark, 300, 310).coalesce(1))
+    t.append(_kv(spark, 310, 320).coalesce(1))
+    v_small = t.current_version()
+    t.compact(small_threshold_rows=1000)
+    ch4 = t.changes(v_small)
+    assert ch4.count() == 0
