@@ -2937,6 +2937,18 @@ def q_catalog_changes(spark, sf_dir):
     return t.changes(v_base).select("doc_id", "n_chars", "_change_type")
 
 
+def q_shard_assign(spark, sf_dir):
+    """Jump-consistent-hash resharding plan 16 -> 17 shards (Lamping &
+    Veach 2014): map-only Arrow kernel (vectorized geometric-jump
+    walk, zero shuffles); moved keys are the theoretical minimum and
+    land only in the new shard. Oracle replays the identical uint64
+    LCG walk as a recursive CTE in HUGEINT arithmetic."""
+    from pdal_spark.datapipe import sharding as sh_op
+
+    df = _table(spark, sf_dir, "documents").select("doc_id")
+    return sh_op.shard_assign(df, "doc_id", n_old=16, n_new=17)
+
+
 _QUANTILES = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
 
 
@@ -3119,6 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_by_type": q_quantiles_by_type,
         "catalog_merge": q_catalog_merge,
         "catalog_changes": q_catalog_changes,
+        "shard_assign": q_shard_assign,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
         "dedup_containment": q_dedup_containment,
@@ -5124,10 +5137,25 @@ def _raster_oracles() -> dict[str, str]:
     }
 
 
+def _sharding_sql(n: int, out: str) -> str:
+    from pdal_spark.datapipe import sharding as sh_op
+
+    return sh_op.jump_bucket_sql("documents", "doc_id", n, out_col=out)
+
+
 def _dataquality_oracles() -> dict[str, str]:
     from pdal_spark.datapipe import dataquality as dq_op
 
     return {
+        "shard_assign": """
+          WITH olds AS ({_SH_OLD}), news AS ({_SH_NEW})
+          SELECT o.doc_id, o.bucket_old, n.bucket_new,
+                 CASE WHEN o.bucket_old <> n.bucket_new THEN 1 ELSE 0 END
+                   AS moved
+          FROM olds o JOIN news n USING (doc_id)
+        """.replace("{_SH_OLD}", _sharding_sql(16, "bucket_old")).replace(
+            "{_SH_NEW}", _sharding_sql(17, "bucket_new")
+        ),
         "catalog_changes": """
           SELECT doc_id, n_chars + 5000 AS n_chars,
                  'insert' AS _change_type
