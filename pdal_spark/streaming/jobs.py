@@ -948,3 +948,55 @@ def stream_burst_windows(
     return rows.groupBy("k").applyInPandasWithState(
         fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_merge_upserts(
+    stream_df: DataFrame,
+    table,
+    key: str,
+    ts_col: str | None = None,
+    checkpoint: str | None = None,
+):
+    """CDC-apply: fold a stream of upsert records into a SnapshotTable
+    via foreachBatch + copy-on-write merge (the Delta/Iceberg
+    "streaming MERGE INTO" pattern).
+
+    Each micro-batch collapses to one row per key before merging —
+    latest ``ts_col`` wins (arrival order is not defined inside a
+    batch; an explicit event-time column is, which is why it is
+    required whenever a batch can carry the same key twice). Batches
+    commit in order, each as one snapshot: the table's history IS the
+    CDC apply log, restart-safe through the checkpoint (a replayed
+    batch re-merges the same rows — idempotent, since merge is a
+    by-key replace).
+
+    100 TB shape: per batch, merge rewrites only the files containing
+    that batch's keys (footer-stats prune + provenance scan) — steady
+    small-batch CDC touches a bounded file set, and compaction
+    (`table.compact`) repacks the accumulating stripe files out of
+    band."""
+    from pyspark.sql import Window
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        src = bdf
+        if ts_col is not None:
+            w = Window.partitionBy(key).orderBy(
+                F.col(ts_col).desc(), *[
+                    F.col(c).desc() for c in bdf.columns
+                    if c not in (key, ts_col)
+                ]
+            )
+            src = (
+                bdf.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if src.limit(1).count():
+            table.merge(src, key=key)
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q

@@ -317,3 +317,50 @@ def test_changes_cdf_insert_delete_and_update_pair(spark, tmp_path):
     t.compact(small_threshold_rows=1000)
     ch4 = t.changes(v_small)
     assert ch4.count() == 0
+
+
+def test_streaming_cdc_apply_resumable(spark, tmp_path):
+    """File-stream of upsert batches folded into the table via
+    foreachBatch + merge: latest-ts-wins within a batch, sequential
+    availableNow runs resume from the checkpoint without re-applying,
+    and the final table equals the batch upsert result."""
+    import os
+
+    from pdal_spark.streaming.jobs import stream_merge_upserts
+
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "cdc_ckpt")
+    t = SnapshotTable(spark, str(tmp_path / "cdc_t"), stats_cols=("k",))
+    t.append(
+        _kv(spark, 0, 100).withColumn("ts", F.lit(0).cast("long")).coalesce(1)
+    )
+
+    def emit(name, rows):
+        spark.createDataFrame(
+            rows, "k long, v string, ts long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: update k=5 twice (ts 2 wins) + insert k=200
+    emit("b1", [(5, "old", 1), (5, "newer", 2), (200, "ins", 1)])
+    stream = spark.readStream.schema("k long, v string, ts long").parquet(src)
+    stream_merge_upserts(stream, t, key="k", ts_col="ts", checkpoint=ckpt)
+    out1 = {r.k: r.v for r in t.read().select("k", "v").collect()}
+    assert out1[5] == "newer"
+    assert out1[200] == "ins"
+    assert len(out1) == 101
+    v_after_b1 = t.current_version()
+
+    # batch 2 lands later; the resumed stream applies ONLY the new file
+    emit("b2", [(5, "newest", 3), (7, "seven", 1)])
+    stream2 = spark.readStream.schema("k long, v string, ts long").parquet(src)
+    stream_merge_upserts(stream2, t, key="k", ts_col="ts", checkpoint=ckpt)
+    out2 = {r.k: r.v for r in t.read().select("k", "v").collect()}
+    assert out2[5] == "newest" and out2[7] == "seven"
+    assert len(out2) == 101
+    # exactly one more merge snapshot (no re-apply of batch 1)
+    ops = [
+        t.snapshot(v)["operation"]
+        for v in range(v_after_b1 + 1, t.current_version() + 1)
+    ]
+    assert ops == ["merge"]
