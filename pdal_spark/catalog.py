@@ -28,6 +28,11 @@ same on-disk shape Iceberg uses:
   pushdown inside surviving files still applies on top.
 * **Rollback.** ``rollback(K)`` commits a new snapshot that re-points to
   ``K``'s file list (history is never rewritten).
+* **Point-lookup indexes.** ``bloom_cols`` adds a per-file Bloom bitmap
+  to the manifest (1 KiB/file at defaults, built from one column-pruned
+  pyarrow read at stage time): range stats cannot prune interleaved
+  keys, the bloom prunes point lookups and small merges anyway — no
+  false negatives, Iceberg/Delta's bloom-index analog.
 
 ``lineage.ResumableJob`` (write-then-commit batches) composes with this:
 each completed batch can be ``append``-ed as one snapshot, giving
@@ -51,14 +56,61 @@ class CommitConflict(RuntimeError):
 
 class SnapshotTable:
     def __init__(self, spark: SparkSession, path: str,
-                 stats_cols: Sequence[str] = ()):
+                 stats_cols: Sequence[str] = (),
+                 bloom_cols: Sequence[str] = (),
+                 bloom_bits: int = 8192, bloom_k: int = 4):
         self.spark = spark
         self.path = path
         self.data_dir = os.path.join(path, "data")
         self.meta_dir = os.path.join(path, "metadata")
         self.stats_cols = tuple(stats_cols)
+        self.bloom_cols = tuple(bloom_cols)
+        self.bloom_bits = int(bloom_bits)
+        self.bloom_k = int(bloom_k)
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
+
+    # -- per-file bloom indexes ---------------------------------------------
+    #
+    # min/max footer stats prune RANGE predicates; they are useless for
+    # point lookups over interleaved keys (every file's [min,max] covers
+    # every key — the "find one url among 10^12" shape). A per-file
+    # Bloom bitmap (bloom_bits bits, bloom_k probes; 1 KiB per file at
+    # the default) in the manifest prunes those: no false negatives,
+    # deterministic (md5-derived probe positions), built at stage time
+    # from ONE column-pruned pyarrow read of the staged file.
+
+    def _bloom_positions(self, value) -> list[int]:
+        import hashlib
+
+        out = []
+        for i in range(self.bloom_k):
+            d = hashlib.md5(f"{i}:{value}".encode()).digest()
+            out.append(int.from_bytes(d[:8], "big") % self.bloom_bits)
+        return out
+
+    def _build_bloom(self, path: str, col: str) -> str:
+        import pyarrow.parquet as pq
+
+        bits = bytearray(self.bloom_bits // 8)
+        vals = pq.read_table(path, columns=[col]).column(0)
+        for v in vals.drop_null().to_pylist():
+            for p in self._bloom_positions(v):
+                bits[p >> 3] |= 1 << (p & 7)
+        return bytes(bits).hex()
+
+    def _bloom_may_contain(self, f: dict, col: str, values) -> bool:
+        bl = f.get("bloom", {}).get(col)
+        if bl is None:
+            return True  # unindexed file -> cannot prune
+        bits = bytes.fromhex(bl)
+        for v in values:
+            if all(
+                bits[p >> 3] & (1 << (p & 7))
+                for p in self._bloom_positions(v)
+            ):
+                return True
+        return False
 
     # -- snapshot bookkeeping ---------------------------------------------
 
@@ -130,9 +182,14 @@ class SnapshotTable:
                     maxs.append(st.max)
                 if mins:
                     stats[c] = [min(mins), max(maxs)]
-            entries.append({
-                "path": dst, "rows": meta.num_rows, "stats": stats,
-            })
+            entry = {"path": dst, "rows": meta.num_rows, "stats": stats}
+            blooms = {
+                c: self._build_bloom(dst, c)
+                for c in self.bloom_cols if c in meta.schema.names
+            }
+            if blooms:
+                entry["bloom"] = blooms
+            entries.append(entry)
         for leftover in os.listdir(stage):
             os.remove(os.path.join(stage, leftover))
         os.rmdir(stage)
@@ -234,6 +291,19 @@ class SnapshotTable:
             return not (st[0] > hi or st[1] < lo)
 
         cand = [f for f in files if may_match(f)]
+        # level 1b: per-file bloom prune — decisive for point updates
+        # over interleaved keys, where every file's [min,max] range
+        # covers every key. Only engaged when the source keyset is
+        # small enough to collect (CDC batches are; a 100 TB-source
+        # merge skips straight to the provenance scan).
+        if key in self.bloom_cols and cand:
+            probe = source.select(key).limit(10_001).collect()
+            if len(probe) <= 10_000:
+                keys_small = [r[0] for r in probe]
+                cand = [
+                    f for f in cand
+                    if self._bloom_may_contain(f, key, keys_small)
+                ]
         # level 2: provenance scan of candidates, column-pruned to key
         touched_paths: set = set()
         if cand:

@@ -364,3 +364,35 @@ def test_streaming_cdc_apply_resumable(spark, tmp_path):
         for v in range(v_after_b1 + 1, t.current_version() + 1)
     ]
     assert ops == ["merge"]
+
+
+def test_bloom_point_lookup_prune(spark, tmp_path):
+    """Interleaved keys defeat min/max range stats (every file covers
+    every key); the per-file bloom prunes point lookups anyway, with
+    no false negatives."""
+    t = SnapshotTable(spark, str(tmp_path / "bt"), stats_cols=("k",),
+                      bloom_cols=("k",))
+    evens = spark.range(0, 100).select(
+        (F.col("id") * 2).alias("k"), F.lit("even").alias("v"))
+    odds = spark.range(0, 100).select(
+        (F.col("id") * 2 + 1).alias("k"), F.lit("odd").alias("v"))
+    t.append(evens.coalesce(1))
+    t.append(odds.coalesce(1))
+    files = t.snapshot()["files"]
+    assert all("bloom" in f and "k" in f["bloom"] for f in files)
+    # range stats are useless here: both files span [0..199ish]
+    even_f = [f for f in files if f["stats"]["k"][0] == 0][0]
+    odd_f = [f for f in files if f["stats"]["k"][0] == 1][0]
+    # no false negatives, and the sibling file prunes
+    assert t._bloom_may_contain(even_f, "k", [100])
+    assert not t._bloom_may_contain(odd_f, "k", [100])
+    assert t._bloom_may_contain(odd_f, "k", [101])
+    # merge of even keys rewrites ONLY the even file (bloom, not range)
+    upd = spark.createDataFrame([(100, "updated")], "k long, v string")
+    res = t.merge(upd, key="k")
+    assert res["files_candidate"] == 1
+    assert res["files_rewritten"] == 1
+    out = {r.k: r.v for r in t.read().collect()}
+    assert out[100] == "updated" and out[101] == "odd" and len(out) == 200
+    # merged-in files are bloom-indexed too (the index self-maintains)
+    assert all("bloom" in f for f in t.snapshot()["files"])
