@@ -230,6 +230,32 @@ class SnapshotTable:
         new_files = self._stage(df)
         return self._commit(new_files, operation, lambda s: list(s["files"]))
 
+    def audited_append(self, df: DataFrame,
+                       constraints: list[dict]) -> tuple[Optional[int], list]:
+        """Write-audit-publish (the Iceberg WAP pattern): stage the
+        data files, run a Deequ-style constraint suite against EXACTLY
+        the staged bytes (not the input plan — what is audited is what
+        publishes), and commit only if every constraint passes. On
+        failure the staged files are deleted and the table is
+        untouched — a bad crawl drop can never become visible to
+        readers, because visibility IS the manifest commit.
+
+        Returns (version, verdicts): version None when the audit
+        failed. Verdicts are (name, column, metric, value, passed)
+        rows either way — the ingest log keeps them."""
+        from pdal_spark.datapipe.dataquality import check
+
+        new_files = self._stage(df)
+        staged = self.spark.read.parquet(*[f["path"] for f in new_files])
+        verdicts = check(staged, constraints).collect()
+        if all(r.passed == 1 for r in verdicts):
+            v = self._commit(new_files, "audited-append",
+                             lambda s: list(s["files"]))
+            return v, verdicts
+        for f in new_files:
+            os.remove(f["path"])
+        return None, verdicts
+
     def committed_operations(self) -> set:
         return {
             self.snapshot(v)["operation"]

@@ -396,3 +396,36 @@ def test_bloom_point_lookup_prune(spark, tmp_path):
     assert out[100] == "updated" and out[101] == "odd" and len(out) == 200
     # merged-in files are bloom-indexed too (the index self-maintains)
     assert all("bloom" in f for f in t.snapshot()["files"])
+
+
+def test_write_audit_publish(spark, tmp_path):
+    """WAP: a failing constraint suite keeps the drop invisible (no
+    snapshot, staged files removed); a passing one publishes."""
+    t = SnapshotTable(spark, str(tmp_path / "wap"), stats_cols=("k",))
+    t.append(_kv(spark, 0, 100).coalesce(1))
+    good = [
+        {"name": "k_nn", "kind": "not_null", "col": "k"},
+        {"name": "k_uq", "kind": "unique", "col": "k"},
+    ]
+    bad = good + [
+        {"name": "k_low", "kind": "max_le", "col": "k", "bound": 150},
+    ]
+    # audit failure: k goes to 299
+    v, verdicts = t.audited_append(_kv(spark, 200, 300).coalesce(1), bad)
+    assert v is None
+    assert {r.name for r in verdicts if r.passed == 0} == {"k_low"}
+    assert t.current_version() == 1
+    assert t.read().count() == 100
+    # no orphaned staged parquet left behind
+    manifest_files = {
+        os.path.basename(f["path"]) for f in t.snapshot()["files"]
+    }
+    on_disk = {
+        n for n in os.listdir(t.data_dir) if n.endswith(".parquet")
+    }
+    assert on_disk == manifest_files
+    # audit pass publishes
+    v2, verdicts2 = t.audited_append(_kv(spark, 200, 300).coalesce(1), good)
+    assert v2 == 2 and all(r.passed == 1 for r in verdicts2)
+    assert t.read().count() == 200
+    assert t.snapshot(2)["operation"] == "audited-append"
