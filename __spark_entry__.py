@@ -2937,6 +2937,18 @@ def q_catalog_changes(spark, sf_dir):
     return t.changes(v_base).select("doc_id", "n_chars", "_change_type")
 
 
+def q_dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): corpus
+    ordered by (n_chars, doc_id), every pair within 3 positions —
+    linear candidate volume by construction (n*w pairs). Rank comes
+    from the distributed global_rank (range partition + offsets);
+    oracle is row_number + a rank-distance self-join."""
+    df = _table(spark, sf_dir, "documents")
+    return dedup_op.sorted_neighborhood_pairs(
+        df, [F.col("n_chars").asc(), F.col("doc_id").asc()], window=3
+    )
+
+
 def q_shard_assign(spark, sf_dir):
     """Jump-consistent-hash resharding plan 16 -> 17 shards (Lamping &
     Veach 2014): map-only Arrow kernel (vectorized geometric-jump
@@ -3132,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_merge": q_catalog_merge,
         "catalog_changes": q_catalog_changes,
         "shard_assign": q_shard_assign,
+        "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
         "dedup_containment": q_dedup_containment,
@@ -5147,6 +5160,9 @@ def _dataquality_oracles() -> dict[str, str]:
     from pdal_spark.datapipe import dataquality as dq_op
 
     return {
+        "dedup_sorted_neighborhood": dedup_op.sorted_neighborhood_sql(
+            "n_chars, doc_id", window=3
+        ),
         "shard_assign": """
           WITH olds AS ({_SH_OLD}), news AS ({_SH_NEW})
           SELECT o.doc_id, o.bucket_old, n.bucket_new,

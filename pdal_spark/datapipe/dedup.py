@@ -1537,3 +1537,65 @@ JOIN {table} d1 ON cand.id1 = d1.{id_col}
 JOIN {table} d2 ON cand.id2 = d2.{id_col}
 WHERE levenshtein(d1.{text}, d2.{text}) <= {int(max_dist)}
 """.strip()
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_keys: list,
+    window: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995):
+    order the corpus by a discriminating key, emit every pair within
+    ``window`` positions — the classic record-linkage candidate
+    generator for near-dup keys that SORT together (canonical urls,
+    title strings, simhash values) where token-based blocking misses.
+
+    Scale shape: the global order comes from `ordered.global_rank`
+    (range partition + offsets — no single-task window); neighbors
+    materialize as an explode of 1..window rank offsets joined back on
+    the rank value (one equi-join exchange, |out| = n*window exactly —
+    no quadratic block risk, the property sorted-neighborhood is chosen
+    for). The DuckDB twin is row_number + a rank-distance self-join.
+
+    -> (id1, id2, rank_dist) with id1 at the lower rank.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from pdal_spark.operators.ordered import global_rank
+
+    ranked = global_rank(df, sort_keys, out_col="_rk").select(
+        F.col(id_col), F.col("_rk")
+    )
+    probes = ranked.select(
+        F.col(id_col).alias("id1"),
+        F.col("_rk").alias("_r1"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(window))
+        ).alias("_d"),
+    ).withColumn("_rk", F.col("_r1") + F.col("_d"))
+    return (
+        probes.join(
+            ranked.select(F.col(id_col).alias("id2"), "_rk"), "_rk"
+        )
+        .select(
+            "id1", "id2", F.col("_d").cast("long").alias("rank_dist")
+        )
+    )
+
+
+def sorted_neighborhood_sql(
+    order_by: str, window: int, table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: row_number + rank-distance self-join."""
+    return f"""
+      WITH ranked AS (
+        SELECT {id_col}, row_number() OVER (ORDER BY {order_by}) AS rk
+        FROM {table}
+      )
+      SELECT a.{id_col} AS id1, b.{id_col} AS id2,
+             CAST(b.rk - a.rk AS BIGINT) AS rank_dist
+      FROM ranked a JOIN ranked b
+        ON b.rk > a.rk AND b.rk <= a.rk + {window}
+    """

@@ -2226,3 +2226,32 @@ def test_kcore_unconverged_budget_is_reported(spark):
     assert got and not got[0].converged
     # ...and with enough rounds the 2-core of a chain is empty
     assert gr.kcore(e, k=2, n_rounds=8).count() == 0
+
+
+def test_sorted_neighborhood_blocking(spark):
+    """Pair volume is exactly n*w minus the tail shortfall; every pair
+    spans <= w ranks in the declared order; adjacent near-dup keys meet."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, 1000 + i * 3) for i in range(20)], "doc_id long, n_chars long"
+    )
+    out = dedup.sorted_neighborhood_pairs(
+        df, [F.col("n_chars").asc(), F.col("doc_id").asc()], window=2
+    ).collect()
+    # n=20, w=2 -> (20-1) + (20-2) = 37 pairs
+    assert len(out) == 37
+    assert all(1 <= r.rank_dist <= 2 for r in out)
+    # ranks follow n_chars order -> id1 always the smaller id here
+    assert all(r.id1 < r.id2 for r in out)
+    # window=1 is the adjacency chain
+    chain = dedup.sorted_neighborhood_pairs(
+        df, [F.col("n_chars").asc(), F.col("doc_id").asc()], window=1
+    ).collect()
+    assert sorted((r.id1, r.id2) for r in chain) == [
+        (i, i + 1) for i in range(19)
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.sorted_neighborhood_pairs(df, [F.col("n_chars")], window=0)
