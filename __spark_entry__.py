@@ -2999,6 +2999,21 @@ def q_data_profile(spark, sf_dir):
     )
 
 
+def q_data_histogram(spark, sf_dir):
+    """Equi-width histogram of n_chars (16 bins): min/max aggregate +
+    one map-side-combined bin count, empty bins kept via a broadcast
+    spine — drift monitoring's standard artifact. Identical bin
+    arithmetic in both engines."""
+    from pdal_spark.datapipe import dataquality as dq_op
+
+    df = _table(spark, sf_dir, "documents")
+    out = dq_op.histogram(df, "n_chars", bins=16)
+    return out.select(
+        "bin", F.round("lo", 6).alias("lo"), F.round("hi", 6).alias("hi"),
+        "n",
+    )
+
+
 def q_data_quality(spark, sf_dir):
     """Declarative constraint suite over the ingest table — the gate a
     crawl drop passes before training jobs may read it. 11 constraints
@@ -3138,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_range_scan": q_cell_range_scan,
         "cell_pnp_join": q_cell_pnp_join,
         "data_profile": q_data_profile,
+        "data_histogram": q_data_histogram,
         "data_quality": q_data_quality,
         "quantiles_global": q_quantiles_global,
         "quantiles_by_type": q_quantiles_by_type,
@@ -5203,6 +5219,10 @@ def _dataquality_oracles() -> dict[str, str]:
             "documents", _DQ_COLS_NUM, _DQ_COLS_STR, distinct_mode="exact"
         ),
         "data_quality": dq_op.check_sql("documents", _DQ_CONSTRAINTS),
+        "data_histogram": (
+            "SELECT bin, round(lo, 6) AS lo, round(hi, 6) AS hi, n FROM ("
+            + dq_op.histogram_sql("documents", "n_chars", 16) + ")"
+        ),
     }
 
 

@@ -36,7 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "check", "profile_sql", "check_sql"]
+__all__ = ["profile", "check", "histogram",
+           "profile_sql", "check_sql", "histogram_sql"]
 
 _R = 6  # decimal places every emitted value is rounded to (both engines)
 
@@ -347,3 +348,84 @@ def check_sql(table: str, constraints: list[dict]) -> str:
             f"'{metric}' AS metric, round({v}, {_R}) AS value, "
             f"CAST(coalesce({p}, FALSE) AS INT) AS passed FROM {table}")
     return " UNION ALL ".join(parts)
+
+
+def histogram(df: DataFrame, col: str, bins: int) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, lo, hi, n).
+
+    Two jobs — a min/max aggregate (driver-collected: two scalars),
+    then one map-side-combined count per bin; empty bins emit n=0 via a
+    broadcast bin spine so downstream charting/drift checks see the
+    full domain. Bin rule: floor((v - min) / width), the last bin
+    closed on max (the standard right-closed top bin). Deterministic:
+    the bin index is a single double subtract/divide/floor, identical
+    in both engines."""
+    from pyspark.sql import functions as F
+
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    row = df.agg(
+        F.min(col).cast("double").alias("lo"),
+        F.max(col).cast("double").alias("hi"),
+    ).collect()[0]
+    lo, hi = row.lo, row.hi
+    spark = df.sparkSession
+    if lo is None:
+        spine = spark.range(0, bins).select(
+            F.col("id").cast("long").alias("bin"),
+            F.lit(None).cast("double").alias("lo"),
+            F.lit(None).cast("double").alias("hi"),
+            F.lit(0).cast("long").alias("n"),
+        )
+        return spine
+    width = (hi - lo) / bins if hi > lo else 1.0
+    b = F.least(
+        F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)),
+        F.lit(bins - 1),
+    ).cast("long")
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = spark.range(0, bins).select(F.col("id").cast("long").alias("bin"))
+    return (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+def histogram_sql(table: str, col: str, bins: int) -> str:
+    """DuckDB twin of histogram() — identical bin arithmetic."""
+    return f"""
+      WITH mm AS (
+        SELECT CAST(min({col}) AS DOUBLE) AS lo,
+               CAST(max({col}) AS DOUBLE) AS hi
+        FROM {table}
+      ),
+      w AS (
+        SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / {bins}
+                        ELSE 1.0 END AS width
+        FROM mm
+      ),
+      counts AS (
+        SELECT least(CAST(floor((CAST({col} AS DOUBLE) - w.lo) / w.width)
+                          AS BIGINT), {bins - 1}) AS bin,
+               count(*) AS n
+        FROM {table}, w
+        WHERE {col} IS NOT NULL
+        GROUP BY 1
+      )
+      SELECT i.range AS bin,
+             w.lo + i.range * w.width AS lo,
+             w.lo + (i.range + 1) * w.width AS hi,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS n
+      FROM range(0, {bins}) i
+      CROSS JOIN w
+      LEFT JOIN counts c ON c.bin = i.range
+    """

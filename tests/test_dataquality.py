@@ -166,3 +166,30 @@ def test_duckdb_twins(spark, tmp_path):
     ora2 = con.sql(dq.check_sql("documents", cons)).df().sort_values(
         "name").reset_index(drop=True)
     pd.testing.assert_frame_equal(eng2, ora2, check_dtype=False)
+
+
+def test_histogram_literal(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [0, 1, 2, 3, 4, 5, 6, 7, 8, 10]], "v long"
+    )
+    out = {r.bin: (r.lo, r.hi, r.n) for r in dq.histogram(df, "v", 5).collect()}
+    # width = 2: bins [0,2) [2,4) [4,6) [6,8) [8,10] (top closed)
+    assert out[0] == (0.0, 2.0, 2) and out[1] == (2.0, 4.0, 2)
+    assert out[4] == (8.0, 10.0, 2)  # 8 and the max 10
+    assert sum(v[2] for v in out.values()) == 10
+
+
+def test_histogram_empty_bins_and_edge_cases(spark):
+    df = spark.createDataFrame([(0,), (100,)], "v long")
+    out = dq.histogram(df, "v", 4).collect()
+    assert [r.n for r in sorted(out, key=lambda r: r.bin)] == [1, 0, 0, 1]
+    # constant column: single-bin pileup, width fallback 1.0
+    const = spark.createDataFrame([(7,)] * 5, "v long")
+    o2 = dq.histogram(const, "v", 3).collect()
+    assert sum(r.n for r in o2) == 5
+    # all-null column: zero counts, null bounds
+    nulls = spark.createDataFrame([(None,), (None,)], "v int")
+    o3 = dq.histogram(nulls, "v", 3).collect()
+    assert all(r.n == 0 and r.lo is None for r in o3)
+    with pytest.raises(ValueError):
+        dq.histogram(df, "v", 0)
