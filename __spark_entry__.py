@@ -2961,6 +2961,48 @@ def q_shard_assign(spark, sf_dir):
     return sh_op.shard_assign(df, "doc_id", n_old=16, n_new=17)
 
 
+def q_ivm_counts(spark, sf_dir):
+    """Incremental view maintenance: a per-bucket count+sum aggregate
+    maintained through a copy-on-write merge by folding the change
+    feed (signed counting — updates are delete+insert pairs), never
+    rescanning the table. Oracle recomputes the aggregate on the
+    closed-form merged state: maintained == recompute, exactly."""
+    import tempfile
+
+    from pdal_spark.catalog import SnapshotTable
+    from pdal_spark.operators import ivm as ivm_op
+
+    df = _table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="ivm_t_"), stats_cols=("doc_id",)
+    )
+    for lo, hi in ((0, 200), (200, 350), (350, 10**9)):
+        t.append(
+            df.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1)
+        )
+    v_base = t.current_version()
+    with_bucket = lambda d: d.withColumn(  # noqa: E731
+        "bucket", F.pmod(F.col("doc_id"), F.lit(10))
+    )
+    base = ivm_op.aggregate_state(
+        with_bucket(t.read()), ["bucket"], sum_cols=("n_chars",)
+    )
+    updates = df.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", (F.col("n_chars") + 5000).alias("n_chars")
+    )
+    inserts = spark.range(0, 5).select(
+        (F.col("id") + 2_000_000).alias("doc_id"),
+        (F.col("id") * 7 + 1).alias("n_chars"),
+    )
+    t.merge(updates.unionByName(inserts), key="doc_id")
+    return ivm_op.maintain_aggregate(
+        base, with_bucket(t.changes(v_base)), ["bucket"],
+        sum_cols=("n_chars",),
+    )
+
+
 _QUANTILES = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
 
 
@@ -3159,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_by_type": q_quantiles_by_type,
         "catalog_merge": q_catalog_merge,
         "catalog_changes": q_catalog_changes,
+        "ivm_counts": q_ivm_counts,
         "shard_assign": q_shard_assign,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "dedup_jaccard": q_dedup_jaccard,
@@ -5188,6 +5231,19 @@ def _dataquality_oracles() -> dict[str, str]:
         """.replace("{_SH_OLD}", _sharding_sql(16, "bucket_old")).replace(
             "{_SH_NEW}", _sharding_sql(17, "bucket_new")
         ),
+        "ivm_counts": """
+          WITH merged AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 0 THEN n_chars + 5000
+                        ELSE n_chars END AS n_chars
+            FROM documents
+            UNION ALL
+            SELECT 2000000 + i.range, i.range * 7 + 1 FROM range(0, 5) i
+          )
+          SELECT doc_id % 10 AS bucket, count(*) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+          FROM merged GROUP BY 1
+        """,
         "catalog_changes": """
           SELECT doc_id, n_chars + 5000 AS n_chars,
                  'insert' AS _change_type
