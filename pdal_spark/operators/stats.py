@@ -159,6 +159,9 @@ def exact_quantiles(
     qdf = F.broadcast(
         spark.createDataFrame([(float(q),) for q in qs], "q double")
     )
+    # quantiles are over non-null values (percentile_disc semantics;
+    # also sidesteps NULLS FIRST vs NULLS LAST engine divergence)
+    df = df.filter(F.col(dim).isNotNull())
     if by:
         vc = df.groupBy(*by, dim).agg(F.count("*").alias("_c"))
         from pyspark.sql import Window
@@ -205,6 +208,7 @@ def exact_quantiles_sql(
     return f"""
       WITH vc AS (
         SELECT {grp}{dim} AS v, count(*) AS c FROM {table}
+        WHERE {dim} IS NOT NULL
         GROUP BY {grp}{dim}
       ),
       cum AS (

@@ -102,3 +102,13 @@ def test_validates_inputs(spark):
         stats_op.exact_quantiles(df, "v", [])
     with pytest.raises(ValueError):
         stats_op.exact_quantiles(df, "v", [1.5])
+
+
+def test_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [(None,), (1,), (None,), (2,), (3,), (4,)], "v long"
+    )
+    out = {r.q: r.value for r in stats_op.exact_quantiles(
+        df, "v", [0.5, 1.0]).collect()}
+    # 4 non-null values -> median rank ceil(2)=2 -> 2; max -> 4
+    assert out == {0.5: 2, 1.0: 4}
