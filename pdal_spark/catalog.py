@@ -484,14 +484,34 @@ class SnapshotTable:
 
     # -- reads -------------------------------------------------------------
 
+    def version_as_of(self, ts: float) -> int:
+        """SQL ``AS OF TIMESTAMP`` resolution: the latest version whose
+        commit timestamp is <= ``ts`` (0 = before any commit)."""
+        best = 0
+        for v in range(1, self.current_version() + 1):
+            if float(self.snapshot(v)["ts"]) <= ts:
+                best = v
+        return best
+
     def read(
         self,
         version: Optional[int] = None,
         bbox: Optional[tuple] = None,
         bbox_cols: tuple = ("x", "y"),
+        as_of_ts: Optional[float] = None,
     ) -> DataFrame:
         """Scan a snapshot; ``bbox=(minx, miny, maxx, maxy)`` prunes whole
-        files from the manifest stats before Spark plans the read."""
+        files from the manifest stats before Spark plans the read.
+        ``as_of_ts`` reads the table as of a wall-clock epoch second
+        (mutually exclusive with ``version``)."""
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("pass version or as_of_ts, not both")
+            version = self.version_as_of(as_of_ts)
+            if version == 0:
+                raise ValueError(
+                    f"no snapshot committed at or before ts={as_of_ts}"
+                )
         s = self.snapshot(version)
         files = s["files"]
         if bbox is not None:

@@ -429,3 +429,18 @@ def test_write_audit_publish(spark, tmp_path):
     assert v2 == 2 and all(r.passed == 1 for r in verdicts2)
     assert t.read().count() == 200
     assert t.snapshot(2)["operation"] == "audited-append"
+
+
+def test_read_as_of_timestamp(spark, table):
+    table.append(_pts(spark, 0, 100))
+    ts1 = float(table.snapshot(1)["ts"])
+    table.append(_pts(spark, 100, 250))
+    ts2 = float(table.snapshot(2)["ts"])
+    assert table.version_as_of(ts1) == 1
+    assert table.version_as_of((ts1 + ts2) / 2) in (1, 2)  # ts equality
+    assert table.read(as_of_ts=ts1).count() == 100
+    assert table.read(as_of_ts=ts2 + 1.0).count() == 250
+    with pytest.raises(ValueError):
+        table.read(as_of_ts=ts1 - 10.0)
+    with pytest.raises(ValueError):
+        table.read(version=1, as_of_ts=ts1)
