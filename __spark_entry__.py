@@ -2949,6 +2949,23 @@ def q_dedup_sorted_neighborhood(spark, sf_dir):
     )
 
 
+def q_ann_index(spark, sf_dir):
+    """Persistent IVF index lifecycle in one query: build on the
+    even-id half (train + stored centroids/lists), APPEND the odd half
+    against the frozen centroids (map-side, no retrain, one snapshot),
+    query every vector at nprobe=nlist — exact mode, so the oracle is
+    brute-force cosine top-k regardless of centroid quality."""
+    import tempfile
+
+    from pdal_spark.datapipe.annindex import IvfIndex
+
+    df = _table(spark, sf_dir, "embeddings")
+    idx = IvfIndex(spark, tempfile.mkdtemp(prefix="ivfidx_"))
+    idx.build(df.filter(F.col("vec_id") % 2 == 0))
+    idx.append(df.filter(F.col("vec_id") % 2 == 1))
+    return idx.query(df, k=3)
+
+
 def q_shard_assign(spark, sf_dir):
     """Jump-consistent-hash resharding plan 16 -> 17 shards (Lamping &
     Veach 2014): map-only Arrow kernel (vectorized geometric-jump
@@ -3203,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_changes": q_catalog_changes,
         "ivm_counts": q_ivm_counts,
         "shard_assign": q_shard_assign,
+        "ann_index": q_ann_index,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
@@ -5666,6 +5684,7 @@ def _datapipe_oracles() -> dict[str, str]:
         "bitext_align": sim_op.margin_align_sql(k=4, threshold=1.0),
         "sim_lsh_topk": sim_op.lsh_cosine_topk_sql(3),
         "sim_ivf_topk": sim_op.ivf_topk_sql(3),
+        "ann_index": sim_op.ivf_topk_sql(3),
         "sim_pq_topk": pq_entry_op.pq_topk_sql([0, 1, 2, 3], k=10),
     }
 

@@ -652,6 +652,17 @@ def ivf_topk(
     probes = ivf_assign(df, cents, nprobe, id_col, vec_col).withColumn(
         "role", F.lit(1)
     )
+    return ivf_rank(members, probes, k)
+
+
+def ivf_rank(members: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """The IVF rank stage shared by ivf_topk and the persistent index
+    (annindex.IvfIndex): per-list local top-k Arrow kernel on the
+    list_id exchange, then the per-query window. ``members`` and
+    ``probes`` carry (id, v, list_id, role 0/1)."""
+    import numpy as np
+    import pandas as pd
+
     both = members.unionByName(probes)
     kk = int(k)
 
