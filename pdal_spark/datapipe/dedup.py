@@ -1198,16 +1198,13 @@ def canonicalize(
     adds ONE component-keyed window (argmax over the root label the CC
     output already carries). Adds `canonical_id` and `is_canonical`
     (1 for the kept doc)."""
-    from pdal_spark.operators.pointcloud import _cc_min_label, _cc_union_find
+    from pdal_spark.operators.pointcloud import _cc_roots
 
     pts = df.select(F.col(id_col).alias("id"))
     edges = pairs.select(
         F.col("id1").alias("src_id"), F.col("id2").alias("cand_id")
     ).persist()
-    if edges.count() <= driver_max_edges:
-        roots = _cc_union_find(pts, edges)
-    else:
-        roots = _cc_min_label(pts, edges, max_iters=50)
+    roots = _cc_roots(pts, edges, driver_max_edges)
     side = roots.select(
         F.col("id").alias(id_col), F.col("root").alias("canonical_id")
     )

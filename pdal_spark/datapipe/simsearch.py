@@ -878,7 +878,7 @@ def semdedup(
     import numpy as np
     import pandas as pd
 
-    from pdal_spark.operators.pointcloud import _cc_min_label, _cc_union_find
+    from pdal_spark.operators.pointcloud import _cc_roots
 
     spark = df.sparkSession
     cents = ivf_train(df, nlist, n_iters, id_col, vec_col, sample_mod)
@@ -927,10 +927,7 @@ def semdedup(
         .persist()
     )
     pts = m.select("id")
-    if edges.count() <= driver_max_edges:
-        roots = _cc_union_find(pts, edges)
-    else:
-        roots = _cc_min_label(pts, edges, max_iters=50)
+    roots = _cc_roots(pts, edges, driver_max_edges)
 
     joined = m.select("id", "list_id", "cent_sim").join(
         roots.select("id", F.col("root").alias("group_id")), "id"

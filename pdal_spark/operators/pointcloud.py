@@ -81,7 +81,24 @@ def elm(
 # ---------------------------------------------------------------------------
 
 
-def _cc_union_find(pts: DataFrame, edges: DataFrame) -> DataFrame:
+def _cc_roots(pts: DataFrame, edges: DataFrame, driver_max_edges: int,
+              max_iters: int = 50) -> DataFrame:
+    """Dispatch CC resolution: driver union-find under the edge cap,
+    distributed min-label above it. The cap check IS the collect — a
+    limit(cap+1) Arrow probe — so the common small-graph case pays ONE
+    job over the edge list instead of count()-then-collect()."""
+    probe = (
+        edges.select("src_id", "cand_id")
+        .limit(driver_max_edges + 1)
+        .toPandas()
+    )
+    if len(probe) <= driver_max_edges:
+        return _cc_union_find(pts, edges, pdf=probe)
+    return _cc_min_label(pts.select("id"), edges, max_iters)
+
+
+def _cc_union_find(pts: DataFrame, edges: DataFrame,
+                   pdf=None) -> DataFrame:
     """(id, root) via driver union-find — the small-graph parity path.
     Root = smallest member id (union by smaller id).
 
@@ -91,8 +108,10 @@ def _cc_union_find(pts: DataFrame, edges: DataFrame) -> DataFrame:
     the edge list the caller already capped, not by |pts|. The edge
     list crosses the boundary as ONE Arrow batch (toPandas), not
     per-row pickled Rows — at the driver cap (5M edges) that is the
-    difference between ~1 s and ~30 s of driver deserialization."""
-    pdf = edges.select("src_id", "cand_id").toPandas()
+    difference between ~1 s and ~30 s of driver deserialization.
+    ``pdf`` lets _cc_roots hand over its already-collected probe."""
+    if pdf is None:
+        pdf = edges.select("src_id", "cand_id").toPandas()
     src = pdf["src_id"].tolist()
     dst = pdf["cand_id"].tolist()
     parent: dict = {}
@@ -199,10 +218,7 @@ def cluster(
         tolerance, src_id="src_id", cand_id="cand_id", x=x, y=y,
     ).filter(F.col("src_id") < F.col("cand_id")).select("src_id", "cand_id")
     edges = edges.persist()
-    if edges.count() <= driver_max_edges:
-        roots = _cc_union_find(pts, edges)
-    else:
-        roots = _cc_min_label(pts.select("id"), edges, max_iters)
+    roots = _cc_roots(pts, edges, driver_max_edges, max_iters)
 
     sizes = roots.groupBy("root").agg(F.count("*").alias("_sz"))
     keep = F.col("_sz") >= min_points
