@@ -423,6 +423,27 @@ def q_bpe_tokens(spark, sf_dir):
     return bpe.bpe_encode(df, merges)
 
 
+def q_unigram_tokens(spark, sf_dir):
+    """SentencePiece-unigram tokenizer (Kudo 2018): EM-trained
+    vocabulary (distributed E-steps, integer-quantized expected counts
+    so float order cannot change the result), Viterbi encoding. Token
+    arrays join to one string for a stable driver hash. Rows-only
+    (iterative EM, like BPE); the enumerate-all-segmentations oracle
+    lives in tests/test_unigram.py."""
+    from pdal_spark.datapipe import unigram as ug
+
+    df = _table(spark, sf_dir, "documents")
+    vocab = ug.unigram_train(
+        df, vocab_size=300, n_iters=2, seed_size=512
+    )
+    out = ug.unigram_encode(df, vocab)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.array_join("tokens", " ").alias("token_str"),
+        "n_tokens",
+    )
+
+
 HEX_EDGE = 12.0
 
 
@@ -3120,6 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
+        "unigram_tokens": q_unigram_tokens,
         "hexbin_density": q_hexbin_density,
         "hexbin_dense": q_hexbin_dense,
         "knn_join": q_knn_join,
