@@ -2987,6 +2987,37 @@ def q_ann_index(spark, sf_dir):
     return idx.query(df, k=3)
 
 
+_ROBOTS_HEAD = (
+    "# crawl policy\nUser-agent: googlebot\nDisallow: /google-only\n"
+    "\nUser-agent: *\nDisallow: /private/"
+)
+_ROBOTS_TAIL = (
+    "\nAllow: /private/pub\nDisallow:\n"
+    "User-agent: badbot\nUser-agent: otherbot\nDisallow: /\n"
+)
+
+
+def q_robots_rules(spark, sf_dir):
+    """robots.txt PARSER (RFC 9309 grammar subset): raw text ->
+    (host, prefix, allow) rules for the wildcard agent. Group
+    membership computed relationally (running sum of group starts +
+    per-host windows — no stateful kernel), so the DuckDB twin replays
+    it exactly. The synthesized corpus exercises comments, other-agent
+    groups, consecutive User-agent headers, and empty patterns."""
+    hosts = (
+        _table(spark, sf_dir, "documents")
+        .select(F.col("source").alias("host")).distinct()
+    )
+    txt = F.concat(
+        F.lit(_ROBOTS_HEAD), F.col("host"), F.lit(_ROBOTS_TAIL)
+    )
+    df = hosts.select("host", txt.alias("robots_txt"))
+    out = weburl_op.parse_robots(df)
+    return out.select(
+        "host", "prefix", F.col("allow").cast("int").alias("allow")
+    )
+
+
 def q_shard_assign(spark, sf_dir):
     """Jump-consistent-hash resharding plan 16 -> 17 shards (Lamping &
     Veach 2014): map-only Arrow kernel (vectorized geometric-jump
@@ -3242,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_changes": q_catalog_changes,
         "ivm_counts": q_ivm_counts,
         "shard_assign": q_shard_assign,
+        "robots_rules": q_robots_rules,
         "ann_index": q_ann_index,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "dedup_jaccard": q_dedup_jaccard,
@@ -5261,6 +5293,17 @@ def _dataquality_oracles() -> dict[str, str]:
     return {
         "dedup_sorted_neighborhood": dedup_op.sorted_neighborhood_sql(
             "n_chars, doc_id", window=3
+        ),
+        "robots_rules": (
+            "SELECT host, prefix, CAST(allow AS INT) AS allow FROM ("
+            + weburl_op.parse_robots_sql(
+                "SELECT DISTINCT source AS host, "
+                + "'" + _ROBOTS_HEAD.replace("\n", "' || chr(10) || '")
+                + "' || source || '"
+                + _ROBOTS_TAIL.replace("\n", "' || chr(10) || '")
+                + "' AS robots_txt FROM documents"
+            )
+            + ")"
         ),
         "shard_assign": """
           WITH olds AS ({_SH_OLD}), news AS ({_SH_NEW})

@@ -458,3 +458,127 @@ SELECT template, CAST(count(*) AS BIGINT) AS n_urls,
 FROM t GROUP BY template
 HAVING count(*) >= {int(min_count)}
 """.strip()
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", robots_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse raw robots.txt text into the (host, prefix, allow) rule
+    table `policy_verdicts` consumes (RFC 9309 grammar subset:
+    User-agent / Allow / Disallow lines, '#' comments, case-insensitive
+    directive names, groups formed by consecutive User-agent lines).
+
+    The group-membership rule is computed RELATIONALLY so the DuckDB
+    twin is exact: a User-agent line STARTS a new group iff the
+    previous line is not a User-agent line (running sum of starts =
+    group id), and a directive belongs to the group with the greatest
+    id among User-agent lines above it (running max over the line
+    order). Everything is one explode + per-host windows — no stateful
+    kernel, no UDF; a 10^8-host robots corpus parses at scan speed
+    with one host-keyed exchange.
+
+    Directives for ``agent`` or the wildcard group are kept; empty
+    patterns are dropped (RFC: they match nothing). Returns
+    (host, prefix, allow).
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.col(robots_col), "\n")
+        ).alias("idx", "line"),
+    ).withColumn(
+        "line", F.trim(F.regexp_replace("line", "#.*$", ""))
+    ).filter(F.col("line") != "")
+    key = F.lower(F.regexp_extract("line", "^([A-Za-z-]+)\\s*:", 1))
+    val = F.trim(F.regexp_extract("line", "^[A-Za-z-]+\\s*:(.*)$", 1))
+    typed = lines.select(
+        "host", "idx", key.alias("key"), val.alias("val")
+    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("idx")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    grouped = (
+        typed.withColumn("_ua", is_ua)
+        .withColumn("_prev_ua", F.coalesce(F.lag("_ua").over(w), F.lit(0)))
+        .withColumn(
+            "_start", ((F.col("_ua") == 1) & (F.col("_prev_ua") == 0)).cast("int")
+        )
+        .withColumn("_gid", F.sum("_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    # directives bind to the last group STARTED at or before them; a
+    # directive before any user-agent line has _gid 0 -> dropped
+    dirs = grouped.filter(F.col("_ua") == 0).select(
+        "host", "idx",
+        F.col("_gid").alias("gid"),
+        (F.col("key") == "allow").alias("allow"),
+        F.col("val").alias("prefix"),
+    ).filter(F.col("prefix") != "")
+    uas = grouped.filter(F.col("_ua") == 1).select(
+        "host", F.col("_gid").alias("gid"), F.lower("val").alias("agent")
+    )
+    wanted = uas.filter(
+        F.col("agent").isin(agent.lower(), "*")
+    ).select("host", "gid").distinct()
+    return (
+        dirs.join(wanted, ["host", "gid"])
+        .select("host", "prefix", "allow")
+        .distinct()
+    )
+
+
+def parse_robots_sql(
+    src: str, host: str = "host", robots: str = "robots_txt",
+    agent: str = "*",
+) -> str:
+    """DuckDB twin of parse_robots (same relational group math)."""
+    return f"""
+      WITH lines0 AS (
+        SELECT host, u.s.idx AS idx,
+               trim(regexp_replace(u.s.line, '#.*$', '')) AS line
+        FROM (SELECT {host} AS host,
+                     string_split({robots}, chr(10)) AS parts
+              FROM ({src}))
+        CROSS JOIN LATERAL (
+          SELECT unnest(list_transform(
+            range(len(parts)),
+            i -> struct_pack(idx := i, line := parts[i + 1])
+          )) AS s
+        ) u
+      ),
+      typed AS (
+        SELECT host, idx,
+               lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS key,
+               trim(regexp_extract(line, '^[A-Za-z-]+\\s*:(.*)$', 1)) AS val
+        FROM lines0
+        WHERE line <> ''
+          AND lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+              IN ('user-agent', 'allow', 'disallow')
+      ),
+      flagged AS (
+        SELECT host, idx, key, val,
+               CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END AS ua,
+               coalesce(lag(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY host ORDER BY idx), 0) AS prev_ua
+        FROM typed
+      ),
+      grouped AS (
+        SELECT host, idx, key, val, ua,
+               sum(CASE WHEN ua = 1 AND prev_ua = 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY host ORDER BY idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS gid
+        FROM flagged
+      ),
+      dirs AS (
+        SELECT host, gid, key = 'allow' AS allow, val AS prefix
+        FROM grouped WHERE ua = 0 AND val <> ''
+      ),
+      wanted AS (
+        SELECT DISTINCT host, gid FROM grouped
+        WHERE ua = 1 AND lower(val) IN ('{agent.lower()}', '*')
+      )
+      SELECT DISTINCT d.host, d.prefix, d.allow
+      FROM dirs d JOIN wanted w USING (host, gid)
+    """
