@@ -256,6 +256,46 @@ class SnapshotTable:
             os.remove(f["path"])
         return None, verdicts
 
+    def fsck(self, version: Optional[int] = None,
+             check_rows: bool = False) -> dict:
+        """Catalog consistency check (the operational `fsck` every
+        snapshot store needs before trusting a restore): verifies that
+        every data file the snapshot references exists, optionally that
+        its parquet-footer row count still matches the manifest
+        (``check_rows`` — footer-only, no data read), and reports
+        on-disk parquet files no LIVE snapshot references (orphans from
+        crashed writes before their commit; `expire` only collects
+        files that WERE committed once). Returns
+        {missing, row_mismatches, orphans, ok}."""
+        import pyarrow.parquet as pq
+
+        s = self.snapshot(version)
+        missing, mismatches = [], []
+        for f in s["files"]:
+            if not os.path.exists(f["path"]):
+                missing.append(f["path"])
+            elif check_rows:
+                n = pq.ParquetFile(f["path"]).metadata.num_rows
+                if n != int(f["rows"]):
+                    mismatches.append(
+                        {"path": f["path"], "manifest_rows": int(f["rows"]),
+                         "footer_rows": n})
+        live: set = set()
+        for v in range(1, self.current_version() + 1):
+            live |= {f["path"] for f in self.snapshot(v)["files"]}
+        orphans = sorted(
+            os.path.join(self.data_dir, name)
+            for name in os.listdir(self.data_dir)
+            if name.endswith(".parquet")
+            and os.path.join(self.data_dir, name) not in live
+        )
+        return {
+            "missing": sorted(missing),
+            "row_mismatches": mismatches,
+            "orphans": orphans,
+            "ok": not missing and not mismatches,
+        }
+
     def committed_operations(self) -> set:
         return {
             self.snapshot(v)["operation"]

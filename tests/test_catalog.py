@@ -444,3 +444,32 @@ def test_read_as_of_timestamp(spark, table):
         table.read(as_of_ts=ts1 - 10.0)
     with pytest.raises(ValueError):
         table.read(version=1, as_of_ts=ts1)
+
+
+def test_fsck_detects_missing_orphans_and_mismatch(spark, tmp_path):
+    import shutil
+
+    t = SnapshotTable(spark, str(tmp_path / "fsck"), stats_cols=("k",))
+    t.append(_kv(spark, 0, 100).coalesce(1))
+    t.append(_kv(spark, 100, 200).coalesce(1))
+    assert t.fsck(check_rows=True)["ok"]
+    files = [f["path"] for f in t.snapshot()["files"]]
+    # orphan: a parquet dropped into data/ outside any commit
+    orphan = os.path.join(t.data_dir, "deadbeef-orphan.parquet")
+    shutil.copy(files[0], orphan)
+    # mismatch: manifest edited to claim the wrong row count
+    v = t.current_version()
+    mpath = os.path.join(t.meta_dir, f"v{v}.json")
+    man = json.load(open(mpath))
+    man["files"][0]["rows"] = 999_999
+    json.dump(man, open(mpath, "w"))
+    rep = t.fsck(check_rows=True)
+    assert not rep["ok"]
+    assert rep["orphans"] == [orphan]
+    assert len(rep["row_mismatches"]) == 1
+    assert rep["row_mismatches"][0]["manifest_rows"] == 999_999
+    # missing: a referenced data file deleted out-of-band
+    os.remove(files[1])
+    rep2 = t.fsck()
+    assert rep2["missing"] == [files[1]]
+    assert not rep2["ok"]
