@@ -88,6 +88,7 @@ def test_every_query_has_oracle_or_is_whitelisted():
         "hyperball",  # iterative HLL register algebra; vs-exact oracle in pytest
         "textrank",  # per-doc iterative power method; python-ref oracle in pytest
         "kleinberg_bursts",  # per-key Viterbi DP; python-ref oracle in pytest
+        "unigram_tokens",  # iterative EM training; enumerate-all oracle in tests
     }
     missing = set(E.queries()) - set(E.oracle_sql()) - rows_only_ok
     assert not missing, f"queries without oracle: {sorted(missing)}"
