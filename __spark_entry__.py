@@ -2997,6 +2997,19 @@ _ROBOTS_TAIL = (
 )
 
 
+def q_domain_screen(spark, sf_dir):
+    """Wilson-lower-bound domain quality screening: a domain survives
+    when the CONFIDENCE lower bound of its pass rate clears 0.5, so
+    small-sample domains are not judged like well-measured ones. One
+    combinable count aggregate + a closed-form double expression —
+    deterministic cross-engine."""
+    df = _table(spark, sf_dir, "documents")
+    return weburl_op.domain_quality_screen(
+        df.withColumnRenamed("source", "domain"),
+        pass_col=(F.col("n_chars") >= 150),
+    )
+
+
 def q_robots_rules(spark, sf_dir):
     """robots.txt PARSER (RFC 9309 grammar subset): raw text ->
     (host, prefix, allow) rules for the wildcard agent. Group
@@ -3274,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_counts": q_ivm_counts,
         "shard_assign": q_shard_assign,
         "robots_rules": q_robots_rules,
+        "domain_screen": q_domain_screen,
         "ann_index": q_ann_index,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "dedup_jaccard": q_dedup_jaccard,
@@ -5293,6 +5307,10 @@ def _dataquality_oracles() -> dict[str, str]:
     return {
         "dedup_sorted_neighborhood": dedup_op.sorted_neighborhood_sql(
             "n_chars, doc_id", window=3
+        ),
+        "domain_screen": weburl_op.domain_quality_screen_sql(
+            "SELECT source AS domain, n_chars FROM documents",
+            "n_chars >= 150",
         ),
         "robots_rules": (
             "SELECT host, prefix, CAST(allow AS INT) AS allow FROM ("

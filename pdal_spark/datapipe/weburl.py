@@ -582,3 +582,68 @@ def parse_robots_sql(
       SELECT DISTINCT d.host, d.prefix, d.allow
       FROM dirs d JOIN wanted w USING (host, gid)
     """
+
+
+def domain_quality_screen(
+    df: DataFrame, pass_col, by: str = "domain",
+    z: float = 1.96, min_lower: float = 0.5,
+) -> DataFrame:
+    """Domain-level quality screening with a Wilson score lower bound
+    (Wilson 1927; the "how not to sort by average rating" correction):
+    a domain is kept when the CONFIDENCE LOWER BOUND of its per-page
+    pass rate clears ``min_lower`` — a domain with 2/2 passing pages
+    (rate 1.0, bound ~0.34 at z=1.96) is NOT treated like one with
+    2000/2000 (bound ~0.998), which is exactly the mistake a raw-rate
+    threshold makes on the long tail of small domains.
+
+    One map-side-combined aggregate per domain (counts only), then a
+    single closed-form double expression over the integer counts —
+    deterministic, bit-comparable cross-engine. ``pass_col`` is any
+    boolean Column (compose with gopher_rules / quality_score /
+    classifier verdicts upstream).
+
+    -> (by, n_pages, n_pass, rate, wilson_lower, keep)."""
+    agg = df.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(pass_col.cast("long")).alias("n_pass"),
+    )
+    n = F.col("n_pages").cast("double")
+    p = F.col("n_pass").cast("double") / n
+    z2 = z * z
+    lower = (
+        (p + z2 / (2 * n)
+         - z * F.sqrt((p * (1 - p) + z2 / (4 * n)) / n))
+        / (1 + z2 / n)
+    )
+    return agg.select(
+        by, "n_pages", "n_pass",
+        F.round(p, 6).alias("rate"),
+        F.round(lower, 6).alias("wilson_lower"),
+        (lower >= min_lower).cast("int").alias("keep"),
+    )
+
+
+def domain_quality_screen_sql(
+    src: str, pass_expr: str, by: str = "domain",
+    z: float = 1.96, min_lower: float = 0.5,
+) -> str:
+    """DuckDB twin of domain_quality_screen (same closed form)."""
+    z2 = z * z
+    n = "CAST(n_pages AS DOUBLE)"
+    p = f"(CAST(n_pass AS DOUBLE) / {n})"
+    lower = (
+        f"(({p} + {z2} / (2 * {n}) - {z} * sqrt(({p} * (1 - {p})"
+        f" + {z2} / (4 * {n})) / {n})) / (1 + {z2} / {n}))"
+    )
+    return f"""
+      WITH agg AS (
+        SELECT {by}, count(*) AS n_pages,
+               sum(CASE WHEN {pass_expr} THEN 1 ELSE 0 END) AS n_pass
+        FROM ({src}) GROUP BY {by}
+      )
+      SELECT {by}, n_pages, n_pass,
+             round({p}, 6) AS rate,
+             round({lower}, 6) AS wilson_lower,
+             CAST({lower} >= {min_lower} AS INT) AS keep
+      FROM agg
+    """

@@ -55,3 +55,26 @@ def test_parse_robots_feeds_policy_verdicts(spark):
     got = {r.page_id: r.allowed for r in weburl.policy_verdicts(
         pages, rules.selectExpr("host", "prefix", "allow")).collect()}
     assert got == {1: False, 2: True, 3: True}
+
+
+def test_wilson_domain_screen(spark):
+    """2/2 passing is NOT judged like 2000/2000: same rate, very
+    different lower bounds; the bound is the scipy-free closed form."""
+    from pdal_spark.datapipe import weburl
+    from pyspark.sql import functions as F
+
+    rows = [("tiny", 1)] * 2 + [("big", 1)] * 2000 + [("mid", 1)] * 30 \
+        + [("mid", 0)] * 10
+    df = spark.createDataFrame(rows, "domain string, ok int")
+    out = {r.domain: r for r in weburl.domain_quality_screen(
+        df, pass_col=F.col("ok") == 1).collect()}
+    assert out["tiny"].rate == 1.0 and out["big"].rate == 1.0
+    assert out["tiny"].wilson_lower < 0.45      # ~0.34
+    assert out["big"].wilson_lower > 0.99
+    assert out["tiny"].keep == 0 and out["big"].keep == 1
+    # closed-form check at z=1.96, n=40, k=30
+    import math
+    n, p, z = 40.0, 0.75, 1.96
+    lo = (p + z*z/(2*n) - z*math.sqrt((p*(1-p) + z*z/(4*n))/n)) / (1 + z*z/n)
+    assert abs(out["mid"].wilson_lower - round(lo, 6)) < 1e-9
+    assert out["mid"].keep == (1 if lo >= 0.5 else 0)
