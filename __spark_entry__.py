@@ -2997,6 +2997,23 @@ _ROBOTS_TAIL = (
 )
 
 
+def q_judge_kappa(spark, sf_dir):
+    """Cohen's kappa between two quality judges — the length rule
+    (n_chars >= 150) vs the heuristic quality score (>= 0.5):
+    chance-corrected agreement from one contingency exchange, exact
+    BIGINT count ratios in a fixed-shape double expression."""
+    from pdal_spark.datapipe import clustereval as ce_op
+
+    df = _table(spark, sf_dir, "documents")
+    a = df.select(
+        "doc_id", (F.col("n_chars") >= 150).cast("int").alias("label_a")
+    )
+    b = text_op.quality_score(df).select(
+        "doc_id", (F.col("quality") >= 0.5).cast("int").alias("label_b")
+    )
+    return ce_op.cohens_kappa(a, b)
+
+
 def q_domain_screen(spark, sf_dir):
     """Wilson-lower-bound domain quality screening: a domain survives
     when the CONFIDENCE lower bound of its pass rate clears 0.5, so
@@ -3288,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "robots_rules": q_robots_rules,
         "domain_screen": q_domain_screen,
+        "judge_kappa": q_judge_kappa,
         "ann_index": q_ann_index,
         "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
         "dedup_jaccard": q_dedup_jaccard,
@@ -5301,6 +5319,17 @@ def _sharding_sql(n: int, out: str) -> str:
     return sh_op.jump_bucket_sql("documents", "doc_id", n, out_col=out)
 
 
+def _judge_kappa_sql() -> str:
+    from pdal_spark.datapipe import clustereval as ce_op
+
+    q = text_op.quality_score_sql()
+    a = ("SELECT doc_id, CAST(n_chars >= 150 AS INT) AS label_a "
+         "FROM documents")
+    b = (f"SELECT doc_id, CAST({q['quality']} >= 0.5 AS INT) AS label_b "
+         "FROM documents")
+    return ce_op.cohens_kappa_sql(a, b)
+
+
 def _dataquality_oracles() -> dict[str, str]:
     from pdal_spark.datapipe import dataquality as dq_op
 
@@ -5308,6 +5337,7 @@ def _dataquality_oracles() -> dict[str, str]:
         "dedup_sorted_neighborhood": dedup_op.sorted_neighborhood_sql(
             "n_chars, doc_id", window=3
         ),
+        "judge_kappa": _judge_kappa_sql(),
         "domain_screen": weburl_op.domain_quality_screen_sql(
             "SELECT source AS domain, n_chars FROM documents",
             "n_chars >= 150",

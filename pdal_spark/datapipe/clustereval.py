@@ -271,3 +271,85 @@ SELECT n AS n_items,
        END AS nmi
 FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN n1
 """.strip()
+
+
+def cohens_kappa(
+    a: DataFrame, b: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between two labelers over the same
+    items: chance-corrected agreement
+    kappa = (p_o - p_e) / (1 - p_e) — the metric for "does the cheap
+    quality classifier actually agree with the rule bundle beyond
+    chance", where raw agreement is inflated by the majority class.
+
+    Inputs: (id, label_a) and (id, label_b), any label domain. One id
+    equi-join + one (label_a, label_b) contingency exchange; marginals
+    re-aggregate from the contingency rows (never a second scan); all
+    probabilities are exact BIGINT count ratios evaluated in one
+    fixed-shape double expression — deterministic cross-engine.
+    Returns one row: (n, p_observed, p_expected, kappa), 6 dp."""
+    j = a.select(F.col(id_col).alias("id"), "label_a").join(
+        b.select(F.col(id_col).alias("id"), "label_b"), "id"
+    )
+    cont = j.groupBy("label_a", "label_b").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
+    n_row = cont.agg(F.sum("c").alias("n"))
+    diag = cont.filter(F.col("label_a") == F.col("label_b")).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("agree")
+    )
+    ra = cont.groupBy("label_a").agg(F.sum("c").alias("ca"))
+    rb = cont.groupBy("label_b").agg(F.sum("c").alias("cb"))
+    ee = (
+        ra.join(rb, ra["label_a"] == rb["label_b"])
+        .agg(F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+             .alias("e_sum"))
+    )
+    out = n_row.crossJoin(diag).crossJoin(ee)
+    n = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / n
+    pe = F.col("e_sum").cast("double") / (n * n)
+    kappa = F.when(pe < 1.0, (po - pe) / (1.0 - pe)).otherwise(F.lit(1.0))
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round(kappa, 6).alias("kappa"),
+    )
+
+
+def cohens_kappa_sql(a_sql: str, b_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of cohens_kappa (same contingency formulation)."""
+    return f"""
+      WITH j AS (
+        SELECT a.label_a, b.label_b
+        FROM ({a_sql}) a JOIN ({b_sql}) b ON a.{id_col} = b.{id_col}
+      ),
+      cont AS (
+        SELECT label_a, label_b, count(*) AS c FROM j GROUP BY 1, 2
+      ),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cont),
+      diag AS (
+        SELECT coalesce(sum(c), 0) AS agree FROM cont
+        WHERE label_a = label_b
+      ),
+      ra AS (SELECT label_a, sum(c) AS ca FROM cont GROUP BY 1),
+      rb AS (SELECT label_b, sum(c) AS cb FROM cont GROUP BY 1),
+      ee AS (
+        SELECT coalesce(sum(ca * cb), 0) AS e_sum
+        FROM ra JOIN rb ON ra.label_a = rb.label_b
+      )
+      SELECT n.n AS n,
+             round(CAST(agree AS DOUBLE) / n.n, 6) AS p_observed,
+             round(CAST(e_sum AS DOUBLE)
+                   / (CAST(n.n AS DOUBLE) * n.n), 6) AS p_expected,
+             round(CASE WHEN CAST(e_sum AS DOUBLE)
+                             / (CAST(n.n AS DOUBLE) * n.n) < 1.0
+                   THEN (CAST(agree AS DOUBLE) / n.n
+                         - CAST(e_sum AS DOUBLE)
+                           / (CAST(n.n AS DOUBLE) * n.n))
+                        / (1.0 - CAST(e_sum AS DOUBLE)
+                           / (CAST(n.n AS DOUBLE) * n.n))
+                   ELSE 1.0 END, 6) AS kappa
+      FROM n, diag, ee
+    """

@@ -149,3 +149,36 @@ def test_nmi_twin_sf0001(spark, sf_dir):
     assert got.n_items == exp[0]
     for g, x in zip((got.mi, got.h_a, got.h_b, got.nmi), exp[1:]):
         assert g == pytest.approx(x, abs=1e-9)
+
+
+def test_cohens_kappa_literals(spark):
+    """Hand-computed 2x2 kappa + degenerate cases."""
+    from pdal_spark.datapipe import clustereval as ce
+
+    # contingency: a=b=1: 20, a=1 b=0: 5, a=0 b=1: 10, a=0 b=0: 15
+    rows = ([(i, 1, 1) for i in range(20)]
+            + [(100 + i, 1, 0) for i in range(5)]
+            + [(200 + i, 0, 1) for i in range(10)]
+            + [(300 + i, 0, 0) for i in range(15)])
+    df = spark.createDataFrame(rows, "doc_id long, la int, lb int")
+    a = df.selectExpr("doc_id", "la AS label_a")
+    b = df.selectExpr("doc_id", "lb AS label_b")
+    r = ce.cohens_kappa(a, b).collect()[0]
+    n = 50.0
+    po = 35 / n
+    pe = (25 * 30 + 25 * 20) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert r.n == 50
+    assert abs(r.p_observed - round(po, 6)) < 1e-9
+    assert abs(r.p_expected - round(pe, 6)) < 1e-9
+    assert abs(r.kappa - round(kappa, 6)) < 1e-9
+    # perfect agreement -> kappa 1 even when pe is high
+    same = ce.cohens_kappa(a, a.selectExpr("doc_id", "label_a AS label_b"))
+    assert same.collect()[0].kappa == 1.0
+    # single-class degenerate (pe == 1) -> defined as 1.0, not NaN
+    const = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, x int")
+    r2 = ce.cohens_kappa(
+        const.selectExpr("doc_id", "x AS label_a"),
+        const.selectExpr("doc_id", "x AS label_b"),
+    ).collect()[0]
+    assert r2.kappa == 1.0
