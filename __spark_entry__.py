@@ -3200,9 +3200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "boolean_and": q_boolean_and,
         "phrase_search": q_phrase_search,
-        "bpe_merges": q_bpe_merges,
-        "bpe_tokens": q_bpe_tokens,
-        "unigram_tokens": q_unigram_tokens,
         "hexbin_density": q_hexbin_density,
         "hexbin_dense": q_hexbin_dense,
         "knn_join": q_knn_join,
@@ -3218,7 +3215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
-        "compression_ratio": q_compression_ratio,
         "text_bigram_lm": q_text_bigram_lm,
         "word_lm": q_word_lm,
         "ppl_buckets": q_ppl_buckets,
@@ -3376,6 +3372,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returns": q_returns,
         "cluster_sizes": q_cluster_sizes,
         "sample_poisson": q_sample_poisson,
+        # rows-only entries (no DuckDB oracle; pytest-oracled instead) are
+        # registered last so the driver's capped hash-check (first 50 slots)
+        # spends itself on hash-verifiable queries.
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokens": q_bpe_tokens,
+        "unigram_tokens": q_unigram_tokens,
+        "compression_ratio": q_compression_ratio,
     }
 
 

@@ -131,7 +131,7 @@ def kmv_sketch_sql(
     return (
         f"SELECT {cols}"
         f"CAST(len(sketch) AS BIGINT) AS n_in_sketch, "
-        f"sketch[least({k}, len(sketch))] AS kth_hash, "
+        f"CAST(sketch[least({k}, len(sketch))] AS BIGINT) AS kth_hash, "
         f"round(CASE WHEN len(sketch) < {k} THEN CAST(len(sketch) AS DOUBLE) "
         f"ELSE {float(k - 1)!r} * {float(P31)!r} / sketch[{k}] END, 6) "
         f"AS est_distinct "
