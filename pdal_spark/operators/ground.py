@@ -99,25 +99,55 @@ def grad_y(g: np.ndarray) -> np.ndarray:
     return out
 
 
-def knnfill(g: np.ndarray) -> np.ndarray:
+def _fill_nearest(
+    g: np.ndarray,
+    k: int,
+    agg,
+    origin: tuple[int, int] = (0, 0),
+    lin_rows: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shared kernel for knnfill (k=8, mean) and nn1fill (k=1, value).
+
+    ``origin``/``lin_rows`` let a tiled caller break distance ties by the
+    GLOBAL column-major linear index (origin = window's (row0, col0) in
+    the global grid, lin_rows = global row count) so a window computation
+    selects the same neighbors as the single-grid one.
+
+    Returns (filled, holes[n,2], fill_dist[n]) where fill_dist is the
+    Euclidean distance to the farthest neighbor each hole used — the
+    quantity a tiled halo certificate must bound.
+    """
+    rows, cols = g.shape
+    row0, col0 = origin
+    nlr = rows if lin_rows is None else lin_rows
+    rr, cc = np.nonzero(~np.isnan(g))
+    holes = np.argwhere(np.isnan(g))
+    if len(rr) == 0:
+        return g.copy(), holes, np.full(len(holes), np.inf)
+    vals = g[rr, cc]
+    out = g.copy()
+    k = min(k, len(rr))
+    # column-major like the reference; global index under tiling
+    lin = (cc + col0).astype(np.int64) * nlr + (rr + row0)
+    dist = np.zeros(len(holes))
+    for i, (r, c) in enumerate(holes):
+        d2 = (rr - r) ** 2 + (cc - c) ** 2
+        order = np.lexsort((lin, d2))[:k]
+        out[r, c] = agg(vals[order])
+        dist[i] = float(np.sqrt(d2[order].max()))
+    return out, holes, dist
+
+
+def knnfill(
+    g: np.ndarray,
+    origin: tuple[int, int] = (0, 0),
+    lin_rows: int | None = None,
+) -> np.ndarray:
     """Fill NaN cells with the mean of the 8 nearest populated cells by
     center distance (SMRFilter.cpp:575-633); ties broken by linear cell
     index (the reference KD tie order is build order — unspecified;
     pinned here for determinism)."""
-    rows, cols = g.shape
-    rr, cc = np.nonzero(~np.isnan(g))
-    if len(rr) == 0:
-        return g.copy()
-    vals = g[rr, cc]
-    out = g.copy()
-    holes = np.argwhere(np.isnan(g))
-    k = min(8, len(rr))
-    lin = cc.astype(np.int64) * rows + rr  # column-major like the reference
-    for r, c in holes:
-        d2 = (rr - r) ** 2 + (cc - c) ** 2
-        order = np.lexsort((lin, d2))[:k]
-        out[r, c] = vals[order].mean()
-    return out
+    return _fill_nearest(g, 8, np.mean, origin, lin_rows)[0]
 
 
 def progressive_filter(
@@ -177,9 +207,198 @@ def smrf_grid(
     return zipro, thresh
 
 
+class GroundTilingError(ValueError):
+    """A tile's halo could not PROVE its window computation equals the
+    single-grid one (a knnfill reached past the halo, or the stencil
+    radius exceeds it). Increase ``halo_cells`` — never a silent
+    approximation."""
+
+
+def _smrf_stencil_radius(cell: float, window: float, cut: float) -> int:
+    """Chebyshev influence radius of the mask stages on the min surface:
+    obj = 2*ceil(window/cell) (+ 4*ceil(cut/cell) through the net
+    opening), low = 2*ceil(1.0/cell)."""
+    R = int(np.ceil(window / cell))
+    v = int(np.ceil(cut / cell)) if cut > 0.0 else 0
+    return max(2 * R + 4 * v, 2 * int(np.ceil(1.0 / cell)))
+
+
+def smrf_grid_window(
+    gwin: np.ndarray,
+    inner: tuple[int, int, int, int],
+    glob_edges: tuple[bool, bool, bool, bool],
+    origin: tuple[int, int],
+    lin_rows: int,
+    cell: float,
+    slope: float,
+    threshold: float,
+    window: float,
+    scalar: float,
+    cut: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """smrf_grid over a halo-expanded tile WINDOW, with a runtime
+    certificate that the result at the INNER cells equals the
+    single-grid computation — the overlap-tile decomposition the module
+    docstring specifies, made exact-or-raise (the tiled-Delaunay
+    pattern, mesh.py).
+
+    ``inner`` = (r0, r1, c0, c1) half-open slice of the owned tile in
+    window coordinates; ``glob_edges`` = (top, bottom, left, right)
+    flags, True where the window edge IS the global grid boundary (the
+    single computation sees the same edge there, so that direction needs
+    no halo); ``origin`` = window's (row0, col0) in the global grid and
+    ``lin_rows`` = global row count, so distance ties break by the same
+    global column-major index as the single grid.
+
+    Certificate (sufficient for inner-exactness, checked at runtime):
+      * both knnfill passes: every hole whose fill can influence an
+        inner output has its whole candidate disk inside the window
+        (local top-8 == global top-8, same ties);
+      * every influencing cell's stencil (S = obj/low/net radius) stays
+        inside the window;
+      * a window with fewer than 8 populated cells can't prove its
+        k-truncation matches the global one unless it IS the grid.
+    """
+    wr, wc = gwin.shape
+    ir0, ir1, ic0, ic1 = inner
+    row0, col0 = origin
+    S = _smrf_stencil_radius(cell, window, cut)
+
+    def margin(r: int, c: int) -> float:
+        m = np.inf
+        if not glob_edges[0]:
+            m = min(m, r)
+        if not glob_edges[1]:
+            m = min(m, wr - 1 - r)
+        if not glob_edges[2]:
+            m = min(m, c)
+        if not glob_edges[3]:
+            m = min(m, wc - 1 - c)
+        return m
+
+    def cheb_to_inner(r: int, c: int) -> int:
+        dr = max(ir0 - r, 0, r - (ir1 - 1))
+        dc = max(ic0 - c, 0, c - (ic1 - 1))
+        return max(dr, dc)
+
+    n_pop = int((~np.isnan(gwin)).sum())
+    if n_pop == 0:
+        raise GroundTilingError("window has no populated cells")
+    if n_pop < 8 and not all(glob_edges):
+        raise GroundTilingError(
+            f"window has only {n_pop} populated cells — cannot certify "
+            "the 8-NN fill against the halo; increase halo_cells"
+        )
+
+    zimin, holes1, dist1 = _fill_nearest(gwin, 8, np.mean, origin, lin_rows)
+    low = progressive_filter(-zimin, cell, 5.0, 1.0)
+
+    is_net = np.zeros(zimin.shape, dtype=bool)
+    zinet = zimin
+    if cut > 0.0:
+        v = int(np.ceil(cut / cell))
+        # net rows/cols are GLOBAL-index aligned (smrf_grid uses [::v]
+        # from global index 0)
+        is_net[:, (np.arange(wc) + col0) % v == 0] = True
+        is_net[(np.arange(wr) + row0) % v == 0, :] = True
+        big_open = dilate_diamond(erode_diamond(zimin, 2 * v), 2 * v)
+        zinet = np.where(is_net, big_open, zimin)
+
+    obj = progressive_filter(zinet, cell, slope, window)
+    zipro_raw = np.where((obj == 1) | (low == 1) | is_net, np.nan, zimin)
+    zipro, holes2, dist2 = _fill_nearest(zipro_raw, 8, np.mean, origin, lin_rows)
+
+    # (a) zipro holes touching the inner ring (gradient reach 1): the
+    # candidate disk must clear the window edge by S so every candidate's
+    # mask (and value) is itself exact.
+    Dp = 0
+    for (r, c), d in zip(holes2, dist2):
+        if cheb_to_inner(r, c) <= 1:
+            dp = int(np.ceil(d))
+            if dp + S > margin(r, c):
+                raise GroundTilingError(
+                    f"zipro fill at window cell ({r},{c}) reached "
+                    f"distance {dp} with stencil slack {S} > margin "
+                    f"{margin(r, c)}; increase halo_cells"
+                )
+            Dp = max(Dp, dp)
+    # (b) the min surface must be exact wherever stage (a) or the masks
+    # read it: within A = 1 + Dp + S of the inner tile.
+    A = 1 + Dp + S
+    for (r, c), d in zip(holes1, dist1):
+        if cheb_to_inner(r, c) <= A and int(np.ceil(d)) > margin(r, c):
+            raise GroundTilingError(
+                f"zimin fill at window cell ({r},{c}) reached distance "
+                f"{int(np.ceil(d))} > margin {margin(r, c)}; "
+                "increase halo_cells"
+            )
+    # (c) the window itself must hold the whole influence region.
+    inner_m = np.inf
+    if not glob_edges[0]:
+        inner_m = min(inner_m, ir0)
+    if not glob_edges[1]:
+        inner_m = min(inner_m, wr - ir1)
+    if not glob_edges[2]:
+        inner_m = min(inner_m, ic0)
+    if not glob_edges[3]:
+        inner_m = min(inner_m, wc - ic1)
+    if inner_m < A:
+        raise GroundTilingError(
+            f"halo {inner_m} < required influence radius {A}; "
+            "increase halo_cells"
+        )
+
+    scaled = zipro / cell
+    gx, gy = grad_x(scaled), grad_y(scaled)
+    gsurfs, holes3, _ = _fill_nearest(
+        np.sqrt(gx * gx + gy * gy), 8, np.mean, origin, lin_rows
+    )
+    for r, c in holes3:  # zipro is fully filled, so this never fires
+        if cheb_to_inner(r, c) <= 0:
+            raise GroundTilingError("gradient surface hole at inner cell")
+    thresh = threshold + scalar * gsurfs
+    return zipro, thresh
+
+
 # ---------------------------------------------------------------------------
 # the distributed operator
 # ---------------------------------------------------------------------------
+
+
+def _halo_tiles(
+    cells: DataFrame,
+    ccol: str,
+    crow: str,
+    tile_cells: int,
+    halo_cells: int,
+    n_cols: int,
+    n_rows: int,
+) -> DataFrame:
+    """Replicate each grid cell into every tile whose halo-expanded
+    window contains it (the mesh.py tile-assign shape): tile ids
+    (gx, gy) = cell // tile_cells, ring = ceil(halo/tile); the per-tile
+    blow-up is ((T+2H)/T)^2 — bounded, no crossJoin over data."""
+    spark = cells.sparkSession
+    ring = int(np.ceil(halo_cells / tile_cells))
+    offs = [(dx, dy) for dx in range(-ring, ring + 1)
+            for dy in range(-ring, ring + 1)]
+    off_df = spark.createDataFrame(offs, "dx int, dy int")
+    T, H = tile_cells, halo_cells
+    return (
+        cells
+        .crossJoin(F.broadcast(off_df))
+        .withColumn("gx", (F.col(ccol) / T).cast("int") + F.col("dx"))
+        .withColumn("gy", (F.col(crow) / T).cast("int") + F.col("dy"))
+        .filter(
+            (F.col(ccol) >= F.col("gx") * T - H)
+            & (F.col(ccol) < F.col("gx") * T + T + H)
+            & (F.col(crow) >= F.col("gy") * T - H)
+            & (F.col(crow) < F.col("gy") * T + T + H)
+            & (F.col("gx") >= 0) & (F.col("gx") < int(np.ceil(n_cols / T)))
+            & (F.col("gy") >= 0) & (F.col("gy") < int(np.ceil(n_rows / T)))
+        )
+        .drop("dx", "dy")
+    )
 
 
 def smrf(
@@ -195,11 +414,25 @@ def smrf(
     z: str = "z",
     class_col: str = "classification",
     bounds: tuple[float, float, float, float] | None = None,
+    mode: str = "auto",
+    tile_cells: int = 512,
+    halo_cells: int | None = None,
+    max_grid_driver: int = 4 << 20,
 ) -> DataFrame:
     """Classify every point GROUND (2) / NOT_GROUND (1) per SMRF.
 
     ``bounds`` pins (minx, miny, maxx, maxy); None computes them (one
-    extra aggregate — order-independent either way)."""
+    extra aggregate — order-independent either way).
+
+    mode="driver": whole grid as one numpy pass on the driver — exact,
+    O(extent/cell^2) driver memory, right for city-scale grids.
+    mode="tiled": the 100 TB shape — per-cell min-Z stays a DataFrame,
+    cells replicate into halo-expanded tiles, each tile runs the same
+    grid kernels over its window via applyInPandas and CERTIFIES
+    inner-exactness at runtime (smrf_grid_window) or raises
+    GroundTilingError. mode="auto" picks driver below
+    ``max_grid_driver`` grid cells, tiled above.
+    """
     if bounds is None:
         b = df.agg(F.min(x), F.min(y), F.max(x), F.max(y)).collect()[0]
         bounds = (b[0], b[1], b[2], b[3])
@@ -213,26 +446,68 @@ def smrf(
     work = df.withColumn("_sc", ccol).withColumn("_sr", crow)
 
     # distributed min-Z surface: one shuffle, map-side combine
-    cells = (
-        work.groupBy("_sc", "_sr").agg(F.min(z).alias("_zmin")).collect()
-    )
-    zimin = np.full((n_rows, n_cols), np.nan)
-    for r in cells:
-        zimin[r["_sr"], r["_sc"]] = r["_zmin"]
+    cells_df = work.groupBy("_sc", "_sr").agg(F.min(z).alias("_zmin"))
+    if mode == "auto":
+        mode = "driver" if n_rows * n_cols <= max_grid_driver else "tiled"
 
-    zipro, thresh = smrf_grid(zimin, cell, slope, threshold, window, scalar, cut)
-
-    rr, cc = np.nonzero(~np.isnan(zipro))
-    side_rows = [
-        (int(cc[i]), int(rr[i]), float(zipro[rr[i], cc[i]]),
-         float(thresh[rr[i], cc[i]]))
-        for i in range(len(rr))
-    ]
     spark = df.sparkSession
-    side = spark.createDataFrame(
-        side_rows, "_sc int, _sr int, _dem double, _thr double"
-    )
-    joined = work.join(F.broadcast(side), ["_sc", "_sr"], "left")
+    if mode == "driver":
+        zimin = np.full((n_rows, n_cols), np.nan)
+        for r in cells_df.collect():
+            zimin[r["_sr"], r["_sc"]] = r["_zmin"]
+        zipro, thresh = smrf_grid(
+            zimin, cell, slope, threshold, window, scalar, cut
+        )
+        rr, cc = np.nonzero(~np.isnan(zipro))
+        side_rows = [
+            (int(cc[i]), int(rr[i]), float(zipro[rr[i], cc[i]]),
+             float(thresh[rr[i], cc[i]]))
+            for i in range(len(rr))
+        ]
+        side = spark.createDataFrame(
+            side_rows, "_sc int, _sr int, _dem double, _thr double"
+        )
+        side = F.broadcast(side)
+    else:
+        S = _smrf_stencil_radius(cell, window, cut)
+        H = halo_cells if halo_cells is not None else S + 17
+        T = tile_cells
+        tiled = _halo_tiles(cells_df, "_sc", "_sr", T, H, n_cols, n_rows)
+        nr, nc = n_rows, n_cols
+        args = (cell, slope, threshold, window, scalar, cut)
+
+        def tile_kernel(key, pdf):
+            import pandas as pd
+
+            gx, gy = int(key[0]), int(key[1])
+            c_lo, c_hi = max(gx * T - H, 0), min(gx * T + T + H, nc)
+            r_lo, r_hi = max(gy * T - H, 0), min(gy * T + T + H, nr)
+            win = np.full((r_hi - r_lo, c_hi - c_lo), np.nan)
+            pdf = pdf.dropna(subset=["_zmin"])
+            win[pdf["_sr"].to_numpy() - r_lo,
+                pdf["_sc"].to_numpy() - c_lo] = pdf["_zmin"].to_numpy()
+            inner = (
+                gy * T - r_lo, min(gy * T + T, nr) - r_lo,
+                gx * T - c_lo, min(gx * T + T, nc) - c_lo,
+            )
+            edges = (r_lo == 0, r_hi == nr, c_lo == 0, c_hi == nc)
+            zipro, thresh = smrf_grid_window(
+                win, inner, edges, (r_lo, c_lo), nr, *args
+            )
+            own = pdf[(pdf["_sr"] // T == gy) & (pdf["_sc"] // T == gx)]
+            sr = own["_sr"].to_numpy()
+            sc = own["_sc"].to_numpy()
+            return pd.DataFrame({
+                "_sc": sc.astype("int32"), "_sr": sr.astype("int32"),
+                "_dem": zipro[sr - r_lo, sc - c_lo],
+                "_thr": thresh[sr - r_lo, sc - c_lo],
+            })
+
+        side = tiled.groupBy("gx", "gy").applyInPandas(
+            tile_kernel, "_sc int, _sr int, _dem double, _thr double"
+        )
+
+    joined = work.join(side, ["_sc", "_sr"], "left")
     base = F.col(class_col) if class_col in df.columns else F.lit(1)
     cls = F.when(
         F.col("_dem").isNotNull(),
@@ -271,6 +546,93 @@ def pmf_windows(
     return out
 
 
+def pmf_stencil_radius(
+    cell: float, max_window: float, slope: float, initial_distance: float,
+    max_distance: float, exponential: bool = True,
+) -> int:
+    """Chebyshev influence radius of the full PMF opening chain: the
+    stages compose on the evolving surface, so radii add — 2 * sum of
+    per-window iteration counts."""
+    return 2 * sum(
+        int(0.5 * (ws - 1))
+        for ws, _ in pmf_windows(cell, max_window, slope, initial_distance,
+                                 max_distance, exponential)
+    )
+
+
+def pmf_grid_window(
+    gwin: np.ndarray,
+    inner: tuple[int, int, int, int],
+    glob_edges: tuple[bool, bool, bool, bool],
+    origin: tuple[int, int],
+    lin_rows: int,
+    cell: float,
+    max_window: float,
+    slope: float,
+    initial_distance: float,
+    max_distance: float,
+    exponential: bool = True,
+) -> np.ndarray:
+    """The PMF limit surface over a halo-expanded tile window, certified
+    inner-exact or GroundTilingError (same contract as
+    smrf_grid_window): the nn1fill of every hole within the chain's
+    influence radius of the inner tile must resolve inside the window,
+    and the window must hold the whole influence region."""
+    wr, wc = gwin.shape
+    ir0, ir1, ic0, ic1 = inner
+    Rp = pmf_stencil_radius(cell, max_window, slope, initial_distance,
+                            max_distance, exponential)
+
+    if not np.any(~np.isnan(gwin)):
+        raise GroundTilingError("window has no populated cells")
+
+    zimin, holes, dist = _fill_nearest(
+        gwin, 1, lambda v: v[0], origin, lin_rows
+    )
+    for (r, c), d in zip(holes, dist):
+        dr = max(ir0 - r, 0, r - (ir1 - 1))
+        dc = max(ic0 - c, 0, c - (ic1 - 1))
+        if max(dr, dc) > Rp:
+            continue
+        m = np.inf
+        if not glob_edges[0]:
+            m = min(m, r)
+        if not glob_edges[1]:
+            m = min(m, wr - 1 - r)
+        if not glob_edges[2]:
+            m = min(m, c)
+        if not glob_edges[3]:
+            m = min(m, wc - 1 - c)
+        if int(np.ceil(d)) > m:
+            raise GroundTilingError(
+                f"nn1 fill at window cell ({r},{c}) reached distance "
+                f"{int(np.ceil(d))} > margin {m}; increase halo_cells"
+            )
+    inner_m = np.inf
+    if not glob_edges[0]:
+        inner_m = min(inner_m, ir0)
+    if not glob_edges[1]:
+        inner_m = min(inner_m, wr - ir1)
+    if not glob_edges[2]:
+        inner_m = min(inner_m, ic0)
+    if not glob_edges[3]:
+        inner_m = min(inner_m, wc - ic1)
+    if inner_m < Rp:
+        raise GroundTilingError(
+            f"halo {inner_m} < required influence radius {Rp}; "
+            "increase halo_cells"
+        )
+
+    limit = np.full(zimin.shape, np.inf)
+    for ws, ht in pmf_windows(cell, max_window, slope, initial_distance,
+                              max_distance, exponential):
+        iters = int(0.5 * (ws - 1))
+        opened = dilate_diamond(erode_diamond(zimin, iters), iters)
+        limit = np.minimum(limit, opened + ht)
+        zimin = opened
+    return limit
+
+
 def pmf(
     df: DataFrame,
     cell: float = 1.0,
@@ -284,6 +646,10 @@ def pmf(
     z: str = "z",
     class_col: str = "classification",
     bounds: tuple[float, float, float, float] | None = None,
+    mode: str = "auto",
+    tile_cells: int = 512,
+    halo_cells: int | None = None,
+    max_grid_driver: int = 4 << 20,
 ) -> DataFrame:
     """filters.pmf: progressive morphological opening of the min-Z grid;
     a point stays ground iff it survives EVERY iteration's test
@@ -301,6 +667,13 @@ def pmf(
     Reference quirks replicated: grid build cell key floors BEFORE the
     divide (:243-244) while the classify key floors AFTER (:350-353);
     void cells inpaint from the single nearest populated cell (:274-290).
+
+    mode="driver"/"tiled"/"auto" as in smrf. The tiled path must emit
+    ALL inner cells (classify keys can land on unpopulated cells), so
+    the tile group set is the union of build-cell tiles and
+    classify-cell tiles (marker rows) — a point whose cell falls in a
+    window with no populated cells raises GroundTilingError rather than
+    silently diverging from the single grid.
     """
     if bounds is None:
         b = df.agg(F.min(x), F.min(y), F.max(x), F.max(y)).collect()[0]
@@ -311,56 +684,105 @@ def pmf(
 
     gcol = (F.floor(F.col(x) - F.lit(minx)) / cell).cast("int")
     grow = (F.floor(F.col(y) - F.lit(miny)) / cell).cast("int")
-    cells = (
+    cells_df = (
         df.withColumn("_pc", gcol).withColumn("_pr", grow)
-        .groupBy("_pc", "_pr").agg(F.min(z).alias("_zmin")).collect()
+        .groupBy("_pc", "_pr").agg(F.min(z).alias("_zmin"))
     )
-    zimin = np.full((n_rows, n_cols), np.nan)
-    for r in cells:
-        zimin[r["_pr"], r["_pc"]] = r["_zmin"]
-    zimin = nn1fill(zimin)
+    if mode == "auto":
+        mode = "driver" if n_rows * n_cols <= max_grid_driver else "tiled"
 
-    limit = np.full(zimin.shape, np.inf)
-    for ws, ht in pmf_windows(cell, max_window, slope, initial_distance,
-                              max_distance, exponential):
-        iters = int(0.5 * (ws - 1))
-        opened = dilate_diamond(erode_diamond(zimin, iters), iters)
-        limit = np.minimum(limit, opened + ht)
-        zimin = opened
-
-    rr, cc = np.nonzero(np.isfinite(limit))
-    side_rows = [
-        (int(cc[i]), int(rr[i]), float(limit[rr[i], cc[i]]))
-        for i in range(len(rr))
-    ]
     spark = df.sparkSession
-    side = spark.createDataFrame(side_rows, "_pc int, _pr int, _zlim double")
     # classify key: floor AFTER the divide (PMFFilter.cpp:350-353)
     kcol = F.floor((F.col(x) - F.lit(minx)) / cell).cast("int")
     krow = F.floor((F.col(y) - F.lit(miny)) / cell).cast("int")
     work = df.withColumn("_pc", kcol).withColumn("_pr", krow)
-    joined = work.join(F.broadcast(side), ["_pc", "_pr"], "left")
+
+    if mode == "driver":
+        zimin = np.full((n_rows, n_cols), np.nan)
+        for r in cells_df.collect():
+            zimin[r["_pr"], r["_pc"]] = r["_zmin"]
+        zimin = nn1fill(zimin)
+
+        limit = np.full(zimin.shape, np.inf)
+        for ws, ht in pmf_windows(cell, max_window, slope, initial_distance,
+                                  max_distance, exponential):
+            iters = int(0.5 * (ws - 1))
+            opened = dilate_diamond(erode_diamond(zimin, iters), iters)
+            limit = np.minimum(limit, opened + ht)
+            zimin = opened
+
+        rr, cc = np.nonzero(np.isfinite(limit))
+        side_rows = [
+            (int(cc[i]), int(rr[i]), float(limit[rr[i], cc[i]]))
+            for i in range(len(rr))
+        ]
+        side = F.broadcast(spark.createDataFrame(
+            side_rows, "_pc int, _pr int, _zlim double"
+        ))
+    else:
+        Rp = pmf_stencil_radius(cell, max_window, slope, initial_distance,
+                                max_distance, exponential)
+        H = halo_cells if halo_cells is not None else Rp + 16
+        T = tile_cells
+        markers = (
+            work.select("_pc", "_pr").distinct()
+            .withColumn("_zmin", F.lit(None).cast("double"))
+        )
+        tiled = _halo_tiles(
+            cells_df.unionByName(markers), "_pc", "_pr", T, H, n_cols, n_rows
+        )
+        nr, nc = n_rows, n_cols
+        args = (cell, max_window, slope, initial_distance, max_distance,
+                exponential)
+
+        def tile_kernel(key, pdf):
+            import pandas as pd
+
+            gx, gy = int(key[0]), int(key[1])
+            c_lo, c_hi = max(gx * T - H, 0), min(gx * T + T + H, nc)
+            r_lo, r_hi = max(gy * T - H, 0), min(gy * T + T + H, nr)
+            win = np.full((r_hi - r_lo, c_hi - c_lo), np.nan)
+            vals = pdf.dropna(subset=["_zmin"])
+            win[vals["_pr"].to_numpy() - r_lo,
+                vals["_pc"].to_numpy() - c_lo] = vals["_zmin"].to_numpy()
+            inner = (
+                gy * T - r_lo, min(gy * T + T, nr) - r_lo,
+                gx * T - c_lo, min(gx * T + T, nc) - c_lo,
+            )
+            edges = (r_lo == 0, r_hi == nr, c_lo == 0, c_hi == nc)
+            limit = pmf_grid_window(
+                win, inner, edges, (r_lo, c_lo), nr, *args
+            )
+            rr2, cc2 = np.meshgrid(
+                np.arange(inner[0], inner[1]), np.arange(inner[2], inner[3]),
+                indexing="ij",
+            )
+            rr2, cc2 = rr2.ravel(), cc2.ravel()
+            return pd.DataFrame({
+                "_pc": (cc2 + c_lo).astype("int32"),
+                "_pr": (rr2 + r_lo).astype("int32"),
+                "_zlim": limit[rr2, cc2],
+            })
+
+        side = tiled.groupBy("gx", "gy").applyInPandas(
+            tile_kernel, "_pc int, _pr int, _zlim double"
+        )
+
+    joined = work.join(side, ["_pc", "_pr"], "left")
     base = F.col(class_col) if class_col in df.columns else F.lit(1)
     cls = F.when(F.col(z) < F.col("_zlim"), F.lit(GROUND)).otherwise(base)
     return joined.withColumn(class_col, cls).drop("_pc", "_pr", "_zlim")
 
 
-def nn1fill(g: np.ndarray) -> np.ndarray:
+def nn1fill(
+    g: np.ndarray,
+    origin: tuple[int, int] = (0, 0),
+    lin_rows: int | None = None,
+) -> np.ndarray:
     """Fill NaN cells with the value of the single nearest populated
     cell by center distance (PMFFilter.cpp:274-290); ties pinned by
     column-major linear index like knnfill."""
-    rows, cols = g.shape
-    rr, cc = np.nonzero(~np.isnan(g))
-    if len(rr) == 0:
-        return g.copy()
-    vals = g[rr, cc]
-    lin = cc.astype(np.int64) * rows + rr
-    out = g.copy()
-    for r, c in np.argwhere(np.isnan(g)):
-        d2 = (rr - r) ** 2 + (cc - c) ** 2
-        i = np.lexsort((lin, d2))[0]
-        out[r, c] = vals[i]
-    return out
+    return _fill_nearest(g, 1, lambda v: v[0], origin, lin_rows)[0]
 
 
 # ---------------------------------------------------------------------------

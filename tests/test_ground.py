@@ -189,6 +189,111 @@ def test_pmf_matches_reference_loop(scene):
     assert len(flat & got) / len(flat) > 0.99
 
 
+# --- tiled-halo grid execution ----------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def big_scene(spark):
+    """80x80 unit lattice with ~12% of cells empty (exercises both
+    knnfill passes), rolling terrain, two buildings, and a spike — big
+    enough that tile_cells=16 gives a genuine 5x5 multi-tile split."""
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n = 80
+    xs, ys = np.meshgrid(np.arange(float(n)), np.arange(float(n)))
+    xs, ys = xs.ravel(), ys.ravel()
+    zterrain = 2.0 * np.sin(xs / 11.0) + 1.5 * np.cos(ys / 7.0)
+    z = zterrain.copy()
+    b1 = (xs >= 20) & (xs < 27) & (ys >= 30) & (ys < 38)
+    b2 = (xs >= 55) & (xs < 60) & (ys >= 10) & (ys < 14)
+    z[b1] += 9.0
+    z[b2] += 12.0
+    z[(xs == 70) & (ys == 70)] += 30.0
+    keep = rng.random(len(xs)) > 0.12
+    pdf = pd.DataFrame({
+        "page_id": np.arange(len(xs))[keep], "x": xs[keep], "y": ys[keep],
+        "z": z[keep],
+    })
+    return spark.createDataFrame(pdf).repartition(8)
+
+
+def _cls(df):
+    out = df.toPandas().sort_values("page_id").reset_index(drop=True)
+    return list(zip(out.page_id, out.classification))
+
+
+def test_smrf_tiled_equals_single(big_scene):
+    kw = dict(cell=1.0, slope=0.15, threshold=0.5, window=4.0, scalar=1.25)
+    single = ground.smrf(big_scene, mode="driver", **kw)
+    tiled = ground.smrf(big_scene, mode="tiled", tile_cells=16, **kw)
+    assert _cls(single) == _cls(tiled)
+
+
+def test_smrf_tiled_equals_single_with_cut(big_scene):
+    kw = dict(cell=1.0, slope=0.15, threshold=0.5, window=4.0, scalar=1.25,
+              cut=3.0)
+    single = ground.smrf(big_scene, mode="driver", **kw)
+    tiled = ground.smrf(big_scene, mode="tiled", tile_cells=16,
+                        halo_cells=40, **kw)
+    assert _cls(single) == _cls(tiled)
+
+
+def test_pmf_tiled_equals_single(big_scene):
+    kw = dict(cell=1.0, max_window=5.0, slope=1.0, initial_distance=0.5,
+              max_distance=3.0)
+    single = ground.pmf(big_scene, mode="driver", **kw)
+    tiled = ground.pmf(big_scene, mode="tiled", tile_cells=16, **kw)
+    assert _cls(single) == _cls(tiled)
+
+
+def test_pmf_tiled_fractional_cell_keys(spark):
+    """cell=0.5 makes the build key (floor BEFORE divide) differ from
+    the classify key (floor AFTER) — the marker-tile union must route
+    points whose classify cell is unpopulated."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    xs = rng.uniform(0, 30, 2500)
+    ys = rng.uniform(0, 30, 2500)
+    z = 0.1 * xs + np.where((xs > 10) & (xs < 14) & (ys > 10) & (ys < 14),
+                            6.0, 0.0)
+    pdf = pd.DataFrame({"page_id": np.arange(len(xs)), "x": xs, "y": ys,
+                        "z": z})
+    df = spark.createDataFrame(pdf).repartition(6)
+    kw = dict(cell=0.5, max_window=3.0, slope=1.0, initial_distance=0.5,
+              max_distance=3.0)
+    single = ground.pmf(df, mode="driver", **kw)
+    tiled = ground.pmf(df, mode="tiled", tile_cells=16, **kw)
+    assert _cls(single) == _cls(tiled)
+
+
+def test_tiled_certificate_raises_on_thin_halo(big_scene):
+    """A halo smaller than the stencil radius must refuse, never
+    silently approximate."""
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((Py4JJavaError, Exception)) as ei:
+        ground.smrf(big_scene, mode="tiled", tile_cells=16, halo_cells=2,
+                    cell=1.0, window=4.0).toPandas()
+    assert "halo" in str(ei.value) or "GroundTiling" in str(ei.value)
+
+
+def test_smrf_grid_window_whole_grid_is_identity():
+    """Degenerate tiling (window == grid, all edges global) must equal
+    smrf_grid bit-for-bit."""
+    rng = np.random.default_rng(5)
+    g = rng.normal(size=(30, 30))
+    g[rng.random(g.shape) < 0.2] = np.nan
+    zipro1, th1 = ground.smrf_grid(g, 1.0, 0.15, 0.5, 4.0, 1.25)
+    zipro2, th2 = ground.smrf_grid_window(
+        g, (0, 30, 0, 30), (True, True, True, True), (0, 0), 30,
+        1.0, 0.15, 0.5, 4.0, 1.25,
+    )
+    np.testing.assert_array_equal(zipro1, zipro2)
+    np.testing.assert_array_equal(th1, th2)
+
+
 # --- skewness balancing ------------------------------------------------------
 
 
