@@ -2554,8 +2554,13 @@ def q_bitext_align(spark, sf_dir):
 
 
 def q_sim_cosine_topk(spark, sf_dir):
+    """Exact top-k cosine via the DISTRIBUTED blocked brute force
+    (candidates stay sharded, queries fan to blocks, per-block local
+    top-k + global window) — same rows as the bounded
+    collect-and-broadcast cosine_topk rerank utility, which this entry
+    deliberately does not showcase."""
     df = _table(spark, sf_dir, "embeddings")
-    return sim_op.cosine_topk(df, k=3)
+    return sim_op.cosine_topk_blocked(df, k=3, n_blocks=8)
 
 
 def q_sim_lsh_topk(spark, sf_dir):

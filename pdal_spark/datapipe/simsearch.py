@@ -98,14 +98,48 @@ def cosine_topk(
     """Exact brute-force top-k cosine neighbors per vector (excluding
     self); ties broken by candidate id ascending.
 
-    Scale shape: candidate matrix broadcast to executors, source vectors
-    streamed through an Arrow-batched kernel doing vectorized numpy block
-    products and per-row top-k selection — no pair join, no shuffle
-    beyond the scan. Bounded by broadcast size (~0.5 GB per 10^6 x 64-d
-    float64); beyond that, the LSH/IVF path is the ANN answer and this
-    kernel re-ranks within buckets."""
+    BOUNDED rerank utility: the candidate matrix is collected and
+    broadcast, source vectors streamed through an Arrow-batched kernel
+    doing vectorized numpy block products and per-row top-k selection —
+    no pair join, no shuffle beyond the scan, but bounded by broadcast
+    size (~0.5 GB per 10^6 x 64-d float64). For exact top-k at scale
+    use cosine_topk_blocked (candidates stay distributed); for ANN use
+    the LSH/IVF paths, with this kernel re-ranking within buckets."""
     return _cross_topk(df, df, k, id_col=id_col, vec_col=vec_col,
                        exclude_self=True)
+
+
+def cosine_topk_blocked(
+    df: DataFrame,
+    k: int,
+    n_blocks: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k cosine self-search, fully distributed —
+    same rows as cosine_topk (same sequential-fold dot, same half-up
+    rounding, same cand-id tie-break) with no collect-the-matrix step.
+
+    Shape: candidates hash into n_blocks blocks (list_id = id mod B),
+    every query replicates to every block (a B-row broadcast crossJoin,
+    not a data crossJoin), each block emits its LOCAL top-k through the
+    shared ivf_rank Arrow kernel, and the per-query window keeps the
+    global top-k — provably exact because the global top-k is contained
+    in the union of per-block top-ks under the same comparator. Cost is
+    the unavoidable O(n^2/B) block products spread across executors;
+    memory per task is O(n/B * d). This is the scale path the bounded
+    cosine_topk rerank utility is NOT."""
+    spark = df.sparkSession
+    B = int(n_blocks)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    members = base.withColumn(
+        "list_id", (F.pmod(F.col("id"), F.lit(B))).cast("int")
+    ).withColumn("role", F.lit(0))
+    block_df = spark.range(B).select(F.col("id").cast("int").alias("list_id"))
+    probes = base.crossJoin(F.broadcast(block_df)).withColumn(
+        "role", F.lit(1)
+    )
+    return ivf_rank(members, probes, k)
 
 
 def _cross_topk(

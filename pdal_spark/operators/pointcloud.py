@@ -279,7 +279,7 @@ def sample(
     order_col: str,
     x: str = "x",
     y: str = "y",
-    partitioned: bool = False,
+    partitioned: bool | None = None,
     tile_len: float | None = None,
     origin: tuple[float, float] = (0.0, 0.0),
     max_rows_exact: int = 2_000_000,
@@ -292,12 +292,14 @@ def sample(
     near-identical density, but points near tile borders may differ from
     the global scan (documented divergence; the reference itself is
     order-dependent, SURVEY §7.3).
+    partitioned=None (default): single-kernel up to max_rows_exact, the
+    tile-parallel mode above it (tile_len defaults to 256*radius) — big
+    inputs sample without flags instead of raising.
 
-    The single-kernel mode REFUSES inputs above max_rows_exact (counting
-    is cheap vs. the kernel): a greedy global scan over more rows than
-    one executor holds is a silent scale trap — callers must opt into
-    the tile-parallel mode (or raise the cap explicitly for parity
-    runs)."""
+    EXPLICIT partitioned=False REFUSES inputs above max_rows_exact
+    (counting is cheap vs. the kernel): a caller who pinned parity mode
+    on more rows than one executor holds must either accept the scale
+    mode or raise the cap for the parity run."""
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="stable")
@@ -306,6 +308,10 @@ def sample(
         )
         return pdf[keep]
 
+    if partitioned is None:
+        partitioned = df.count() > max_rows_exact
+        if partitioned and tile_len is None:
+            tile_len = 256.0 * radius
     if partitioned:
         if not tile_len or tile_len < 2 * radius:
             raise ValueError("tile_len must be >= 2*radius")

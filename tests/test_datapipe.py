@@ -241,6 +241,18 @@ def test_cosine_topk(embs, ddb):
     assert (cnt["count"] == 3).all()
 
 
+def test_cosine_topk_blocked_equals_bounded(embs, ddb):
+    """The distributed blocked brute force is row-for-row equal to both
+    the bounded rerank utility and the SQL oracle — exact, not ANN."""
+    out = simsearch.cosine_topk_blocked(embs, k=3, n_blocks=5)
+    exp = ddb.sql(simsearch.cosine_topk_sql(3))
+    _cmp(out, exp, ["src_id", "rank"])
+    a = simsearch.cosine_topk(embs, k=3).toPandas() \
+        .sort_values(["src_id", "rank"]).reset_index(drop=True)
+    b = out.toPandas().sort_values(["src_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_margin_align(embs, ddb):
     src = embs.filter(F.col("label") % 2 == 0)
     cand = embs.filter(F.col("label") % 2 == 1)

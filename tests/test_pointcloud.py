@@ -113,6 +113,20 @@ def test_sample_partitioned_density(pts_df):
     assert 0 < len(out) < N
 
 
+def test_sample_auto_flips_to_partitioned(pts_df):
+    """Above max_rows_exact the default routes to the tile-parallel
+    kernel (no flags needed); an EXPLICIT partitioned=False still
+    refuses."""
+    import pytest
+
+    out = pc.sample(pts_df, 20.0, order_col="page_id",
+                    max_rows_exact=10).toPandas()
+    assert 0 < len(out) < N
+    with pytest.raises(ValueError, match="max_rows_exact"):
+        pc.sample(pts_df, 20.0, order_col="page_id", partitioned=False,
+                  max_rows_exact=10)
+
+
 def test_fps(pts_df):
     ids, xs, ys, _ = _pts()
     count = 12
