@@ -24,6 +24,16 @@ aggregate. Wall-clock scales with cores; no single-task stage.
 The order keys must totally order the rows (callers append an arrival
 tiebreak column) — this is what makes the result deterministic and
 independent of the sampled range boundaries.
+
+Small-input fast path: the three-exchange scheme costs ~1 s of fixed
+overhead (persist + counts job + two shuffles) that dwarfs a small
+input's actual sort. When Catalyst's plan-time size estimate
+(optimizedPlan().stats.sizeInBytes — no job, no scan) is under
+``small_bytes``, the primitives instead run one window partitioned by a
+constant — a single sorted task, which is exactly right for an input
+that fits one task, and produces identical ranks (same total order
+keys). Inputs whose stats are unknown or above the threshold always
+take the distributed shape, so the 10^12-row plan census is unaffected.
 """
 
 from __future__ import annotations
@@ -32,6 +42,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _PID = "_ord_pid"
+
+SMALL_BYTES = 64 << 20
+
+
+def _is_small(df: DataFrame, small_bytes: int | None) -> bool:
+    """Plan-time size gate (never runs a job). Conservative: any
+    failure to estimate counts as big. PDAL_SPARK_FORCE_DISTRIBUTED=1
+    pins the distributed shape regardless of size — the plan census
+    (tests/test_planshape.py, tools/plan_metrics.py) audits plans in
+    the shape they would have at scale, not the small-input one."""
+    import os
+
+    if os.environ.get("PDAL_SPARK_FORCE_DISTRIBUTED"):
+        return False
+    if not small_bytes:
+        return False
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return False
+    return 0 <= est <= small_bytes
 
 
 def _range_partitioned(
@@ -65,9 +98,16 @@ def global_rank(
     out_col: str = "rank",
     zero_based: bool = False,
     num_partitions: int | None = None,
+    small_bytes: int | None = SMALL_BYTES,
 ) -> DataFrame:
     """Exact ``row_number() OVER (ORDER BY keys)`` without the
     single-task global window. ``keys`` must totally order the rows."""
+    if _is_small(df, small_bytes):
+        w = Window.partitionBy(F.lit(0)).orderBy(*keys)
+        rank = F.row_number().over(w).cast("long") - (
+            1 if zero_based else 0
+        )
+        return df.withColumn(out_col, rank)
     work = _range_partitioned(df, keys, num_partitions)
     counts = work.groupBy(_PID).count().collect()
     base = F.row_number().over(Window.partitionBy(_PID).orderBy(*keys))
@@ -85,11 +125,25 @@ def prefix_sums(
     values: dict[str, Column],
     inclusive: bool = True,
     num_partitions: int | None = None,
+    small_bytes: int | None = SMALL_BYTES,
 ) -> DataFrame:
     """Exact global prefix sums of several DOUBLE expressions in key
     order, sharing one range partitioning (the multi-column sibling of
     running_total; used by running-moment scans like
     filters.skewnessbalancing)."""
+    if _is_small(df, small_bytes):
+        hi = 0 if inclusive else -1
+        w = (
+            Window.partitionBy(F.lit(0))
+            .orderBy(*keys)
+            .rowsBetween(Window.unboundedPreceding, hi)
+        )
+        for name, col in values.items():
+            df = df.withColumn(
+                name,
+                F.coalesce(F.sum(col.cast("double")).over(w), F.lit(0.0)),
+            )
+        return df
     work = _range_partitioned(df, keys, num_partitions)
     for name, col in values.items():
         work = work.withColumn(f"_ps{name}", col.cast("double"))
@@ -123,9 +177,21 @@ def running_total(
     out_col: str = "running_total",
     inclusive: bool = False,
     num_partitions: int | None = None,
+    small_bytes: int | None = SMALL_BYTES,
 ) -> DataFrame:
     """Exact global prefix sum of ``value`` in key order (exclusive by
     default: sum over rows strictly before this row)."""
+    if _is_small(df, small_bytes):
+        hi = 0 if inclusive else -1
+        w = (
+            Window.partitionBy(F.lit(0))
+            .orderBy(*keys)
+            .rowsBetween(Window.unboundedPreceding, hi)
+        )
+        out = F.coalesce(
+            F.sum(value.cast("long")).over(w), F.lit(0).cast("long")
+        )
+        return df.withColumn(out_col, out)
     work = _range_partitioned(df, keys, num_partitions)
     work = work.withColumn("_ord_v", value.cast("long"))
     totals = work.groupBy(_PID).agg(F.sum("_ord_v").alias("t")).collect()

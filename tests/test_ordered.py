@@ -79,7 +79,37 @@ def test_running_total_inclusive(df, rows):
 
 def test_no_global_window_in_plan(df):
     """The point of the module: the physical plan must not contain a
-    single-partition window exchange (SinglePartition)."""
-    out = global_rank(df, [F.col("v").asc(), F.col("id").asc()], out_col="r")
+    single-partition window exchange (SinglePartition). small_bytes=0
+    pins the distributed shape (a small test input would otherwise take
+    the fast path)."""
+    out = global_rank(df, [F.col("v").asc(), F.col("id").asc()], out_col="r",
+                      small_bytes=0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_small_fast_path_equals_distributed(spark):
+    """The stats-gated fast path must produce identical ranks and
+    running totals to the range-partition + offsets shape. The input
+    must come from a stats-bearing source (range/parquet) —
+    createDataFrame RDDs report unknown size and always take the
+    distributed shape."""
+    base = spark.range(937).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(50)).alias("v"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(2)).alias("flag"),
+    ).repartition(7)
+    keys = [F.col("v").asc(), F.col("id").asc()]
+    fast = global_rank(base, keys, out_col="r", small_bytes=1 << 40)
+    dist = global_rank(base, keys, out_col="r", small_bytes=0)
+    assert {(r["id"], r["r"]) for r in fast.collect()} == \
+        {(r["id"], r["r"]) for r in dist.collect()}
+    fast_t = running_total(base, [F.col("id").asc()], F.col("flag"),
+                           out_col="t", small_bytes=1 << 40)
+    dist_t = running_total(base, [F.col("id").asc()], F.col("flag"),
+                           out_col="t", small_bytes=0)
+    assert {(r["id"], r["t"]) for r in fast_t.collect()} == \
+        {(r["id"], r["t"]) for r in dist_t.collect()}
+    # and the fast path really did engage (no range exchange in plan)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan

@@ -29,13 +29,25 @@ def _entry():
 
 @pytest.fixture(scope="module")
 def plans(spark):
-    """explain() every query once; cache the plan strings."""
+    """explain() every query once; cache the plan strings.
+
+    PDAL_SPARK_FORCE_DISTRIBUTED pins ordered.*'s stats-gated
+    small-input fast path OFF: this census audits the shape a query
+    would have AT SCALE (where the gate always routes distributed); the
+    deliberate single-task plan on small inputs is covered by
+    tests/test_ordered.py instead."""
+    import os
+
     if _PLANS:
         return _PLANS
     E = _entry()
-    for name, fn in E.queries().items():
-        df = fn(spark, SF_DIR)
-        _PLANS[name] = df._jdf.queryExecution().executedPlan().toString()
+    os.environ["PDAL_SPARK_FORCE_DISTRIBUTED"] = "1"
+    try:
+        for name, fn in E.queries().items():
+            df = fn(spark, SF_DIR)
+            _PLANS[name] = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        os.environ.pop("PDAL_SPARK_FORCE_DISTRIBUTED", None)
     return _PLANS
 
 
