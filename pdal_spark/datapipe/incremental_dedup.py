@@ -42,9 +42,9 @@ from pdal_spark.datapipe.dedup import (
     MINHASH_K,
     P31,
     _hash_params,
-    canonicalize,
     doc_words,
 )
+from pdal_spark.operators.pointcloud import cc_edge_roots
 
 __all__ = ["NearDupIndex"]
 
@@ -83,28 +83,34 @@ class NearDupIndex:
 
     # -- featurize ----------------------------------------------------------
 
-    def _featurize(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """-> (arrays (id, sz, warr), bands (id, band, key)). One pass
-        over the increment text; everything downstream uses these."""
+    def _features(self, df: DataFrame) -> DataFrame:
+        """One pass over the increment text -> (id, warr, _m0.._mk-1):
+        the sorted word-hash set plus the k raw minhash registers.
+        Everything downstream (arrays, bands, exact-dup grouping)
+        projects map-side off this single aggregate — the ingest
+        persists its rep-marked extension once, so the explode +
+        k-aggregate featurize runs exactly once per increment."""
         words = doc_words(df, self.text_col, self.id_col, self.shingle)
         wids = words.select(
             "id", F.pmod(F.xxhash64("word"), F.lit(P31)).alias("wid")
         )
-        rows_n = self.k // self.bands
-        mins = wids.groupBy("id").agg(
+        return wids.groupBy("id").agg(
             F.sort_array(F.collect_set("wid")).alias("warr"),
             *[
                 F.min((F.col("wid") * F.lit(a) + F.lit(c)) % P31).alias(f"_m{i}")
                 for i, (a, c) in enumerate(_hash_params(self.k))
             ],
         )
-        arrays = mins.select(
-            "id", F.size("warr").alias("sz"), "warr"
-        )
-        sig = mins.select(
+
+    def _expand_bands(self, feats: DataFrame) -> DataFrame:
+        """(id, band, key) banded bucket keys from the raw minhash
+        register columns — pure map-side column math (explode of a
+        k-element array), no shuffle."""
+        rows_n = self.k // self.bands
+        sig = feats.select(
             "id", F.array(*[f"_m{i}" for i in range(self.k)]).alias("sig")
         )
-        bands = sig.select(
+        return sig.select(
             "id",
             "sig",
             F.explode(F.sequence(F.lit(0), F.lit(self.bands - 1))).alias("band"),
@@ -121,7 +127,6 @@ class NearDupIndex:
                 ",",
             ).alias("key"),
         )
-        return arrays, bands
 
     # -- ingest -------------------------------------------------------------
 
@@ -140,17 +145,26 @@ class NearDupIndex:
         member's features are bit-identical to its rep's, so future
         increments lose nothing). Candidate volume goes from
         O(dup-group^2) to O(distinct-rep bucket collisions)."""
+        from pyspark.sql import Window
+
         df = df.persist()
-        all_arrays_new, all_bands_new = self._featurize(df)
-        # exact-dup groups: identical warr -> identical features
-        ck = all_arrays_new.withColumn("_ck", F.xxhash64("warr"))
-        reps = ck.groupBy("_ck").agg(F.min("id").alias("rep"))
-        members = ck.join(reps, "_ck").select("id", "rep").persist()
-        rep_ids = members.filter(F.col("id") == F.col("rep")).select("id")
-        new_arrays = all_arrays_new.join(rep_ids, "id", "semi").persist()
-        new_bands = all_bands_new.join(rep_ids, "id", "semi").persist()
+        # exact-dup groups: identical warr -> identical features. ONE
+        # window pass over the featurize output marks every member with
+        # its smallest-id representative; arrays AND bands project
+        # map-side off this single cache (the r2 shape re-ran the
+        # featurize aggregate per consumer and paid a semi-join shuffle
+        # for the band table).
+        marked = self._features(df).withColumn(
+            "rep",
+            F.min("id").over(Window.partitionBy(F.xxhash64("warr"))),
+        ).persist()
+        reps_only = marked.filter(F.col("id") == F.col("rep"))
+        new_arrays = reps_only.select(
+            "id", F.size("warr").alias("sz"), "warr"
+        )
+        new_bands = self._expand_bands(reps_only)
         # member -> rep edges are certified pairs (Jaccard exactly 1)
-        exact_edges = members.filter(F.col("id") != F.col("rep")).select(
+        exact_edges = marked.filter(F.col("id") != F.col("rep")).select(
             F.col("rep").alias("id1"), F.col("id").alias("id2")
         )
 
@@ -197,23 +211,22 @@ class NearDupIndex:
             .unionByName(exact_edges)
             .persist()
         )
-        # survivors: components over the touched ids, canonical =
+        # survivors: components over the verified pairs, canonical =
         # smallest id (monotone ids -> oldest doc wins; components
-        # containing any past doc keep the past doc)
-        touched = (
-            pairs.select(F.col("id1").alias("id"))
-            .unionByName(pairs.select(F.col("id2").alias("id")))
-            .distinct()
+        # containing any past doc keep the past doc). cc_edge_roots
+        # resolves only edge-touched nodes — isolated docs are
+        # survivors by definition and never enter the CC or the join.
+        roots = cc_edge_roots(
+            pairs.select(
+                F.col("id1").alias("src_id"), F.col("id2").alias("cand_id")
+            )
         )
         new_ids = df.select(F.col(self.id_col).alias("id"))
-        canon = canonicalize(
-            touched.withColumnRenamed("id", self.id_col),
-            pairs,
-            id_col=self.id_col,
+        dropped = (
+            roots.filter(F.col("id") != F.col("root"))
+            .join(new_ids, "id", "semi")
+            .select(F.col("id").alias(self.id_col))
         )
-        dropped = canon.filter(F.col("is_canonical") == 0).join(
-            new_ids.withColumnRenamed("id", self.id_col), self.id_col, "semi"
-        ).select(self.id_col)
         survivors = df.join(dropped, self.id_col, "anti")
 
         n_new = df.count()
@@ -226,7 +239,7 @@ class NearDupIndex:
         n_kept = self.docs.snapshot(v_docs)["total_rows"] - before
         v_arr = self.arrays.append(new_arrays)
         v_bands = self.bands_t.append(new_bands)
-        for d in (df, members, new_arrays, new_bands, pairs):
+        for d in (df, marked, pairs):
             d.unpersist()
         return {
             "n_ingested": n_new,

@@ -97,21 +97,10 @@ def _cc_roots(pts: DataFrame, edges: DataFrame, driver_max_edges: int,
     return _cc_min_label(pts.select("id"), edges, max_iters)
 
 
-def _cc_union_find(pts: DataFrame, edges: DataFrame,
-                   pdf=None) -> DataFrame:
-    """(id, root) via driver union-find — the small-graph parity path.
-    Root = smallest member id (union by smaller id).
-
-    Only ids that APPEAR IN AN EDGE ever reach the driver (isolated
-    points are their own root by definition and stay distributed — a
-    left join + coalesce at the end), so driver memory is bounded by
-    the edge list the caller already capped, not by |pts|. The edge
-    list crosses the boundary as ONE Arrow batch (toPandas), not
-    per-row pickled Rows — at the driver cap (5M edges) that is the
-    difference between ~1 s and ~30 s of driver deserialization.
-    ``pdf`` lets _cc_roots hand over its already-collected probe."""
-    if pdf is None:
-        pdf = edges.select("src_id", "cand_id").toPandas()
+def _union_find_rows(pdf) -> list[tuple[int, int]]:
+    """Driver union-find over an Arrow-collected edge frame ->
+    [(id, root)] for every node APPEARING IN AN EDGE. Root = smallest
+    member id (union by smaller id)."""
     src = pdf["src_id"].tolist()
     dst = pdf["cand_id"].tolist()
     parent: dict = {}
@@ -135,7 +124,51 @@ def _cc_union_find(pts: DataFrame, edges: DataFrame,
                 parent[rb] = ra
             else:
                 parent[ra] = rb
-    rows = [(int(i), int(find(i))) for i in parent]
+    return [(int(i), int(find(i))) for i in parent]
+
+
+def cc_edge_roots(edges: DataFrame, driver_max_edges: int = 5_000_000,
+                  max_iters: int = 50) -> DataFrame:
+    """(id, root) restricted to nodes that APPEAR IN AN EDGE. Isolated
+    nodes are their own root by definition, so callers that only need
+    "drop iff root != id" (dedup survivor selection) skip both the
+    touched-node distinct and the pts join that _cc_roots pays —
+    several shuffles fewer per call. Same driver-cap dispatch."""
+    probe = (
+        edges.select("src_id", "cand_id")
+        .limit(driver_max_edges + 1)
+        .toPandas()
+    )
+    spark = edges.sparkSession
+    if len(probe) <= driver_max_edges:
+        rows = _union_find_rows(probe)
+        if rows:
+            return spark.createDataFrame(rows, "id long, root long")
+        return spark.createDataFrame([], "id long, root long")
+    pts = (
+        edges.select(F.col("src_id").alias("id"))
+        .union(edges.select(F.col("cand_id").alias("id")))
+        .distinct()
+    )
+    return _cc_min_label(pts, edges, max_iters)
+
+
+def _cc_union_find(pts: DataFrame, edges: DataFrame,
+                   pdf=None) -> DataFrame:
+    """(id, root) via driver union-find — the small-graph parity path.
+    Root = smallest member id (union by smaller id).
+
+    Only ids that APPEAR IN AN EDGE ever reach the driver (isolated
+    points are their own root by definition and stay distributed — a
+    left join + coalesce at the end), so driver memory is bounded by
+    the edge list the caller already capped, not by |pts|. The edge
+    list crosses the boundary as ONE Arrow batch (toPandas), not
+    per-row pickled Rows — at the driver cap (5M edges) that is the
+    difference between ~1 s and ~30 s of driver deserialization.
+    ``pdf`` lets _cc_roots hand over its already-collected probe."""
+    if pdf is None:
+        pdf = edges.select("src_id", "cand_id").toPandas()
+    rows = _union_find_rows(pdf)
     spark = pts.sparkSession
     edge_roots = (
         spark.createDataFrame(rows, "id long, _er long")
