@@ -410,7 +410,17 @@ class SnapshotTable:
                 )
             return list(keep_files)
 
-        v = self._commit(new_files, "merge", base, max_retries=1)
+        try:
+            v = self._commit(new_files, "merge", base, max_retries=1)
+        except CommitConflict:
+            # staged files were never committed: remove them (mirrors
+            # audited_append's failure cleanup) so a retried merge
+            # under contention cannot leak permanent orphans — expire()
+            # only collects once-committed files and fsck only reports.
+            for f in new_files:
+                if os.path.exists(f["path"]):
+                    os.remove(f["path"])
+            raise
         return {
             "version": v,
             "files_total": len(files),
@@ -455,7 +465,13 @@ class SnapshotTable:
                 )
             return list(keep_files)
 
-        v = self._commit(new_files, "compact", base, max_retries=1)
+        try:
+            v = self._commit(new_files, "compact", base, max_retries=1)
+        except CommitConflict:
+            for f in new_files:  # same orphan cleanup as merge()
+                if os.path.exists(f["path"]):
+                    os.remove(f["path"])
+            raise
         return {"version": v, "files_compacted": len(small),
                 "files_new": len(new_files), "files_carried": len(keep_files)}
 

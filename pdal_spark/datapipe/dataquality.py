@@ -25,10 +25,12 @@ sketches (approx_count_distinct, the 100 TB default — no expansion, no
 extra exchange, ~2% relative error).
 
 Determinism: verdict metrics avoid order-dependent double accumulation
-— counts/min/max are order-free, means are exact BIGINT sums divided
-once, and stddev comes from integer power sums (the profiled columns
-are integral; for double columns the caller rounds). Every emitted
-``value`` is rounded to 6 dp on both engines.
+— counts/min/max are order-free, and means/stddev come from power sums
+divided once: exact BIGINT sums for integral columns, DOUBLE sums for
+float/double/decimal (truncating those to long would silently profile
+a column of 0.9s as mean 0.0 — and these verdicts gate publishes via
+audited_append). Every emitted ``value`` is rounded to 6 dp on both
+engines.
 """
 
 from __future__ import annotations
@@ -46,6 +48,16 @@ def _is_numeric(df: DataFrame, col: str) -> bool:
     t = dict(df.dtypes)[col]
     return t in ("tinyint", "smallint", "int", "bigint", "float", "double",
                  "decimal") or t.startswith("decimal")
+
+
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _sum_cast(df: DataFrame, col: str) -> str:
+    """Power-sum accumulator type: BIGINT for integral columns
+    (bit-exact, order-free), DOUBLE for float/double/decimal — the
+    long-cast there would truncate every value before summing."""
+    return "long" if dict(df.dtypes)[col] in _INTEGRAL else "double"
 
 
 # ---------------------------------------------------------------------------
@@ -82,11 +94,12 @@ def profile(
         else:
             aggs.append(F.approx_count_distinct(c).alias(f"_nd_{c}"))
         if _is_numeric(df, c):
+            sc = _sum_cast(df, c)
             aggs += [
                 F.min(c).cast("double").alias(f"_min_{c}"),
                 F.max(c).cast("double").alias(f"_max_{c}"),
-                F.sum(F.col(c).cast("long")).alias(f"_s1_{c}"),
-                F.sum(F.col(c).cast("long") * F.col(c).cast("long")).alias(
+                F.sum(F.col(c).cast(sc)).alias(f"_s1_{c}"),
+                F.sum(F.col(c).cast(sc) * F.col(c).cast(sc)).alias(
                     f"_s2_{c}"
                 ),
             ]
@@ -138,18 +151,21 @@ def profile(
 
 def profile_sql(
     table: str, cols_numeric: list[str], cols_string: list[str],
-    distinct_mode: str = "exact",
+    distinct_mode: str = "exact", cols_float: list[str] = (),
 ) -> str:
-    """DuckDB twin of profile() for the given column split."""
+    """DuckDB twin of profile() for the given column split.
+    ``cols_float`` names the numeric columns that are float/double —
+    their power sums accumulate as DOUBLE, matching _sum_cast."""
     nd = "count(DISTINCT {c})" if distinct_mode == "exact" else None
     if nd is None:
         raise ValueError("only distinct_mode='exact' has an engine twin")
     parts = []
     for c in cols_numeric + cols_string:
         numeric = c in cols_numeric
+        st = "DOUBLE" if c in cols_float else "BIGINT"
         v = f"CAST({c} AS DOUBLE)" if numeric else f"CAST(length({c}) AS DOUBLE)"
-        s1 = f"sum(CAST({c} AS BIGINT))" if numeric else f"sum(CAST(length({c}) AS BIGINT))"
-        s2 = f"sum(CAST({c} AS BIGINT)*CAST({c} AS BIGINT))" if numeric else "NULL"
+        s1 = f"sum(CAST({c} AS {st}))" if numeric else f"sum(CAST(length({c}) AS BIGINT))"
+        s2 = f"sum(CAST({c} AS {st})*CAST({c} AS {st}))" if numeric else "NULL"
         mmin, mmax, mmean = (
             ("min", "max", "mean") if numeric else ("min_len", "max_len", "mean_len")
         )
@@ -220,7 +236,7 @@ def check(df: DataFrame, constraints: list[dict]) -> DataFrame:
         elif kind == "max_le":
             aggs.append(F.max(col).cast("double").alias(a))
         elif kind == "mean_between":
-            aggs.append(F.sum(F.col(col).cast("long")).alias(a))
+            aggs.append(F.sum(F.col(col).cast(_sum_cast(df, col))).alias(a))
             aggs.append(F.count(col).alias(a + "n"))
         elif kind == "values_in":
             hit = F.col(col).isin(*c["allowed"]).cast("long")
@@ -317,8 +333,11 @@ def check_sql(table: str, constraints: list[dict]) -> str:
             p = f"max({col}) <= {c['bound']}"
             metric = "max"
         elif kind == "mean_between":
+            # "float": True -> the column is float/double; DOUBLE sums
+            # on both engines (check() decides from the actual dtype)
+            st = "DOUBLE" if c.get("float") else "BIGINT"
             v = (f"CASE WHEN count({col}) > 0 THEN "
-                 f"CAST(sum(CAST({col} AS BIGINT)) AS DOUBLE) / count({col}) END")
+                 f"CAST(sum(CAST({col} AS {st})) AS DOUBLE) / count({col}) END")
             p = f"(({v}) >= {c['lo']} AND ({v}) <= {c['hi']})"
             metric = "mean"
         elif kind == "values_in":

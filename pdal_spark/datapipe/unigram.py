@@ -80,18 +80,26 @@ def seed_vocab(
             )
         ).alias("piece"),
     )
-    counts = (
-        subs.groupBy("piece").agg(F.sum("n").alias("c"))
-        .filter(
-            (F.length("piece") == 1) | (F.col("c") >= min_count)
-        )
+    # top-k pushed into the engine (TakeOrderedAndProject — distributed
+    # partial top-k, no global sort, no substring-vocabulary-sized
+    # collect): the driver sees at most alphabet + seed_size rows, so
+    # the "driver-side result is dimension-sized" claim actually holds
+    # on a large corpus (the r2 shape collected EVERY substring with
+    # count >= min_count before truncating).
+    base = subs.groupBy("piece").agg(F.sum("n").alias("c"))
+    chars = [
+        (r.piece, int(r.c))
+        for r in base.filter(F.length("piece") == 1).collect()
+    ]
+    multi_rows = (
+        base.filter((F.length("piece") > 1) & (F.col("c") >= min_count))
+        .orderBy(F.col("c").desc(), F.col("piece").asc())
+        .limit(max(0, seed_size))
         .collect()
     )
-    chars = [(r.piece, int(r.c)) for r in counts if len(r.piece) == 1]
-    multi = sorted(
-        ((r.piece, int(r.c)) for r in counts if len(r.piece) > 1),
-        key=lambda t: (-t[1], t[0]),
-    )[: max(0, seed_size - len(chars))]
+    multi = [(r.piece, int(r.c)) for r in multi_rows][
+        : max(0, seed_size - len(chars))
+    ]
     return sorted(chars + multi, key=lambda t: (-t[1], t[0]))
 
 

@@ -478,9 +478,13 @@ def parse_robots(
     kernel, no UDF; a 10^8-host robots corpus parses at scan speed
     with one host-keyed exchange.
 
-    Directives for ``agent`` or the wildcard group are kept; empty
-    patterns are dropped (RFC: they match nothing). Returns
-    (host, prefix, allow).
+    Group selection follows RFC 9309 §2.2.1 (most specific match
+    only): when a host has a group naming ``agent`` exactly, ONLY the
+    named groups apply and the '*' groups are ignored for that agent;
+    the wildcard groups bind only on hosts with no named group — a
+    per-host anti-join, not a union (the r2 union could flip
+    policy_verdicts for named agents). Empty patterns are dropped
+    (RFC: they match nothing). Returns (host, prefix, allow).
     """
     lines = df.select(
         F.col(host_col).alias("host"),
@@ -518,9 +522,11 @@ def parse_robots(
     uas = grouped.filter(F.col("_ua") == 1).select(
         "host", F.col("_gid").alias("gid"), F.lower("val").alias("agent")
     )
-    wanted = uas.filter(
-        F.col("agent").isin(agent.lower(), "*")
-    ).select("host", "gid").distinct()
+    named = uas.filter(F.col("agent") == agent.lower()).select("host", "gid")
+    wild = uas.filter(F.col("agent") == "*").select("host", "gid")
+    wanted = named.unionByName(
+        wild.join(named.select("host").distinct(), "host", "anti")
+    ).distinct()
     return (
         dirs.join(wanted, ["host", "gid"])
         .select("host", "prefix", "allow")
@@ -575,9 +581,19 @@ def parse_robots_sql(
         SELECT host, gid, key = 'allow' AS allow, val AS prefix
         FROM grouped WHERE ua = 0 AND val <> ''
       ),
-      wanted AS (
+      named AS (
         SELECT DISTINCT host, gid FROM grouped
-        WHERE ua = 1 AND lower(val) IN ('{agent.lower()}', '*')
+        WHERE ua = 1 AND lower(val) = '{agent.lower()}'
+      ),
+      wild AS (
+        SELECT DISTINCT host, gid FROM grouped
+        WHERE ua = 1 AND lower(val) = '*'
+      ),
+      wanted AS (
+        SELECT host, gid FROM named
+        UNION
+        SELECT host, gid FROM wild w
+        WHERE NOT EXISTS (SELECT 1 FROM named n WHERE n.host = w.host)
       )
       SELECT DISTINCT d.host, d.prefix, d.allow
       FROM dirs d JOIN wanted w USING (host, gid)

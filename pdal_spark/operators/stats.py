@@ -185,7 +185,13 @@ def exact_quantiles(
         ).withColumn("_cum", F.col("_cum").cast("long"))
         tot = vc.agg(F.sum("_c").alias("_n"))
         cum = cum.crossJoin(F.broadcast(tot))
-    k = F.greatest(F.ceil(F.col("q") * F.col("_n")), F.lit(1))
+    # percentile_disc rank: ceil(q*n) — but computed in doubles, q
+    # values inexact in binary (0.07 * 100 = 7.000000000000001) would
+    # ceil one rank too high; the epsilon guard restores the exact
+    # rational rank (the standard percentile implementation trick)
+    k = F.greatest(
+        F.ceil(F.col("q") * F.col("_n") - F.lit(1e-9)), F.lit(1)
+    )
     out = (
         cum.join(
             qdf,
@@ -221,6 +227,6 @@ def exact_quantiles_sql(
       qs(q) AS (VALUES {qvals})
       SELECT {grp}q, v AS value
       FROM cum CROSS JOIN qs
-      WHERE (cum - c) < greatest(CAST(ceil(q * n) AS BIGINT), 1)
-        AND greatest(CAST(ceil(q * n) AS BIGINT), 1) <= cum
+      WHERE (cum - c) < greatest(CAST(ceil(q * n - 1e-9) AS BIGINT), 1)
+        AND greatest(CAST(ceil(q * n - 1e-9) AS BIGINT), 1) <= cum
     """

@@ -262,7 +262,18 @@ def test_merge_conflict_detected(spark, ktable, tmp_path):
     with pytest.raises(CommitConflict):
         racy.merge(_kv(spark, 150, 160, tag="new"), key="k")
     # the racer's append is intact
-    assert SnapshotTable(spark, ktable.path).read().count() == 310
+    t2 = SnapshotTable(spark, ktable.path)
+    assert t2.read().count() == 310
+    # and the failed merge's staged files were removed, not leaked as
+    # permanent orphans (expire() never collects uncommitted files)
+    import os
+
+    live = {os.path.basename(f["path"]) for f in t2.snapshot()["files"]}
+    on_disk = {
+        n for n in os.listdir(os.path.join(ktable.path, "data"))
+        if n.endswith(".parquet")
+    }
+    assert on_disk == live
 
 
 def test_compact_packs_small_files_only(spark, tmp_path):

@@ -193,3 +193,40 @@ def test_histogram_empty_bins_and_edge_cases(spark):
     assert all(r.n == 0 and r.lo is None for r in o3)
     with pytest.raises(ValueError):
         dq.histogram(df, "v", 0)
+
+
+def test_float_columns_profile_without_truncation(spark):
+    """r2 regression: float/double columns were long-cast before
+    summing, so a column of 0.9s profiled as mean 0.0 — and a WAP
+    audit gated on it passed/failed on wrong metrics."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame({"score": [0.9, 0.9, 0.9, 0.9], "k": [1, 2, 3, 4]})
+    df = spark.createDataFrame(pdf)
+    prof = {
+        (r.column, r.metric): r.value for r in dq.profile(
+            df, ["score", "k"], distinct_mode="exact"
+        ).collect()
+    }
+    assert prof[("score", "mean")] == pytest.approx(0.9)
+    assert prof[("score", "stddev_pop")] == pytest.approx(0.0, abs=1e-6)
+    assert prof[("k", "mean")] == pytest.approx(2.5)
+
+    cons = [{"name": "m", "kind": "mean_between", "col": "score",
+             "lo": 0.8, "hi": 1.0, "float": True}]
+    got = dq.check(df, cons).collect()[0]
+    assert got.passed == 1 and got.value == pytest.approx(0.9)
+
+    # SQL twins agree with the engine on the float column
+    con = duckdb.connect()
+    con.register("t", pdf)
+    ora = con.sql(dq.check_sql("t", cons)).df().iloc[0]
+    assert ora["passed"] == 1 and ora["value"] == pytest.approx(0.9)
+    prof_sql = dq.profile_sql("t", ["score", "k"], [],
+                              cols_float=["score"])
+    ora2 = {
+        (r["column"], r.metric): r.value
+        for _, r in con.sql(prof_sql).df().iterrows()
+    }
+    assert ora2[("score", "mean")] == pytest.approx(0.9)

@@ -24,13 +24,30 @@ def test_literal_ranks_and_ties(spark):
     assert out == {0.0: 1, 0.5: 2, 0.99: 9, 1.0: 9}
 
 
+def test_fp_inexact_q_rank(spark):
+    """q values inexact in binary (0.07 * 100 = 7.000000000000001 in
+    doubles) must still select the exact rational rank ceil(q*n) = 7,
+    not the next order statistic — percentile_disc semantics."""
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("v"))
+    out = {
+        r.q: r.value
+        for r in stats_op.exact_quantiles(
+            df, "v", [0.07, 0.14, 0.29, 0.56, 0.57, 0.58]
+        ).collect()
+    }
+    assert out == {0.07: 7.0, 0.14: 14.0, 0.29: 29.0, 0.56: 56.0,
+                   0.57: 57.0, 0.58: 58.0}
+
+
 def test_matches_duckdb_native_quantile_disc(spark):
     """The counting formulation equals DuckDB's independent native
-    implementation on a double column with duplicates."""
+    implementation on a double column with duplicates — including
+    FP-unsafe q values (0.07, 0.57) whose double product overshoots
+    the integer rank."""
     import duckdb
 
     df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    qs = [0.0, 0.07, 0.1, 0.25, 0.5, 0.57, 0.75, 0.9, 1.0]
     got = {
         r.q: r.value
         for r in stats_op.exact_quantiles(df, "value", qs).collect()

@@ -25,9 +25,9 @@ def test_parse_robots_semantics(spark):
     assert star == {("/private", False), ("/private/pub", True)}
     goog = {(r.prefix, r.allow)
             for r in weburl.parse_robots(df, agent="googlebot").collect()}
-    # a named agent matches its own group AND the wildcard group
-    assert goog == {("/g-only", False),
-                    ("/private", False), ("/private/pub", True)}
+    # RFC 9309 §2.2.1 most-specific match: a host with a googlebot
+    # group applies ONLY that group — the '*' group is ignored
+    assert goog == {("/g-only", False)}
     bad = {(r.prefix, r.allow)
            for r in weburl.parse_robots(df, agent="badbot").collect()}
     assert ("/", False) in bad
@@ -78,3 +78,25 @@ def test_wilson_domain_screen(spark):
     lo = (p + z*z/(2*n) - z*math.sqrt((p*(1-p) + z*z/(4*n))/n)) / (1 + z*z/n)
     assert abs(out["mid"].wilson_lower - round(lo, 6)) < 1e-9
     assert out["mid"].keep == (1 if lo >= 0.5 else 0)
+
+
+def test_parse_robots_wildcard_fallback_per_host(spark):
+    """The wildcard fallback is PER HOST: a host without a named group
+    uses its '*' group even when another host names the agent; and the
+    SQL twin implements the same rule."""
+    import duckdb
+    from pdal_spark.datapipe import weburl
+
+    t1 = "User-agent: googlebot\nDisallow: /g\nUser-agent: *\nDisallow: /a"
+    t2 = "User-agent: *\nDisallow: /b"
+    df = spark.createDataFrame(
+        [("h1", t1), ("h2", t2)], "host string, robots_txt string"
+    )
+    got = {(r.host, r.prefix)
+           for r in weburl.parse_robots(df, agent="googlebot").collect()}
+    assert got == {("h1", "/g"), ("h2", "/b")}
+    con = duckdb.connect()
+    con.register("robots", df.toPandas())
+    sql = weburl.parse_robots_sql("SELECT * FROM robots", agent="googlebot")
+    ora = {(r.host, r.prefix) for _, r in con.sql(sql).df().iterrows()}
+    assert ora == got
