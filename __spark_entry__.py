@@ -611,6 +611,20 @@ def q_reprojection_utm(spark, sf_dir):
     )
 
 
+def q_reprojection_lcc(spark, sf_dir):
+    """filters.reprojection to RGF93 / Lambert-93 (EPSG:2154): the
+    third registry family — Lambert conformal conic 2SP (Snyder
+    15-1..15-10, ellipsoidal, pure column math; conformality proven by
+    an independent scale-factor integration oracle in
+    tests/test_reprojection.py)."""
+    from pdal_spark.operators import reprojection as reproj_op
+
+    out = reproj_op.reproject(_docs_geo(spark, sf_dir), "EPSG:4326", "EPSG:2154")
+    return out.select(
+        "doc_id", F.round("x", 4).alias("le"), F.round("y", 4).alias("ln")
+    )
+
+
 def q_transformation(spark, sf_dir):
     """filters.transformation: 4x4 affine on (x, y)."""
     out = rel_op.transformation(_docs_geo(spark, sf_dir), AFFINE)
@@ -3330,6 +3344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feat_covariance": q_feat_covariance,
         "reprojection": q_reprojection,
         "reprojection_utm": q_reprojection_utm,
+        "reprojection_lcc": q_reprojection_lcc,
         "transformation": q_transformation,
         "info_bounds": q_info_bounds,
         "doclen_quantiles": q_doclen_quantiles,
@@ -3438,6 +3453,11 @@ def _misc_oracles() -> dict[str, str]:
     reproj_utm = f"""
       SELECT doc_id, round({uxs}, 4) AS ue, round({uys}, 4) AS un
       FROM ({_DOCS_GEO_SQL}) WHERE {uw}
+    """
+    lxs, lys, lw = reproj_op.reproject_sql("EPSG:4326", "EPSG:2154")
+    reproj_lcc = f"""
+      SELECT doc_id, round({lxs}, 4) AS le, round({lys}, 4) AS ln
+      FROM ({_DOCS_GEO_SQL}) WHERE {lw}
     """
     from pdal_spark.operators import ogr as ogr_op
 
@@ -3724,6 +3744,7 @@ def _misc_oracles() -> dict[str, str]:
     return {
         "reprojection": reproj,
         "reprojection_utm": reproj_utm,
+        "reprojection_lcc": reproj_lcc,
         "las_roundtrip": las_rt,
         "warc_roundtrip": warc_rt,
         "ept_query": ept_q,

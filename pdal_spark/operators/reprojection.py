@@ -119,6 +119,88 @@ def _to_utm_factory(zone: int, north: bool):
     return _to_utm
 
 
+# --- Lambert conformal conic, 2 standard parallels (ellipsoidal) -----------
+# Snyder 1987 eqs. 15-1..15-10 (public formulas) — the projection behind
+# many national grids (France Lambert-93 EPSG:2154, Statistics Canada
+# EPSG:3347, US State Plane zones). Registered instances carry their
+# EPSG parameter sets on GRS80 (a shared with WGS84; 1/f 298.257222101);
+# register_lcc() adds further zones without touching the engine — the
+# third real family through the transform-registry seam.
+
+_A_GRS80 = 6378137.0
+_F_GRS80 = 1.0 / 298.257222101
+_E2_GRS80 = _F_GRS80 * (2.0 - _F_GRS80)
+LCC_MAX_DLON_DEG = 90.0  # single-valued wrap cutoff; out-of-range drops
+LCC_MAX_LAT_DEG = 89.5   # t(phi) -> 0/inf at the poles
+
+
+class LccParams:
+    """EPSG-style 2SP parameter set (degrees / metres) + the derived
+    Snyder constants n, F, rho0 (computed once, baked as literals)."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 fe: float, fn: float,
+                 a: float = _A_GRS80, e2: float = _E2_GRS80):
+        self.lat1, self.lat2, self.lat0, self.lon0 = lat1, lat2, lat0, lon0
+        self.fe, self.fn, self.a, self.e2 = fe, fn, a, e2
+        e = math.sqrt(e2)
+
+        def m(phi):
+            s = math.sin(phi)
+            return math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+
+        def t(phi):
+            s = math.sin(phi)
+            return math.tan(math.pi / 4.0 - phi / 2.0) / (
+                (1.0 - e * s) / (1.0 + e * s)
+            ) ** (e / 2.0)
+
+        p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+        m1, m2 = m(p1), m(p2)
+        t1, t2, t0 = t(p1), t(p2), t(p0)
+        self.n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        self.big_f = m1 / (self.n * t1 ** self.n)
+        self.rho0 = a * self.big_f * t0 ** self.n
+        self.e = e
+
+
+_LCC = {
+    # RGF93 / Lambert-93 (France) — EPSG registry parameters
+    "EPSG:2154": LccParams(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0),
+    # NAD83 / Statistics Canada Lambert
+    "EPSG:3347": LccParams(49.0, 77.0, 63.390675, -91.866667,
+                           6200000.0, 3000000.0),
+}
+
+
+def register_lcc(srs: str, params: LccParams) -> None:
+    """Register another LCC zone (State Plane, national grids)."""
+    _LCC[srs] = params
+
+
+def _to_lcc_factory(p: LccParams):
+    def _to_lcc(x: Column, y: Column) -> tuple[Column, Column, Column]:
+        phi = y * F.lit(math.pi / 180.0)
+        sin_p = F.sin(phi)
+        # t(phi), Snyder 15-9
+        t = F.tan(F.lit(math.pi / 4.0) - phi / 2.0) / F.pow(
+            (F.lit(1.0) - F.lit(p.e) * sin_p)
+            / (F.lit(1.0) + F.lit(p.e) * sin_p),
+            F.lit(p.e / 2.0),
+        )
+        rho = F.lit(p.a * p.big_f) * F.pow(t, F.lit(p.n))
+        theta = F.lit(p.n) * (x - F.lit(p.lon0)) * F.lit(math.pi / 180.0)
+        easting = F.lit(p.fe) + rho * F.sin(theta)
+        northing = F.lit(p.fn) + F.lit(p.rho0) - rho * F.cos(theta)
+        ok = (
+            (F.abs(x - F.lit(p.lon0)) < F.lit(LCC_MAX_DLON_DEG))
+            & (F.abs(y) < F.lit(LCC_MAX_LAT_DEG))
+        )
+        return easting, northing, ok
+
+    return _to_lcc
+
+
 _TRANSFORMS = {
     ("EPSG:4326", "EPSG:3857"): _to_3857,
     ("EPSG:3857", "EPSG:4326"): _to_4326,
@@ -140,6 +222,8 @@ def reproject(
         utm = _utm_zone(out_srs)
         if utm is not None:
             fn = _to_utm_factory(*utm)
+        elif out_srs in _LCC:
+            fn = _to_lcc_factory(_LCC[out_srs])
     if fn is None:
         raise ValueError(
             f"no built-in transform {in_srs} -> {out_srs}; register a "
@@ -201,6 +285,24 @@ def reproject_sql(in_srs: str, out_srs: str, x: str = "x", y: str = "y"):
                 f" AND {y} > {-MERC_MAX_LAT_DEG!r} AND {y} < {MERC_MAX_LAT_DEG!r})"
             )
             return xs, ys, w
+        if out_srs in _LCC:
+            p = _LCC[out_srs]
+            phi = f"({y} * {math.pi / 180.0!r})"
+            sp = f"sin({phi})"
+            t = (
+                f"(tan({math.pi / 4.0!r} - {phi} / 2.0)"
+                f" / power((1.0 - {p.e!r} * {sp}) / (1.0 + {p.e!r} * {sp}),"
+                f" {p.e / 2.0!r}))"
+            )
+            rho = f"({p.a * p.big_f!r} * power({t}, {p.n!r}))"
+            th = f"({p.n!r} * ({x} - {p.lon0!r}) * {math.pi / 180.0!r})"
+            xs_ = f"({p.fe!r} + {rho} * sin({th}))"
+            ys_ = f"({p.fn!r} + {p.rho0!r} - {rho} * cos({th}))"
+            w = (
+                f"(abs({x} - {p.lon0!r}) < {LCC_MAX_DLON_DEG!r}"
+                f" AND abs({y}) < {LCC_MAX_LAT_DEG!r})"
+            )
+            return xs_, ys_, w
     raise ValueError((in_srs, out_srs))
 
 
@@ -239,6 +341,21 @@ def reproject_np(xs, ys, in_srs: str = "EPSG:4326", out_srs: str = "EPSG:3857"):
         ok = (
             (np.abs(xs - math.degrees(lon0)) < UTM_MAX_DLON_DEG)
             & (ys > -MERC_MAX_LAT_DEG) & (ys < MERC_MAX_LAT_DEG)
+        )
+        return e[ok], n[ok], ok
+    if in_srs == "EPSG:4326" and out_srs in _LCC:
+        p = _LCC[out_srs]
+        phi = np.radians(ys)
+        sp = np.sin(phi)
+        t = np.tan(math.pi / 4.0 - phi / 2.0) / np.power(
+            (1.0 - p.e * sp) / (1.0 + p.e * sp), p.e / 2.0
+        )
+        rho = p.a * p.big_f * np.power(t, p.n)
+        th = p.n * np.radians(xs - p.lon0)
+        e = p.fe + rho * np.sin(th)
+        n = p.fn + p.rho0 - rho * np.cos(th)
+        ok = (np.abs(xs - p.lon0) < LCC_MAX_DLON_DEG) & (
+            np.abs(ys) < LCC_MAX_LAT_DEG
         )
         return e[ok], n[ok], ok
     raise ValueError((in_srs, out_srs))

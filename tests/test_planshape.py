@@ -124,3 +124,22 @@ def test_detector_fires_on_global_window(spark):
         for prev, cur in zip(lines, lines[1:])
     )
     assert hit, p
+
+
+def test_plans_md_is_current():
+    """Census lockstep: PLANS.md must list exactly the registered
+    queries() — a new or removed query without a regenerated census
+    (tools/plan_metrics.py) fails here instead of in an audit."""
+    import os
+    import re
+
+    E = _entry()
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PLANS.md")
+    with open(path) as f:
+        rows = re.findall(r"^\| ([a-z0-9_]+) \|", f.read(), re.MULTILINE)
+    listed = set(rows) - {"query"}
+    registered = set(E.queries())
+    assert listed == registered, (
+        f"PLANS.md stale: missing {sorted(registered - listed)}, "
+        f"extra {sorted(listed - registered)} — rerun tools/plan_metrics.py"
+    )
