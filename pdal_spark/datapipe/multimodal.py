@@ -1,9 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched pandas UDFs.
 
-Formats numpy alone can handle get REAL kernels: binary PPM (P6) and
-uncompressed 24-bit BMP images (decode / meta / nearest-neighbor
-resize), and 16-bit PCM WAV audio (decode / meta / FFT band energies).
+Formats numpy alone can handle get REAL kernels: binary PPM (P6),
+uncompressed 24-bit BMP, truecolor TGA and GIF87a/89a (a real
+variable-width LZW codec pair) images (decode / meta / nearest-neighbor
+resize / dhash), and 16-bit PCM WAV audio (decode / meta / FFT band
+energies).
 Everything else (JPEG/PNG, mp3/aac, video containers — they need
 PIL/ffmpeg, absent here) keeps the honest STUB contract:
 NotImplementedError unless ``fake=True``, where a deterministic fake
@@ -152,9 +154,11 @@ def synth_binary_docs(spark, n: int, payload_bytes: int = 512) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # REAL decoders — formats decodable with numpy alone (no PIL/ffmpeg):
-# binary PPM (P6) and uncompressed 24-bit BMP. These upgrade the decode
-# path from stub to real for the formats the sandbox can actually
-# produce; JPEG/PNG still route to the NotImplementedError stub.
+# binary PPM (P6), uncompressed 24-bit BMP, truecolor TGA (type 2, with
+# the TGA 2.0 footer signature for sniffing) and GIF87a/89a via a real
+# LZW codec. These upgrade the decode path from stub to real for the
+# formats the sandbox can actually produce; JPEG/PNG still route to the
+# NotImplementedError stub.
 # ---------------------------------------------------------------------------
 
 
@@ -208,14 +212,226 @@ def decode_bmp(buf: bytes) -> "np.ndarray":
     return img[:, :, ::-1]  # BGR -> RGB
 
 
+_TGA_FOOTER = b"TRUEVISION-XFILE.\x00"
+
+
+def encode_tga(img: "np.ndarray", top_down: bool = True) -> bytes:
+    """Uncompressed truecolor TGA (type 2), 24-bit BGR, with the TGA
+    2.0 footer signature (it is what makes the format sniffable)."""
+    h, w = img.shape[:2]
+    desc = 0x20 if top_down else 0x00
+    header = bytes([0, 0, 2]) + b"\x00" * 9 + \
+        w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([24, desc])
+    px = img[:, :, ::-1] if top_down else img[::-1, :, ::-1]
+    # TGA 2.0 footer: ext offset 0, dev offset 0, signature
+    footer = b"\x00" * 8 + _TGA_FOOTER
+    return header + px.astype(np.uint8).tobytes() + footer
+
+
+def decode_tga(buf: bytes) -> "np.ndarray":
+    """Uncompressed truecolor TGA (type 2), 24/32-bit, honoring the
+    id field, origin bit (bottom-up default) and BGR(A) order.
+    Returns (h, w, 3) uint8 RGB."""
+    if len(buf) < 18 or buf[2] != 2 or buf[1] != 0:
+        raise ValueError("not an uncompressed truecolor TGA")
+    idlen = buf[0]
+    w = int.from_bytes(buf[12:14], "little")
+    h = int.from_bytes(buf[14:16], "little")
+    bpp = buf[16]
+    if bpp not in (24, 32):
+        raise ValueError("only 24/32-bit TGA supported")
+    nch = bpp // 8
+    off = 18 + idlen
+    px = np.frombuffer(buf, np.uint8, count=w * h * nch, offset=off)
+    img = px.reshape(h, w, nch)[:, :, :3][:, :, ::-1]  # BGR(A) -> RGB
+    if not (buf[17] & 0x20):  # origin bit clear = bottom-up
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def _gif_lzw_encode(indices: "np.ndarray", min_code: int) -> bytes:
+    """Real GIF-variant LZW (variable width, LSB-first, dictionary
+    growth to 12 bits with CLEAR reset) — not the clear-per-pixel
+    'uncompressed GIF' shortcut, so decoders exercise dictionary
+    codes."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = n_acc = 0
+    width = min_code + 1
+
+    def emit(code: int):
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += width
+        while n_acc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    table = {bytes([i]): i for i in range(1 << min_code)}
+    nxt = eoi + 1
+    emit(clear)
+    prev = b""
+    for v in indices.ravel().tolist():
+        cur = prev + bytes([v])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = nxt
+        nxt += 1
+        if nxt == (1 << width) + 1 and width < 12:
+            width += 1
+        if nxt >= 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            nxt = eoi + 1
+            width = min_code + 1
+        prev = bytes([v])
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if n_acc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, n_px: int) -> "np.ndarray":
+    """GIF-variant LZW decode (the inverse of _gif_lzw_encode and of
+    any conformant encoder)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = np.empty(n_px, np.uint8)
+    pos = 0
+    acc = n_acc = bit = 0
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    prev = b""
+    i = 0
+    while i < len(data) or n_acc >= width:
+        while n_acc < width and i < len(data):
+            acc |= data[i] << n_acc
+            n_acc += 8
+            i += 1
+        if n_acc < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_acc -= width
+        if code == clear:
+            table = table[: eoi + 1]
+            width = min_code + 1
+            prev = b""
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW stream")
+        out[pos:pos + len(entry)] = np.frombuffer(entry, np.uint8)
+        pos += len(entry)
+        if prev:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if pos != n_px:
+        raise ValueError(f"LZW produced {pos} of {n_px} pixels")
+    return out
+
+
+def encode_gif87a(img: "np.ndarray") -> bytes:
+    """GIF87a with a global 256-entry grayscale color table; pixels
+    quantized to their gray level (the test fixture path — real GIFs
+    from the wild decode through the same reader)."""
+    h, w = img.shape[:2]
+    gray = img.mean(axis=2).round().astype(np.uint8) if img.ndim == 3 \
+        else img.astype(np.uint8)
+    out = bytearray(b"GIF87a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])  # GCT, 8-bit, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + \
+        h.to_bytes(2, "little") + b"\x00"
+    out.append(8)  # LZW min code size
+    comp = _gif_lzw_encode(gray, 8)
+    for i in range(0, len(comp), 255):
+        block = comp[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif87a(buf: bytes) -> "np.ndarray":
+    """GIF87a/89a static decode: global color table + first image
+    descriptor (no interlace, no local palette beyond spec basics);
+    89a extension blocks are skipped. Returns (h, w, 3) uint8 RGB."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    pos = 6
+    packed = buf[pos + 4]
+    pos += 7
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(buf, np.uint8, count=3 * n, offset=pos) \
+            .reshape(n, 3)
+        pos += 3 * n
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x21:  # 89a extension: label + sub-blocks
+            pos += 2
+            while buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            w = int.from_bytes(buf[pos + 5:pos + 7], "little")
+            h = int.from_bytes(buf[pos + 7:pos + 9], "little")
+            ip = buf[pos + 9]
+            pos += 10
+            pal = gct
+            if ip & 0x80:
+                n = 2 << (ip & 0x07)
+                pal = np.frombuffer(buf, np.uint8, count=3 * n, offset=pos) \
+                    .reshape(n, 3)
+                pos += 3 * n
+            if ip & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            min_code = buf[pos]
+            pos += 1
+            data = bytearray()
+            while buf[pos] != 0:
+                ln = buf[pos]
+                data += buf[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if pal is None:
+                raise ValueError("no color table")
+            return pal[idx].reshape(h, w, 3)
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("no image block in GIF")
+
+
 def decode_any(buf: bytes) -> "np.ndarray":
     if buf[:2] == b"P6":
         return decode_ppm(buf)
     if buf[:2] == b"BM":
         return decode_bmp(buf)
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif87a(buf)
+    if buf.endswith(_TGA_FOOTER):
+        return decode_tga(buf)
     raise NotImplementedError(
-        "real decode supports P6 PPM and 24-bit BMP here; JPEG/PNG need "
-        "PIL/turbojpeg (not in this environment)"
+        "real decode supports P6 PPM, 24-bit BMP, GIF87a/89a and "
+        "footered truecolor TGA here; JPEG/PNG need PIL/turbojpeg "
+        "(not in this environment)"
     )
 
 
