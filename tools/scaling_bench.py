@@ -137,7 +137,10 @@ pts = pts.cache(); pts.count()
 src = pts.select(F.col("page_id").alias("src_id"), "x", "y")
 cand = pts.select(F.col("page_id").alias("cand_id"), "x", "y")
 def t(salt):
-    kw = dict(salt_threshold=10000, n_salts=16) if salt else {{}}
+    # salting is DEFAULT-ON ("auto") since round 2 — the baseline must
+    # pin salt_threshold=None or it silently measures salted-vs-salted
+    kw = dict(salt_threshold=10000, n_salts=16) if salt \\
+        else dict(salt_threshold=None)
     best = None
     for rep in range(2):
         t0 = time.time()
