@@ -294,6 +294,37 @@ def test_smrf_grid_window_whole_grid_is_identity():
     np.testing.assert_array_equal(th1, th2)
 
 
+@pytest.mark.parametrize("seed,cell,window,cut,tile", [
+    (1, 1.0, 3.0, 0.0, 16),
+    (2, 2.0, 6.0, 0.0, 8),
+    (3, 1.0, 5.0, 4.0, 32),
+])
+def test_smrf_tiled_fuzz_parity(spark, seed, cell, window, cut, tile):
+    """Randomized scenes (cliffs, craters, ragged holes) across cell /
+    window / cut / tile-size combinations: the certified tiled path
+    must equal the single grid exactly, or raise — never drift."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    n = 60
+    xs, ys = np.meshgrid(np.arange(float(n)), np.arange(float(n)))
+    xs, ys = xs.ravel() * cell, ys.ravel() * cell
+    z = rng.normal(0.0, 0.3, len(xs)) + 3.0 * np.sin(xs / 9.0)
+    z[(xs > 20 * cell) & (xs < 30 * cell) & (ys > 15 * cell)
+      & (ys < 22 * cell)] += 11.0
+    z[(xs - 45 * cell) ** 2 + (ys - 45 * cell) ** 2 < (6 * cell) ** 2] -= 5.0
+    keep = rng.random(len(xs)) > 0.15
+    pdf = pd.DataFrame({"page_id": np.arange(len(xs))[keep],
+                        "x": xs[keep], "y": ys[keep], "z": z[keep]})
+    df = spark.createDataFrame(pdf).repartition(5)
+    kw = dict(cell=cell, slope=0.2, threshold=0.4, window=window,
+              scalar=1.25, cut=cut)
+    single = ground.smrf(df, mode="driver", **kw)
+    tiled = ground.smrf(df, mode="tiled", tile_cells=tile, halo_cells=45,
+                        **kw)
+    assert _cls(single) == _cls(tiled)
+
+
 # --- skewness balancing ------------------------------------------------------
 
 
