@@ -24,13 +24,17 @@ distinct column — exact, the driver-oracle mode), while
 sketches (approx_count_distinct, the 100 TB default — no expansion, no
 extra exchange, ~2% relative error).
 
-Determinism: verdict metrics avoid order-dependent double accumulation
-— counts/min/max are order-free, and means/stddev come from power sums
-divided once: exact BIGINT sums for integral columns, DOUBLE sums for
-float/double/decimal (truncating those to long would silently profile
-a column of 0.9s as mean 0.0 — and these verdicts gate publishes via
-audited_append). Every emitted ``value`` is rounded to 6 dp on both
-engines.
+Determinism: counts/min/max are order-free, and means/stddev come
+from power sums divided once. Integral columns sum as exact BIGINT —
+fully order-free. Float/double/decimal columns sum as DOUBLE
+(truncating them to long would silently profile a column of 0.9s as
+mean 0.0 — and these verdicts gate publishes via audited_append); a
+DOUBLE sum's reduce order varies across partitions, so at extreme
+magnitudes (sums ~1e15+) the 6-dp rounding may not absorb the noise —
+don't sit a float mean_between bound exactly on the boundary. A
+mean_between constraint over a float column must declare
+``"float": True`` (checked) so check_sql accumulates identically.
+Every emitted ``value`` is rounded to 6 dp on both engines.
 """
 
 from __future__ import annotations
@@ -236,7 +240,19 @@ def check(df: DataFrame, constraints: list[dict]) -> DataFrame:
         elif kind == "max_le":
             aggs.append(F.max(col).cast("double").alias(a))
         elif kind == "mean_between":
-            aggs.append(F.sum(F.col(col).cast(_sum_cast(df, col))).alias(a))
+            sc = _sum_cast(df, col)
+            # the SQL twin can only see the constraint dict, not the
+            # dtype — force the caller to declare float columns so the
+            # engines can never silently diverge (truncate-vs-double)
+            if (sc == "double") != bool(c.get("float")):
+                raise ValueError(
+                    f"mean_between on {col!r}: column dtype is "
+                    f"{dict(df.dtypes)[col]} but the constraint "
+                    f"{'lacks' if sc == 'double' else 'sets'} "
+                    "'float': True — the flag must match the dtype so "
+                    "check_sql sums with the same accumulator type"
+                )
+            aggs.append(F.sum(F.col(col).cast(sc)).alias(a))
             aggs.append(F.count(col).alias(a + "n"))
         elif kind == "values_in":
             hit = F.col(col).isin(*c["allowed"]).cast("long")

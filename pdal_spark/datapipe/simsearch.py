@@ -120,7 +120,9 @@ def cosine_topk_blocked(
     same rows as cosine_topk (same sequential-fold dot, same half-up
     rounding, same cand-id tie-break) with no collect-the-matrix step.
 
-    Shape: candidates hash into n_blocks blocks (list_id = id mod B),
+    Shape: candidates hash into n_blocks blocks (list_id =
+    xxhash64(id) mod B — a plain id-mod would let stride-k id patterns
+    empty some blocks and overload others),
     every query replicates to every block (a B-row broadcast crossJoin,
     not a data crossJoin), each block emits its LOCAL top-k through the
     shared ivf_rank Arrow kernel, and the per-query window keeps the
@@ -133,7 +135,7 @@ def cosine_topk_blocked(
     B = int(n_blocks)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     members = base.withColumn(
-        "list_id", (F.pmod(F.col("id"), F.lit(B))).cast("int")
+        "list_id", (F.pmod(F.xxhash64("id"), F.lit(B))).cast("int")
     ).withColumn("role", F.lit(0))
     block_df = spark.range(B).select(F.col("id").cast("int").alias("list_id"))
     probes = base.crossJoin(F.broadcast(block_df)).withColumn(

@@ -86,17 +86,23 @@ def seed_vocab(
     # the "driver-side result is dimension-sized" claim actually holds
     # on a large corpus (the r2 shape collected EVERY substring with
     # count >= min_count before truncating).
-    base = subs.groupBy("piece").agg(F.sum("n").alias("c"))
-    chars = [
-        (r.piece, int(r.c))
-        for r in base.filter(F.length("piece") == 1).collect()
-    ]
-    multi_rows = (
-        base.filter((F.length("piece") > 1) & (F.col("c") >= min_count))
-        .orderBy(F.col("c").desc(), F.col("piece").asc())
-        .limit(max(0, seed_size))
-        .collect()
-    )
+    # persisted: the substring explode + aggregate (the dominant scan)
+    # feeds TWO jobs — the single-char collect and the multi-piece
+    # top-k — and must run once, not twice
+    base = subs.groupBy("piece").agg(F.sum("n").alias("c")).persist()
+    try:
+        chars = [
+            (r.piece, int(r.c))
+            for r in base.filter(F.length("piece") == 1).collect()
+        ]
+        multi_rows = (
+            base.filter((F.length("piece") > 1) & (F.col("c") >= min_count))
+            .orderBy(F.col("c").desc(), F.col("piece").asc())
+            .limit(max(0, seed_size))
+            .collect()
+        )
+    finally:
+        base.unpersist()
     multi = [(r.piece, int(r.c)) for r in multi_rows][
         : max(0, seed_size - len(chars))
     ]

@@ -138,12 +138,14 @@ def prefix_sums(
             .orderBy(*keys)
             .rowsBetween(Window.unboundedPreceding, hi)
         )
-        for name, col in values.items():
-            df = df.withColumn(
-                name,
-                F.coalesce(F.sum(col.cast("double")).over(w), F.lit(0.0)),
-            )
-        return df
+        # one atomic withColumns: every value expression resolves
+        # against the INPUT columns (sequential withColumn would let a
+        # later expr read an earlier output that shadowed its name —
+        # diverging from the distributed path, which stages _ps copies)
+        return df.withColumns({
+            name: F.coalesce(F.sum(col.cast("double")).over(w), F.lit(0.0))
+            for name, col in values.items()
+        })
     work = _range_partitioned(df, keys, num_partitions)
     for name, col in values.items():
         work = work.withColumn(f"_ps{name}", col.cast("double"))

@@ -341,8 +341,10 @@ def sample(
         )
         return pdf[keep]
 
+    n = None
     if partitioned is None:
-        partitioned = df.count() > max_rows_exact
+        n = df.count()
+        partitioned = n > max_rows_exact
         if partitioned and tile_len is None:
             tile_len = 256.0 * radius
     if partitioned:
@@ -353,7 +355,8 @@ def sample(
         ).withColumn("_ty", geo.tile_coord(F.col(y), origin[1], tile_len))
         out = tiled.groupBy("_tx", "_ty").applyInPandas(kernel, schema=tiled.schema)
         return out.drop("_tx", "_ty")
-    n = df.count()
+    if n is None:
+        n = df.count()
     if n > max_rows_exact:
         raise ValueError(
             f"sample(): {n} rows exceed max_rows_exact={max_rows_exact} for "

@@ -188,10 +188,12 @@ def exact_quantiles(
     # percentile_disc rank: ceil(q*n) — but computed in doubles, q
     # values inexact in binary (0.07 * 100 = 7.000000000000001) would
     # ceil one rank too high; the epsilon guard restores the exact
-    # rational rank (the standard percentile implementation trick)
-    k = F.greatest(
-        F.ceil(F.col("q") * F.col("_n") - F.lit(1e-9)), F.lit(1)
-    )
+    # rational rank. RELATIVE epsilon (1e-13 of the product): big
+    # enough to swallow the product's ~2^-52 relative FP error at any
+    # n, yet < 1 rank up to n ~ 10^12 (an absolute epsilon stops
+    # working once q*n's ulp exceeds it).
+    qn = F.col("q") * F.col("_n")
+    k = F.greatest(F.ceil(qn - qn * F.lit(1e-13)), F.lit(1))
     out = (
         cum.join(
             qdf,
@@ -227,6 +229,6 @@ def exact_quantiles_sql(
       qs(q) AS (VALUES {qvals})
       SELECT {grp}q, v AS value
       FROM cum CROSS JOIN qs
-      WHERE (cum - c) < greatest(CAST(ceil(q * n - 1e-9) AS BIGINT), 1)
-        AND greatest(CAST(ceil(q * n - 1e-9) AS BIGINT), 1) <= cum
+      WHERE (cum - c) < greatest(CAST(ceil(q*n - q*n*1e-13) AS BIGINT), 1)
+        AND greatest(CAST(ceil(q*n - q*n*1e-13) AS BIGINT), 1) <= cum
     """
