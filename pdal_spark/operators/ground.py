@@ -99,6 +99,27 @@ def grad_y(g: np.ndarray) -> np.ndarray:
     return out
 
 
+_RING_CACHE: dict = {}
+
+
+def _ring_offsets(rad: int) -> tuple[np.ndarray, np.ndarray]:
+    """All (dr, dc) at Chebyshev radius exactly ``rad`` (the square
+    ring), cached."""
+    got = _RING_CACHE.get(rad)
+    if got is None:
+        if rad == 0:
+            got = (np.zeros(1, np.int64), np.zeros(1, np.int64))
+        else:
+            side = np.arange(-rad, rad + 1, dtype=np.int64)
+            drs = [np.full(len(side), -rad), np.full(len(side), rad),
+                   side[1:-1], side[1:-1]]
+            dcs = [side, side,
+                   np.full(len(side) - 2, -rad), np.full(len(side) - 2, rad)]
+            got = (np.concatenate(drs), np.concatenate(dcs))
+        _RING_CACHE[rad] = got
+    return got
+
+
 def _fill_nearest(
     g: np.ndarray,
     k: int,
@@ -113,6 +134,18 @@ def _fill_nearest(
     the global grid, lin_rows = global row count) so a window computation
     selects the same neighbors as the single-grid one.
 
+    Two algorithms, identical selection rule (k nearest by squared
+    Euclidean distance, ties by global column-major index):
+
+    * small grids: per-hole lexsort over ALL populated cells — the
+      simple reference form;
+    * large grids (the tiled path's windows): per-hole EXPANDING
+      CHEBYSHEV RINGS, stopping only once the next unexamined ring
+      cannot contain a cell with d2 <= the current kth distance
+      ((rad+1)^2 > d2_k — equality keeps expanding, ties beyond the
+      ring must still be seen) — exact, O(holes x found-radius^2)
+      instead of O(holes x populated).
+
     Returns (filled, holes[n,2], fill_dist[n]) where fill_dist is the
     Euclidean distance to the farthest neighbor each hole used — the
     quantity a tiled halo certificate must bound.
@@ -120,21 +153,96 @@ def _fill_nearest(
     rows, cols = g.shape
     row0, col0 = origin
     nlr = rows if lin_rows is None else lin_rows
-    rr, cc = np.nonzero(~np.isnan(g))
-    holes = np.argwhere(np.isnan(g))
+    pop = ~np.isnan(g)
+    rr, cc = np.nonzero(pop)
+    holes = np.argwhere(~pop)
     if len(rr) == 0:
         return g.copy(), holes, np.full(len(holes), np.inf)
-    vals = g[rr, cc]
     out = g.copy()
     k = min(k, len(rr))
-    # column-major like the reference; global index under tiling
-    lin = (cc + col0).astype(np.int64) * nlr + (rr + row0)
     dist = np.zeros(len(holes))
-    for i, (r, c) in enumerate(holes):
-        d2 = (rr - r) ** 2 + (cc - c) ** 2
-        order = np.lexsort((lin, d2))[:k]
-        out[r, c] = agg(vals[order])
-        dist[i] = float(np.sqrt(d2[order].max()))
+
+    if rows * cols <= 1 << 16:
+        vals = g[rr, cc]
+        # column-major like the reference; global index under tiling
+        lin = (cc + col0).astype(np.int64) * nlr + (rr + row0)
+        for i, (r, c) in enumerate(holes):
+            d2 = (rr - r) ** 2 + (cc - c) ** 2
+            order = np.lexsort((lin, d2))[:k]
+            out[r, c] = agg(vals[order])
+            dist[i] = float(np.sqrt(d2[order].max()))
+        return out, holes, dist
+
+    # ---- vectorized big-grid path --------------------------------------
+    # KEY FACT: for two offsets i, j the lin-delta difference
+    # (dc_i - dc_j) * lin_rows + (dr_i - dr_j) is INDEPENDENT of the
+    # hole, so one global offset ordering by (d2, lin-delta) makes "the
+    # first k populated offsets per hole" EXACTLY the k nearest under
+    # the reference tie-break — no per-hole sort at all. A hole is
+    # final once its kth hit's d2 <= R^2 (cells beyond the box have
+    # d2 >= (R+1)^2 — no tie can cross the boundary); unresolved holes
+    # escalate to a bigger box.
+    hr = holes[:, 0]
+    hc = holes[:, 1]
+    fill = max(len(rr) / float(rows * cols), 1e-9)
+    R = max(2, int(np.ceil(np.sqrt(k / (np.pi * fill)) * 2.0)))
+    pending = np.arange(len(holes))
+    out_flat = np.empty(len(holes))
+    while len(pending):
+        R = min(R, max(rows, cols))
+        dr_g, dc_g = np.mgrid[-R:R + 1, -R:R + 1]
+        dr_g, dc_g = dr_g.ravel(), dc_g.ravel()
+        keep = (dr_g != 0) | (dc_g != 0)
+        dr_g, dc_g = dr_g[keep], dc_g[keep]
+        d2_off = dr_g * dr_g + dc_g * dc_g
+        lind = dc_g.astype(np.int64) * nlr + dr_g
+        order = np.lexsort((lind, d2_off))
+        dr_g, dc_g, d2_off = dr_g[order], dc_g[order], d2_off[order]
+        n_off = len(dr_g)
+        dr32 = dr_g.astype(np.int32)
+        dc32 = dc_g.astype(np.int32)
+        chunk = max(1, int(4e6) // n_off)
+        still: list[np.ndarray] = []
+        for s in range(0, len(pending), chunk):
+            idx = pending[s:s + chunk]
+            pr = hr[idx].astype(np.int32)[:, None] + dr32[None, :]
+            pc = hc[idx].astype(np.int32)[:, None] + dc32[None, :]
+            inb = (pr >= 0) & (pr < rows) & (pc >= 0) & (pc < cols)
+            np.clip(pr, 0, rows - 1, out=pr)
+            np.clip(pc, 0, cols - 1, out=pc)
+            prc, pcc = pr, pc
+            valid = inb & pop[prc, pcc]
+            csum = np.cumsum(valid, axis=1, dtype=np.int32)
+            sel = valid & (csum <= k)
+            cnt = csum[:, -1]
+            # index (in offset order) of each row's kth hit
+            kth = np.argmax(sel[:, ::-1], axis=1)
+            kth = n_off - 1 - kth
+            d2k = d2_off[kth]
+            done = (cnt >= k) & (d2k <= R * R)
+            if R >= max(rows, cols):
+                done = done | (cnt >= min(k, len(rr)))
+            if done.any():
+                # compact the selected values into (m, k) in selection
+                # order and reduce THAT — summing the sparse full-width
+                # row groups numpy's pairwise reduction differently and
+                # drifts a ulp from the small-grid np.mean
+                buf = np.zeros((len(idx), k))
+                ri, ci = np.nonzero(sel)
+                buf[ri, csum[ri, ci] - 1] = g[prc[ri, ci], pcc[ri, ci]]
+                nsel = np.minimum(cnt, k)
+                out_flat[idx[done]] = (
+                    buf.sum(axis=1) / np.maximum(nsel, 1)
+                )[done]
+                dist[idx[done]] = np.sqrt(d2k)[done]
+            if (~done).any():
+                still.append(idx[~done])
+        pending = np.concatenate(still) if still else np.empty(0, np.int64)
+        R = int(np.ceil(R * 1.6)) + 1
+    # the vectorized path computes the MEAN of the selected k — for the
+    # module's two aggs this is exact (knnfill: mean of 8; nn1fill:
+    # mean of 1 == the value)
+    out[hr, hc] = out_flat
     return out, holes, dist
 
 
@@ -470,7 +578,17 @@ def smrf(
         side = F.broadcast(side)
     else:
         S = _smrf_stencil_radius(cell, window, cut)
-        H = halo_cells if halo_cells is not None else S + 17
+        if halo_cells is not None:
+            H = halo_cells
+        else:
+            # density-aware fill slack: the expected distance to the
+            # 8th nearest populated cell at fill fraction f is
+            # ~sqrt(8/(pi*f)); 6x covers the tail. The certificate
+            # still guarantees exactness — this only sizes the default
+            # so sparse grids don't refuse out of the box.
+            n_cells = cells_df.count()
+            fill = max(n_cells / float(n_rows * n_cols), 1e-6)
+            H = S + 1 + max(16, int(np.ceil(6.0 * np.sqrt(8.0 / (np.pi * fill)))))
         T = tile_cells
         tiled = _halo_tiles(cells_df, "_sc", "_sr", T, H, n_cols, n_rows)
         nr, nc = n_rows, n_cols
@@ -722,7 +840,13 @@ def pmf(
     else:
         Rp = pmf_stencil_radius(cell, max_window, slope, initial_distance,
                                 max_distance, exponential)
-        H = halo_cells if halo_cells is not None else Rp + 16
+        if halo_cells is not None:
+            H = halo_cells
+        else:
+            # density-aware (see smrf): nn1 fill distance ~sqrt(1/(pi*f))
+            n_cells = cells_df.count()
+            fill = max(n_cells / float(n_rows * n_cols), 1e-6)
+            H = Rp + max(16, int(np.ceil(6.0 * np.sqrt(1.0 / (np.pi * fill)))))
         T = tile_cells
         markers = (
             work.select("_pc", "_pr").distinct()

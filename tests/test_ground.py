@@ -294,6 +294,32 @@ def test_smrf_grid_window_whole_grid_is_identity():
     np.testing.assert_array_equal(th1, th2)
 
 
+def test_fill_nearest_ring_path_equals_lexsort():
+    """The big-grid expanding-ring kNN fill must select exactly the
+    same neighbors (same distances, same global-index tie-break) as the
+    small-grid full-lexsort form — including under a tiled origin."""
+    rng = np.random.default_rng(13)
+    g = rng.normal(size=(300, 300))          # 90k cells -> ring path
+    g[rng.random(g.shape) < 0.6] = np.nan    # 60% holes, ragged
+    g[100:140, 50:200] = np.nan              # one big void
+    got, holes, dist = ground._fill_nearest(g, 8, np.mean, (70, 30), 5000)
+    rr, cc = np.nonzero(~np.isnan(g))
+    vals = g[rr, cc]
+    lin = (cc + 30).astype(np.int64) * 5000 + (rr + 70)
+    for (r, c), gd in list(zip(holes, dist))[::37]:  # sample for speed
+        d2 = (rr - r) ** 2 + (cc - c) ** 2
+        order = np.lexsort((lin, d2))[:8]
+        assert got[r, c] == pytest.approx(vals[order].mean(), abs=0)
+        assert gd == pytest.approx(float(np.sqrt(d2[order].max())), abs=0)
+    # k=1 variant through the same dispatch
+    got1, holes1, _ = ground._fill_nearest(g, 1, lambda v: v[0], (0, 0), 300)
+    lin0 = cc.astype(np.int64) * 300 + rr
+    for r, c in holes1[::53]:
+        d2 = (rr - r) ** 2 + (cc - c) ** 2
+        j = np.lexsort((lin0, d2))[0]
+        assert got1[r, c] == vals[j]
+
+
 @pytest.mark.parametrize("seed,cell,window,cut,tile", [
     (1, 1.0, 3.0, 0.0, 16),
     (2, 2.0, 6.0, 0.0, 8),
