@@ -126,6 +126,7 @@ def _fill_nearest(
     agg,
     origin: tuple[int, int] = (0, 0),
     lin_rows: int | None = None,
+    algo: str = "auto",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Shared kernel for knnfill (k=8, mean) and nn1fill (k=1, value).
 
@@ -162,7 +163,7 @@ def _fill_nearest(
     k = min(k, len(rr))
     dist = np.zeros(len(holes))
 
-    if rows * cols <= 1 << 16:
+    if algo == "dense" or (algo == "auto" and rows * cols <= 1 << 16):
         vals = g[rr, cc]
         # column-major like the reference; global index under tiling
         lin = (cc + col0).astype(np.int64) * nlr + (rr + row0)

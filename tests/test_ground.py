@@ -320,6 +320,40 @@ def test_fill_nearest_ring_path_equals_lexsort():
         assert got1[r, c] == vals[j]
 
 
+def test_fill_nearest_property_vectorized_equals_dense():
+    """Property test: on arbitrary small grids (random shapes, fills,
+    origins, k) the vectorized fill must be BIT-IDENTICAL to the dense
+    reference path — values, hole list, and certificate distances."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rows=st.integers(3, 24),
+        cols=st.integers(3, 24),
+        fill=st.floats(0.05, 0.95),
+        k=st.sampled_from([1, 3, 8]),
+        r0=st.integers(0, 500),
+        c0=st.integers(0, 500),
+        seed=st.integers(0, 10_000),
+    )
+    def check(rows, cols, fill, k, r0, c0, seed):
+        rng = np.random.default_rng(seed)
+        g = rng.normal(size=(rows, cols))
+        g[rng.random(g.shape) >= fill] = np.nan
+        if not np.any(~np.isnan(g)):
+            return
+        agg = np.mean if k > 1 else (lambda v: v[0])
+        a, ha, da = ground._fill_nearest(g, k, agg, (r0, c0), 4096,
+                                         algo="dense")
+        b, hb, db = ground._fill_nearest(g, k, agg, (r0, c0), 4096,
+                                         algo="vectorized")
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(ha, hb)
+        np.testing.assert_array_equal(da, db)
+
+    check()
+
+
 @pytest.mark.parametrize("seed,cell,window,cut,tile", [
     (1, 1.0, 3.0, 0.0, 16),
     (2, 2.0, 6.0, 0.0, 8),
