@@ -1,0 +1,1233 @@
+"""readers.las for LAZ (LASzip-compressed LAS) — from-scratch decoder.
+
+Reference semantics: /root/reference/io/LasReader.cpp delegates LAZ to
+the external LASzip/lazperf codec (not vendored in the reference repo);
+this module reimplements the PUBLIC LASzip algorithm (Isenburg 2013,
+"LASzip: lossless compression of LiDAR data"; the open LAS 1.4 / LASzip
+record format) in pure python/numpy so the sandbox needs no native
+codec. Byte-exact oracle: the reference ships .laz fixtures WITH their
+uncompressed .las twins (test/data/laz/autzen_trim.{las,laz}) — decoded
+records must equal the twin's bit for bit.
+
+Supported: compressor 2 (pointwise-chunked) with item versions 2 —
+POINT10, GPSTIME11, RGB12 — i.e. point formats 0-3 as produced by
+laszip/LAStools and PDAL's writers.las(compression). The v1 item
+codecs (compressor 1, pre-2011 files) raise a clear error.
+
+STATUS — EXPERIMENTAL, not wired into the public reader. What is
+verified (tests/test_laz.py):
+  * the FastAC arithmetic coder pair (Encoder/Decoder, bit + adaptive
+    symbol models incl. the first-cycle reset rule) round-trips and is
+    byte-exact against real laszip output for long stretches;
+  * IntegerCompressor compress/decompress round-trip (5k random
+    walks, all k paths);
+  * the full POINT10+GPSTIME11+RGB12 v2 codec chain round-trips
+    (encode -> decode == input) on synthetic point streams;
+  * chunk-table parsing and chunk-parallel layout against the real
+    autzen_trim.laz fixture.
+Against REAL laszip streams the decoder is byte-exact for long
+prefixes (chunk 0: 389 points, chunk 1: 14, chunk 2: 45 of
+autzen_trim.laz — every field bit-equal until one residual
+adaptive-model rule diverges; localized to the coordinate
+IntegerCompressor's corrector path by a byte-level encoder diff, see
+the pinned prefix test). Until that last rule is identified the
+public LAS reader keeps its honest LazUnsupported guard; nothing in
+SURVEY/COVERAGE claims LAZ support.
+
+Scale shape: LAZ chunks (default 50k points) are independent streams —
+the chunk table gives their offsets, so decode parallelizes chunk-per-
+task exactly like the uncompressed LAS chunk split (formats/las.py).
+The entropy coder is inherently sequential WITHIN a chunk (that is the
+format), so per-chunk decode is a python loop — the parallel unit is
+the chunk, as it is for every LAZ consumer.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["read_laz_points", "laz_vlr_info", "LazUnsupported"]
+
+U32 = 0xFFFFFFFF
+AC_MIN_LENGTH = 0x01000000
+
+BM_LENGTH_SHIFT = 13
+BM_MAX_COUNT = 1 << BM_LENGTH_SHIFT
+DM_LENGTH_SHIFT = 15
+DM_MAX_COUNT = 1 << DM_LENGTH_SHIFT
+
+
+class LazUnsupported(NotImplementedError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# arithmetic decoder (FastAC, Amir Said — as fixed in the LASzip format)
+# ---------------------------------------------------------------------------
+
+
+class BitModel:
+    __slots__ = ("bit_0_count", "bit_count", "bit_0_prob", "update_cycle",
+                 "bits_until_update")
+
+    def __init__(self):
+        # a fresh model starts at p0 = 1/2 EXACTLY — laszip's init sets
+        # the fields and does NOT run an update (unlike the symbol
+        # model, whose init must build its distribution)
+        self.bit_0_count = 1
+        self.bit_count = 2
+        self.bit_0_prob = 1 << (BM_LENGTH_SHIFT - 1)
+        self.update_cycle = self.bits_until_update = 4
+
+    def _update(self):
+        self.bit_count += self.update_cycle
+        if self.bit_count > BM_MAX_COUNT:
+            self.bit_count = (self.bit_count + 1) >> 1
+            self.bit_0_count = (self.bit_0_count + 1) >> 1
+            if self.bit_0_count == self.bit_count:
+                self.bit_count += 1
+        self.bit_0_prob = (self.bit_0_count << BM_LENGTH_SHIFT) \
+            // self.bit_count
+        self.update_cycle = min((5 * self.update_cycle) >> 2, 64)
+        self.bits_until_update = self.update_cycle
+
+
+class SymModel:
+    __slots__ = ("symbols", "last_symbol", "distribution", "symbol_count",
+                 "decoder_table", "table_size", "table_shift", "total_count",
+                 "update_cycle", "symbols_until_update")
+
+    def __init__(self, symbols: int):
+        self.symbols = symbols
+        self.last_symbol = symbols - 1
+        if symbols > 16:
+            table_bits = 3
+            while symbols > (1 << (table_bits + 2)):
+                table_bits += 1
+            self.table_size = 1 << table_bits
+            self.table_shift = DM_LENGTH_SHIFT - table_bits
+            self.decoder_table = [0] * (self.table_size + 2)
+        else:
+            self.table_size = self.table_shift = 0
+            self.decoder_table = None
+        self.distribution = [0] * symbols
+        self.symbol_count = [1] * symbols
+        self.total_count = 0
+        self.update_cycle = symbols
+        self._update()
+        # FastAC reset(): the FIRST adaptation period is (symbols+6)/2,
+        # overriding what the initial update() computed
+        self.update_cycle = (symbols + 6) >> 1
+        self.symbols_until_update = self.update_cycle
+
+    def _update(self):
+        self.total_count += self.update_cycle
+        if self.total_count > DM_MAX_COUNT:
+            self.total_count = 0
+            for k in range(self.symbols):
+                self.symbol_count[k] = (self.symbol_count[k] + 1) >> 1
+                self.total_count += self.symbol_count[k]
+        scale = 0x80000000 // self.total_count
+        ssum = 0
+        if self.table_size == 0:
+            for k in range(self.symbols):
+                self.distribution[k] = (scale * ssum) >> (31 - DM_LENGTH_SHIFT)
+                ssum += self.symbol_count[k]
+        else:
+            s = 0
+            for k in range(self.symbols):
+                self.distribution[k] = (scale * ssum) >> (31 - DM_LENGTH_SHIFT)
+                ssum += self.symbol_count[k]
+                w = self.distribution[k] >> self.table_shift
+                while s < w:
+                    s += 1
+                    self.decoder_table[s] = k - 1
+            self.decoder_table[0] = 0
+            while s <= self.table_size:
+                s += 1
+                self.decoder_table[s] = self.symbols - 1
+        self.update_cycle = (5 * self.update_cycle) >> 2
+        max_cycle = (self.symbols + 6) << 3
+        if self.update_cycle > max_cycle:
+            self.update_cycle = max_cycle
+        self.symbols_until_update = self.update_cycle
+
+
+class Decoder:
+    __slots__ = ("data", "pos", "value", "length")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.value = int.from_bytes(data[pos:pos + 4], "big")
+        self.pos = pos + 4
+        self.length = U32
+
+    def _renorm(self):
+        data, pos = self.data, self.pos
+        value, length = self.value, self.length
+        while length < AC_MIN_LENGTH:
+            b = data[pos] if pos < len(data) else 0
+            value = ((value << 8) | b) & U32
+            pos += 1
+            length = (length << 8) & U32
+        self.pos, self.value, self.length = pos, value, length
+
+    def decode_bit(self, m: BitModel) -> int:
+        x = m.bit_0_prob * (self.length >> BM_LENGTH_SHIFT)
+        if self.value < x:
+            sym = 0
+            self.length = x
+            m.bit_0_count += 1
+        else:
+            sym = 1
+            self.value -= x
+            self.length -= x
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.bits_until_update -= 1
+        if m.bits_until_update == 0:
+            m._update()
+        return sym
+
+    def decode_symbol(self, m: SymModel) -> int:
+        y = self.length
+        self.length >>= DM_LENGTH_SHIFT
+        dv = self.value // self.length
+        if m.decoder_table is not None:
+            t = dv >> m.table_shift
+            sym = m.decoder_table[t]
+            n = m.decoder_table[t + 1] + 1
+            dist = m.distribution
+            while n > sym + 1:
+                k = (sym + n) >> 1
+                if dist[k] > dv:
+                    n = k
+                else:
+                    sym = k
+            x = dist[sym] * self.length
+            if sym != m.last_symbol:
+                y = dist[sym + 1] * self.length
+        else:
+            dist = m.distribution
+            sym = 0
+            n = m.symbols
+            # find last sym with dist[sym] <= dv (dist[0] == 0)
+            while n > sym + 1:
+                k = (sym + n) >> 1
+                if dist[k] > dv:
+                    n = k
+                else:
+                    sym = k
+            x = dist[sym] * self.length
+            if sym != m.last_symbol:
+                y = dist[sym + 1] * self.length
+        self.value -= x
+        self.length = y - x
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.symbol_count[sym] += 1
+        m.symbols_until_update -= 1
+        if m.symbols_until_update == 0:
+            m._update()
+        return sym
+
+    def read_bits(self, bits: int) -> int:
+        if bits > 19:
+            low = self.read_short()
+            hi = self.read_bits(bits - 16) << 16
+            return hi | low
+        self.length >>= bits
+        sym = self.value // self.length
+        self.value -= sym * self.length
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        return sym
+
+    def read_short(self) -> int:
+        self.length >>= 16
+        sym = self.value // self.length
+        self.value -= sym * self.length
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        return sym
+
+
+# ---------------------------------------------------------------------------
+# integer compressor (decompress side)
+# ---------------------------------------------------------------------------
+
+
+def _i32(v: int) -> int:
+    v &= U32
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+class IntDecomp:
+    __slots__ = ("dec", "bits", "contexts", "bits_high", "corr_bits",
+                 "corr_min", "m_bits", "m_corr0", "m_corr", "k")
+
+    def __init__(self, dec: Decoder, bits: int = 32, contexts: int = 1,
+                 bits_high: int = 8):
+        self.dec = dec
+        self.bits = bits
+        self.contexts = contexts
+        self.bits_high = bits_high
+        self.corr_bits = bits
+        # for the full 32-bit range: corrector of k == 32 is I32_MIN
+        self.corr_min = -(1 << (bits - 1)) if bits < 32 else -0x80000000
+        self.m_bits = [SymModel(self.corr_bits + 1) for _ in range(contexts)]
+        self.m_corr0 = BitModel()
+        self.m_corr = [None] * (self.corr_bits + 1)
+        self.k = 0
+
+    def _corr_model(self, k: int) -> SymModel:
+        m = self.m_corr[k]
+        if m is None:
+            m = SymModel(1 << min(k, self.bits_high))
+            self.m_corr[k] = m
+        return m
+
+    def decompress(self, pred: int, context: int = 0) -> int:
+        k = self.dec.decode_symbol(self.m_bits[context])
+        self.k = k
+        return _i32(pred + self._read_corrector(k))
+
+    def _read_corrector(self, k: int) -> int:
+        dec = self.dec
+        if k == 0:
+            return dec.decode_bit(self.m_corr0)
+        if k >= 32:
+            return self.corr_min
+        if k <= self.bits_high:
+            c = dec.decode_symbol(self._corr_model(k))
+        else:
+            k1 = k - self.bits_high
+            c = dec.decode_symbol(self._corr_model(k))
+            c = (c << k1) | dec.read_bits(k1)
+        # translate c back into its correct interval
+        if c >= (1 << (k - 1)):
+            c += 1
+        else:
+            c -= (1 << k) - 1
+        return c
+
+
+class StreamingMedian5:
+    __slots__ = ("v", "high")
+
+    def __init__(self):
+        self.v = [0, 0, 0, 0, 0]
+        self.high = True
+
+    def add(self, x: int):
+        v = self.v
+        if self.high:
+            if x < v[2]:
+                v[4] = v[3]
+                v[3] = v[2]
+                if x < v[0]:
+                    v[2] = v[1]
+                    v[1] = v[0]
+                    v[0] = x
+                elif x < v[1]:
+                    v[2] = v[1]
+                    v[1] = x
+                else:
+                    v[2] = x
+            else:
+                if x < v[3]:
+                    v[4] = v[3]
+                    v[3] = x
+                else:
+                    v[4] = x
+                self.high = False
+        else:
+            if v[2] < x:
+                v[0] = v[1]
+                v[1] = v[2]
+                if v[4] < x:
+                    v[2] = v[3]
+                    v[3] = v[4]
+                    v[4] = x
+                elif v[3] < x:
+                    v[2] = v[3]
+                    v[3] = x
+                else:
+                    v[2] = x
+            else:
+                if v[1] < x:
+                    v[0] = v[1]
+                    v[1] = x
+                else:
+                    v[0] = x
+                self.high = True
+
+    def get(self) -> int:
+        return self.v[2]
+
+
+# ---------------------------------------------------------------------------
+# POINT10 v2 (the fixed 8x8 context tables are part of the public format)
+# ---------------------------------------------------------------------------
+
+NUMBER_RETURN_MAP = [
+    [15, 14, 13, 12, 11, 10, 9, 8],
+    [14, 0, 1, 3, 6, 10, 10, 9],
+    [13, 1, 2, 4, 7, 11, 11, 10],
+    [12, 3, 4, 5, 8, 12, 12, 11],
+    [11, 6, 7, 8, 9, 13, 13, 12],
+    [10, 10, 11, 12, 13, 14, 14, 13],
+    [9, 10, 11, 12, 13, 14, 15, 14],
+    [8, 9, 10, 11, 12, 13, 14, 15],
+]
+
+NUMBER_RETURN_LEVEL = [
+    [0, 1, 2, 3, 4, 5, 6, 7],
+    [1, 0, 1, 2, 3, 4, 5, 6],
+    [2, 1, 0, 1, 2, 3, 4, 5],
+    [3, 2, 1, 0, 1, 2, 3, 4],
+    [4, 3, 2, 1, 0, 1, 2, 3],
+    [5, 4, 3, 2, 1, 0, 1, 2],
+    [6, 5, 4, 3, 2, 1, 0, 1],
+    [7, 6, 5, 4, 3, 2, 1, 0],
+]
+
+
+def _u8_fold(x: int) -> int:
+    return x & 0xFF
+
+
+class Point10v2:
+    def __init__(self, dec: Decoder, first: bytes):
+        self.dec = dec
+        (x, y, z, intensity, flags, classification, sar, user_data,
+         psid) = struct.unpack("<iiiHBBbBH", first[:20])
+        self.x, self.y, self.z = x, y, z
+        self.intensity = 0  # laszip: last intensity forced to 0 on init
+        self.flags = flags
+        self.classification = classification
+        self.sar = sar & 0xFF
+        self.user_data = user_data
+        self.psid = psid
+        self.m_changed = SymModel(64)
+        self.ic_intensity = IntDecomp(dec, 16, 4)
+        self.m_sar = [SymModel(256), SymModel(256)]
+        self.ic_psid = IntDecomp(dec, 16)
+        self.m_bit_byte = [None] * 256
+        self.m_classification = [None] * 256
+        self.m_user_data = [None] * 256
+        self.ic_dx = IntDecomp(dec, 32, 2)
+        self.ic_dy = IntDecomp(dec, 32, 22)
+        self.ic_z = IntDecomp(dec, 32, 20)
+        self.med_x = [StreamingMedian5() for _ in range(16)]
+        self.med_y = [StreamingMedian5() for _ in range(16)]
+        self.last_intensity = [0] * 16
+        self.last_height = [0] * 8
+
+    def _lazy(self, arr, idx):
+        m = arr[idx]
+        if m is None:
+            m = SymModel(256)
+            arr[idx] = m
+        return m
+
+    def read(self) -> tuple:
+        dec = self.dec
+        changed = dec.decode_symbol(self.m_changed)
+        if changed:
+            if changed & 32:
+                self.flags = dec.decode_symbol(
+                    self._lazy(self.m_bit_byte, self.flags))
+            r = self.flags & 7
+            n = (self.flags >> 3) & 7
+            m = NUMBER_RETURN_MAP[n][r]
+            ctx_l = NUMBER_RETURN_LEVEL[n][r]
+            if changed & 16:
+                self.intensity = self.ic_intensity.decompress(
+                    self.last_intensity[m], m if m < 3 else 3) & 0xFFFF
+                self.last_intensity[m] = self.intensity
+            else:
+                self.intensity = self.last_intensity[m]
+            if changed & 8:
+                self.classification = dec.decode_symbol(
+                    self._lazy(self.m_classification, self.classification))
+            if changed & 4:
+                val = dec.decode_symbol(
+                    self.m_sar[1 if (self.flags & 0x40) else 0])
+                self.sar = _u8_fold(val + self.sar)
+            if changed & 2:
+                self.user_data = dec.decode_symbol(
+                    self._lazy(self.m_user_data, self.user_data))
+            if changed & 1:
+                self.psid = self.ic_psid.decompress(self.psid) & 0xFFFF
+        else:
+            r = self.flags & 7
+            n = (self.flags >> 3) & 7
+            m = NUMBER_RETURN_MAP[n][r]
+            ctx_l = NUMBER_RETURN_LEVEL[n][r]
+
+        # X
+        med = self.med_x[m].get()
+        diff = self.ic_dx.decompress(med, 1 if n == 1 else 0)
+        self.x = _i32(self.x + diff)
+        self.med_x[m].add(diff)
+        # Y
+        k_bits = self.ic_dx.k
+        med = self.med_y[m].get()
+        ctx = (1 if n == 1 else 0) + \
+            ((k_bits & 0xFE) if k_bits < 20 else 20)
+        diff = self.ic_dy.decompress(med, ctx)
+        self.y = _i32(self.y + diff)
+        self.med_y[m].add(diff)
+        # Z
+        k_bits = (self.ic_dx.k + self.ic_dy.k) // 2
+        ctx = (1 if n == 1 else 0) + \
+            ((k_bits & 0xFE) if k_bits < 18 else 18)
+        self.z = self.ic_z.decompress(self.last_height[ctx_l], ctx)
+        self.last_height[ctx_l] = self.z
+
+        return (self.x, self.y, self.z, self.intensity, self.flags,
+                self.classification,
+                self.sar - 256 if self.sar >= 128 else self.sar,
+                self.user_data, self.psid)
+
+
+# ---------------------------------------------------------------------------
+# GPSTIME11 v2
+# ---------------------------------------------------------------------------
+
+GT_MULTI = 500
+GT_MULTI_MINUS = -10
+GT_MULTI_UNCHANGED = GT_MULTI - GT_MULTI_MINUS + 1
+GT_MULTI_CODE_FULL = GT_MULTI - GT_MULTI_MINUS + 2
+GT_MULTI_TOTAL = GT_MULTI - GT_MULTI_MINUS + 6
+
+
+def _i64_from_u64(v: int) -> int:
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+class GpsTime11v2:
+    def __init__(self, dec: Decoder, first: bytes):
+        self.dec = dec
+        (u64,) = struct.unpack("<Q", first[:8])
+        self.last_gpstime = [u64, 0, 0, 0]
+        self.last_diff = [0, 0, 0, 0]
+        self.multi_extreme = [0, 0, 0, 0]
+        self.last = 0
+        self.next = 0
+        self.m_multi = SymModel(GT_MULTI_TOTAL)
+        self.m_0diff = SymModel(6)
+        self.ic_gpstime = IntDecomp(dec, 32, 9)
+
+    def read(self) -> int:
+        dec = self.dec
+        if self.last_diff[self.last] == 0:
+            multi = dec.decode_symbol(self.m_0diff)
+            if multi == 1:
+                d = self.ic_gpstime.decompress(0, 0)
+                self.last_diff[self.last] = d
+                self.last_gpstime[self.last] = \
+                    (self.last_gpstime[self.last] + d) & ((1 << 64) - 1)
+                self.multi_extreme[self.last] = 0
+            elif multi == 2:
+                self.next = (self.next + 1) & 3
+                prev_hi = _i32(self.last_gpstime[self.last] >> 32)
+                hi = self.ic_gpstime.decompress(prev_hi, 8)
+                lo = dec.read_bits(32)
+                self.last_gpstime[self.next] = \
+                    ((hi & U32) << 32) | lo
+                self.last = self.next
+                self.last_diff[self.last] = 0
+                self.multi_extreme[self.last] = 0
+            elif multi > 2:
+                self.last = (self.last + multi - 2) & 3
+                return self.read()
+        else:
+            multi = dec.decode_symbol(self.m_multi)
+            if multi == 1:
+                d = self.ic_gpstime.decompress(self.last_diff[self.last], 1)
+                self.last_gpstime[self.last] = \
+                    (self.last_gpstime[self.last] + d) & ((1 << 64) - 1)
+                self.multi_extreme[self.last] = 0
+            elif multi < GT_MULTI_UNCHANGED:
+                if multi == 0:
+                    d = self.ic_gpstime.decompress(0, 7)
+                    self.multi_extreme[self.last] += 1
+                    if self.multi_extreme[self.last] > 3:
+                        self.last_diff[self.last] = d
+                        self.multi_extreme[self.last] = 0
+                elif multi < GT_MULTI:
+                    if multi < 10:
+                        d = self.ic_gpstime.decompress(
+                            multi * self.last_diff[self.last], 2)
+                    else:
+                        d = self.ic_gpstime.decompress(
+                            multi * self.last_diff[self.last], 3)
+                elif multi == GT_MULTI:
+                    d = self.ic_gpstime.decompress(
+                        GT_MULTI * self.last_diff[self.last], 4)
+                    self.multi_extreme[self.last] += 1
+                    if self.multi_extreme[self.last] > 3:
+                        self.last_diff[self.last] = d
+                        self.multi_extreme[self.last] = 0
+                else:
+                    mm = GT_MULTI - multi
+                    if mm > GT_MULTI_MINUS:
+                        d = self.ic_gpstime.decompress(
+                            mm * self.last_diff[self.last], 5)
+                    else:
+                        d = self.ic_gpstime.decompress(
+                            GT_MULTI_MINUS * self.last_diff[self.last], 6)
+                        self.multi_extreme[self.last] += 1
+                        if self.multi_extreme[self.last] > 3:
+                            self.last_diff[self.last] = d
+                            self.multi_extreme[self.last] = 0
+                self.last_gpstime[self.last] = \
+                    (self.last_gpstime[self.last] + d) & ((1 << 64) - 1)
+            elif multi == GT_MULTI_CODE_FULL:
+                self.next = (self.next + 1) & 3
+                prev_hi = _i32(self.last_gpstime[self.last] >> 32)
+                hi = self.ic_gpstime.decompress(prev_hi, 8)
+                lo = dec.read_bits(32)
+                self.last_gpstime[self.next] = ((hi & U32) << 32) | lo
+                self.last = self.next
+                self.last_diff[self.last] = 0
+                self.multi_extreme[self.last] = 0
+            elif multi >= GT_MULTI_CODE_FULL:
+                self.last = (self.last + multi - GT_MULTI_CODE_FULL) & 3
+                return self.read()
+        return self.last_gpstime[self.last]
+
+
+# ---------------------------------------------------------------------------
+# RGB12 v2
+# ---------------------------------------------------------------------------
+
+
+def _u8_clamp(x: int) -> int:
+    return 0 if x < 0 else (255 if x > 255 else x)
+
+
+def _div2_trunc(x: int) -> int:
+    """C's integer /2 (truncate toward zero) — python's // floors."""
+    return x // 2 if x >= 0 else -((-x) // 2)
+
+
+class Rgb12v2:
+    def __init__(self, dec: Decoder, first: bytes):
+        self.dec = dec
+        self.r, self.g, self.b = struct.unpack("<HHH", first[:6])
+        self.m_used = SymModel(128)
+        self.m_diff = [SymModel(256) for _ in range(6)]
+
+    def read(self) -> tuple:
+        dec = self.dec
+        sym = dec.decode_symbol(self.m_used)
+        if sym & 1:
+            corr = dec.decode_symbol(self.m_diff[0])
+            r_lo = _u8_fold(corr + (self.r & 255))
+        else:
+            r_lo = self.r & 255
+        if sym & 2:
+            corr = dec.decode_symbol(self.m_diff[1])
+            r_hi = _u8_fold(corr + (self.r >> 8))
+        else:
+            r_hi = self.r >> 8
+        if sym & 64:
+            diff = r_lo - (self.r & 255)
+            if sym & 4:
+                corr = dec.decode_symbol(self.m_diff[2])
+                g_lo = _u8_fold(corr + _u8_clamp(diff + (self.g & 255)))
+            else:
+                g_lo = self.g & 255
+            if sym & 16:
+                corr = dec.decode_symbol(self.m_diff[4])
+                diff = _div2_trunc(diff + (g_lo - (self.g & 255)))
+                b_lo = _u8_fold(corr + _u8_clamp(diff + (self.b & 255)))
+            else:
+                b_lo = self.b & 255
+            diff = r_hi - (self.r >> 8)
+            if sym & 8:
+                corr = dec.decode_symbol(self.m_diff[3])
+                g_hi = _u8_fold(corr + _u8_clamp(diff + (self.g >> 8)))
+            else:
+                g_hi = self.g >> 8
+            if sym & 32:
+                corr = dec.decode_symbol(self.m_diff[5])
+                diff = _div2_trunc(diff + (g_hi - (self.g >> 8)))
+                b_hi = _u8_fold(corr + _u8_clamp(diff + (self.b >> 8)))
+            else:
+                b_hi = self.b >> 8
+        else:
+            g_lo, g_hi = r_lo, r_hi
+            b_lo, b_hi = r_lo, r_hi
+        self.r = r_lo | (r_hi << 8)
+        self.g = g_lo | (g_hi << 8)
+        self.b = b_lo | (b_hi << 8)
+        return self.r, self.g, self.b
+
+
+# ---------------------------------------------------------------------------
+# container plumbing
+# ---------------------------------------------------------------------------
+
+
+def laz_vlr_info(buf: bytes) -> dict:
+    """Parse the 'laszip encoded' VLR -> dict, or raise ValueError."""
+    hdr_size = struct.unpack("<H", buf[94:96])[0]
+    nvlr = struct.unpack("<I", buf[100:104])[0]
+    p = hdr_size
+    for _ in range(nvlr):
+        uid = buf[p + 2:p + 18].rstrip(b"\x00")
+        rid, rlen = struct.unpack("<HH", buf[p + 18:p + 22])
+        if uid == b"laszip encoded" and rid == 22204:
+            pl = buf[p + 54:p + 54 + rlen]
+            (compressor, coder, vmaj, vmin, vrev, options, chunk_size,
+             n_evlr, off_evlr, nitems) = struct.unpack("<HHBBHIIqqH", pl[:34])
+            items = []
+            q = 34
+            for _ in range(nitems):
+                t, sz, v = struct.unpack("<HHH", pl[q:q + 6])
+                q += 6
+                items.append({"type": t, "size": sz, "version": v})
+            return {
+                "compressor": compressor, "coder": coder,
+                "version": (vmaj, vmin, vrev), "chunk_size": chunk_size,
+                "items": items,
+            }
+        p += 54 + rlen
+    raise ValueError("no laszip VLR — not a LAZ file")
+
+
+def read_chunk_table(buf: bytes, offset: int, table_offset: int,
+                     n_points: int, chunk_size: int) -> list[tuple[int, int]]:
+    """-> [(file_offset, n_points_in_chunk)] per chunk. The table stores
+    arithmetic-coded chunk byte sizes (IntegerCompressor 32/2)."""
+    pos = table_offset
+    version, n_chunks = struct.unpack("<II", buf[pos:pos + 8])
+    if version != 0:
+        raise LazUnsupported(f"chunk table version {version}")
+    dec = Decoder(buf, pos + 8)
+    ic = IntDecomp(dec, 32, 2)
+    sizes = []
+    prev = 0
+    for i in range(n_chunks):
+        prev = ic.decompress(prev, 1)
+        sizes.append(prev)
+    out = []
+    start = offset + 8  # first 8 bytes are the chunk-table offset
+    remaining = n_points
+    for s in sizes:
+        npts = min(chunk_size, remaining)
+        out.append((start, npts))
+        start += s
+        remaining -= npts
+    return out
+
+
+_ITEM_POINT10 = 6
+_ITEM_GPSTIME11 = 7
+_ITEM_RGB12 = 8
+
+
+def decode_chunk(buf: bytes, start: int, n_points: int,
+                 items: list[dict]) -> np.ndarray:
+    """Decode one chunk -> structured array of raw (unscaled) fields."""
+    for it in items:
+        if it["version"] != 2:
+            raise LazUnsupported(
+                f"laszip item type {it['type']} version {it['version']} — "
+                "only the v2 codecs (compressor 2, 2011+) are implemented"
+            )
+        if it["type"] not in (_ITEM_POINT10, _ITEM_GPSTIME11, _ITEM_RGB12):
+            raise LazUnsupported(f"laszip item type {it['type']}")
+    rec_len = sum(it["size"] for it in items)
+    fields = [("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
+              ("intensity", "<u2"), ("flags", "u1"),
+              ("classification", "u1"), ("scan_angle_rank", "i1"),
+              ("user_data", "u1"), ("point_source_id", "<u2")]
+    has_gps = any(it["type"] == _ITEM_GPSTIME11 for it in items)
+    has_rgb = any(it["type"] == _ITEM_RGB12 for it in items)
+    if has_gps:
+        fields.append(("gps_time", "<f8"))
+    if has_rgb:
+        fields += [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+    out = np.zeros(n_points, dtype=fields)
+    if n_points == 0:
+        return out
+
+    # first point is raw
+    p = start
+    raw = buf[p:p + rec_len]
+    p += rec_len
+    dec = Decoder(buf, p)
+    q = 0
+    readers = []
+    for it in items:
+        seg = raw[q:q + it["size"]]
+        q += it["size"]
+        if it["type"] == _ITEM_POINT10:
+            pt = Point10v2(dec, seg)
+            first_pt = struct.unpack("<iiiHBBbBH", seg[:20])
+        elif it["type"] == _ITEM_GPSTIME11:
+            gt = GpsTime11v2(dec, seg)
+            first_gps = struct.unpack("<d", seg[:8])[0]
+        elif it["type"] == _ITEM_RGB12:
+            rgb = Rgb12v2(dec, seg)
+            first_rgb = struct.unpack("<HHH", seg[:6])
+
+    row = out[0]
+    (row["x"], row["y"], row["z"], row["intensity"], row["flags"],
+     row["classification"], row["scan_angle_rank"], row["user_data"],
+     row["point_source_id"]) = first_pt
+    if has_gps:
+        row["gps_time"] = first_gps
+    if has_rgb:
+        row["red"], row["green"], row["blue"] = first_rgb
+
+    for i in range(1, n_points):
+        row = out[i]
+        (row["x"], row["y"], row["z"], row["intensity"], row["flags"],
+         row["classification"], row["scan_angle_rank"], row["user_data"],
+         row["point_source_id"]) = pt.read()
+        if has_gps:
+            u64 = gt.read()
+            row["gps_time"] = struct.unpack(
+                "<d", struct.pack("<Q", u64))[0]
+        if has_rgb:
+            row["red"], row["green"], row["blue"] = rgb.read()
+    return out
+
+
+def read_laz_points(path: str) -> np.ndarray:
+    """Decode every point of a LAZ file -> structured array of raw
+    (unscaled) LAS fields, chunk by chunk (the driver-side single-file
+    form; the Spark reader maps chunks to tasks)."""
+    buf = open(path, "rb").read()
+    info = laz_vlr_info(buf)
+    if info["compressor"] != 2:
+        raise LazUnsupported(
+            f"laszip compressor {info['compressor']} — only the chunked "
+            "pointwise form (2) is implemented"
+        )
+    offset = struct.unpack("<I", buf[96:100])[0]
+    n_points = struct.unpack("<I", buf[107:111])[0]
+    table_offset = struct.unpack("<q", buf[offset:offset + 8])[0]
+    chunks = read_chunk_table(buf, offset, table_offset, n_points,
+                              info["chunk_size"])
+    parts = [decode_chunk(buf, s, n, info["items"]) for s, n in chunks]
+    return np.concatenate(parts) if parts else decode_chunk(
+        buf, 0, 0, info["items"])
+
+
+# ---------------------------------------------------------------------------
+# encoder (mirror of the decoder — used by the writer and as the
+# byte-exact localization oracle for the fixture tests)
+# ---------------------------------------------------------------------------
+
+AC_MAX_LENGTH = 0xFFFFFFFF
+
+
+class Encoder:
+    def __init__(self):
+        self.out = bytearray()
+        self.base = 0
+        self.length = AC_MAX_LENGTH
+
+    def _carry(self):
+        p = len(self.out) - 1
+        while self.out[p] == 0xFF:
+            self.out[p] = 0
+            p -= 1
+        self.out[p] += 1
+
+    def _renorm(self):
+        while self.length < AC_MIN_LENGTH:
+            self.out.append((self.base >> 24) & 0xFF)
+            self.base = (self.base << 8) & U32
+            self.length = (self.length << 8) & U32
+
+    def encode_bit(self, m: BitModel, sym: int):
+        x = m.bit_0_prob * (self.length >> BM_LENGTH_SHIFT)
+        if sym == 0:
+            self.length = x
+            m.bit_0_count += 1
+        else:
+            init_base = self.base
+            self.base = (self.base + x) & U32
+            if init_base > self.base:
+                self._carry()
+            self.length -= x
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.bits_until_update -= 1
+        if m.bits_until_update == 0:
+            m._update()
+
+    def encode_symbol(self, m: SymModel, sym: int):
+        init_base = self.base
+        if sym == m.last_symbol:
+            x = m.distribution[sym] * (self.length >> DM_LENGTH_SHIFT)
+            self.base = (self.base + x) & U32
+            self.length -= x
+        else:
+            self.length >>= DM_LENGTH_SHIFT
+            x = m.distribution[sym] * self.length
+            self.base = (self.base + x) & U32
+            self.length = m.distribution[sym + 1] * self.length - x
+        if init_base > self.base:
+            self._carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.symbol_count[sym] += 1
+        m.symbols_until_update -= 1
+        if m.symbols_until_update == 0:
+            m._update()
+
+    def write_bits(self, bits: int, sym: int):
+        if bits > 19:
+            self.write_short(sym & 0xFFFF)
+            sym >>= 16
+            bits -= 16
+        init_base = self.base
+        self.length >>= bits
+        self.base = (self.base + sym * self.length) & U32
+        if init_base > self.base:
+            self._carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+
+    def write_short(self, sym: int):
+        init_base = self.base
+        self.length >>= 16
+        self.base = (self.base + sym * self.length) & U32
+        if init_base > self.base:
+            self._carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+
+    def done(self) -> bytes:
+        init_base = self.base
+        if self.length > 2 * AC_MIN_LENGTH:
+            self.base = (self.base + AC_MIN_LENGTH) & U32
+            self.length = AC_MIN_LENGTH >> 1
+        else:
+            self.base = (self.base + (AC_MIN_LENGTH >> 1)) & U32
+            self.length = AC_MIN_LENGTH >> 9
+        if init_base > self.base:
+            self._carry()
+        self._renorm()
+        self.out += b"\x00\x00\x00"  # tail padding like the reference
+        return bytes(self.out)
+
+
+class IntComp:
+    """Encode side of IntDecomp — identical models."""
+
+    def __init__(self, enc: Encoder, bits: int = 32, contexts: int = 1,
+                 bits_high: int = 8):
+        self.enc = enc
+        self.bits = bits
+        self.bits_high = bits_high
+        self.corr_bits = bits
+        self.m_bits = [SymModel(self.corr_bits + 1) for _ in range(contexts)]
+        self.m_corr0 = BitModel()
+        self.m_corr = [None] * (self.corr_bits + 1)
+        self.k = 0
+
+    def _corr_model(self, k: int) -> SymModel:
+        m = self.m_corr[k]
+        if m is None:
+            m = SymModel(1 << min(k, self.bits_high))
+            self.m_corr[k] = m
+        return m
+
+    def compress(self, pred: int, real: int, context: int = 0):
+        c = _i32(real - pred)
+        # find the tightest k with c in [-(2^k)+1, -2^(k-1)] u
+        # [2^(k-1)+1, 2^k] (0/1 -> k=0; I32_MIN -> k=32)
+        if c == 0 or c == 1:
+            k = 0
+        else:
+            k = 1
+            cc = c - 1 if c > 0 else -c
+            while cc >= (1 << k):
+                k += 1
+        self.k = k
+        self.enc.encode_symbol(self.m_bits[context], k)
+        if k == 0:
+            self.enc.encode_bit(self.m_corr0, c)
+            return
+        if k >= 32:
+            return
+        # translate into the raw code (inverse of _read_corrector)
+        if c > 0:
+            raw = c - 1
+        else:
+            raw = c + (1 << k) - 1
+        if k <= self.bits_high:
+            self.enc.encode_symbol(self._corr_model(k), raw)
+        else:
+            k1 = k - self.bits_high
+            self.enc.encode_symbol(self._corr_model(k), raw >> k1)
+            self.enc.write_bits(k1, raw & ((1 << k1) - 1))
+
+
+class Point10v2W:
+    """Encode side of Point10v2 (mirror state machine)."""
+
+    def __init__(self, enc: Encoder, first: tuple):
+        self.enc = enc
+        (self.x, self.y, self.z, _intens, self.flags, self.classification,
+         sar, self.user_data, self.psid) = first
+        self.sar = sar & 0xFF
+        self.intensity = 0
+        self.m_changed = SymModel(64)
+        self.ic_intensity = IntComp(enc, 16, 4)
+        self.m_sar = [SymModel(256), SymModel(256)]
+        self.ic_psid = IntComp(enc, 16)
+        self.m_bit_byte = [None] * 256
+        self.m_classification = [None] * 256
+        self.m_user_data = [None] * 256
+        self.ic_dx = IntComp(enc, 32, 2)
+        self.ic_dy = IntComp(enc, 32, 22)
+        self.ic_z = IntComp(enc, 32, 20)
+        self.med_x = [StreamingMedian5() for _ in range(16)]
+        self.med_y = [StreamingMedian5() for _ in range(16)]
+        self.last_intensity = [0] * 16
+        self.last_height = [0] * 8
+
+    def _lazy(self, arr, idx):
+        m = arr[idx]
+        if m is None:
+            m = SymModel(256)
+            arr[idx] = m
+        return m
+
+    def write(self, pt: tuple):
+        enc = self.enc
+        (x, y, z, intensity, flags, classification, sar, user_data,
+         psid) = pt
+        sar &= 0xFF
+        r = flags & 7
+        n = (flags >> 3) & 7
+        m = NUMBER_RETURN_MAP[n][r]
+        ctx_l = NUMBER_RETURN_LEVEL[n][r]
+        changed = ((flags != self.flags) << 5) \
+            | ((intensity != self.last_intensity[m]) << 4) \
+            | ((classification != self.classification) << 3) \
+            | ((sar != self.sar) << 2) \
+            | ((user_data != self.user_data) << 1) \
+            | (psid != self.psid)
+        enc.encode_symbol(self.m_changed, changed)
+        if changed & 32:
+            enc.encode_symbol(self._lazy(self.m_bit_byte, self.flags), flags)
+            self.flags = flags
+        if changed & 16:
+            self.ic_intensity.compress(self.last_intensity[m], intensity,
+                                       m if m < 3 else 3)
+            self.last_intensity[m] = intensity
+        self.intensity = intensity
+        if changed & 8:
+            enc.encode_symbol(
+                self._lazy(self.m_classification, self.classification),
+                classification)
+            self.classification = classification
+        if changed & 4:
+            enc.encode_symbol(self.m_sar[1 if (flags & 0x40) else 0],
+                              (sar - self.sar) & 0xFF)
+            self.sar = sar
+        if changed & 2:
+            enc.encode_symbol(self._lazy(self.m_user_data, self.user_data),
+                              user_data)
+            self.user_data = user_data
+        if changed & 1:
+            self.ic_psid.compress(self.psid, psid)
+            self.psid = psid
+
+        med = self.med_x[m].get()
+        diff = _i32(x - self.x)
+        self.ic_dx.compress(med, diff, 1 if n == 1 else 0)
+        self.med_x[m].add(diff)
+        self.x = x
+        k_bits = self.ic_dx.k
+        med = self.med_y[m].get()
+        diff = _i32(y - self.y)
+        ctx = (1 if n == 1 else 0) + ((k_bits & 0xFE) if k_bits < 20 else 20)
+        self.ic_dy.compress(med, diff, ctx)
+        self.med_y[m].add(diff)
+        self.y = y
+        k_bits = (self.ic_dx.k + self.ic_dy.k) // 2
+        ctx = (1 if n == 1 else 0) + ((k_bits & 0xFE) if k_bits < 18 else 18)
+        self.ic_z.compress(self.last_height[ctx_l], z, ctx)
+        self.last_height[ctx_l] = z
+        self.z = z
+
+
+class GpsTime11v2W:
+    def __init__(self, enc: Encoder, first_u64: int):
+        self.enc = enc
+        self.last_gpstime = [first_u64, 0, 0, 0]
+        self.last_diff = [0, 0, 0, 0]
+        self.multi_extreme = [0, 0, 0, 0]
+        self.last = 0
+        self.next = 0
+        self.m_multi = SymModel(GT_MULTI_TOTAL)
+        self.m_0diff = SymModel(6)
+        self.ic_gpstime = IntComp(enc, 32, 9)
+
+    def write(self, u64: int):
+        enc = self.enc
+        cur = self.last_gpstime[self.last]
+        if self.last_diff[self.last] == 0:
+            if u64 == cur:
+                enc.encode_symbol(self.m_0diff, 0)
+                return
+            # could another of the 4 slots match?
+            for j in range(1, 4):
+                other = self.last_gpstime[(self.last + j) & 3]
+                if u64 == other:
+                    enc.encode_symbol(self.m_0diff, 2 + j)
+                    self.last = (self.last + j) & 3
+                    return self.write(u64)
+            d = _i64_from_u64(u64 - cur)
+            if -0x80000000 <= d <= 0x7FFFFFFF:
+                enc.encode_symbol(self.m_0diff, 1)
+                self.ic_gpstime.compress(0, d, 0)
+                self.last_diff[self.last] = d
+                self.multi_extreme[self.last] = 0
+                self.last_gpstime[self.last] = u64
+            else:
+                enc.encode_symbol(self.m_0diff, 2)
+                self.next = (self.next + 1) & 3
+                self.ic_gpstime.compress(_i32(cur >> 32), _i32(u64 >> 32), 8)
+                enc.write_bits(32, u64 & U32)
+                self.last = self.next
+                self.last_gpstime[self.last] = u64
+                self.last_diff[self.last] = 0
+                self.multi_extreme[self.last] = 0
+        else:
+            if u64 == cur:
+                # same time: multi code for "zero diff" is
+                # LASZIP_GPSTIME_MULTI_UNCHANGED
+                enc.encode_symbol(self.m_multi, GT_MULTI_UNCHANGED)
+                return
+            for j in range(1, 4):
+                other = self.last_gpstime[(self.last + j) & 3]
+                if u64 == other:
+                    enc.encode_symbol(self.m_multi, GT_MULTI_CODE_FULL + j)
+                    self.last = (self.last + j) & 3
+                    return self.write(u64)
+            d = _i64_from_u64(u64 - cur)
+            if -0x80000000 <= d <= 0x7FFFFFFF:
+                ld = self.last_diff[self.last]
+                # multi = rounded ratio
+                if d >= 0:
+                    multi = (d + (ld // 2 if ld > 0 else -ld // 2)) // ld \
+                        if ld else 0
+                else:
+                    multi = (d - (-ld // 2 if ld > 0 else ld // 2)) // ld \
+                        if ld else 0
+                if multi == 1:
+                    enc.encode_symbol(self.m_multi, 1)
+                    self.ic_gpstime.compress(ld, d, 1)
+                    self.multi_extreme[self.last] = 0
+                elif multi == 0:
+                    enc.encode_symbol(self.m_multi, 0)
+                    self.ic_gpstime.compress(0, d, 7)
+                    self.multi_extreme[self.last] += 1
+                    if self.multi_extreme[self.last] > 3:
+                        self.last_diff[self.last] = d
+                        self.multi_extreme[self.last] = 0
+                elif 2 <= multi < GT_MULTI:
+                    enc.encode_symbol(self.m_multi, multi)
+                    self.ic_gpstime.compress(multi * ld, d,
+                                             2 if multi < 10 else 3)
+                elif multi >= GT_MULTI:
+                    enc.encode_symbol(self.m_multi, GT_MULTI)
+                    self.ic_gpstime.compress(GT_MULTI * ld, d, 4)
+                    self.multi_extreme[self.last] += 1
+                    if self.multi_extreme[self.last] > 3:
+                        self.last_diff[self.last] = d
+                        self.multi_extreme[self.last] = 0
+                elif -1 >= multi > GT_MULTI_MINUS:
+                    enc.encode_symbol(self.m_multi, GT_MULTI - multi)
+                    self.ic_gpstime.compress(multi * ld, d, 5)
+                else:
+                    enc.encode_symbol(self.m_multi, GT_MULTI - GT_MULTI_MINUS)
+                    self.ic_gpstime.compress(GT_MULTI_MINUS * ld, d, 6)
+                    self.multi_extreme[self.last] += 1
+                    if self.multi_extreme[self.last] > 3:
+                        self.last_diff[self.last] = d
+                        self.multi_extreme[self.last] = 0
+                self.last_gpstime[self.last] = u64
+            else:
+                enc.encode_symbol(self.m_multi, GT_MULTI_CODE_FULL)
+                self.next = (self.next + 1) & 3
+                self.ic_gpstime.compress(_i32(cur >> 32), _i32(u64 >> 32), 8)
+                enc.write_bits(32, u64 & U32)
+                self.last = self.next
+                self.last_gpstime[self.last] = u64
+                self.last_diff[self.last] = 0
+                self.multi_extreme[self.last] = 0
+
+
+class Rgb12v2W:
+    def __init__(self, enc: Encoder, first: tuple):
+        self.enc = enc
+        self.r, self.g, self.b = first
+        self.m_used = SymModel(128)
+        self.m_diff = [SymModel(256) for _ in range(6)]
+
+    def write(self, rgb: tuple):
+        enc = self.enc
+        r, g, b = rgb
+        sym = 0
+        if (r & 255) != (self.r & 255):
+            sym |= 1
+        if (r >> 8) != (self.r >> 8):
+            sym |= 2
+        if (g & 255) != (b & 255) or (g >> 8) != (b >> 8) \
+                or (g & 255) != (r & 255) or (g >> 8) != (r >> 8):
+            sym |= 64
+        if sym & 64:
+            if (g & 255) != (self.g & 255):
+                sym |= 4
+            if (g >> 8) != (self.g >> 8):
+                sym |= 8
+            if (b & 255) != (self.b & 255):
+                sym |= 16
+            if (b >> 8) != (self.b >> 8):
+                sym |= 32
+        enc.encode_symbol(self.m_used, sym)
+        if sym & 1:
+            enc.encode_symbol(self.m_diff[0],
+                              ((r & 255) - (self.r & 255)) & 0xFF)
+        if sym & 2:
+            enc.encode_symbol(self.m_diff[1],
+                              ((r >> 8) - (self.r >> 8)) & 0xFF)
+        if sym & 64:
+            diff = (r & 255) - (self.r & 255)
+            if sym & 4:
+                corr = ((g & 255)
+                        - _u8_clamp(diff + (self.g & 255))) & 0xFF
+                enc.encode_symbol(self.m_diff[2], corr)
+            if sym & 16:
+                diff = _div2_trunc(diff + ((g & 255) - (self.g & 255)))
+                corr = ((b & 255)
+                        - _u8_clamp(diff + (self.b & 255))) & 0xFF
+                enc.encode_symbol(self.m_diff[4], corr)
+            diff = (r >> 8) - (self.r >> 8)
+            if sym & 8:
+                corr = ((g >> 8) - _u8_clamp(diff + (self.g >> 8))) & 0xFF
+                enc.encode_symbol(self.m_diff[3], corr)
+            if sym & 32:
+                diff = _div2_trunc(diff + ((g >> 8) - (self.g >> 8)))
+                corr = ((b >> 8) - _u8_clamp(diff + (self.b >> 8))) & 0xFF
+                enc.encode_symbol(self.m_diff[5], corr)
+        self.r, self.g, self.b = r, g, b
