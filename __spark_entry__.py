@@ -3959,7 +3959,8 @@ def _pointcloud_oracles() -> dict[str, str]:
         "gk_quantiles": """
           SELECT q, (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
                  true AS certified, true AS exact_ok
-          FROM (VALUES (0.25), (0.5), (0.9), (0.99)) t(q)
+          FROM (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                       (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) t(q)
         """,
         "hag": hag,
     }
@@ -4238,8 +4239,8 @@ def _eigen_oracles() -> dict[str, str]:
              round((sqrt(ep) - sqrt(greatest(em, 0.0))) / sqrt(ep), 6) + 0
                AS linearity,
              round(sqrt(greatest(em, 0.0)) / sqrt(ep), 6) + 0 AS planarity,
-             round(0.0, 6) + 0 AS scattering,
-             round(0.0, 6) + 0 AS verticality
+             CAST(0.0 AS DOUBLE) AS scattering,
+             CAST(0.0 AS DOUBLE) AS verticality
       FROM eig
     """
     docs_z_sql = (
@@ -5304,9 +5305,11 @@ def _raster_oracles() -> dict[str, str]:
     pixels_sql = f"""
       WITH px AS (SELECT unnest(range(0, {g.width * g.height})) AS pid)
       SELECT pid, pid % {g.width} AS col, pid // {g.width} AS row,
-             ({g.origin_x!r}) + (pid % {g.width} + 0.5) * {g.edge!r} AS x,
-             ({g.origin_y!r}) + ({float(g.height)!r} - (pid // {g.width} + 0.5))
-               * {g.edge!r} AS y
+             CAST(({g.origin_x!r}) + (pid % {g.width} + 0.5) * {g.edge!r}
+               AS DOUBLE) AS x,
+             CAST(({g.origin_y!r})
+               + ({float(g.height)!r} - (pid // {g.width} + 0.5))
+               * {g.edge!r} AS DOUBLE) AS y
       FROM px
     """
     # point cell key (raster_col/raster_row twins; Spark cast truncates)

@@ -151,7 +151,8 @@ def source_mixture_sql(
     return f"""
       WITH g AS (
         SELECT {keys}, count(*) AS n_docs,
-               sum(len(string_split({text}, ' '))) AS n_tokens
+               CAST(sum(len(string_split({text}, ' ')))
+                 AS BIGINT) AS n_tokens
         FROM {table} GROUP BY {keys}
       )
       SELECT {keys}, n_docs, n_tokens,

@@ -282,7 +282,10 @@ def hits_sql(edges_sql: str, n_iters: int = 4) -> str:
     body = ",\n".join(parts)
     return (
         f"{body}\n"
-        f"SELECT nodes.node, a.a AS auth_micro, h.h AS hub_micro,"
+        # CAST: the half-step chain widens to HUGEINT (sum → * → //);
+        # Spark emits LongType and the driver hash is dtype-sensitive.
+        f"SELECT nodes.node, CAST(a.a AS BIGINT) AS auth_micro,"
+        f" CAST(h.h AS BIGINT) AS hub_micro,"
         f" a.a / {float(HMICRO)} AS authority,"
         f" h.h / {float(HMICRO)} AS hub"
         f" FROM nodes JOIN a{n_iters} a ON nodes.node = a.node"
@@ -471,7 +474,7 @@ def harmonic_centrality_sql(edges_sql: str, radius: int = 4) -> str:
     )
     return (
         "WITH " + ", ".join(ctes) +
-        f" SELECT v AS node, sum(w) AS h_num,"
+        f" SELECT v AS node, CAST(sum(w) AS BIGINT) AS h_num,"
         f" sum(w) / {float(lcm)!r} AS harmonic"
         f" FROM ({unions}) GROUP BY v"
     )

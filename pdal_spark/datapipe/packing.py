@@ -76,18 +76,23 @@ def pack_sequences_sql(
         FROM {table}
       ),
       off AS (
+        -- DuckDB's windowed sum(BIGINT) widens to HUGEINT (int128), and
+        -- `//` on HUGEINT stays HUGEINT; the engine emits LongType, so
+        -- every derived column must be cast back to BIGINT or the
+        -- driver's dtype-sensitive hash diverges on identical values.
         SELECT {id_col}, n_tokens,
-               coalesce(sum(n_tokens) OVER (
+               CAST(coalesce(sum(n_tokens) OVER (
                  ORDER BY {id_col}
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) AS tok_start
+               ), 0) AS BIGINT) AS tok_start
         FROM base
       )
       SELECT {id_col}, n_tokens, tok_start,
-             CASE WHEN n_tokens > 0 THEN tok_start // {L} END
-               AS block_start,
-             CASE WHEN n_tokens > 0
-                  THEN (tok_start + n_tokens - 1) // {L} END AS block_end,
+             CAST(CASE WHEN n_tokens > 0 THEN tok_start // {L} END
+               AS BIGINT) AS block_start,
+             CAST(CASE WHEN n_tokens > 0
+                  THEN (tok_start + n_tokens - 1) // {L} END
+               AS BIGINT) AS block_end,
              CAST(CASE WHEN n_tokens > 0
                   THEN (tok_start + n_tokens - 1) // {L} - tok_start // {L} + 1
                   ELSE 0 END AS BIGINT) AS n_blocks

@@ -654,7 +654,8 @@ def domain_quality_screen_sql(
     return f"""
       WITH agg AS (
         SELECT {by}, count(*) AS n_pages,
-               sum(CASE WHEN {pass_expr} THEN 1 ELSE 0 END) AS n_pass
+               CAST(sum(CASE WHEN {pass_expr} THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pass
         FROM ({src}) GROUP BY {by}
       )
       SELECT {by}, n_pages, n_pass,

@@ -75,7 +75,9 @@ def grouped_quantiles_sql(
     id_col: str = "doc_id",
 ) -> str:
     g = ", ".join(by)
-    q_rows = ", ".join(f"({float(q)!r})" for q in qs)
+    # CAST: a bare 0.25 literal is DECIMAL(3,2) in DuckDB; Spark emits
+    # DoubleType, and the driver's value hash is dtype-sensitive.
+    q_rows = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
     return f"""
       WITH ranked AS (
         SELECT {g}, {value_expr} AS value,

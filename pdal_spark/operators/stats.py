@@ -210,7 +210,9 @@ def exact_quantiles_sql(
     """DuckDB twin of exact_quantiles — the same counting formulation
     (independently, DuckDB's native quantile_disc agrees; pytest pins
     that equivalence)."""
-    qvals = ", ".join(f"({float(q)})" for q in qs)
+    # CAST: a bare 0.25 literal is DECIMAL(3,2) in DuckDB; Spark emits
+    # DoubleType, and the driver's value hash is dtype-sensitive.
+    qvals = ", ".join(f"(CAST({float(q)!r} AS DOUBLE))" for q in qs)
     grp = ", ".join(by) + ", " if by else ""
     part = f"PARTITION BY {', '.join(by)} " if by else ""
     return f"""
