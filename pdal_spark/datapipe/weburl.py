@@ -479,12 +479,16 @@ def parse_robots(
     with one host-keyed exchange.
 
     Group selection follows RFC 9309 §2.2.1 (most specific match
-    only): when a host has a group naming ``agent`` exactly, ONLY the
-    named groups apply and the '*' groups are ignored for that agent;
-    the wildcard groups bind only on hosts with no named group — a
-    per-host anti-join, not a union (the r2 union could flip
-    policy_verdicts for named agents). Empty patterns are dropped
-    (RFC: they match nothing). Returns (host, prefix, allow).
+    only): a named group matches when its user-agent token is a
+    case-insensitive PREFIX of the crawler's product token (so groups
+    'foo' and 'foobot' both match agent 'foobot'); among matching
+    named groups, only those bearing the LONGEST matching token apply
+    (here 'foobot' — groups tied at that length are unioned, per the
+    RFC's merge-of-matching-groups rule), and the '*' groups bind only
+    on hosts with no matching named group — a per-host anti-join, not
+    a union (the r2 union could flip policy_verdicts for named
+    agents). Empty patterns are dropped (RFC: they match nothing).
+    Returns (host, prefix, allow).
     """
     lines = df.select(
         F.col(host_col).alias("host"),
@@ -522,7 +526,17 @@ def parse_robots(
     uas = grouped.filter(F.col("_ua") == 1).select(
         "host", F.col("_gid").alias("gid"), F.lower("val").alias("agent")
     )
-    named = uas.filter(F.col("agent") == agent.lower()).select("host", "gid")
+    matched = uas.filter(
+        (F.col("agent") != "*") & (F.col("agent") != "")
+        & F.lit(agent.lower()).startswith(F.col("agent"))
+    )
+    wh = Window.partitionBy("host")
+    named = (
+        matched.withColumn("_len", F.length("agent"))
+        .withColumn("_best", F.max("_len").over(wh))
+        .filter(F.col("_len") == F.col("_best"))
+        .select("host", "gid")
+    )
     wild = uas.filter(F.col("agent") == "*").select("host", "gid")
     wanted = named.unionByName(
         wild.join(named.select("host").distinct(), "host", "anti")
@@ -581,9 +595,18 @@ def parse_robots_sql(
         SELECT host, gid, key = 'allow' AS allow, val AS prefix
         FROM grouped WHERE ua = 0 AND val <> ''
       ),
+      matched AS (
+        -- RFC 9309 most-specific match: token is a prefix of the
+        -- crawler's product token; longest matching token wins.
+        SELECT host, gid, len(lower(val)) AS l FROM grouped
+        WHERE ua = 1 AND lower(val) <> '*' AND val <> ''
+          AND starts_with('{agent.lower()}', lower(val))
+      ),
       named AS (
-        SELECT DISTINCT host, gid FROM grouped
-        WHERE ua = 1 AND lower(val) = '{agent.lower()}'
+        SELECT DISTINCT host, gid FROM (
+          SELECT host, gid, l, max(l) OVER (PARTITION BY host) AS best
+          FROM matched
+        ) WHERE l = best
       ),
       wild AS (
         SELECT DISTINCT host, gid FROM grouped

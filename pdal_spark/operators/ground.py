@@ -794,6 +794,12 @@ def pmf(
     window with no populated cells raises GroundTilingError rather than
     silently diverging from the single grid.
     """
+    if max_window <= 0:
+        # pmf_windows() would be empty; the tiled path would emit +inf
+        # limits (classifying everything ground) while the driver path
+        # leaves limits null (keeping base class) — refuse the
+        # meaningless parameter instead of mode-dependent semantics.
+        raise ValueError(f"pmf(): max_window must be > 0, got {max_window}")
     if bounds is None:
         b = df.agg(F.min(x), F.min(y), F.max(x), F.max(y)).collect()[0]
         bounds = (b[0], b[1], b[2], b[3])

@@ -10,6 +10,8 @@ documented tile-border divergence (SURVEY §7.3).
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -345,6 +347,17 @@ def sample(
     if partitioned is None:
         n = df.count()
         partitioned = n > max_rows_exact
+        if partitioned:
+            # parity-sensitive callers must notice the divergent mode:
+            # tile-border keeps may differ from the global scan
+            warnings.warn(
+                f"sample(): {n} rows > max_rows_exact={max_rows_exact}; "
+                "auto-switching to tile-parallel mode, whose results "
+                "near tile borders may differ from the single-kernel "
+                "global scan. Pass partitioned=False (with a raised "
+                "max_rows_exact) to force exact parity mode.",
+                stacklevel=2,
+            )
         if partitioned and tile_len is None:
             tile_len = 256.0 * radius
     if partitioned:

@@ -100,3 +100,50 @@ def test_parse_robots_wildcard_fallback_per_host(spark):
     sql = weburl.parse_robots_sql("SELECT * FROM robots", agent="googlebot")
     ora = {(r.host, r.prefix) for _, r in con.sql(sql).df().iterrows()}
     assert ora == got
+
+
+def test_parse_robots_longest_prefix_match(spark):
+    """RFC 9309 §2.2.1 longest-match selection: group tokens match by
+    case-insensitive prefix of the crawler token, the longest matching
+    token wins, ties at that length are unioned, wildcard only when no
+    named token matches — in the Spark path AND the DuckDB twin."""
+    import duckdb
+    from pdal_spark.datapipe import weburl
+
+    txt = "\n".join([
+        "User-agent: foo",
+        "Disallow: /short",
+        "User-agent: foobot",
+        "Disallow: /long1",
+        "User-agent: FOOBOT",        # tie at longest length -> unioned
+        "Disallow: /long2",
+        "User-agent: *",
+        "Disallow: /star",
+    ])
+    df = spark.createDataFrame([("h1", txt)], "host string, robots_txt string")
+
+    def run(agent):
+        return {(r.prefix, r.allow)
+                for r in weburl.parse_robots(df, agent=agent).collect()}
+
+    # exact crawler token: both length-6 groups, not 'foo', not '*'
+    assert run("foobot") == {("/long1", False), ("/long2", False)}
+    # crawler token extends past every group token: prefix match still
+    # selects the longest ('foobot' over 'foo')
+    assert run("foobot-news") == {("/long1", False), ("/long2", False)}
+    # only the short token is a prefix of 'foox'
+    assert run("foox") == {("/short", False)}
+    # nothing matches -> wildcard group
+    assert run("barbot") == {("/star", False)}
+
+    con = duckdb.connect()
+    con.register("robots", df.toPandas())
+    for agent, want in [
+        ("foobot-news", {("/long1", False), ("/long2", False)}),
+        ("foox", {("/short", False)}),
+        ("barbot", {("/star", False)}),
+    ]:
+        sql = weburl.parse_robots_sql("SELECT * FROM robots", agent=agent)
+        ora = {(r.prefix, bool(r.allow))
+               for _, r in con.sql(sql).df().iterrows()}
+        assert ora == want, agent
