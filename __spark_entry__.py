@@ -931,6 +931,45 @@ def q_las_roundtrip(spark, sf_dir):
     )
 
 
+def q_las_laz_roundtrip(spark, sf_dir):
+    """writers.las(compression=laszip) + readers.las on .laz: encode the
+    geocoded pages to a LASzip file (chunk-parallel entropy encode —
+    exact global chunk ids via range-partitioned rank, one laszip chunk
+    per task) then decode it back with the chunk-parallel LAZ reader
+    (io/LasWriter.cpp compression branch + io/LasReader.cpp; the codec
+    itself is the from-scratch formats/laz.py, byte-identical to real
+    laszip output on the reference fixtures). Same quantization oracle
+    as las_roundtrip — compression is lossless, so the compressed
+    round-trip must reproduce the identical doubles."""
+    import tempfile
+
+    from pdal_spark.formats import las as las_fmt
+
+    df = _docs_geo(spark, sf_dir).select(
+        "x",
+        "y",
+        ((F.col("doc_id") * 7919) % 1000 * 0.05).alias("z"),
+        (F.col("doc_id") % 65536).cast("int").alias("intensity"),
+        ((F.col("doc_id") % 5) + 1).cast("int").alias("return_number"),
+        F.lit(5).cast("int").alias("number_of_returns"),
+        F.col("doc_id").cast("double").alias("gps_time"),
+    )
+    path = tempfile.mktemp(prefix="las_laz_rt_", suffix=".laz")
+    las_fmt.write_las(
+        df, path, fmt=1, scales=(1e-6, 1e-6, 1e-6),
+        compression=True, chunk_size=128, order_by=["gps_time"],
+    )
+    out = las_fmt.read_las(spark, path)
+    return out.select(
+        F.col("gps_time").cast("long").alias("doc_id"),
+        "x",
+        "y",
+        "z",
+        "intensity",
+        "return_number",
+    )
+
+
 def q_ept_query(spark, sf_dir):
     """readers.ept + Entwine-style build (io/EptReader.cpp): build a
     binary-dataType EPT octree from the geocoded pages (distributed
@@ -3353,6 +3392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voxel_centroid_nn": q_voxel_centroid_nn,
         "tindex": q_tindex,
         "las_roundtrip": q_las_roundtrip,
+        "las_laz_roundtrip": q_las_laz_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
         "ept_query": q_ept_query,
         "ept_addon": q_ept_addon,
@@ -3746,6 +3786,7 @@ def _misc_oracles() -> dict[str, str]:
         "reprojection_utm": reproj_utm,
         "reprojection_lcc": reproj_lcc,
         "las_roundtrip": las_rt,
+        "las_laz_roundtrip": las_rt,
         "warc_roundtrip": warc_rt,
         "ept_query": ept_q,
         "ept_addon": ept_addon_q,

@@ -303,17 +303,14 @@ def read_las(
     becomes ~100k independent chunks, so parallelism comes from chunk
     count, not file count.
     """
+    from pdal_spark.formats import laz as lazmod
+
     if isinstance(paths, str):
         paths = [paths]
     chunks = []
     fmt: Optional[int] = None
     for p in paths:
         h = read_header(p)
-        if h.compressed:
-            raise NotImplementedError(
-                f"{p}: laszip-compressed LAS (LAZ) requires the laszip "
-                "codec, unavailable in this environment"
-            )
         if h.point_format not in SUPPORTED_FORMATS:
             # LasReader error for waveform formats (LasReader.cpp:684-686)
             raise ValueError(f"Unsupported LAS point format {h.point_format}.")
@@ -323,27 +320,52 @@ def read_las(
             raise ValueError(
                 f"mixed point formats in one read ({fmt} vs {h.point_format})"
             )
-        start = 0
-        while start < h.point_count:
-            cnt = min(chunk_points, h.point_count - start)
-            chunks.append((p, start, cnt))
-            start += cnt
+        if h.compressed:
+            # LAZ: the laszip chunk IS the parallel unit (one entropy
+            # stream each); extents come from header+chunk-table partial
+            # reads only — the driver never touches point data
+            _, extents = lazmod.laz_chunk_extents(p, h.point_count)
+            for byte_start, byte_len, npts in extents:
+                chunks.append((p, byte_start, npts, byte_len))
+        else:
+            start = 0
+            while start < h.point_count:
+                cnt = min(chunk_points, h.point_count - start)
+                chunks.append((p, start, cnt, -1))
+                start += cnt
     if fmt is None:
         raise ValueError("no input files")
     schema = spark_schema(fmt)
 
-    chunk_df = spark.createDataFrame(chunks, "path string, start long, count long")
+    chunk_df = spark.createDataFrame(
+        chunks, "path string, start long, count long, laz_bytes long"
+    )
     n_chunks = len(chunks)
     sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     chunk_df = chunk_df.repartition(min(n_chunks, max(sp, 1)))
 
     def _decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for path, start, cnt in pdf.itertuples(index=False):
+            for path, start, cnt, laz_bytes in pdf.itertuples(index=False):
                 h = read_header(path)
-                with open(path, "rb") as f:
-                    f.seek(h.point_offset + int(start) * h.point_len)
-                    raw = f.read(int(cnt) * h.point_len)
+                if int(laz_bytes) >= 0:
+                    info = None
+                    with open(path, "rb") as f:
+                        f.seek(0)
+                        head = f.read(h.point_offset)
+                        info = lazmod.laz_vlr_info(head)
+                        f.seek(int(start))
+                        # +8 slack: the arithmetic decoder reads up to
+                        # 4 bytes past the last coded symbol
+                        buf = f.read(int(laz_bytes) + 8)
+                    rec = lazmod.decode_chunk(buf, 0, int(cnt), info["items"])
+                    # the v2 item layout IS the packed uncompressed
+                    # record layout for fmt 0-3 -> reuse decode_records
+                    raw = rec.tobytes()
+                else:
+                    with open(path, "rb") as f:
+                        f.seek(h.point_offset + int(start) * h.point_len)
+                        raw = f.read(int(cnt) * h.point_len)
                 yield decode_records(raw, h)
 
     return chunk_df.mapInPandas(_decode, schema=schema)
@@ -484,6 +506,9 @@ def write_las(
     scales: Sequence[float] = (0.01, 0.01, 0.01),
     offsets: Sequence[float] = (0.0, 0.0, 0.0),
     version_minor: Optional[int] = None,
+    compression: bool = False,
+    chunk_size: int = 50000,
+    order_by: Optional[Sequence[str]] = None,
 ) -> dict:
     """Single-file LAS writer (parity/interop mode).
 
@@ -492,7 +517,19 @@ def write_las(
     never holds more than one encoded block.  Bounds/counts aggregate
     JVM-side in the same pass.  For the scale path use
     :func:`write_las_parts`.
+
+    ``compression=True`` writes LASzip (.laz): rows get exact global
+    indices (range-partitioned rank over ``order_by``, which must
+    totally order them), chunk id = index // chunk_size, and each
+    chunk entropy-encodes IN ITS OWNING TASK (the laszip chunk is the
+    parallel unit for the writer exactly as for the reader); the
+    driver streams the encoded chunks in order and appends the chunk
+    table. The encoder is byte-identical to real laszip output on the
+    reference fixture (tests/test_laz.py).
     """
+    if compression:
+        return _write_laz(df, path, fmt, scales, offsets,
+                          chunk_size, order_by)
     if version_minor is None:
         version_minor = 4 if _has14(fmt) else 2
     if _has14(fmt) and version_minor < 4:
@@ -561,6 +598,136 @@ def write_las(
         "mins": mins,
         "maxs": maxs,
         "path": path,
+    }
+
+
+def _laz_record_view(raw: bytes, fmt: int) -> np.ndarray:
+    """Packed records -> structured array with the LAZ item field names
+    (x/y/z lowercase; identical layout, zero copy)."""
+    dt = _record_dtype(fmt)
+    names = ["x" if n == "X" else "y" if n == "Y" else "z" if n == "Z"
+             else n for n in dt.names]
+    dt2 = np.dtype({
+        "names": names,
+        "formats": [dt.fields[n][0] for n in dt.names],
+        "offsets": [dt.fields[n][1] for n in dt.names],
+        "itemsize": dt.itemsize,
+    })
+    return np.frombuffer(raw, dtype=dt2)
+
+
+def _write_laz(
+    df: DataFrame,
+    path: str,
+    fmt: int,
+    scales: Sequence[float],
+    offsets: Sequence[float],
+    chunk_size: int,
+    order_by: Optional[Sequence[str]],
+) -> dict:
+    """writers.las compression=laszip — see write_las docstring."""
+    from pdal_spark.formats import laz as lazmod
+    from pdal_spark.operators.ordered import global_rank
+
+    lazmod.laz_items_for_format(fmt)  # raise early for fmt > 3
+    if not order_by:
+        raise ValueError(
+            "write_las(compression=True) needs order_by: laszip chunk "
+            "boundaries are positional, so rows need a total order"
+        )
+    version_minor = 2
+    slots = LEGACY_RETURN_COUNT
+    items = lazmod.laz_items_for_format(fmt)
+
+    idx = global_rank(df, [F.col(c) for c in order_by],
+                      out_col="_gidx", zero_based=True)
+    chunked = idx.withColumn(
+        "_chunk", (F.col("_gidx") / F.lit(chunk_size)).cast("long")
+    )
+
+    blk_schema = T.StructType([
+        T.StructField("chunk", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("by_return", T.ArrayType(T.LongType())),
+        T.StructField("minx", T.DoubleType()),
+        T.StructField("miny", T.DoubleType()),
+        T.StructField("minz", T.DoubleType()),
+        T.StructField("maxx", T.DoubleType()),
+        T.StructField("maxy", T.DoubleType()),
+        T.StructField("maxz", T.DoubleType()),
+    ])
+
+    def _encode_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_gidx", kind="stable")
+        raw = encode_records(pdf, fmt, scales, offsets)
+        rec = _laz_record_view(raw, fmt)
+        blob = lazmod.encode_chunk(rec, items)
+        ret = np.asarray(
+            pdf["return_number"] if "return_number" in pdf.columns
+            else np.ones(len(pdf))
+        )
+        br = _return_counts(ret, slots)
+        return pd.DataFrame({
+            "chunk": [int(key[0])], "blob": [blob], "n": [len(pdf)],
+            "by_return": [br.astype(np.int64).tolist()],
+            "minx": [float(pdf["x"].min())], "miny": [float(pdf["y"].min())],
+            "minz": [float(pdf["z"].min())], "maxx": [float(pdf["x"].max())],
+            "maxy": [float(pdf["y"].max())], "maxz": [float(pdf["z"].max())],
+        })
+
+    blocks = chunked.groupBy("_chunk").applyInPandas(
+        _encode_one, schema=blk_schema
+    ).orderBy("chunk")
+
+    count = 0
+    by_return = np.zeros(slots, dtype=np.uint64)
+    mins = [np.inf] * 3
+    maxs = [-np.inf] * 3
+    sizes: list[int] = []
+    hsize = HEADER_SIZE[version_minor]
+    vlr = lazmod.make_laz_vlr(fmt, chunk_size)
+    data_offset = hsize + len(vlr)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as out:
+        out.write(b"\0" * hsize)
+        out.write(vlr)
+        out.write(struct.pack("<q", -1))  # table pointer, patched below
+        expect = 0
+        for row in blocks.toLocalIterator():
+            assert row.chunk == expect, "chunk stream out of order"
+            expect += 1
+            out.write(bytes(row.blob))
+            sizes.append(len(row.blob))
+            count += row.n
+            by_return += np.asarray(row.by_return, dtype=np.uint64)
+            mins = [min(mins[0], row.minx), min(mins[1], row.miny),
+                    min(mins[2], row.minz)]
+            maxs = [max(maxs[0], row.maxx), max(maxs[1], row.maxy),
+                    max(maxs[2], row.maxz)]
+        table_offset = out.tell()
+        out.write(lazmod.encode_chunk_sizes(sizes))
+    if count == 0:
+        mins = [0.0, 0.0, 0.0]
+        maxs = [0.0, 0.0, 0.0]
+    header = bytearray(make_header(
+        fmt, version_minor, count, by_return, scales, offsets, mins, maxs
+    ))
+    struct.pack_into("<I", header, 96, data_offset)   # point data offset
+    struct.pack_into("<I", header, 100, 1)            # one VLR (laszip)
+    header[104] |= 0x80                               # compression flag
+    with open(tmp, "r+b") as out:
+        out.write(bytes(header))
+        out.seek(data_offset)
+        out.write(struct.pack("<q", table_offset))
+    os.replace(tmp, path)
+    return {
+        "count": count,
+        "by_return": by_return.astype(np.int64).tolist(),
+        "mins": mins,
+        "maxs": maxs,
+        "path": path,
+        "chunks": len(sizes),
     }
 
 

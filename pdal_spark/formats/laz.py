@@ -14,25 +14,24 @@ POINT10, GPSTIME11, RGB12 — i.e. point formats 0-3 as produced by
 laszip/LAStools and PDAL's writers.las(compression). The v1 item
 codecs (compressor 1, pre-2011 files) raise a clear error.
 
-STATUS — EXPERIMENTAL, not wired into the public reader. What is
-verified (tests/test_laz.py):
+STATUS — VERIFIED and wired into the public reader (formats/las.py
+decodes .laz transparently). tests/test_laz.py pins:
+  * FULL byte-exact decode of real laszip output: every point of every
+    chunk of autzen_trim.laz (110,000 pts, 3 chunks) and of all three
+    laszip/ fixtures (laszip-/liblas-generated + padded-VLR variant,
+    1065 pts each) equals the uncompressed .las twin bit for bit;
   * the FastAC arithmetic coder pair (Encoder/Decoder, bit + adaptive
-    symbol models incl. the first-cycle reset rule) round-trips and is
-    byte-exact against real laszip output for long stretches;
+    symbol models incl. the first-cycle reset rule) round-trips;
   * IntegerCompressor compress/decompress round-trip (5k random
     walks, all k paths);
   * the full POINT10+GPSTIME11+RGB12 v2 codec chain round-trips
     (encode -> decode == input) on synthetic point streams;
   * chunk-table parsing and chunk-parallel layout against the real
     autzen_trim.laz fixture.
-Against REAL laszip streams the decoder is byte-exact for long
-prefixes (chunk 0: 389 points, chunk 1: 14, chunk 2: 45 of
-autzen_trim.laz — every field bit-equal until one residual
-adaptive-model rule diverges; localized to the coordinate
-IntegerCompressor's corrector path by a byte-level encoder diff, see
-the pinned prefix test). Until that last rule is identified the
-public LAS reader keeps its honest LazUnsupported guard; nothing in
-SURVEY/COVERAGE claims LAZ support.
+The historical residual divergence (byte-exact only for prefixes)
+was FastAC's bit-model probability update: a DOUBLE truncation
+(scale = 2^31 // count, then (count0 * scale) >> 18), not a single
+floor division — see BitModel._update.
 
 Scale shape: LAZ chunks (default 50k points) are independent streams —
 the chunk table gives their offsets, so decode parallelizes chunk-per-
@@ -48,7 +47,9 @@ import struct
 
 import numpy as np
 
-__all__ = ["read_laz_points", "laz_vlr_info", "LazUnsupported"]
+__all__ = ["read_laz_points", "laz_vlr_info", "laz_chunk_extents",
+           "encode_chunk", "make_laz_vlr", "encode_chunk_sizes",
+           "laz_items_for_format", "LazUnsupported"]
 
 U32 = 0xFFFFFFFF
 AC_MIN_LENGTH = 0x01000000
@@ -88,8 +89,14 @@ class BitModel:
             self.bit_0_count = (self.bit_0_count + 1) >> 1
             if self.bit_0_count == self.bit_count:
                 self.bit_count += 1
-        self.bit_0_prob = (self.bit_0_count << BM_LENGTH_SHIFT) \
-            // self.bit_count
+        # FastAC computes p0 with a DOUBLE truncation — scale first,
+        # then shift — NOT the single-floor (count << shift) // total.
+        # The two differ by 1 for many (count, total) pairs (e.g. 3/6:
+        # 4095 vs 4096), which was the residual adaptive-model
+        # divergence vs real laszip streams.
+        scale = 0x80000000 // self.bit_count
+        self.bit_0_prob = (self.bit_0_count * scale) \
+            >> (31 - BM_LENGTH_SHIFT)
         self.update_cycle = min((5 * self.update_cycle) >> 2, 64)
         self.bits_until_update = self.update_cycle
 
@@ -704,11 +711,9 @@ def laz_vlr_info(buf: bytes) -> dict:
     raise ValueError("no laszip VLR — not a LAZ file")
 
 
-def read_chunk_table(buf: bytes, offset: int, table_offset: int,
-                     n_points: int, chunk_size: int) -> list[tuple[int, int]]:
-    """-> [(file_offset, n_points_in_chunk)] per chunk. The table stores
-    arithmetic-coded chunk byte sizes (IntegerCompressor 32/2)."""
-    pos = table_offset
+def _decode_chunk_sizes(buf: bytes, pos: int) -> list[int]:
+    """Chunk-table payload -> per-chunk byte sizes (the table stores
+    arithmetic-coded sizes, IntegerCompressor 32/2)."""
     version, n_chunks = struct.unpack("<II", buf[pos:pos + 8])
     if version != 0:
         raise LazUnsupported(f"chunk table version {version}")
@@ -716,9 +721,16 @@ def read_chunk_table(buf: bytes, offset: int, table_offset: int,
     ic = IntDecomp(dec, 32, 2)
     sizes = []
     prev = 0
-    for i in range(n_chunks):
+    for _ in range(n_chunks):
         prev = ic.decompress(prev, 1)
         sizes.append(prev)
+    return sizes
+
+
+def read_chunk_table(buf: bytes, offset: int, table_offset: int,
+                     n_points: int, chunk_size: int) -> list[tuple[int, int]]:
+    """-> [(file_offset, n_points_in_chunk)] per chunk."""
+    sizes = _decode_chunk_sizes(buf, table_offset)
     out = []
     start = offset + 8  # first 8 bytes are the chunk-table offset
     remaining = n_points
@@ -728,6 +740,48 @@ def read_chunk_table(buf: bytes, offset: int, table_offset: int,
         start += s
         remaining -= npts
     return out
+
+
+def laz_chunk_extents(
+    path: str, n_points: int | None = None,
+) -> tuple[dict, list[tuple[int, int, int]]]:
+    """Driver-side chunk layout via PARTIAL reads — header + VLRs, the
+    8-byte table pointer, and the (tiny) chunk table; never the point
+    data.  -> (vlr_info, [(byte_start, byte_len, n_pts)]).  This is the
+    scale path: a 100 GB .laz costs the driver a few KB of reads, and
+    each (byte_start, byte_len) slice is an independent decode task."""
+    with open(path, "rb") as f:
+        head = f.read(1024)
+        offset = struct.unpack("<I", head[96:100])[0]
+        if n_points is None:
+            n_points = struct.unpack("<I", head[107:111])[0]
+        if offset > len(head):
+            f.seek(0)
+            head = f.read(offset)
+        info = laz_vlr_info(head)
+        if info["compressor"] != 2:
+            raise LazUnsupported(
+                f"laszip compressor {info['compressor']} — only the "
+                "chunked pointwise form (2) is implemented"
+            )
+        if info["chunk_size"] in (0, U32):
+            raise LazUnsupported("variable-size laszip chunking")
+        f.seek(offset)
+        table_offset = struct.unpack("<q", f.read(8))[0]
+        if table_offset < 0:
+            raise LazUnsupported("streaming laz (chunk table offset -1)")
+        f.seek(table_offset)
+        tail = f.read()
+    sizes = _decode_chunk_sizes(tail, 0)
+    out = []
+    start = offset + 8
+    remaining = n_points
+    for s in sizes:
+        npts = min(info["chunk_size"], remaining)
+        out.append((start, s, npts))
+        start += s
+        remaining -= npts
+    return info, out
 
 
 _ITEM_POINT10 = 6
@@ -1231,3 +1285,88 @@ class Rgb12v2W:
                 corr = ((b >> 8) - _u8_clamp(diff + (self.b >> 8))) & 0xFF
                 enc.encode_symbol(self.m_diff[5], corr)
         self.r, self.g, self.b = r, g, b
+
+
+# ---------------------------------------------------------------------------
+# chunk encoder + container writer pieces
+# ---------------------------------------------------------------------------
+
+
+def encode_chunk(rec: np.ndarray, items: list[dict]) -> bytes:
+    """Encode one chunk (mirror of decode_chunk): first record raw, the
+    rest entropy-coded. Verified byte-identical to real laszip output
+    on the reference fixture's chunks (tests/test_laz.py)."""
+    has_gps = any(it["type"] == _ITEM_GPSTIME11 for it in items)
+    has_rgb = any(it["type"] == _ITEM_RGB12 for it in items)
+    n = len(rec)
+    if n == 0:
+        return b""
+
+    def _pt(i: int) -> tuple:
+        r = rec[i]
+        return (int(r["x"]), int(r["y"]), int(r["z"]), int(r["intensity"]),
+                int(r["flags"]), int(r["classification"]),
+                int(np.int8(r["scan_angle_rank"])), int(r["user_data"]),
+                int(r["point_source_id"]))
+
+    first = _pt(0)
+    raw = struct.pack("<iiiHBBbBH", *first)
+    enc = Encoder()
+    ptw = Point10v2W(enc, first)
+    if has_gps:
+        g0 = struct.unpack("<Q", struct.pack("<d", float(rec["gps_time"][0])))[0]
+        raw += struct.pack("<Q", g0)
+        gtw = GpsTime11v2W(enc, g0)
+    if has_rgb:
+        c0 = (int(rec["red"][0]), int(rec["green"][0]), int(rec["blue"][0]))
+        raw += struct.pack("<HHH", *c0)
+        rgbw = Rgb12v2W(enc, c0)
+    for i in range(1, n):
+        ptw.write(_pt(i))
+        if has_gps:
+            gtw.write(struct.unpack(
+                "<Q", struct.pack("<d", float(rec["gps_time"][i])))[0])
+        if has_rgb:
+            rgbw.write((int(rec["red"][i]), int(rec["green"][i]),
+                        int(rec["blue"][i])))
+    return raw + enc.done()
+
+
+def laz_items_for_format(fmt: int) -> list[dict]:
+    """v2 item list for LAS point formats 0-3."""
+    if fmt not in (0, 1, 2, 3):
+        raise LazUnsupported(
+            f"LAZ writing for point format {fmt} (v2 items cover 0-3)"
+        )
+    items = [{"type": _ITEM_POINT10, "size": 20, "version": 2}]
+    if fmt in (1, 3):
+        items.append({"type": _ITEM_GPSTIME11, "size": 8, "version": 2})
+    if fmt in (2, 3):
+        items.append({"type": _ITEM_RGB12, "size": 6, "version": 2})
+    return items
+
+
+def make_laz_vlr(fmt: int, chunk_size: int = 50000) -> bytes:
+    """Serialize the 'laszip encoded' VLR (header + payload) for the
+    chunked pointwise compressor."""
+    items = laz_items_for_format(fmt)
+    payload = struct.pack(
+        "<HHBBHIIqqH", 2, 0, 2, 2, 0, 0, chunk_size, -1, -1, len(items)
+    )
+    for it in items:
+        payload += struct.pack("<HHH", it["type"], it["size"], it["version"])
+    hdr = struct.pack("<H", 0) + b"laszip encoded".ljust(16, b"\x00") + \
+        struct.pack("<HH", 22204, len(payload)) + b"\x00" * 32
+    return hdr + payload
+
+
+def encode_chunk_sizes(sizes: list[int]) -> bytes:
+    """Chunk table payload: u32 version 0, u32 count, IC(32,2)-coded
+    byte sizes (inverse of _decode_chunk_sizes)."""
+    enc = Encoder()
+    ic = IntComp(enc, 32, 2)
+    prev = 0
+    for s in sizes:
+        ic.compress(prev, s, 1)
+        prev = s
+    return struct.pack("<II", 0, len(sizes)) + enc.done()

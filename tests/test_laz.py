@@ -1,9 +1,5 @@
-"""Experimental LASzip codec (formats/laz.py) — verified-surface tests.
-
-The module is NOT part of the public reader (formats/las.py keeps its
-LazUnsupported guard); these tests pin exactly what IS correct so the
-residual divergence (one adaptive-model rule, see module docstring)
-stays localized instead of silently regressing.
+"""LASzip codec (formats/laz.py) — byte-exact against real laszip
+output (full files, every field) and wired into the public reader.
 """
 
 from __future__ import annotations
@@ -127,24 +123,43 @@ def test_item_codecs_roundtrip_synthetic():
         assert rgbr.read() == rgb_v
 
 
-def test_real_stream_prefix_decode():
-    """Pin the verified byte-exact prefix against REAL laszip output —
-    every field of the first K points of each chunk equals the
-    uncompressed twin bit for bit. If the residual rule is ever found,
-    these bounds go to 50000/50000/10000 and the reader goes public."""
+def test_real_stream_full_decode():
+    """EVERY point of every chunk of the real laszip-produced fixture
+    decodes byte-equal to the uncompressed twin — the former prefix
+    bounds (389/14/45) flipped to full chunks (50000/50000/10000) once
+    the residual adaptive-model rule was found (FastAC's bit-model
+    probability is a double truncation: scale = 2^31//count first,
+    then (count0*scale)>>18 — not a single floor division)."""
     ref = _twin_points()
     buf = open(FIX, "rb").read()
     info = laz.laz_vlr_info(buf)
     offset = struct.unpack("<I", buf[96:100])[0]
     tbl = struct.unpack("<q", buf[offset:offset + 8])[0]
     chunks = laz.read_chunk_table(buf, offset, tbl, 110000, 50000)
-    verified = [389, 14, 45]
-    for (start, n), k, base in zip(chunks, verified,
-                                   [0, 50000, 100000]):
-        got = laz.decode_chunk(buf, start, k, info["items"])
+    assert [n for _, n in chunks] == [50000, 50000, 10000]
+    for (start, n), base in zip(chunks, [0, 50000, 100000]):
+        got = laz.decode_chunk(buf, start, n, info["items"])
         for f in REF_DT.names:
             np.testing.assert_array_equal(
-                got[f][:k], ref[f][base:base + k], err_msg=f)
+                got[f], ref[f][base:base + n], err_msg=f)
+
+
+def test_laszip_fixture_family_full_decode():
+    """The three laszip/ fixtures (laszip-, liblas-generated, plus the
+    2-byte-padded VLR variant) all decode byte-equal to their shared
+    uncompressed twin basefile.las (fmt 3, 1065 pts)."""
+    d = "/root/reference/test/data/laszip"
+    base = open(f"{d}/basefile.las", "rb").read()
+    off = struct.unpack("<I", base[96:100])[0]
+    n = struct.unpack("<I", base[107:111])[0]
+    ref = np.frombuffer(base, dtype=REF_DT, count=n, offset=off)
+    for p in ["laszip-generated.laz",
+              "laszip-generated_with2bytespadding.laz",
+              "liblas-generated.laz"]:
+        pts = laz.read_laz_points(f"{d}/{p}")
+        assert len(pts) == n, p
+        for f in REF_DT.names:
+            np.testing.assert_array_equal(pts[f], ref[f], err_msg=f"{p}:{f}")
 
 
 def test_unsupported_paths_raise():
@@ -153,3 +168,73 @@ def test_unsupported_paths_raise():
     assert info["compressor"] == 1  # pointwise, v1 items
     with pytest.raises(laz.LazUnsupported):
         laz.read_laz_points("/root/reference/test/data/laz/simple.laz")
+
+
+def test_spark_reader_decodes_laz(spark):
+    """read_las() handles .laz transparently: the chunk-parallel Spark
+    decode of autzen_trim.laz equals the uncompressed twin's frame
+    exactly (every column, every row)."""
+    import pandas as pd
+    from pdal_spark.formats.las import read_las
+
+    key = ["gps_time", "x", "y", "z"]
+    a = (read_las(spark, FIX).toPandas()
+         .sort_values(key, kind="stable").reset_index(drop=True))
+    b = (read_las(spark, TWIN).toPandas()
+         .sort_values(key, kind="stable").reset_index(drop=True))
+    assert len(a) == 110000
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_laz_chunk_extents_partial_reads():
+    """Driver-side extents (header + chunk table only) agree with the
+    whole-buffer chunk table parse."""
+    buf = open(FIX, "rb").read()
+    offset = struct.unpack("<I", buf[96:100])[0]
+    tbl = struct.unpack("<q", buf[offset:offset + 8])[0]
+    whole = laz.read_chunk_table(buf, offset, tbl, 110000, 50000)
+    info, extents = laz.laz_chunk_extents(FIX)
+    assert [(s, n) for s, _, n in extents] == whole
+    # byte extents tile the compressed region exactly
+    for (s0, ln, _), (s1, _, _) in zip(extents, extents[1:]):
+        assert s0 + ln == s1
+    assert extents[-1][0] + extents[-1][1] == tbl
+
+
+def test_spark_laz_writer_roundtrip(spark):
+    """write_las(compression=True): chunk-parallel laszip encode (exact
+    global chunk ids via range-partitioned rank), then the chunk-
+    parallel reader decodes the written file back to the identical
+    frame. Chunk count must match ceil(n/chunk_size)."""
+    import tempfile
+
+    import pandas as pd
+    from pdal_spark.formats.las import read_las, write_las
+
+    src = read_las(spark, TWIN)
+    p = tempfile.mktemp(suffix=".laz")
+    key = ["gps_time", "x", "y", "z"]
+    info = write_las(
+        src, p, fmt=3, scales=(0.01, 0.01, 0.01), offsets=(0.0, 0.0, 0.0),
+        compression=True, order_by=key, chunk_size=40000,
+    )
+    assert info["count"] == 110000 and info["chunks"] == 3
+    back = read_las(spark, p)
+    a = src.toPandas().sort_values(key, kind="stable").reset_index(drop=True)
+    b = back.toPandas().sort_values(key, kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_encode_chunk_byte_identical_to_laszip():
+    """Re-encoding the decoded records of a REAL laszip chunk with our
+    encoder reproduces the fixture's compressed bytes EXACTLY — the
+    writer is laszip-byte-compatible, not merely self-consistent."""
+    buf = open(FIX, "rb").read()
+    info = laz.laz_vlr_info(buf)
+    offset = struct.unpack("<I", buf[96:100])[0]
+    tbl = struct.unpack("<q", buf[offset:offset + 8])[0]
+    chunks = laz.read_chunk_table(buf, offset, tbl, 110000, 50000)
+    start, n = chunks[2]  # last chunk: its end is the chunk table
+    rec = laz.decode_chunk(buf, start, n, info["items"])
+    mine = laz.encode_chunk(rec, info["items"])
+    assert mine == buf[start:tbl]
