@@ -18,8 +18,11 @@ EPT *builder* for the uncompressed ``binary`` data type:
   selects depths 0..2);
 * ``binary`` node decode: packed little-endian records per the
   ``schema`` list (signed/unsigned/float x size; X/Y/Z de-quantized
-  ``v * scale + offset``); ``laszip``/``zstandard`` raise (codecs
-  unavailable in-sandbox);
+  ``v * scale + offset``); ``laszip`` nodes decode through the
+  from-scratch codec (formats/laz.py) incl. the BYTE item carrying
+  Entwine's OriginId — verified against EptReaderTest.cpp's
+  fullReadLaszip golden (518862 pts, OriginId < 4); ``zstandard``
+  raises (codec unavailable in-sandbox);
 * ``write_ept``: a distributed Entwine-style top-down build — at each
   depth every node keeps a deterministic sample of up to
   ``node_capacity`` points (rank within the node over a seeded
@@ -181,6 +184,87 @@ def decode_node(raw: bytes, info: EptInfo) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+#: EPT schema entries backed by standard LAS dims in a laszip node
+_LAS_BACKED = {
+    "X", "Y", "Z", "Intensity", "ReturnNumber", "NumberOfReturns",
+    "ScanDirectionFlag", "EdgeOfFlightLine", "Classification",
+    "ScanAngleRank", "UserData", "PointSourceId", "GpsTime",
+    "Red", "Green", "Blue",
+}
+
+
+def decode_laz_node(buf: bytes, info: EptInfo) -> pd.DataFrame:
+    """Decode a laszip EPT node (whole .laz file bytes) into the SAME
+    frame decode_node produces for a binary node: X/Y/Z de-quantized
+    via the node's OWN LAS header scale/offset (Entwine writes the
+    dataset grid into every node header), standard dims from the LAS
+    record, extra dims (e.g. Entwine's OriginId) from the BYTE item in
+    schema order."""
+    import struct as _struct
+
+    from pdal_spark.formats import laz as lazmod
+
+    vlr = lazmod.laz_vlr_info(buf)
+    offset = _struct.unpack("<I", buf[96:100])[0]
+    n = _struct.unpack("<I", buf[107:111])[0]
+    sx, sy, sz = _struct.unpack("<3d", buf[131:155])
+    ox, oy, oz = _struct.unpack("<3d", buf[155:179])
+    if vlr["compressor"] == 1:
+        rec = lazmod.decode_chunk(buf, offset, n, vlr["items"])
+    else:
+        tbl = _struct.unpack("<q", buf[offset:offset + 8])[0]
+        chunks = lazmod.read_chunk_table(buf, offset, tbl, n,
+                                         vlr["chunk_size"])
+        parts = [lazmod.decode_chunk(buf, s, c, vlr["items"])
+                 for s, c in chunks]
+        rec = np.concatenate(parts)
+    out = {}
+    extra_pos = 0
+    for s in info.schema:
+        name = s["name"]
+        if name in _LAS_BACKED:
+            if name == "X":
+                out["x"] = rec["x"].astype(np.float64) * sx + ox
+            elif name == "Y":
+                out["y"] = rec["y"].astype(np.float64) * sy + oy
+            elif name == "Z":
+                out["z"] = rec["z"].astype(np.float64) * sz + oz
+            elif name == "ReturnNumber":
+                out[name] = (rec["flags"] & 7).astype(np.int32)
+            elif name == "NumberOfReturns":
+                out[name] = ((rec["flags"] >> 3) & 7).astype(np.int32)
+            elif name == "ScanDirectionFlag":
+                out[name] = ((rec["flags"] >> 6) & 1).astype(np.int32)
+            elif name == "EdgeOfFlightLine":
+                out[name] = ((rec["flags"] >> 7) & 1).astype(np.int32)
+            elif name == "ScanAngleRank":
+                out[name] = rec["scan_angle_rank"].astype(np.float64)
+            elif name == "GpsTime":
+                out[name] = rec["gps_time"].astype(np.float64)
+            else:
+                col = rec[{"Intensity": "intensity",
+                           "Classification": "classification",
+                           "UserData": "user_data",
+                           "PointSourceId": "point_source_id",
+                           "Red": "red", "Green": "green",
+                           "Blue": "blue"}[name]]
+                out[name] = col.astype(
+                    np.int64 if int(s["size"]) >= 4 else np.int32)
+        else:
+            sz_b = int(s["size"])
+            seg = rec["extra"][:, extra_pos:extra_pos + sz_b]
+            extra_pos += sz_b
+            col = np.ascontiguousarray(seg).view(
+                _NP_TYPE[(s["type"], sz_b)]).ravel()
+            if s["type"] == "float":
+                out[name] = col.astype(np.float64)
+            elif sz_b >= 4:
+                out[name] = col.astype(np.int64)
+            else:
+                out[name] = col.astype(np.int32)
+    return pd.DataFrame(out)
+
+
 def read_ept(
     spark: SparkSession,
     root: str,
@@ -198,11 +282,13 @@ def read_ept(
     file layout mirrors ept-data, so the merge is a positional
     column-concat — zero shuffles, zero joins)."""
     info = quick_info(root)
-    if info.data_type != "binary":
+    if info.data_type not in ("binary", "laszip"):
         raise NotImplementedError(
             f"EPT dataType {info.data_type!r} needs a codec unavailable "
-            "in this environment (laszip/zstandard); binary is supported"
+            "in this environment (zstandard); binary and laszip are "
+            "supported"
         )
+    node_ext = "laz" if info.data_type == "laszip" else "bin"
     nodes = select_nodes(root, bounds=bounds, resolution=resolution)
     schema = spark_schema(info)
     addon_meta = {}
@@ -223,7 +309,7 @@ def read_ept(
         schema = schema.add("ept_node_id", T.StringType()).add(
             "ept_point_id", T.LongType()
         )
-    rows = [(k, os.path.join(root, "ept-data", f"{k}.bin"), int(c))
+    rows = [(k, os.path.join(root, "ept-data", f"{k}.{node_ext}"), int(c))
             for k, c in sorted(nodes.items())]
     node_df = spark.createDataFrame(rows, "key string, path string, count long")
     sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -233,7 +319,9 @@ def read_ept(
         for pdf in batches:
             for key, path, _cnt in pdf.itertuples(index=False):
                 with open(path, "rb") as f:
-                    out = decode_node(f.read(), info)
+                    raw = f.read()
+                out = (decode_laz_node(raw, info)
+                       if path.endswith(".laz") else decode_node(raw, info))
                 for col, (adir, adt) in addon_meta.items():
                     with open(os.path.join(adir, f"{key}.bin"), "rb") as f:
                         vals = np.frombuffer(f.read(), dtype=adt)

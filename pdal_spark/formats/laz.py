@@ -9,10 +9,10 @@ codec. Byte-exact oracle: the reference ships .laz fixtures WITH their
 uncompressed .las twins (test/data/laz/autzen_trim.{las,laz}) — decoded
 records must equal the twin's bit for bit.
 
-Supported: compressor 2 (pointwise-chunked) with item versions 2 —
-POINT10, GPSTIME11, RGB12 — i.e. point formats 0-3 as produced by
-laszip/LAStools and PDAL's writers.las(compression). The v1 item
-codecs (compressor 1, pre-2011 files) raise a clear error.
+Supported: compressor 2 (pointwise-chunked) with v2 items AND
+compressor 1 (pointwise, pre-2011 single-stream files) with v1 items —
+POINT10, GPSTIME11, RGB12 in both generations, i.e. point formats 0-3
+as produced by laszip/LAStools and PDAL's writers.las(compression).
 
 STATUS — VERIFIED and wired into the public reader (formats/las.py
 decodes .laz transparently). tests/test_laz.py pins:
@@ -679,6 +679,26 @@ class Rgb12v2:
         return self.r, self.g, self.b
 
 
+class Bytev2:
+    """BYTE v2 (extra-bytes item, e.g. Entwine's OriginId): each byte
+    column diff-coded against the previous point under its own
+    256-symbol model."""
+
+    def __init__(self, dec: Decoder, first: bytes):
+        self.dec = dec
+        self.last = list(first)
+        self.models = [SymModel(256) for _ in range(len(first))]
+
+    def read(self) -> bytes:
+        dec = self.dec
+        out = []
+        for i, m in enumerate(self.models):
+            v = _u8_fold(dec.decode_symbol(m) + self.last[i])
+            out.append(v)
+        self.last = out
+        return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # container plumbing
 # ---------------------------------------------------------------------------
@@ -759,10 +779,15 @@ def laz_chunk_extents(
             f.seek(0)
             head = f.read(offset)
         info = laz_vlr_info(head)
+        if info["compressor"] == 1:
+            # pointwise: one stream = one task covering the whole file
+            import os as _os
+            end = _os.path.getsize(path)
+            return info, [(offset, end - offset, n_points)]
         if info["compressor"] != 2:
             raise LazUnsupported(
-                f"laszip compressor {info['compressor']} — only the "
-                "chunked pointwise form (2) is implemented"
+                f"laszip compressor {info['compressor']} — pointwise (1) "
+                "and chunked (2) are implemented"
             )
         if info["chunk_size"] in (0, U32):
             raise LazUnsupported("variable-size laszip chunking")
@@ -784,6 +809,7 @@ def laz_chunk_extents(
     return info, out
 
 
+_ITEM_BYTE = 0
 _ITEM_POINT10 = 6
 _ITEM_GPSTIME11 = 7
 _ITEM_RGB12 = 8
@@ -793,13 +819,16 @@ def decode_chunk(buf: bytes, start: int, n_points: int,
                  items: list[dict]) -> np.ndarray:
     """Decode one chunk -> structured array of raw (unscaled) fields."""
     for it in items:
-        if it["version"] != 2:
+        if it["version"] not in (1, 2):
             raise LazUnsupported(
                 f"laszip item type {it['type']} version {it['version']} — "
-                "only the v2 codecs (compressor 2, 2011+) are implemented"
+                "only the v1/v2 codecs are implemented"
             )
-        if it["type"] not in (_ITEM_POINT10, _ITEM_GPSTIME11, _ITEM_RGB12):
+        if it["type"] not in (_ITEM_POINT10, _ITEM_GPSTIME11, _ITEM_RGB12,
+                              _ITEM_BYTE):
             raise LazUnsupported(f"laszip item type {it['type']}")
+        if it["type"] == _ITEM_BYTE and it["version"] != 2:
+            raise LazUnsupported("laszip BYTE item v1")
     rec_len = sum(it["size"] for it in items)
     fields = [("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
               ("intensity", "<u2"), ("flags", "u1"),
@@ -807,10 +836,13 @@ def decode_chunk(buf: bytes, start: int, n_points: int,
               ("user_data", "u1"), ("point_source_id", "<u2")]
     has_gps = any(it["type"] == _ITEM_GPSTIME11 for it in items)
     has_rgb = any(it["type"] == _ITEM_RGB12 for it in items)
+    n_extra = sum(it["size"] for it in items if it["type"] == _ITEM_BYTE)
     if has_gps:
         fields.append(("gps_time", "<f8"))
     if has_rgb:
         fields += [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+    if n_extra:
+        fields.append(("extra", "u1", (n_extra,)))
     out = np.zeros(n_points, dtype=fields)
     if n_points == 0:
         return out
@@ -825,15 +857,19 @@ def decode_chunk(buf: bytes, start: int, n_points: int,
     for it in items:
         seg = raw[q:q + it["size"]]
         q += it["size"]
+        v1 = it["version"] == 1
         if it["type"] == _ITEM_POINT10:
-            pt = Point10v2(dec, seg)
+            pt = (Point10v1 if v1 else Point10v2)(dec, seg)
             first_pt = struct.unpack("<iiiHBBbBH", seg[:20])
         elif it["type"] == _ITEM_GPSTIME11:
-            gt = GpsTime11v2(dec, seg)
+            gt = GpsTime11v1(dec, seg) if v1 else GpsTime11v2(dec, seg)
             first_gps = struct.unpack("<d", seg[:8])[0]
         elif it["type"] == _ITEM_RGB12:
-            rgb = Rgb12v2(dec, seg)
+            rgb = (Rgb12v1 if v1 else Rgb12v2)(dec, seg)
             first_rgb = struct.unpack("<HHH", seg[:6])
+        elif it["type"] == _ITEM_BYTE:
+            xb = Bytev2(dec, seg)
+            first_extra = seg
 
     row = out[0]
     (row["x"], row["y"], row["z"], row["intensity"], row["flags"],
@@ -843,6 +879,8 @@ def decode_chunk(buf: bytes, start: int, n_points: int,
         row["gps_time"] = first_gps
     if has_rgb:
         row["red"], row["green"], row["blue"] = first_rgb
+    if n_extra:
+        row["extra"] = np.frombuffer(first_extra, dtype=np.uint8)
 
     for i in range(1, n_points):
         row = out[i]
@@ -855,6 +893,8 @@ def decode_chunk(buf: bytes, start: int, n_points: int,
                 "<d", struct.pack("<Q", u64))[0]
         if has_rgb:
             row["red"], row["green"], row["blue"] = rgb.read()
+        if n_extra:
+            row["extra"] = np.frombuffer(xb.read(), dtype=np.uint8)
     return out
 
 
@@ -864,13 +904,16 @@ def read_laz_points(path: str) -> np.ndarray:
     form; the Spark reader maps chunks to tasks)."""
     buf = open(path, "rb").read()
     info = laz_vlr_info(buf)
-    if info["compressor"] != 2:
-        raise LazUnsupported(
-            f"laszip compressor {info['compressor']} — only the chunked "
-            "pointwise form (2) is implemented"
-        )
     offset = struct.unpack("<I", buf[96:100])[0]
     n_points = struct.unpack("<I", buf[107:111])[0]
+    if info["compressor"] == 1:
+        # pointwise (pre-2011): ONE arithmetic stream, no chunk table
+        return decode_chunk(buf, offset, n_points, info["items"])
+    if info["compressor"] != 2:
+        raise LazUnsupported(
+            f"laszip compressor {info['compressor']} — pointwise (1) and "
+            "chunked (2) are implemented"
+        )
     table_offset = struct.unpack("<q", buf[offset:offset + 8])[0]
     chunks = read_chunk_table(buf, offset, table_offset, n_points,
                               info["chunk_size"])
@@ -1370,3 +1413,203 @@ def encode_chunk_sizes(sizes: list[int]) -> bytes:
         ic.compress(prev, s, 1)
         prev = s
     return struct.pack("<II", 0, len(sizes)) + enc.done()
+
+
+# ---------------------------------------------------------------------------
+# v1 item codecs (compressor 1, pre-2011 pointwise files — the open
+# LASzip v1 record formats; same coder, earlier per-item predictors)
+# ---------------------------------------------------------------------------
+
+
+def _median3(v: list[int]) -> int:
+    a, b, c = v
+    if a < b:
+        if b < c:
+            return b
+        return c if a < c else a
+    if a < c:
+        return a
+    return c if b < c else b
+
+
+def _div4_trunc(x: int) -> int:
+    """C's integer /4 (truncate toward zero)."""
+    return x // 4 if x >= 0 else -((-x) // 4)
+
+
+class Point10v1:
+    """POINT10 v1: median-of-3-diff x/y prediction, last-z prediction,
+    k-bit context switching; changed_values gates the attribute fields.
+    The flags/classification/user_data models are lazily created PER
+    PREVIOUS VALUE (a 256-way context array, same scheme as v2) —
+    verified byte-exact on the reference fixture; a single shared model
+    decodes the first ~178 points of simple.laz then desyncs on the
+    second reuse of a gate after its value changed."""
+
+    def __init__(self, dec: Decoder, first: bytes):
+        self.dec = dec
+        (self.x, self.y, self.z, self.intensity, self.flags,
+         self.classification, sar, self.user_data,
+         self.psid) = struct.unpack("<iiiHBBbBH", first[:20])
+        self.sar = sar
+        self.last_x_diff = [0, 0, 0]
+        self.last_y_diff = [0, 0, 0]
+        self.last_incr = 0
+        self.ic_dx = IntDecomp(dec, 32)
+        self.ic_dy = IntDecomp(dec, 32, 20)
+        self.ic_dz = IntDecomp(dec, 32, 20)
+        self.m_changed = SymModel(64)
+        self.ic_intensity = IntDecomp(dec, 16)
+        self.ic_sar = IntDecomp(dec, 8, 2)
+        self.ic_psid = IntDecomp(dec, 16)
+        self.m_bit_byte = [None] * 256
+        self.m_classification = [None] * 256
+        self.m_user_data = [None] * 256
+
+    @staticmethod
+    def _lazy(arr, idx):
+        m = arr[idx]
+        if m is None:
+            m = SymModel(256)
+            arr[idx] = m
+        return m
+
+    def read(self) -> tuple:
+        dec = self.dec
+        med_x = _median3(self.last_x_diff)
+        med_y = _median3(self.last_y_diff)
+        x_diff = self.ic_dx.decompress(med_x)
+        self.x = _i32(self.x + x_diff)
+        k_bits = self.ic_dx.k
+        y_diff = self.ic_dy.decompress(med_y, k_bits if k_bits < 19 else 19)
+        self.y = _i32(self.y + y_diff)
+        k_bits = (k_bits + self.ic_dy.k) // 2
+        self.z = self.ic_dz.decompress(
+            self.z, k_bits if k_bits < 19 else 19)
+
+        changed = dec.decode_symbol(self.m_changed)
+        if changed:
+            if changed & 32:
+                self.intensity = self.ic_intensity.decompress(
+                    self.intensity) & 0xFFFF
+            if changed & 16:
+                self.flags = dec.decode_symbol(
+                    self._lazy(self.m_bit_byte, self.flags))
+            if changed & 8:
+                self.classification = dec.decode_symbol(
+                    self._lazy(self.m_classification, self.classification))
+            if changed & 4:
+                v = self.ic_sar.decompress(
+                    self.sar, 1 if k_bits < 3 else 0) & 0xFF
+                self.sar = v - 256 if v >= 128 else v
+            if changed & 2:
+                self.user_data = dec.decode_symbol(
+                    self._lazy(self.m_user_data, self.user_data))
+            if changed & 1:
+                self.psid = self.ic_psid.decompress(self.psid) & 0xFFFF
+
+        self.last_x_diff[self.last_incr] = x_diff
+        self.last_y_diff[self.last_incr] = y_diff
+        self.last_incr += 1
+        if self.last_incr > 2:
+            self.last_incr = 0
+        return (self.x, self.y, self.z, self.intensity, self.flags,
+                self.classification, self.sar, self.user_data, self.psid)
+
+
+GT_V1_MULTIMAX = 512
+
+
+class GpsTime11v1:
+    """GPSTIME11 v1: single last-diff state (no 4-slot sequence table),
+    multi-coded against LASZIP_GPSTIME_MULTIMAX."""
+
+    def __init__(self, dec: Decoder, first: bytes):
+        self.dec = dec
+        self.last_u64 = struct.unpack("<Q", first[:8])[0]
+        self.last_diff = 0
+        self.multi_extreme = 0
+        self.m_0diff = SymModel(3)
+        self.m_multi = SymModel(GT_V1_MULTIMAX)
+        self.ic_gpstime = IntDecomp(dec, 32, 6)
+
+    def _read_i64(self) -> int:
+        lo = self.dec.read_bits(32)
+        hi = self.dec.read_bits(32)
+        return (hi << 32) | lo
+
+    def read(self) -> int:
+        dec = self.dec
+        if self.last_diff == 0:
+            multi = dec.decode_symbol(self.m_0diff)
+            if multi == 1:
+                self.last_diff = self.ic_gpstime.decompress(0, 0)
+                self.last_u64 = (self.last_u64 + self.last_diff) \
+                    & ((1 << 64) - 1)
+            elif multi == 2:
+                self.last_u64 = self._read_i64()
+        else:
+            multi = dec.decode_symbol(self.m_multi)
+            if multi < GT_V1_MULTIMAX - 2:
+                if multi == 1:
+                    diff = self.ic_gpstime.decompress(self.last_diff, 1)
+                    self.last_diff = diff
+                    self.multi_extreme = 0
+                elif multi == 0:
+                    diff = self.ic_gpstime.decompress(
+                        _div4_trunc(self.last_diff), 2)
+                    self.multi_extreme += 1
+                    if self.multi_extreme > 3:
+                        self.last_diff = diff
+                        self.multi_extreme = 0
+                elif multi < 10:
+                    diff = self.ic_gpstime.decompress(
+                        _i32(multi * self.last_diff), 3)
+                elif multi < 50:
+                    diff = self.ic_gpstime.decompress(
+                        _i32(multi * self.last_diff), 4)
+                else:
+                    diff = self.ic_gpstime.decompress(
+                        _i32(multi * self.last_diff), 5)
+                    if multi == GT_V1_MULTIMAX - 3:
+                        self.multi_extreme += 1
+                        if self.multi_extreme > 3:
+                            self.last_diff = diff
+                            self.multi_extreme = 0
+                self.last_u64 = (self.last_u64 + diff) & ((1 << 64) - 1)
+            elif multi < GT_V1_MULTIMAX - 1:
+                self.last_u64 = self._read_i64()
+        return self.last_u64
+
+
+class Rgb12v1:
+    """RGB12 v1: per-byte used mask + one 8-bit IC over 6 contexts."""
+
+    def __init__(self, dec: Decoder, first: bytes):
+        self.dec = dec
+        self.rgb = list(struct.unpack("<HHH", first[:6]))
+        self.m_used = SymModel(64)
+        self.ic_rgb = IntDecomp(dec, 8, 6)
+
+    def _byte(self, pred: int, ctx: int) -> int:
+        v = self.ic_rgb.decompress(pred, ctx)
+        # 8-bit corr_range wrap (IntegerCompressor bits=8)
+        if v < 0:
+            v += 256
+        elif v >= 256:
+            v -= 256
+        return v
+
+    def read(self) -> tuple:
+        sym = self.dec.decode_symbol(self.m_used)
+        out = []
+        for i in range(3):
+            lo_bit, hi_bit = 1 << (2 * i), 1 << (2 * i + 1)
+            last = self.rgb[i]
+            lo = self._byte(last & 0xFF, 2 * i) if sym & lo_bit \
+                else last & 0xFF
+            hi = self._byte(last >> 8, 2 * i + 1) if sym & hi_bit \
+                else last >> 8
+            out.append(lo | (hi << 8))
+        self.rgb = out
+        return tuple(out)

@@ -41,9 +41,9 @@ def test_resolution_pruning_reference_golden():
 
 
 @needs_ref
-def test_laszip_data_rejected(spark):
-    with pytest.raises(NotImplementedError, match="laszip"):
-        ept.read_ept(spark, f"{REF}/lone-star-laszip")
+def test_zstandard_data_rejected(spark):
+    with pytest.raises(NotImplementedError, match="zstandard"):
+        ept.read_ept(spark, f"{REF}/ellipsoid-zstandard")
 
 
 def test_node_bounds_halving():
@@ -183,3 +183,47 @@ def test_addon_point_ids_are_node_positions(spark, built):
         | (F.col("d") != F.col("n"))
     )
     assert bad.count() == 0
+
+
+def test_read_ept_laszip_nodes(spark):
+    """readers.ept over a laszip dataset (EptReaderTest.cpp
+    fullReadLaszip): 518862 points, every coordinate inside
+    boundsConforming, OriginId in 0..3 from the BYTE extra item."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = "/root/reference/test/data/ept/lone-star-laszip"
+    if not os.path.isdir(d):
+        pytest.skip("reference fixture unavailable")
+    df = ept.read_ept(spark, d)
+    r = df.agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+        F.min("z").alias("z0"), F.max("z").alias("z1"),
+        F.min("OriginId").alias("o0"), F.max("OriginId").alias("o1"),
+    ).collect()[0]
+    assert r["n"] == 518862
+    bc = (515368.0, 4918340.0, 2322.0, 515402.0, 4918382.0, 2339.0)
+    assert bc[0] <= r["x0"] and r["x1"] <= bc[3]
+    assert bc[1] <= r["y0"] and r["y1"] <= bc[4]
+    assert bc[2] <= r["z0"] and r["z1"] <= bc[5]
+    assert (r["o0"], r["o1"]) == (0, 3)
+    # bbox pruning still composes with laszip node decode
+    qb = (515380.0, 4918350.0, 2320.0, 515400.0, 4918370.0, 2345.0)
+    assert 0 < ept.read_ept(spark, d, bounds=qb).count() < 518862
+
+
+def test_read_ept_laszip_rgb_nodes(spark):
+    """A laszip EPT dataset with RGB + BYTE items (1.2-with-color)
+    decodes with the full 17-column schema."""
+    import os
+
+    d = "/root/reference/test/data/ept/1.2-with-color"
+    if not os.path.isdir(d):
+        pytest.skip("reference fixture unavailable")
+    df = ept.read_ept(spark, d)
+    assert df.count() == 1065
+    assert {"x", "y", "z", "Red", "Green", "Blue", "OriginId"} <= set(
+        df.columns)

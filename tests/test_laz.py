@@ -162,12 +162,35 @@ def test_laszip_fixture_family_full_decode():
             np.testing.assert_array_equal(pts[f], ref[f], err_msg=f"{p}:{f}")
 
 
-def test_unsupported_paths_raise():
-    buf = open("/root/reference/test/data/laz/simple.laz", "rb").read()
+def test_v1_pointwise_full_decode():
+    """Compressor 1 / v1 items (pre-2011 pointwise files): simple.laz
+    decodes byte-equal to simple.las — all 1065 points, every field.
+    The v1 attribute models are per-previous-value lazy contexts, the
+    same 256-way scheme as v2 (a single shared model desyncs at point
+    179 of this very fixture)."""
+    p = "/root/reference/test/data/laz/simple.laz"
+    buf = open(p, "rb").read()
     info = laz.laz_vlr_info(buf)
-    assert info["compressor"] == 1  # pointwise, v1 items
+    assert info["compressor"] == 1
+    assert [it["version"] for it in info["items"]] == [1, 1, 1]
+    twin = open("/root/reference/test/data/las/simple.las", "rb").read()
+    off = struct.unpack("<I", twin[96:100])[0]
+    n = struct.unpack("<I", twin[107:111])[0]
+    ref = np.frombuffer(twin, dtype=REF_DT, count=n, offset=off)
+    pts = laz.read_laz_points(p)
+    assert len(pts) == n == 1065
+    for f in REF_DT.names:
+        np.testing.assert_array_equal(pts[f], ref[f], err_msg=f)
+    # apps/simple.laz is the same stream via another toolchain
+    pts2 = laz.read_laz_points("/root/reference/test/data/apps/simple.laz")
+    for f in REF_DT.names:
+        np.testing.assert_array_equal(pts2[f], ref[f], err_msg=f)
+
+
+def test_unsupported_paths_raise():
     with pytest.raises(laz.LazUnsupported):
-        laz.read_laz_points("/root/reference/test/data/laz/simple.laz")
+        laz.decode_chunk(b"\x00" * 64, 0, 2,
+                         [{"type": 6, "size": 20, "version": 3}])
 
 
 def test_spark_reader_decodes_laz(spark):
@@ -238,3 +261,18 @@ def test_encode_chunk_byte_identical_to_laszip():
     rec = laz.decode_chunk(buf, start, n, info["items"])
     mine = laz.encode_chunk(rec, info["items"])
     assert mine == buf[start:tbl]
+
+
+def test_spark_reader_decodes_v1_laz(spark):
+    """read_las() also handles compressor-1 files (one stream -> one
+    task): simple.laz equals simple.las through the Spark reader."""
+    import pandas as pd
+    from pdal_spark.formats.las import read_las
+
+    key = ["gps_time", "x", "y", "z"]
+    a = (read_las(spark, "/root/reference/test/data/laz/simple.laz")
+         .toPandas().sort_values(key, kind="stable").reset_index(drop=True))
+    b = (read_las(spark, "/root/reference/test/data/las/simple.las")
+         .toPandas().sort_values(key, kind="stable").reset_index(drop=True))
+    assert len(a) == 1065
+    pd.testing.assert_frame_equal(a, b)
