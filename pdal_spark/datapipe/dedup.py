@@ -114,7 +114,8 @@ MASK_CHUNK_BITS = 62  # bits per mask chunk (stay clear of the sign bit)
 
 
 def _doc_masks(words: DataFrame, v: DataFrame,
-               n_chunks: int | None = None) -> tuple[DataFrame, int]:
+               n_chunks: int | None = None,
+               wids: DataFrame | None = None) -> tuple[DataFrame, int]:
     """(id, sz, masks): chunked-bitmask word-set representation.
 
     masks[c] has bit (wid % B) set for every word with wid // B == c.
@@ -128,7 +129,8 @@ def _doc_masks(words: DataFrame, v: DataFrame,
             (F.floor(F.max("wid") / MASK_CHUNK_BITS) + 1).alias("nc")
         ).collect()[0]
         n_chunks = int(n_chunks_row.nc)
-    wids = words.join(v, "word").select("id", "wid")
+    if wids is None:
+        wids = words.join(v, "word").select("id", "wid")
     per_chunk = (
         wids.withColumn("chunk", (F.col("wid") / MASK_CHUNK_BITS).cast("int"))
         .withColumn("bit", (F.col("wid") % MASK_CHUNK_BITS).cast("int"))
@@ -686,6 +688,7 @@ def minhash_signature_arrays(
     df: DataFrame, k: int = MINHASH_K, text_col: str = "text",
     id_col: str = "doc_id", word_id_mode: str = "rank",
     words: DataFrame | None = None,
+    wids: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig): the k-element minhash signature as one array<long>.
 
@@ -693,16 +696,20 @@ def minhash_signature_arrays(
     per-word hash values never fan out k-fold into a shuffle (the naive
     (id, h) shape shuffles k x corpus-words rows). In hash mode the word
     id is computed inline (pmod(xxhash64(word), P31)): zero vocabulary
-    shuffles — no distinct, no join — the open-vocabulary 100 TB path."""
-    if words is None:
-        words = doc_words(df, text_col, id_col)
-    if word_id_mode == "hash":
-        wids = words.select(
-            "id", F.pmod(F.xxhash64("word"), F.lit(P31)).alias("wid")
-        )
-    else:
-        v = vocab(df, text_col, id_col, mode=word_id_mode, words=words)
-        wids = words.join(v, "word").select("id", "wid")
+    shuffles — no distinct, no join — the open-vocabulary 100 TB path.
+    Pass a precomputed (id, wid) frame via ``wids`` when the caller
+    shares it with another consumer (minhash_dedup_pairs shares it with
+    the bitmask build — computing the vocab join once, not twice)."""
+    if wids is None:
+        if words is None:
+            words = doc_words(df, text_col, id_col)
+        if word_id_mode == "hash":
+            wids = words.select(
+                "id", F.pmod(F.xxhash64("word"), F.lit(P31)).alias("wid")
+            )
+        else:
+            v = vocab(df, text_col, id_col, mode=word_id_mode, words=words)
+            wids = words.join(v, "word").select("id", "wid")
     mins = wids.groupBy("id").agg(*[
         F.min((F.col("wid") * F.lit(a) + F.lit(c)) % P31).alias(f"_m{i}")
         for i, (a, c) in enumerate(_hash_params(k))
@@ -797,8 +804,15 @@ def minhash_dedup_pairs(
     or "wordjoin" (the legacy join verifier, kept for tests)."""
     rows_n = k // bands
     words = doc_words(df, text_col, id_col).persist()
+    v = wids = None
+    if word_id_mode == "rank":
+        # the vocab join feeds BOTH the signature build and the bitmask
+        # build below — share one persisted (id, wid) frame instead of
+        # running the global-rank vocab + join twice
+        v = vocab(df, text_col, id_col, words=words).persist()
+        wids = words.join(v, "word").select("id", "wid").persist()
     sigarr = minhash_signature_arrays(
-        df, k, text_col, id_col, word_id_mode, words=words
+        df, k, text_col, id_col, word_id_mode, words=words, wids=wids
     )
     # band rows built straight off the signature array, which rides along
     # so the verifier can first-band-filter (see _first_match_band)
@@ -844,9 +858,7 @@ def minhash_dedup_pairs(
         return _fused_verified_pairs_arrays(
             keyed, ["band", "key"], threshold, band_dedup=(bands, rows_n)
         )
-    masks, n_chunks = _doc_masks(
-        words, vocab(df, text_col, id_col, words=words)
-    )
+    masks, n_chunks = _doc_masks(words, v, wids=wids)
     keyed = bnd.join(masks, "id")
     return _fused_verified_pairs(
         keyed, ["band", "key"], threshold, n_chunks,

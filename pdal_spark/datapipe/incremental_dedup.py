@@ -41,6 +41,7 @@ from pdal_spark.datapipe.dedup import (
     MINHASH_BANDS,
     MINHASH_K,
     P31,
+    _first_match_band,
     _hash_params,
     doc_words,
 )
@@ -80,6 +81,14 @@ class NearDupIndex:
         self.docs = SnapshotTable(spark, f"{root}/docs")
         self.arrays = SnapshotTable(spark, f"{root}/arrays")
         self.bands_t = SnapshotTable(spark, f"{root}/bands")
+        # cross-ingest probe cache: {table path: (version, persisted df)}.
+        # Each ingest's probe re-reads only the DELTA files appended
+        # since the cached version and unions them onto the cached
+        # frame — the index parquet is scanned once per increment, not
+        # once per probe join. Memory is bounded by the rep index
+        # (bands + word-hash arrays), which is what any LSH prober
+        # must hold hot anyway.
+        self._cache: dict = {}
 
     # -- featurize ----------------------------------------------------------
 
@@ -103,16 +112,24 @@ class NearDupIndex:
         )
 
     def _expand_bands(self, feats: DataFrame) -> DataFrame:
-        """(id, band, key) banded bucket keys from the raw minhash
-        register columns — pure map-side column math (explode of a
-        k-element array), no shuffle."""
+        """(id, band, key, sig, sz) banded bucket keys from the raw
+        minhash register columns — pure map-side column math (explode
+        of a k-element array), no shuffle.
+
+        sig and sz ride along (the batch fetch-verifier shape,
+        dedup._fetch_verified_pairs): with both docs' signatures in
+        hand at collision time, first-match-band filtering gives each
+        candidate pair exactly once WITHOUT a distinct exchange, and
+        the size filter runs before any array fetch."""
         rows_n = self.k // self.bands
         sig = feats.select(
-            "id", F.array(*[f"_m{i}" for i in range(self.k)]).alias("sig")
+            "id", F.size("warr").alias("sz"),
+            F.array(*[f"_m{i}" for i in range(self.k)]).alias("sig"),
         )
         return sig.select(
             "id",
             "sig",
+            "sz",
             F.explode(F.sequence(F.lit(0), F.lit(self.bands - 1))).alias("band"),
         ).select(
             "id",
@@ -126,9 +143,34 @@ class NearDupIndex:
                 ),
                 ",",
             ).alias("key"),
+            "sig",
+            "sz",
         )
 
     # -- ingest -------------------------------------------------------------
+
+    def _read_cached(self, table: SnapshotTable) -> DataFrame:
+        """Persisted view of `table` at its current version. On a pure
+        append since the cached version, only the delta files are read
+        and unioned onto the cached frame; any rewrite (compaction)
+        falls back to a full re-read. The previous cached frame stays
+        persisted — it backs the union's lineage."""
+        ver = table.current_version()
+        ent = self._cache.get(table.path)
+        if ent is not None and ent[0] == ver:
+            return ent[1]
+        out = None
+        if ent is not None and ent[0] < ver:
+            prev = {f["path"] for f in table.snapshot(ent[0])["files"]}
+            cur = [f["path"] for f in table.snapshot(ver)["files"]]
+            delta = [p for p in cur if p not in prev]
+            if prev <= set(cur) and delta:
+                out = ent[1].unionByName(self.spark.read.parquet(*delta))
+        if out is None:
+            out = table.read(version=ver)
+        out = out.persist()
+        self._cache[table.path] = (ver, out)
+        return out
 
     def ingest(self, df: DataFrame) -> dict:
         """Dedup the increment against the index AND itself; append
@@ -170,23 +212,51 @@ class NearDupIndex:
 
         have_index = self.bands_t.current_version() > 0
         if have_index:
-            all_bands = self.bands_t.read().unionByName(new_bands)
-            all_arrays = self.arrays.read().unionByName(new_arrays)
+            all_arrays = self._read_cached(self.arrays).unionByName(new_arrays)
         else:
-            all_bands, all_arrays = new_bands, new_arrays
+            all_arrays = new_arrays
 
-        # candidates: new reps vs (past + new) rep bucket-mates
-        other = all_bands.select(
-            F.col("id").alias("id2"), "band", "key"
+        # candidates: new reps vs (past + new) rep bucket-mates. The
+        # probe side tags stored rows is_new=false, so a new x old
+        # pair is emitted only by its new driver and a new x new pair
+        # only in the id < id2 orientation; first-match-band filtering
+        # (both sigs are in hand at collision time) then keeps exactly
+        # one row per pair — no distinct exchange over the O(bucket^2)
+        # collision volume, which on dup-dense crawls is the dominant
+        # ingest cost. The size filter runs inline before any fetch:
+        # jaccard >= t forces min(sz)/max(sz) >= t.
+        rows_n = self.k // self.bands
+        other = (
+            self._read_cached(self.bands_t)
+            .withColumn("_new2", F.lit(False))
+            .unionByName(new_bands.withColumn("_new2", F.lit(True)))
+            .select(
+                F.col("id").alias("id2"), "band", "key",
+                F.col("sig").alias("sig2"), F.col("sz").alias("sz2"),
+                "_new2",
+            )
+        ) if have_index else new_bands.withColumn("_new2", F.lit(True)).select(
+            F.col("id").alias("id2"), "band", "key",
+            F.col("sig").alias("sig2"), F.col("sz").alias("sz2"), "_new2",
         )
         cand = (
             new_bands.join(other, ["band", "key"])
             .filter(F.col("id") != F.col("id2"))
+            .filter(~F.col("_new2") | (F.col("id") < F.col("id2")))
+            .filter(
+                F.least("sz", "sz2")
+                >= F.lit(self.threshold) * F.greatest("sz", "sz2")
+            )
+            .filter(
+                F.col("band")
+                == _first_match_band(
+                    F.col("sig"), F.col("sig2"), self.bands, rows_n
+                )
+            )
             .select(
                 F.least("id", "id2").alias("id1"),
                 F.greatest("id", "id2").alias("id2"),
             )
-            .distinct()
         )
         # exact verify on the stored hashed-word sets (few candidates
         # post-LSH; arrays join fans out over pairs, not the corpus)
