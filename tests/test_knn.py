@@ -200,3 +200,27 @@ def test_hausdorff_and_delta(spark_dfs, pts):
     row = {r["src_id"]: r["delta_dist"] for r in dl.collect()}
     for i, sid in enumerate(ids_s.tolist()):
         assert row[sid] == pytest.approx(np.sqrt(d2[i].min()), rel=1e-12)
+
+
+def test_kernel_equals_pairwise_plan(spark):
+    """The cogroup-kernel knn_join and the materialized-pair window plan
+    (knn_join_pairwise) return identical rows — including duplicate
+    coordinates (tie-breaks), self-exclusion, and hot-cell salting."""
+    import random
+
+    rng = random.Random(99)
+    pts = [(i, rng.uniform(0, 300), rng.uniform(0, 300))
+           for i in range(800)]
+    pts += [(10_000 + i, 150.0, 150.0) for i in range(20)]  # exact ties
+    src = spark.createDataFrame(pts, "src_id long, x double, y double")
+    cand = spark.createDataFrame(
+        [(i, xx, yy) for i, xx, yy in pts],
+        "cand_id long, x double, y double")
+    for excl, thr in [(False, None), (True, None), (False, 5)]:
+        a = sorted(map(tuple, K.knn_join(
+            src, cand, 4, cell_size=30.0, exclude_self=excl,
+            salt_threshold=thr, n_salts=3).collect()))
+        b = sorted(map(tuple, K.knn_join_pairwise(
+            src, cand, 4, cell_size=30.0, exclude_self=excl,
+            salt_threshold=thr, n_salts=3).collect()))
+        assert a == b, (excl, thr)

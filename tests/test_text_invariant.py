@@ -104,3 +104,81 @@ def test_text_bytes_identical_through_stages(spark, pages, tmp_path):
     chipped.write.partitionBy("chip_id").mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     _assert_invariant(back)
+
+
+def test_payload_bytes_identical_through_warc(spark, pages, tmp_path):
+    """The same adversarial payloads through the WARC container: write
+    (executor-encoded records, driver splice) then the distributed
+    reader, in all three container modes — plain+index, plain
+    anchor-scan (no index), gzip+index. Every payload byte and every
+    url must survive; text rides inside the payload so the UTF-8 forms
+    (NFD vs NFC, astral, NULs) are pinned through the container too."""
+    from pdal_spark.formats import warc as warc_fmt
+
+    src = pages.select(
+        "url",
+        F.date_format(
+            F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ).alias("warc_date"),
+        F.col("html").alias("payload"),
+    )
+    exp = {u: h for u, (_t, h) in _expected().items()}
+
+    def check(df):
+        got = {r["url"]: bytes(r["payload"])
+               for r in df.select("url", "payload").collect()}
+        assert got == exp
+
+    plain = str(tmp_path / "a.warc")
+    n = warc_fmt.write_warc(src, plain, index=True)
+    assert n == len(exp)
+    check(warc_fmt.read_warc(spark, plain))                  # cdx slices
+    check(warc_fmt.read_warc(spark, plain, use_index=False,  # anchor scan
+                             chunk_bytes=1024))
+    gz = str(tmp_path / "b.warc.gz")
+    warc_fmt.write_warc(src, gz, gzip_records=True, index=True)
+    check(warc_fmt.read_warc(spark, gz))
+
+
+def test_payload_bytes_identical_through_catalog_merge(spark, pages, tmp_path):
+    """The catalog's copy-on-write paths move payload bytes through
+    staging writes, file rewrites, and compaction — pin byte identity
+    through append -> merge(update) -> merge(delete) -> compact. The
+    updated row must carry the NEW bytes exactly; every untouched row
+    (files carried over OR rewritten) keeps its old bytes."""
+    from pdal_spark.catalog import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), stats_cols=("page_id",))
+    base = pages.select("page_id", "url", "text", "html")
+    t.append(base.repartition(3))
+
+    exp = {u: (txt, h) for u, (txt, h) in _expected().items()}
+
+    def check(df, want):
+        got = {r["url"]: (r["text"], bytes(r["html"]))
+               for r in df.select("url", "text", "html").collect()}
+        assert got == want
+
+    check(t.read(), exp)
+
+    # merge-update row 3 with a fresh adversarial payload
+    new_html = bytes(range(255, -1, -1)) * 3 + "ersätz \x00 tail".encode()
+    upd = spark.createDataFrame(
+        [(3, "http://t.example/doc/3", "ersätz \x00 tail",
+          bytearray(new_html))],
+        "page_id long, url string, text string, html binary",
+    )
+    t.merge(upd, key="page_id", when_matched="update")
+    exp2 = dict(exp)
+    exp2["http://t.example/doc/3"] = ("ersätz \x00 tail", new_html)
+    check(t.read(), exp2)
+
+    # merge-delete row 0; everything else byte-identical
+    t.merge(upd.withColumn("page_id", F.lit(0)), key="page_id",
+            when_matched="delete")
+    exp3 = {u: v for u, v in exp2.items() if u != "http://t.example/doc/0"}
+    check(t.read(), exp3)
+
+    # compaction rewrites every small file; bytes must still be exact
+    t.compact(small_threshold_rows=1000)
+    check(t.read(), exp3)
