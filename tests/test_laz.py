@@ -276,3 +276,37 @@ def test_spark_reader_decodes_v1_laz(spark):
          .toPandas().sort_values(key, kind="stable").reset_index(drop=True))
     assert len(a) == 1065
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_laz_writer_all_v2_formats(spark):
+    """write_las(compression=True) round-trips every v2-item point
+    format (0: POINT10 only, 1: +GPS, 2: +RGB, 3: +both), including
+    multi-chunk files and non-trivial attribute churn."""
+    import tempfile
+
+    import pandas as pd
+    from pdal_spark.formats.las import read_las, write_las
+
+    base = read_las(spark, TWIN)
+    for fmt in (0, 1, 2, 3):
+        p = tempfile.mktemp(suffix=f".f{fmt}.laz")
+        cols = ["x", "y", "z", "intensity", "return_number",
+                "number_of_returns", "classification", "user_data",
+                "point_source_id", "scan_angle_rank"]
+        if fmt in (1, 3):
+            cols.append("gps_time")
+        if fmt in (2, 3):
+            cols += ["red", "green", "blue"]
+        df = base.select(*cols)
+        write_las(df, p, fmt=fmt, scales=(0.01, 0.01, 0.01),
+                  compression=True, order_by=["x", "y", "z"],
+                  chunk_size=30000)
+        back = read_las(spark, p)
+        # the source is 0.01-quantized already, so the writer's
+        # quantization is the identity; multiset-compare on ALL columns
+        # (x/y/z alone do not totally order duplicate points)
+        a = (df.toPandas()[cols].sort_values(cols, kind="stable")
+             .reset_index(drop=True))
+        b = (back.toPandas()[cols].sort_values(cols, kind="stable")
+             .reset_index(drop=True))
+        pd.testing.assert_frame_equal(b, a, check_dtype=False)
