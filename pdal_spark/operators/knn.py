@@ -105,10 +105,27 @@ def knn_join(
     candidates, so this is exact).
 
     exclude_self: drop cand rows whose id equals the src id (self-kNN).
+
+    Small inputs (both sides under the ordered.SMALL_BYTES plan-stats
+    gate) take the pairwise window plan instead — pure codegen beats
+    the cogroup kernel's Arrow/python overhead when the pair stream is
+    tiny; PDAL_SPARK_FORCE_DISTRIBUTED=1 pins the kernel shape so the
+    plan census audits the at-scale plan (same convention as
+    operators/ordered.py).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    from pdal_spark.operators.ordered import SMALL_BYTES, _is_small
+
+    if _is_small(src, SMALL_BYTES) and _is_small(cand, SMALL_BYTES):
+        return knn_join_pairwise(
+            src, cand, k, cell_size, src_id=src_id, cand_id=cand_id,
+            x=x, y=y, exclude_self=exclude_self,
+            salt_threshold=salt_threshold, n_salts=n_salts,
+            validate=validate,
+        )
 
     spark = src.sparkSession
     B = KNN_BLOCK_CELLS
