@@ -53,6 +53,15 @@ __all__ = ["NearDupIndex"]
 class NearDupIndex:
     """Persistent LSH + verifier index over snapshot catalogs.
 
+    CONTRACT: doc ids must be MONOTONE with arrival order (each
+    increment's ids exceed all previously ingested ids) — that is what
+    makes "canonical = smallest id" mean "oldest doc wins" and keeps
+    incremental keep-decisions consistent with batch dedup over the
+    union (parity fuzz: tests/test_incremental_dedup.py). With
+    interleaved ids a later increment can contain the would-be batch
+    canonical of an already-kept doc, and since keeps are never
+    retracted the corpora legitimately diverge.
+
     Tables under ``root``: ``docs`` (the deduped corpus — survivors
     only), ``arrays`` (id, sz, warr — sorted word-hash sets) and ``bands``
     (id, band, key — bucket keys), both for exact-dup REPRESENTATIVES

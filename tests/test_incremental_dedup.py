@@ -111,3 +111,47 @@ def test_index_tables_are_snapshotted(spark, tmp_path):
 def test_rejects_bad_band_split(spark, tmp_path):
     with pytest.raises(ValueError):
         NearDupIndex(spark, str(tmp_path / "x"), k=8, bands=3)
+
+
+def test_fuzzed_multi_increment_matches_batch(spark, tmp_path):
+    """Randomized parity fuzz of the round-4 probe shape (sig-carrying
+    band rows, first-match-band pair dedup, new/old tagging, size
+    prefilter, cross-ingest cache): synthetic corpora with planted
+    exact-dup groups, near-dup chains, and cross-increment duplicate
+    cliques, split into THREE increments — the surviving corpus must
+    equal batch dedup over the union for every seed."""
+    import random
+
+    threshold = 0.7
+    vocab = [f"w{i}" for i in range(40)]
+    for seed in (3, 17, 29):
+        rng = random.Random(seed)
+        rows = []
+        did = seed * 1000
+        # clusters of near-dups: a base doc + mutations sharing most words
+        for c in range(8):
+            base = rng.sample(vocab, 8)
+            group = rng.randint(1, 6)
+            for g in range(group):
+                words = list(base)
+                for _ in range(rng.randint(0, 2)):  # 0-2 word swaps
+                    words[rng.randrange(len(words))] = rng.choice(vocab)
+                if rng.random() < 0.3 and g > 0:
+                    words = list(base)  # exact dup
+                rows.append((did, " ".join(words)))
+                did += 1
+        # the index contract: ids are MONOTONE with arrival (oldest doc
+        # wins) — increments are id-ordered splits; order WITHIN an
+        # increment is free (the engine must not depend on it)
+        rows.sort(key=lambda r: r[0])
+        df = _docs(spark, rows)
+        cut1, cut2 = len(rows) // 3, 2 * len(rows) // 3
+        idx = NearDupIndex(spark, str(tmp_path / f"fz{seed}"),
+                           threshold=threshold)
+        for lo, hi in ((0, cut1), (cut1, cut2), (cut2, len(rows))):
+            ids = [r[0] for r in rows[lo:hi]]
+            rng.shuffle(ids)
+            idx.ingest(df.filter(F.col("doc_id").isin(ids)))
+        kept = sorted(r.doc_id for r in idx.corpus().collect())
+        batch = _batch_keep(spark, df, threshold)
+        assert kept == batch, f"seed {seed}: {kept} != {batch}"
