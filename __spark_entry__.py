@@ -970,6 +970,39 @@ def q_las_laz_roundtrip(spark, sf_dir):
     )
 
 
+def q_las_laz_roundtrip_var(spark, sf_dir):
+    """Variable-chunking laszip write (order_by=None — chunk_size U32,
+    one chunk per Arrow batch, NO shuffle in the encode plan) -> chunk-
+    parallel read. Same quantization oracle: the row SET is chunking-
+    invariant, which is exactly what this query pins."""
+    import tempfile
+
+    from pdal_spark.formats import las as las_fmt
+
+    df = _docs_geo(spark, sf_dir).select(
+        "x",
+        "y",
+        ((F.col("doc_id") * 7919) % 1000 * 0.05).alias("z"),
+        (F.col("doc_id") % 65536).cast("int").alias("intensity"),
+        ((F.col("doc_id") % 5) + 1).cast("int").alias("return_number"),
+        F.lit(5).cast("int").alias("number_of_returns"),
+        F.col("doc_id").cast("double").alias("gps_time"),
+    ).repartition(8)
+    path = tempfile.mktemp(prefix="las_lazv_rt_", suffix=".laz")
+    las_fmt.write_las(
+        df, path, fmt=1, scales=(1e-6, 1e-6, 1e-6), compression=True,
+    )
+    out = las_fmt.read_las(spark, path)
+    return out.select(
+        F.col("gps_time").cast("long").alias("doc_id"),
+        "x",
+        "y",
+        "z",
+        "intensity",
+        "return_number",
+    )
+
+
 def q_ept_query(spark, sf_dir):
     """readers.ept + Entwine-style build (io/EptReader.cpp): build a
     binary-dataType EPT octree from the geocoded pages (distributed
@@ -3393,6 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tindex": q_tindex,
         "las_roundtrip": q_las_roundtrip,
         "las_laz_roundtrip": q_las_laz_roundtrip,
+        "las_laz_roundtrip_var": q_las_laz_roundtrip_var,
         "warc_roundtrip": q_warc_roundtrip,
         "ept_query": q_ept_query,
         "ept_addon": q_ept_addon,
@@ -3787,6 +3821,7 @@ def _misc_oracles() -> dict[str, str]:
         "reprojection_lcc": reproj_lcc,
         "las_roundtrip": las_rt,
         "las_laz_roundtrip": las_rt,
+        "las_laz_roundtrip_var": las_rt,
         "warc_roundtrip": warc_rt,
         "ept_query": ept_q,
         "ept_addon": ept_addon_q,

@@ -518,14 +518,23 @@ def write_las(
     JVM-side in the same pass.  For the scale path use
     :func:`write_las_parts`.
 
-    ``compression=True`` writes LASzip (.laz): rows get exact global
-    indices (range-partitioned rank over ``order_by``, which must
-    totally order them), chunk id = index // chunk_size, and each
-    chunk entropy-encodes IN ITS OWNING TASK (the laszip chunk is the
-    parallel unit for the writer exactly as for the reader); the
-    driver streams the encoded chunks in order and appends the chunk
-    table. The encoder is byte-identical to real laszip output on the
-    reference fixture (tests/test_laz.py).
+    ``compression=True`` writes LASzip (.laz). Two chunking modes:
+
+    * ``order_by=None`` (default — the scale path): VARIABLE chunking
+      (``chunk_size`` U32 in the laszip VLR): every Arrow batch of
+      every partition entropy-encodes map-side into its own chunk —
+      NO shuffle anywhere; the chunk table records per-chunk point
+      counts so boundaries are recovered exactly on read.
+    * ``order_by=[cols]`` (interop/parity mode): rows get exact global
+      indices (range-partitioned rank over ``order_by``, which must
+      totally order them), chunk id = index // chunk_size, every chunk
+      exactly chunk_size points like laszip's default layout.
+
+    Either way each chunk encodes IN ITS OWNING TASK (the laszip chunk
+    is the parallel unit for the writer exactly as for the reader) and
+    the driver streams encoded chunks in order. The encoder is
+    byte-identical to real laszip output on the reference fixture
+    (tests/test_laz.py).
     """
     if compression:
         return _write_laz(df, path, fmt, scales, offsets,
@@ -630,20 +639,9 @@ def _write_laz(
     from pdal_spark.operators.ordered import global_rank
 
     lazmod.laz_items_for_format(fmt)  # raise early for fmt > 3
-    if not order_by:
-        raise ValueError(
-            "write_las(compression=True) needs order_by: laszip chunk "
-            "boundaries are positional, so rows need a total order"
-        )
     version_minor = 2
     slots = LEGACY_RETURN_COUNT
     items = lazmod.laz_items_for_format(fmt)
-
-    idx = global_rank(df, [F.col(c) for c in order_by],
-                      out_col="_gidx", zero_based=True)
-    chunked = idx.withColumn(
-        "_chunk", (F.col("_gidx") / F.lit(chunk_size)).cast("long")
-    )
 
     blk_schema = T.StructType([
         T.StructField("chunk", T.LongType()),
@@ -658,8 +656,7 @@ def _write_laz(
         T.StructField("maxz", T.DoubleType()),
     ])
 
-    def _encode_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_gidx", kind="stable")
+    def _encode_pdf(pdf: pd.DataFrame, chunk_id: int) -> pd.DataFrame:
         raw = encode_records(pdf, fmt, scales, offsets)
         rec = _laz_record_view(raw, fmt)
         blob = lazmod.encode_chunk(rec, items)
@@ -669,24 +666,56 @@ def _write_laz(
         )
         br = _return_counts(ret, slots)
         return pd.DataFrame({
-            "chunk": [int(key[0])], "blob": [blob], "n": [len(pdf)],
+            "chunk": [chunk_id], "blob": [blob], "n": [len(pdf)],
             "by_return": [br.astype(np.int64).tolist()],
             "minx": [float(pdf["x"].min())], "miny": [float(pdf["y"].min())],
             "minz": [float(pdf["z"].min())], "maxx": [float(pdf["x"].max())],
             "maxy": [float(pdf["y"].max())], "maxz": [float(pdf["z"].max())],
         })
 
-    blocks = chunked.groupBy("_chunk").applyInPandas(
-        _encode_one, schema=blk_schema
-    ).orderBy("chunk")
+    if order_by:
+        # fixed chunking (interop/parity mode): exact global chunk ids
+        # via range-partitioned rank, every chunk exactly chunk_size
+        # points except the last
+        idx = global_rank(df, [F.col(c) for c in order_by],
+                          out_col="_gidx", zero_based=True)
+        chunked = idx.withColumn(
+            "_chunk", (F.col("_gidx") / F.lit(chunk_size)).cast("long")
+        )
+
+        def _encode_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _encode_pdf(
+                pdf.sort_values("_gidx", kind="stable"), int(key[0])
+            )
+
+        blocks = chunked.groupBy("_chunk").applyInPandas(
+            _encode_one, schema=blk_schema
+        ).orderBy("chunk")
+        variable = False
+    else:
+        # variable chunking (chunk_size U32 in the VLR — the scale
+        # default): each Arrow batch of each partition becomes one
+        # chunk, encoded map-side with NO shuffle at all; the chunk
+        # table records per-chunk point counts, so readers (ours and
+        # laszip's variable-chunk support) recover boundaries exactly
+        def _encode_stream(batches):
+            for pdf in batches:
+                if len(pdf):
+                    yield _encode_pdf(pdf, -1)
+
+        blocks = df.mapInPandas(_encode_stream, schema=blk_schema)
+        variable = True
 
     count = 0
     by_return = np.zeros(slots, dtype=np.uint64)
     mins = [np.inf] * 3
     maxs = [-np.inf] * 3
     sizes: list[int] = []
+    counts: list[int] = []
     hsize = HEADER_SIZE[version_minor]
-    vlr = lazmod.make_laz_vlr(fmt, chunk_size)
+    vlr = lazmod.make_laz_vlr(
+        fmt, 0xFFFFFFFF if variable else chunk_size
+    )
     data_offset = hsize + len(vlr)
     tmp = path + ".tmp"
     with open(tmp, "wb") as out:
@@ -695,10 +724,12 @@ def _write_laz(
         out.write(struct.pack("<q", -1))  # table pointer, patched below
         expect = 0
         for row in blocks.toLocalIterator():
-            assert row.chunk == expect, "chunk stream out of order"
-            expect += 1
+            if not variable:
+                assert row.chunk == expect, "chunk stream out of order"
+                expect += 1
             out.write(bytes(row.blob))
             sizes.append(len(row.blob))
+            counts.append(int(row.n))
             count += row.n
             by_return += np.asarray(row.by_return, dtype=np.uint64)
             mins = [min(mins[0], row.minx), min(mins[1], row.miny),
@@ -706,7 +737,8 @@ def _write_laz(
             maxs = [max(maxs[0], row.maxx), max(maxs[1], row.maxy),
                     max(maxs[2], row.maxz)]
         table_offset = out.tell()
-        out.write(lazmod.encode_chunk_sizes(sizes))
+        out.write(lazmod.encode_chunk_sizes(
+            sizes, counts=counts if variable else None))
     if count == 0:
         mins = [0.0, 0.0, 0.0]
         maxs = [0.0, 0.0, 0.0]

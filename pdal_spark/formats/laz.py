@@ -731,20 +731,27 @@ def laz_vlr_info(buf: bytes) -> dict:
     raise ValueError("no laszip VLR — not a LAZ file")
 
 
-def _decode_chunk_sizes(buf: bytes, pos: int) -> list[int]:
-    """Chunk-table payload -> per-chunk byte sizes (the table stores
-    arithmetic-coded sizes, IntegerCompressor 32/2)."""
+def _decode_chunk_sizes(buf: bytes, pos: int,
+                        variable: bool = False) -> list:
+    """Chunk-table payload -> per-chunk byte sizes (fixed chunking) or
+    (count, size) pairs (variable chunking, chunk_size == U32 in the
+    VLR). The table stores arithmetic-coded values, IntegerCompressor
+    32/2: counts under context 0 predicted by the previous count,
+    sizes under context 1 predicted by the previous size, interleaved
+    per chunk."""
     version, n_chunks = struct.unpack("<II", buf[pos:pos + 8])
     if version != 0:
         raise LazUnsupported(f"chunk table version {version}")
     dec = Decoder(buf, pos + 8)
     ic = IntDecomp(dec, 32, 2)
-    sizes = []
-    prev = 0
+    out = []
+    prev_n = prev_s = 0
     for _ in range(n_chunks):
-        prev = ic.decompress(prev, 1)
-        sizes.append(prev)
-    return sizes
+        if variable:
+            prev_n = ic.decompress(prev_n, 0)
+        prev_s = ic.decompress(prev_s, 1)
+        out.append((prev_n, prev_s) if variable else prev_s)
+    return out
 
 
 def read_chunk_table(buf: bytes, offset: int, table_offset: int,
@@ -789,20 +796,25 @@ def laz_chunk_extents(
                 f"laszip compressor {info['compressor']} — pointwise (1) "
                 "and chunked (2) are implemented"
             )
-        if info["chunk_size"] in (0, U32):
-            raise LazUnsupported("variable-size laszip chunking")
+        if info["chunk_size"] == 0:
+            raise LazUnsupported("chunk_size 0")
         f.seek(offset)
         table_offset = struct.unpack("<q", f.read(8))[0]
         if table_offset < 0:
             raise LazUnsupported("streaming laz (chunk table offset -1)")
         f.seek(table_offset)
         tail = f.read()
-    sizes = _decode_chunk_sizes(tail, 0)
+    variable = info["chunk_size"] == U32
+    entries = _decode_chunk_sizes(tail, 0, variable=variable)
     out = []
     start = offset + 8
     remaining = n_points
-    for s in sizes:
-        npts = min(info["chunk_size"], remaining)
+    for e in entries:
+        if variable:
+            npts, s = e
+        else:
+            s = e
+            npts = min(info["chunk_size"], remaining)
         out.append((start, s, npts))
         start += s
         remaining -= npts
@@ -915,8 +927,16 @@ def read_laz_points(path: str) -> np.ndarray:
             "chunked (2) are implemented"
         )
     table_offset = struct.unpack("<q", buf[offset:offset + 8])[0]
-    chunks = read_chunk_table(buf, offset, table_offset, n_points,
-                              info["chunk_size"])
+    if info["chunk_size"] == U32:  # variable chunking: counts in table
+        entries = _decode_chunk_sizes(buf, table_offset, variable=True)
+        chunks = []
+        start = offset + 8
+        for npts, s in entries:
+            chunks.append((start, npts))
+            start += s
+    else:
+        chunks = read_chunk_table(buf, offset, table_offset, n_points,
+                                  info["chunk_size"])
     parts = [decode_chunk(buf, s, n, info["items"]) for s, n in chunks]
     return np.concatenate(parts) if parts else decode_chunk(
         buf, 0, 0, info["items"])
@@ -1403,15 +1423,21 @@ def make_laz_vlr(fmt: int, chunk_size: int = 50000) -> bytes:
     return hdr + payload
 
 
-def encode_chunk_sizes(sizes: list[int]) -> bytes:
+def encode_chunk_sizes(sizes: list[int],
+                       counts: list[int] | None = None) -> bytes:
     """Chunk table payload: u32 version 0, u32 count, IC(32,2)-coded
-    byte sizes (inverse of _decode_chunk_sizes)."""
+    byte sizes (inverse of _decode_chunk_sizes). Pass ``counts`` for
+    variable chunking (chunk_size U32): per-chunk point counts
+    interleave before each size, context 0."""
     enc = Encoder()
     ic = IntComp(enc, 32, 2)
-    prev = 0
-    for s in sizes:
-        ic.compress(prev, s, 1)
-        prev = s
+    prev_n = prev_s = 0
+    for i, s in enumerate(sizes):
+        if counts is not None:
+            ic.compress(prev_n, counts[i], 0)
+            prev_n = counts[i]
+        ic.compress(prev_s, s, 1)
+        prev_s = s
     return struct.pack("<II", 0, len(sizes)) + enc.done()
 
 

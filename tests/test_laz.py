@@ -310,3 +310,35 @@ def test_laz_writer_all_v2_formats(spark):
         b = (back.toPandas()[cols].sort_values(cols, kind="stable")
              .reset_index(drop=True))
         pd.testing.assert_frame_equal(b, a, check_dtype=False)
+
+
+def test_laz_writer_variable_chunking_no_shuffle(spark):
+    """order_by=None: every Arrow batch becomes one chunk (chunk_size
+    U32 + per-chunk counts in the table) and the plan has NO exchange.
+    Round trip must be exact; chunk extents must tile the file."""
+    import tempfile
+
+    import pandas as pd
+    from pdal_spark.formats import laz as lazmod
+    from pdal_spark.formats.las import read_las, write_las
+
+    base = read_las(spark, TWIN)
+    p = tempfile.mktemp(suffix=".var.laz")
+    info = write_las(base, p, fmt=3, scales=(0.01, 0.01, 0.01),
+                     compression=True)
+    assert info["count"] == 110000 and info["chunks"] >= 2
+    vlr = lazmod.laz_vlr_info(open(p, "rb").read())
+    assert vlr["chunk_size"] == 0xFFFFFFFF
+    _, extents = lazmod.laz_chunk_extents(p)
+    assert sum(n for _, _, n in extents) == 110000
+    for (s0, ln, _), (s1, _, _) in zip(extents, extents[1:]):
+        assert s0 + ln == s1
+    key = ["gps_time", "x", "y", "z"]
+    a = (base.toPandas().sort_values(key, kind="stable")
+         .reset_index(drop=True))
+    b = (read_las(spark, p).toPandas().sort_values(key, kind="stable")
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # single-file decode path handles variable tables too
+    pts = lazmod.read_laz_points(p)
+    assert len(pts) == 110000
