@@ -771,16 +771,28 @@ def write_las_parts(
     scales: Sequence[float] = (0.01, 0.01, 0.01),
     offsets: Sequence[float] = (0.0, 0.0, 0.0),
     version_minor: Optional[int] = None,
+    compression: bool = False,
+    chunk_size: int = 50000,
 ) -> DataFrame:
-    """One .las per group of ``by`` — the FlexWriter ``#`` analog
-    (FlexWriter.hpp), fully distributed via applyInPandas.
+    """One .las (or, with ``compression=True``, .laz) per group of
+    ``by`` — the FlexWriter ``#`` analog (FlexWriter.hpp) with
+    writers.las's compression option, fully distributed via
+    applyInPandas.
 
     Returns a manifest DataFrame (group, path, count, bounds) — the
     tindex sidecar shape (operators/tindex.py).  Each group's file is
-    written atomically (tmp + rename) by the executor that owns it.
+    written atomically (tmp + rename) by the executor that owns it;
+    compressed groups entropy-encode IN the owning task (fixed
+    chunk_size chunks — the group's rows are already local, so no
+    shuffle is needed to form exact chunk boundaries).
     """
     if version_minor is None:
         version_minor = 4 if _has14(fmt) else 2
+    if compression:
+        from pdal_spark.formats import laz as lazmod
+
+        laz_items = lazmod.laz_items_for_format(fmt)  # raises for 6-8
+        version_minor = 2
     slots = RETURN_COUNT if version_minor >= 4 else LEGACY_RETURN_COUNT
     os.makedirs(out_dir, exist_ok=True)
 
@@ -801,17 +813,40 @@ def write_las_parts(
             pdf["return_number"] if "return_number" in pdf.columns
             else np.ones(len(pdf))
         )
-        header = make_header(
+        header = bytearray(make_header(
             fmt, version_minor, len(pdf), _return_counts(ret, slots),
             scales, offsets,
             (float(pdf["x"].min()), float(pdf["y"].min()), float(pdf["z"].min())),
             (float(pdf["x"].max()), float(pdf["y"].max()), float(pdf["z"].max())),
-        )
-        fpath = os.path.join(out_dir, f"{gval}.las")
+        ))
+        ext = "laz" if compression else "las"
+        fpath = os.path.join(out_dir, f"{gval}.{ext}")
         tmp = f"{fpath}.tmp-{_uuid.uuid4().hex[:8]}"
         with open(tmp, "wb") as f:
-            f.write(header)
-            f.write(blob)
+            if compression:
+                from pdal_spark.formats import laz as lazmod
+
+                vlr = lazmod.make_laz_vlr(fmt, chunk_size)
+                struct.pack_into("<I", header, 96, len(header) + len(vlr))
+                struct.pack_into("<I", header, 100, 1)
+                header[104] |= 0x80
+                f.write(bytes(header))
+                f.write(vlr)
+                rec = _laz_record_view(blob, fmt)
+                sizes = []
+                f.write(struct.pack("<q", -1))  # table ptr, patched
+                for lo in range(0, len(rec), chunk_size):
+                    cb = lazmod.encode_chunk(
+                        rec[lo:lo + chunk_size], laz_items)
+                    sizes.append(len(cb))
+                    f.write(cb)
+                table_offset = f.tell()
+                f.write(lazmod.encode_chunk_sizes(sizes))
+                f.seek(len(header) + len(vlr))
+                f.write(struct.pack("<q", table_offset))
+            else:
+                f.write(bytes(header))
+                f.write(blob)
         os.replace(tmp, fpath)
         return pd.DataFrame({
             "group": [gval], "path": [fpath], "count": [len(pdf)],

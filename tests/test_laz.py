@@ -342,3 +342,34 @@ def test_laz_writer_variable_chunking_no_shuffle(spark):
     # single-file decode path handles variable tables too
     pts = lazmod.read_laz_points(p)
     assert len(pts) == 110000
+
+
+def test_write_las_parts_compressed(spark, tmp_path):
+    """FlexWriter analog with writers.las compression: one .laz per
+    tile group, encoded in the owning task; every tile reads back
+    byte-equal to its uncompressed twin's frame."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pdal_spark.formats.las import read_las, write_las_parts
+
+    base = read_las(spark, TWIN).withColumn(
+        "tile", (F.col("x") > 637000).cast("int").cast("string")
+    )
+    d_laz = str(tmp_path / "laz_tiles")
+    d_las = str(tmp_path / "las_tiles")
+    man = write_las_parts(base, d_laz, by="tile", fmt=3,
+                          compression=True, chunk_size=20000).collect()
+    man2 = write_las_parts(base, d_las, by="tile", fmt=3).collect()
+    assert {m.group for m in man} == {m.group for m in man2}
+    key = ["gps_time", "x", "y", "z"]
+    for m in man:
+        assert m.path.endswith(".laz") and os.path.exists(m.path)
+        a = (read_las(spark, m.path).toPandas()
+             .sort_values(key, kind="stable").reset_index(drop=True))
+        b = (read_las(spark, os.path.join(d_las, f"{m.group}.las"))
+             .toPandas().sort_values(key, kind="stable")
+             .reset_index(drop=True))
+        assert len(a) == m["count"]
+        pd.testing.assert_frame_equal(a, b)
