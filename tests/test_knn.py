@@ -208,6 +208,8 @@ def test_kernel_equals_pairwise_plan(spark):
     coordinates (tie-breaks), self-exclusion, and hot-cell salting."""
     import random
 
+    import os
+
     rng = random.Random(99)
     pts = [(i, rng.uniform(0, 300), rng.uniform(0, 300))
            for i in range(800)]
@@ -216,11 +218,17 @@ def test_kernel_equals_pairwise_plan(spark):
     cand = spark.createDataFrame(
         [(i, xx, yy) for i, xx, yy in pts],
         "cand_id long, x double, y double")
-    for excl, thr in [(False, None), (True, None), (False, 5)]:
-        a = sorted(map(tuple, K.knn_join(
-            src, cand, 4, cell_size=30.0, exclude_self=excl,
-            salt_threshold=thr, n_salts=3).collect()))
-        b = sorted(map(tuple, K.knn_join_pairwise(
-            src, cand, 4, cell_size=30.0, exclude_self=excl,
-            salt_threshold=thr, n_salts=3).collect()))
-        assert a == b, (excl, thr)
+    # the small-input gate would route this tiny frame to the pairwise
+    # plan and the comparison would be vacuous — pin the kernel shape
+    os.environ["PDAL_SPARK_FORCE_DISTRIBUTED"] = "1"
+    try:
+        for excl, thr in [(False, None), (True, None), (False, 5)]:
+            a = sorted(map(tuple, K.knn_join(
+                src, cand, 4, cell_size=30.0, exclude_self=excl,
+                salt_threshold=thr, n_salts=3).collect()))
+            b = sorted(map(tuple, K.knn_join_pairwise(
+                src, cand, 4, cell_size=30.0, exclude_self=excl,
+                salt_threshold=thr, n_salts=3).collect()))
+            assert a == b, (excl, thr)
+    finally:
+        os.environ.pop("PDAL_SPARK_FORCE_DISTRIBUTED", None)
