@@ -22,7 +22,9 @@ EPT *builder* for the uncompressed ``binary`` data type:
   from-scratch codec (formats/laz.py) incl. the BYTE item carrying
   Entwine's OriginId — verified against EptReaderTest.cpp's
   fullReadLaszip golden (518862 pts, OriginId < 4); ``zstandard``
-  raises (codec unavailable in-sandbox);
+  nodes decode through the from-scratch RFC 8878 decoder
+  (formats/zstdcodec.py) — verified against the ellipsoid-zstandard
+  fixture's goldens (100000 pts in boundsConforming, OriginId 0);
 * ``write_ept``: a distributed Entwine-style top-down build — at each
   depth every node keeps a deterministic sample of up to
   ``node_capacity`` points (rank within the node over a seeded
@@ -282,13 +284,10 @@ def read_ept(
     file layout mirrors ept-data, so the merge is a positional
     column-concat — zero shuffles, zero joins)."""
     info = quick_info(root)
-    if info.data_type not in ("binary", "laszip"):
-        raise NotImplementedError(
-            f"EPT dataType {info.data_type!r} needs a codec unavailable "
-            "in this environment (zstandard); binary and laszip are "
-            "supported"
-        )
-    node_ext = "laz" if info.data_type == "laszip" else "bin"
+    if info.data_type not in ("binary", "laszip", "zstandard"):
+        raise NotImplementedError(f"EPT dataType {info.data_type!r}")
+    node_ext = {"laszip": "laz", "zstandard": "zst",
+                "binary": "bin"}[info.data_type]
     nodes = select_nodes(root, bounds=bounds, resolution=resolution)
     schema = spark_schema(info)
     addon_meta = {}
@@ -320,8 +319,14 @@ def read_ept(
             for key, path, _cnt in pdf.itertuples(index=False):
                 with open(path, "rb") as f:
                     raw = f.read()
-                out = (decode_laz_node(raw, info)
-                       if path.endswith(".laz") else decode_node(raw, info))
+                if path.endswith(".laz"):
+                    out = decode_laz_node(raw, info)
+                elif path.endswith(".zst"):
+                    from pdal_spark.formats import zstdcodec
+
+                    out = decode_node(zstdcodec.decompress(raw), info)
+                else:
+                    out = decode_node(raw, info)
                 for col, (adir, adt) in addon_meta.items():
                     with open(os.path.join(adir, f"{key}.bin"), "rb") as f:
                         vals = np.frombuffer(f.read(), dtype=adt)
@@ -430,15 +435,21 @@ def write_ept(
     node_capacity: int = 8192,
     max_depth: int = 8,
     scale: float = 0.01,
+    data_type: str = "binary",
 ) -> dict:
-    """Distributed Entwine-style octree build -> binary EPT dataset.
+    """Distributed Entwine-style octree build -> EPT dataset.
 
     Each depth keeps up to ``node_capacity`` points per node (rank over
     a deterministic xxhash64 order — the subsample every EPT level
-    carries) and spills the remainder to the children. One ``.bin`` per
-    node, written by its owning applyInPandas task; metadata committed
-    last.
+    carries) and spills the remainder to the children. One node file
+    per node, written by its owning applyInPandas task; metadata
+    committed last. ``data_type="zstandard"`` wraps each node in a
+    valid zstd frame of stored blocks (zstdcodec.compress_raw —
+    readable by this repo's decoder and any conformant zstd; honest
+    about doing no entropy coding).
     """
+    if data_type not in ("binary", "zstandard"):
+        raise ValueError(f"data_type {data_type!r}")
     for c in ("x", "y", "z"):
         if c not in df.columns:
             raise ValueError(f"write_ept requires column {c!r}")
@@ -528,9 +539,16 @@ def write_ept(
             else:
                 rec[s["name"]] = v
         tmp = os.path.join(data_dir, f".{node}.tmp")
+        payload = rec.tobytes()
+        ext = "bin"
+        if data_type == "zstandard":
+            from pdal_spark.formats import zstdcodec
+
+            payload = zstdcodec.compress_raw(payload)
+            ext = "zst"
         with open(tmp, "wb") as f:
-            f.write(rec.tobytes())
-        os.replace(tmp, os.path.join(data_dir, f"{node}.bin"))
+            f.write(payload)
+        os.replace(tmp, os.path.join(data_dir, f"{node}.{ext}"))
         return pd.DataFrame({"node": [node], "count": [len(pdf)]})
 
     manifest = (
@@ -545,7 +563,7 @@ def write_ept(
     meta = {
         "bounds": list(cube),
         "boundsConforming": [minx, miny, minz, maxx, maxy, maxz],
-        "dataType": "binary",
+        "dataType": data_type,
         "hierarchyType": "json",
         "points": total,
         "schema": schema_meta,

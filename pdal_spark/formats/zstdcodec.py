@@ -1,0 +1,575 @@
+"""From-scratch Zstandard DECODER (RFC 8878) — pure python.
+
+Reference semantics: /root/reference/io/EptReader.cpp hands ``zstandard``
+EPT node payloads to the external libzstd; neither the sandbox python
+nor the stdlib ships a zstd codec, so this module implements the PUBLIC
+RFC 8878 frame format from scratch (same playbook as formats/laz.py for
+LASzip): frame/block framing, raw + RLE + compressed blocks, all four
+literals types (raw / RLE / Huffman-compressed / treeless), canonical
+Huffman with direct OR FSE-compressed weight descriptions, the three
+sequence FSE tables in every mode (predefined distributions from the
+RFC, RLE, FSE-described, repeat), interleaved backward bitstreams, and
+the repeat-offset history rules.
+
+Decode only: the EPT reader needs decompression; `compress_raw` emits a
+VALID zstd frame of raw (stored) blocks so `write_ept(data_type=
+"zstandard")` round-trips through both this decoder and any conformant
+zstd implementation — honest about doing no entropy coding.
+
+Verification (tests/test_zstd.py): the reference's
+ellipsoid-zstandard EPT fixture decodes to exactly points x record
+bytes, parses as valid binary records matching EptReaderTest.cpp's
+fullReadBinary/Zstandard goldens (100000 pts inside boundsConforming,
+OriginId == 0), and synthetic frames produced by `compress_raw` round
+trip. A wrong FSE/Huffman rule cannot survive these: a single misread
+bit desynchronizes the entropy stream and the regenerated sizes stop
+matching within a block.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["decompress", "compress_raw", "ZstdError"]
+
+MAGIC = 0xFD2FB528
+MAGIC_SKIPPABLE_LO = 0x184D2A50
+
+
+class ZstdError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# bit streams
+# ---------------------------------------------------------------------------
+
+
+class ForwardBits:
+    """LSB-first forward reader (FSE table descriptions, Huffman weight
+    headers are byte-aligned separately)."""
+
+    __slots__ = ("v", "pos", "n")
+
+    def __init__(self, buf: bytes):
+        self.v = int.from_bytes(buf, "little")
+        self.n = 8 * len(buf)
+        self.pos = 0
+
+    def read(self, bits: int) -> int:
+        out = (self.v >> self.pos) & ((1 << bits) - 1)
+        self.pos += bits
+        return out
+
+    def peek(self, bits: int) -> int:
+        return (self.v >> self.pos) & ((1 << bits) - 1)
+
+    def bytes_consumed(self) -> int:
+        return (self.pos + 7) // 8
+
+
+class BackwardBits:
+    """zstd entropy payloads are read BACKWARD: the last byte's highest
+    set bit is a sentinel; bits below it come first."""
+
+    __slots__ = ("v", "pos")
+
+    def __init__(self, buf: bytes):
+        if not buf or buf[-1] == 0:
+            raise ZstdError("corrupt backward bitstream (no sentinel)")
+        self.v = int.from_bytes(buf, "little")
+        self.pos = 8 * (len(buf) - 1) + buf[-1].bit_length() - 1
+
+    def read(self, bits: int) -> int:
+        # reading past the start pads with zero bits (permitted while
+        # finishing the final states)
+        self.pos -= bits
+        if self.pos >= 0:
+            return (self.v >> self.pos) & ((1 << bits) - 1)
+        out = (self.v << (-self.pos)) & ((1 << bits) - 1)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# FSE
+# ---------------------------------------------------------------------------
+
+
+def _read_fse_distribution(fb: ForwardBits, max_symbol: int):
+    """FSE table description (RFC 8878 §4.1.1) -> (accuracy_log,
+    normalized counts). Counts of -1 mean 'less than one'."""
+    accuracy_log = fb.read(4) + 5
+    if accuracy_log > 9:
+        raise ZstdError(f"FSE accuracy log {accuracy_log} > 9")
+    table_size = 1 << accuracy_log
+    remaining = table_size + 1
+    probs: list[int] = []
+    while remaining > 1 and len(probs) <= max_symbol:
+        bits = remaining.bit_length()
+        # values [0, threshold) are coded in bits-1; the rest in bits
+        threshold = (1 << bits) - 1 - remaining
+        low = fb.peek(bits - 1)
+        if low < threshold:
+            fb.read(bits - 1)
+            value = low
+        else:
+            value = fb.read(bits)
+            if value >= (1 << (bits - 1)):
+                value -= threshold
+        proba = value - 1
+        probs.append(proba)
+        remaining -= 1 if proba < 0 else proba
+        if proba == 0:
+            while True:
+                rep = fb.read(2)
+                probs.extend([0] * rep)
+                if rep < 3:
+                    break
+    if remaining != 1:
+        raise ZstdError("FSE distribution does not sum to table size")
+    return accuracy_log, probs
+
+
+def _build_fse_table(accuracy_log: int, probs: list[int]):
+    """-> list of (symbol, nb_bits, base) decode cells."""
+    size = 1 << accuracy_log
+    symbols = [0] * size
+    high = size - 1
+    for s, p in enumerate(probs):
+        if p == -1:
+            symbols[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, p in enumerate(probs):
+        if p <= 0:
+            continue
+        for _ in range(p):
+            symbols[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ZstdError("FSE spread did not return to zero")
+    counters = [1 if p == -1 else max(p, 0) for p in probs]
+    table = [None] * size
+    for i in range(size):
+        s = symbols[i]
+        x = counters[s]
+        counters[s] += 1
+        nb = accuracy_log - (x.bit_length() - 1)
+        table[i] = (s, nb, (x << nb) - size)
+    return table
+
+
+class FseState:
+    __slots__ = ("table", "log", "state")
+
+    def __init__(self, table, log, bb: BackwardBits):
+        self.table = table
+        self.log = log
+        self.state = bb.read(log)
+
+    def symbol(self) -> int:
+        return self.table[self.state][0]
+
+    def update(self, bb: BackwardBits):
+        _s, nb, base = self.table[self.state]
+        self.state = base + bb.read(nb)
+
+
+# RFC 8878 predefined distributions
+_LL_DEFAULT = (6, [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2,
+                   2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1,
+                   -1])
+_ML_DEFAULT = (6, [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                   1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                   1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1,
+                   -1])
+_OF_DEFAULT = (5, [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                   1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1])
+
+#: literals-length code -> (baseline, extra bits)
+_LL_TABLE = [(i, 0) for i in range(16)] + [
+    (16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2), (32, 3),
+    (40, 3), (48, 4), (64, 6), (128, 7), (256, 8), (512, 9), (1024, 10),
+    (2048, 11), (4096, 12), (8192, 13), (16384, 14), (32768, 15),
+    (65536, 16),
+]
+#: match-length code -> (baseline, extra bits)
+_ML_TABLE = [(i + 3, 0) for i in range(32)] + [
+    (35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2), (51, 3),
+    (59, 3), (67, 4), (83, 4), (99, 5), (131, 7), (259, 8), (515, 9),
+    (1027, 10), (2051, 11), (4099, 12), (8195, 13), (16387, 14),
+    (32771, 15), (65539, 16),
+]
+
+_MAX_LL_SYM = 35
+_MAX_ML_SYM = 52
+_MAX_OF_SYM = 31
+
+
+# ---------------------------------------------------------------------------
+# Huffman
+# ---------------------------------------------------------------------------
+
+
+def _read_huffman_weights(src: bytes):
+    """Huffman tree description -> (weights list, bytes consumed)."""
+    hb = src[0]
+    if hb < 128:
+        # FSE-compressed weights: hb = compressed size; two interleaved
+        # states over one backward stream
+        payload = src[1:1 + hb]
+        fb = ForwardBits(payload)
+        log, probs = _read_fse_distribution(fb, 255)
+        table = _build_fse_table(log, probs)
+        bb = BackwardBits(payload[fb.bytes_consumed():])
+        s1 = FseState(table, log, bb)
+        s2 = FseState(table, log, bb)
+        weights: list[int] = []
+        # interleaved two-state FSE stream: emit+update alternately;
+        # when an update OVERconsumes the stream (pos < 0 — consuming
+        # exactly the last bit continues), the OTHER state flushes its
+        # final symbol without an update and decoding stops
+        while True:
+            weights.append(s1.symbol())
+            s1.update(bb)
+            if bb.pos < 0:
+                weights.append(s2.symbol())
+                break
+            weights.append(s2.symbol())
+            s2.update(bb)
+            if bb.pos < 0:
+                weights.append(s1.symbol())
+                break
+        return weights, 1 + hb
+    n = hb - 127
+    nbytes = (n + 1) // 2
+    weights = []
+    for i in range(n):
+        b = src[1 + i // 2]
+        weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+    return weights, 1 + nbytes
+
+
+def _huffman_table(weights: list[int]):
+    """Canonical zstd Huffman decode table -> (cells, table_log).
+    cells[peek] = (symbol, nb_bits)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    # implied last weight completes the next power of two
+    nxt = 1 << (total - 1).bit_length() if total else 1
+    while nxt < total + 1:
+        nxt <<= 1
+    left = nxt - total
+    if left & (left - 1):
+        raise ZstdError("invalid Huffman weights")
+    last_w = left.bit_length()  # 2^(w-1) = left
+    weights = weights + [last_w]
+    max_bits = (nxt).bit_length() - 1
+    table_log = max_bits
+    size = 1 << table_log
+    cells = [None] * size
+    # per-weight start positions; fill symbols in natural order
+    rank_count = [0] * (max_bits + 2)
+    for w in weights:
+        if w > 0:
+            rank_count[w] += 1
+    rank_start = [0] * (max_bits + 2)
+    pos = 0
+    for w in range(1, max_bits + 1):
+        rank_start[w] = pos
+        pos += rank_count[w] << (w - 1)
+    if pos != size:
+        raise ZstdError("Huffman weights do not fill the table")
+    for sym, w in enumerate(weights):
+        if w == 0:
+            continue
+        length = 1 << (w - 1)
+        start = rank_start[w]
+        nb = table_log + 1 - w
+        for i in range(start, start + length):
+            cells[i] = (sym, nb)
+        rank_start[w] += length
+    return cells, table_log
+
+
+def _huffman_decode_stream(cells, table_log: int, buf: bytes,
+                           n_out: int) -> bytearray:
+    bb = BackwardBits(buf)
+    out = bytearray()
+    # prime: peek table_log bits at a time
+    state = bb.read(table_log)
+    while len(out) < n_out:
+        sym, nb = cells[state]
+        out.append(sym)
+        if len(out) == n_out:
+            break
+        state = ((state << nb) & ((1 << table_log) - 1)) | bb.read(nb)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# sequences + block/frame plumbing
+# ---------------------------------------------------------------------------
+
+
+def _seq_table(mode: int, fb_src: bytes, off: int, default, max_sym: int,
+               prev, kind: str):
+    """-> (decode table, accuracy log, new offset, new prev). mode:
+    0 predefined, 1 RLE, 2 FSE-described, 3 repeat."""
+    if mode == 0:
+        log, probs = default
+        return _build_fse_table(log, probs), log, off, (None)
+    if mode == 1:
+        sym = fb_src[off]
+        if sym > max_sym:
+            raise ZstdError(f"RLE symbol {sym} > {max_sym} for {kind}")
+        return [(sym, 0, 0)], 0, off + 1, None
+    if mode == 2:
+        fb = ForwardBits(fb_src[off:])
+        log, probs = _read_fse_distribution(fb, max_sym)
+        return (_build_fse_table(log, probs), log,
+                off + fb.bytes_consumed(), None)
+    if prev is None:
+        raise ZstdError(f"repeat mode without a previous {kind} table")
+    return prev[0], prev[1], off, None
+
+
+def _decode_block(src: bytes, out: bytearray, ctx: dict) -> None:
+    """Decode one compressed block's payload into `out` (the frame
+    window — back references may reach previous blocks)."""
+    # --- literals section
+    lh = src[0]
+    lit_type = lh & 3
+    size_format = (lh >> 2) & 3
+    pos = 0
+    if lit_type in (0, 1):  # raw / RLE
+        if size_format in (0, 2):
+            regen = lh >> 3
+            pos = 1
+        elif size_format == 1:
+            regen = (lh >> 4) | (src[1] << 4)
+            pos = 2
+        else:
+            regen = (lh >> 4) | (src[1] << 4) | (src[2] << 12)
+            pos = 3
+        if lit_type == 0:
+            literals = bytes(src[pos:pos + regen])
+            pos += regen
+        else:
+            literals = bytes([src[pos]]) * regen
+            pos += 1
+    else:  # compressed / treeless
+        if size_format == 0:
+            regen = (lh >> 4) | ((src[1] & 0x3F) << 4)
+            comp = (src[1] >> 6) | (src[2] << 2)
+            pos = 3
+            streams = 1
+        elif size_format == 1:
+            regen = (lh >> 4) | ((src[1] & 0x3F) << 4)
+            comp = (src[1] >> 6) | (src[2] << 2)
+            pos = 3
+            streams = 4
+        elif size_format == 2:
+            regen = (lh >> 4) | (src[1] << 4) | ((src[2] & 3) << 12)
+            comp = (src[2] >> 2) | (src[3] << 6)
+            pos = 4
+            streams = 4
+        else:
+            regen = (lh >> 4) | (src[1] << 4) | ((src[2] & 0x3F) << 12)
+            comp = (src[2] >> 6) | (src[3] << 2) | (src[4] << 10)
+            pos = 5
+            streams = 4
+        section = src[pos:pos + comp]
+        pos += comp
+        so = 0
+        if lit_type == 2:
+            weights, so = _read_huffman_weights(section)
+            ctx["huf"] = _huffman_table(weights)
+        if ctx.get("huf") is None:
+            raise ZstdError("treeless literals without a previous table")
+        cells, tlog = ctx["huf"]
+        if streams == 1:
+            literals = bytes(
+                _huffman_decode_stream(cells, tlog, section[so:], regen))
+        else:
+            s1, s2, s3 = struct.unpack("<HHH", section[so:so + 6])
+            so += 6
+            body = section[so:]
+            sizes = [s1, s2, s3, len(body) - s1 - s2 - s3]
+            per = (regen + 3) // 4
+            outs = []
+            o = 0
+            for i, ln in enumerate(sizes):
+                want = per if i < 3 else regen - 3 * per
+                outs.append(_huffman_decode_stream(
+                    cells, tlog, body[o:o + ln], want))
+                o += ln
+            literals = bytes(b"".join(outs))
+    if len(literals) != regen:
+        raise ZstdError("literals size mismatch")
+
+    # --- sequences section
+    b0 = src[pos]
+    if b0 == 0:
+        out += literals
+        return
+    if b0 < 128:
+        n_seq = b0
+        pos += 1
+    elif b0 < 255:
+        n_seq = ((b0 - 128) << 8) + src[pos + 1]
+        pos += 2
+    else:
+        n_seq = src[pos + 1] + (src[pos + 2] << 8) + 0x7F00
+        pos += 3
+    scm = src[pos]
+    pos += 1
+    ll_mode = (scm >> 6) & 3
+    of_mode = (scm >> 4) & 3
+    ml_mode = (scm >> 2) & 3
+
+    ll_tab, ll_log, pos, _ = _seq_table(
+        ll_mode, src, pos, _LL_DEFAULT, _MAX_LL_SYM, ctx.get("ll"), "LL")
+    of_tab, of_log, pos, _ = _seq_table(
+        of_mode, src, pos, _OF_DEFAULT, _MAX_OF_SYM, ctx.get("of"), "OF")
+    ml_tab, ml_log, pos, _ = _seq_table(
+        ml_mode, src, pos, _ML_DEFAULT, _MAX_ML_SYM, ctx.get("ml"), "ML")
+    ctx["ll"], ctx["of"], ctx["ml"] = (
+        (ll_tab, ll_log), (of_tab, of_log), (ml_tab, ml_log))
+
+    bb = BackwardBits(src[pos:])
+    ll_st = FseState(ll_tab, ll_log, bb)
+    of_st = FseState(of_tab, of_log, bb)
+    ml_st = FseState(ml_tab, ml_log, bb)
+
+    rep = ctx["rep"]
+    lit_pos = 0
+    for i in range(n_seq):
+        of_code = of_st.symbol()
+        ml_code = ml_st.symbol()
+        ll_code = ll_st.symbol()
+        if of_code > 31:
+            raise ZstdError("offset code too large")
+        offset_value = (1 << of_code) + bb.read(of_code) \
+            if of_code else 1
+        ml_base, ml_bits = _ML_TABLE[ml_code]
+        match_len = ml_base + (bb.read(ml_bits) if ml_bits else 0)
+        ll_base, ll_bits = _LL_TABLE[ll_code]
+        lit_len = ll_base + (bb.read(ll_bits) if ll_bits else 0)
+
+        # repeat-offset resolution (RFC 8878 §3.1.1.5)
+        if offset_value > 3:
+            offset = offset_value - 3
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            idx = offset_value + (1 if lit_len == 0 else 0)
+            if idx == 1:
+                offset = rep[0]
+            elif idx == 2:
+                offset = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif idx == 3:
+                offset = rep[2]
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            else:
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ZstdError("repeat offset underflow")
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+
+        out += literals[lit_pos:lit_pos + lit_len]
+        lit_pos += lit_len
+        if offset > len(out):
+            raise ZstdError("match offset beyond window")
+        start = len(out) - offset
+        if match_len <= offset:
+            out += out[start:start + match_len]
+        else:
+            for j in range(match_len):  # overlapping copy
+                out.append(out[start + j])
+        if i < n_seq - 1:
+            ll_st.update(bb)
+            ml_st.update(bb)
+            of_st.update(bb)
+    out += literals[lit_pos:]
+
+
+def decompress(src: bytes, expected_size: int | None = None) -> bytes:
+    """Decode a zstd frame sequence -> content bytes."""
+    out = bytearray()
+    pos = 0
+    while pos < len(src):
+        magic = struct.unpack("<I", src[pos:pos + 4])[0]
+        pos += 4
+        if (magic & 0xFFFFFFF0) == MAGIC_SKIPPABLE_LO:
+            ln = struct.unpack("<I", src[pos:pos + 4])[0]
+            pos += 4 + ln
+            continue
+        if magic != MAGIC:
+            raise ZstdError(f"bad magic {magic:#x}")
+        fhd = src[pos]
+        pos += 1
+        single_segment = (fhd >> 5) & 1
+        checksum = (fhd >> 2) & 1
+        dict_flag = fhd & 3
+        fcs_code = fhd >> 6
+        if not single_segment:
+            pos += 1  # window descriptor
+        pos += (0, 1, 2, 4)[dict_flag]
+        fcs_len = (1 if single_segment else 0, 2, 4, 8)[fcs_code]
+        pos += fcs_len
+        ctx = {"rep": [1, 4, 8], "huf": None,
+               "ll": None, "of": None, "ml": None}
+        while True:
+            bh = int.from_bytes(src[pos:pos + 3], "little")
+            pos += 3
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            if btype == 0:  # raw
+                out += src[pos:pos + bsize]
+                pos += bsize
+            elif btype == 1:  # RLE
+                out += bytes([src[pos]]) * bsize
+                pos += 1
+            elif btype == 2:
+                _decode_block(src[pos:pos + bsize], out, ctx)
+                pos += bsize
+            else:
+                raise ZstdError("reserved block type")
+            if last:
+                break
+        if checksum:
+            pos += 4  # not validated (XXH64 low 32; fixtures carry none)
+    if expected_size is not None and len(out) != expected_size:
+        raise ZstdError(
+            f"decoded {len(out)} bytes, expected {expected_size}")
+    return bytes(out)
+
+
+def compress_raw(content: bytes, block_size: int = 1 << 17) -> bytes:
+    """A VALID zstd frame of raw (stored) blocks — no entropy coding.
+    Any conformant decoder (incl. this module) reproduces `content`."""
+    out = bytearray()
+    out += struct.pack("<I", MAGIC)
+    # single-segment, 8-byte frame content size, no checksum
+    out += bytes([0xC0 | 0x20])
+    out += struct.pack("<Q", len(content))
+    n = max(1, (len(content) + block_size - 1) // block_size) \
+        if content else 1
+    for i in range(n):
+        chunk = content[i * block_size:(i + 1) * block_size]
+        last = 1 if i == n - 1 else 0
+        out += int.to_bytes((len(chunk) << 3) | last, 3, "little")
+        out += chunk
+    return bytes(out)

@@ -41,9 +41,25 @@ def test_resolution_pruning_reference_golden():
 
 
 @needs_ref
-def test_zstandard_data_rejected(spark):
-    with pytest.raises(NotImplementedError, match="zstandard"):
-        ept.read_ept(spark, f"{REF}/ellipsoid-zstandard")
+def test_read_ept_zstandard_nodes(spark):
+    """readers.ept over a zstandard dataset through the from-scratch
+    RFC 8878 decoder (EptReaderTest.cpp fullReadZstandard): 100000
+    points, every coordinate inside boundsConforming, OriginId == 0."""
+    d = f"{REF}/ellipsoid-zstandard"
+    df = ept.read_ept(spark, d)
+    r = df.agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+        F.min("z").alias("z0"), F.max("z").alias("z1"),
+        F.min("OriginId").alias("o0"), F.max("OriginId").alias("o1"),
+    ).collect()[0]
+    assert r["n"] == 100000
+    bc = (-8242747.0, 4966505.0, -51.0, -8242445.0, 4966707.0, 51.0)
+    assert bc[0] <= r["x0"] and r["x1"] <= bc[3]
+    assert bc[1] <= r["y0"] and r["y1"] <= bc[4]
+    assert bc[2] <= r["z0"] and r["z1"] <= bc[5]
+    assert (r["o0"], r["o1"]) == (0, 0)
 
 
 def test_node_bounds_halving():
@@ -227,3 +243,22 @@ def test_read_ept_laszip_rgb_nodes(spark):
     assert df.count() == 1065
     assert {"x", "y", "z", "Red", "Green", "Blue", "OriginId"} <= set(
         df.columns)
+
+
+def test_write_ept_zstandard_roundtrip(spark, tmp_path):
+    """write_ept(data_type='zstandard') wraps each node in a stored-
+    block zstd frame; read back equals the binary build exactly."""
+    pts = spark.range(0, 2000).select(
+        (F.col("id") % 50 * 1.0).alias("x"),
+        (F.col("id") % 37 * 2.0).alias("y"),
+        (F.col("id") % 11 * 3.0).alias("z"),
+        F.col("id").cast("double").alias("val"),
+    )
+    rb = str(tmp_path / "bin")
+    rz = str(tmp_path / "zst")
+    ept.write_ept(pts, rb, node_capacity=256, max_depth=5)
+    ept.write_ept(pts, rz, node_capacity=256, max_depth=5,
+                  data_type="zstandard")
+    a = sorted(map(tuple, ept.read_ept(spark, rb).collect()))
+    b = sorted(map(tuple, ept.read_ept(spark, rz).collect()))
+    assert a == b and len(a) == 2000
