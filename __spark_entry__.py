@@ -1032,6 +1032,34 @@ def q_ept_query(spark, sf_dir):
     )
 
 
+def q_ept_zstd_query(spark, sf_dir):
+    """readers.ept over a ZSTANDARD dataset: the same build + pruned
+    bounds query as ept_query, but every node payload passes through
+    the from-scratch RFC 8878 zstd codec (formats/zstdcodec.py —
+    write_ept emits stored-block frames, read_ept decodes them). Same
+    oracle: the node compression is transparent to the row set."""
+    import tempfile
+
+    from pdal_spark.formats import ept as ept_fmt
+
+    pts = _docs_z(spark, sf_dir).withColumn(
+        "did", F.col("doc_id").cast("double")
+    ).select("x", "y", "z", "did")
+    root = tempfile.mkdtemp(prefix="ept_z_") + "/ds"
+    ept_fmt.write_ept(pts, root, node_capacity=512, max_depth=6,
+                      data_type="zstandard")
+    qb = (-120.0, -60.0, 0.0, 120.0, 60.0, 400.0)
+    out = ept_fmt.read_ept(spark, root, bounds=qb)
+    return (
+        out.filter(
+            (F.col("x") >= qb[0]) & (F.col("x") <= qb[3])
+            & (F.col("y") >= qb[1]) & (F.col("y") <= qb[4])
+            & (F.col("z") >= qb[2]) & (F.col("z") <= qb[5])
+        )
+        .select(F.col("did").cast("long").alias("doc_id"), "x", "y")
+    )
+
+
 def q_ept_addon(spark, sf_dir):
     """writers.ept_addon (io/EptAddonWriter.cpp): build an EPT octree,
     read it back with the EptNodeId/EptPointId pair, write a sidecar
@@ -3429,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "las_laz_roundtrip_var": q_las_laz_roundtrip_var,
         "warc_roundtrip": q_warc_roundtrip,
         "ept_query": q_ept_query,
+        "ept_zstd_query": q_ept_zstd_query,
         "ept_addon": q_ept_addon,
         "tindex_read": q_tindex_read,
         "las_tiles": q_las_tiles,
@@ -3824,6 +3853,7 @@ def _misc_oracles() -> dict[str, str]:
         "las_laz_roundtrip_var": las_rt,
         "warc_roundtrip": warc_rt,
         "ept_query": ept_q,
+        "ept_zstd_query": ept_q,
         "ept_addon": ept_addon_q,
         "tindex_read": tindex_read_q,
         "las_tiles": las_tiles,
