@@ -16,13 +16,19 @@ VALID zstd frame of raw (stored) blocks so `write_ept(data_type=
 "zstandard")` round-trips through both this decoder and any conformant
 zstd implementation — honest about doing no entropy coding.
 
-Verification (tests/test_zstd.py): the reference's
-ellipsoid-zstandard EPT fixture decodes to exactly points x record
-bytes, parses as valid binary records matching EptReaderTest.cpp's
-fullReadBinary/Zstandard goldens (100000 pts inside boundsConforming,
-OriginId == 0), and synthetic frames produced by `compress_raw` round
-trip. A wrong FSE/Huffman rule cannot survive these: a single misread
-bit desynchronizes the entropy stream and the regenerated sizes stop
+Verification (tests/test_zstd.py):
+  * the reference's ellipsoid-zstandard EPT fixture (a 1.6 MB real
+    frame, 13 compressed blocks) decodes to exactly points x record
+    bytes matching EptReaderTest.cpp's goldens (100000 pts inside
+    boundsConforming, OriginId == 0);
+  * an independent producer's .tar.zst decodes into a valid tar;
+  * DIFFERENTIAL fuzz against real libzstd (found on-box, used via
+    ctypes as a test oracle only): adversarial inputs compressed at
+    levels 1/3/9/19 must all decode back exactly — this exercises
+    every literals/sequence/table mode the reference encoder emits;
+  * `compress_raw` frames round trip.
+A wrong FSE/Huffman rule cannot survive these: a single misread bit
+desynchronizes the entropy stream and the regenerated sizes stop
 matching within a block.
 """
 
