@@ -76,23 +76,48 @@ class ForwardBits:
 
 class BackwardBits:
     """zstd entropy payloads are read BACKWARD: the last byte's highest
-    set bit is a sentinel; bits below it come first."""
+    set bit is a sentinel; bits below it come first.
 
-    __slots__ = ("v", "pos")
+    Windowed container (the BIT_DStream shape): bytes refill a small
+    accumulator on demand — NOT one whole-stream bigint, whose
+    per-read shift would cost O(stream bytes) and dominate the decode
+    (measured 6 of 10 s on a 1.6 MB frame)."""
+
+    __slots__ = ("buf", "bytep", "acc", "nbits", "pos")
 
     def __init__(self, buf: bytes):
         if not buf or buf[-1] == 0:
             raise ZstdError("corrupt backward bitstream (no sentinel)")
-        self.v = int.from_bytes(buf, "little")
-        self.pos = 8 * (len(buf) - 1) + buf[-1].bit_length() - 1
+        self.buf = buf
+        last = buf[-1]
+        self.nbits = last.bit_length() - 1
+        self.acc = last & ((1 << self.nbits) - 1)
+        self.bytep = len(buf) - 1
+        self.pos = 8 * self.bytep + self.nbits
 
     def read(self, bits: int) -> int:
         # reading past the start pads with zero bits (permitted while
         # finishing the final states)
         self.pos -= bits
-        if self.pos >= 0:
-            return (self.v >> self.pos) & ((1 << bits) - 1)
-        out = (self.v << (-self.pos)) & ((1 << bits) - 1)
+        if bits == 0:
+            return 0
+        nb = self.nbits
+        acc = self.acc
+        if nb < bits:
+            bp = self.bytep
+            buf = self.buf
+            while nb < bits and bp > 0:
+                bp -= 1
+                acc = (acc << 8) | buf[bp]
+                nb += 8
+            self.bytep = bp
+            if nb < bits:  # stream underflow: zero-pad
+                acc <<= bits - nb
+                nb = bits
+        nb -= bits
+        out = (acc >> nb) & ((1 << bits) - 1)
+        self.acc = acc & ((1 << nb) - 1)
+        self.nbits = nb
         return out
 
 
@@ -303,16 +328,34 @@ def _huffman_table(weights: list[int]):
 
 def _huffman_decode_stream(cells, table_log: int, buf: bytes,
                            n_out: int) -> bytearray:
-    bb = BackwardBits(buf)
-    out = bytearray()
-    # prime: peek table_log bits at a time
-    state = bb.read(table_log)
-    while len(out) < n_out:
-        sym, nb = cells[state]
-        out.append(sym)
-        if len(out) == n_out:
-            break
-        state = ((state << nb) & ((1 << table_log) - 1)) | bb.read(nb)
+    """Self-contained fast loop: the canonical HUF state walk is just a
+    sliding table_log-bit window over the backward stream, so keep the
+    accumulator in locals and consume nb bits per symbol without any
+    per-symbol method calls."""
+    if not buf or buf[-1] == 0:
+        raise ZstdError("corrupt Huffman bitstream")
+    bytep = len(buf) - 1
+    last = buf[bytep]
+    nbits = last.bit_length() - 1
+    acc = last & ((1 << nbits) - 1)
+    out = bytearray(n_out)
+    i = 0
+    tl = table_log
+    while i < n_out:
+        if nbits < tl:
+            while nbits < tl and bytep > 0:
+                bytep -= 1
+                acc = (acc << 8) | buf[bytep]
+                nbits += 8
+            if nbits < tl:  # stream exhausted: zero-pad
+                acc <<= tl - nbits
+                nbits = tl
+        idx = acc >> (nbits - tl)
+        sym, nb = cells[idx]
+        out[i] = sym
+        i += 1
+        nbits -= nb
+        acc &= (1 << nbits) - 1
     return out
 
 
@@ -446,25 +489,80 @@ def _decode_block(src: bytes, out: bytearray, ctx: dict) -> None:
     ctx["ll"], ctx["of"], ctx["ml"] = (
         (ll_tab, ll_log), (of_tab, of_log), (ml_tab, ml_log))
 
-    bb = BackwardBits(src[pos:])
-    ll_st = FseState(ll_tab, ll_log, bb)
-    of_st = FseState(of_tab, of_log, bb)
-    ml_st = FseState(ml_tab, ml_log, bb)
+    # fully inlined backward bitstream (locals, no per-read calls) —
+    # ~6 reads per sequence across 10^5-10^6 sequences per frame
+    tail = src[pos:]
+    if not tail or tail[-1] == 0:
+        raise ZstdError("corrupt sequence bitstream")
+    bytep = len(tail) - 1
+    last = tail[bytep]
+    nbits = last.bit_length() - 1
+    acc = last & ((1 << nbits) - 1)
+
+    # prime the three states (order: LL, OF, ML)
+    states = []
+    for want in (ll_log, of_log, ml_log):
+        while nbits < want and bytep > 0:
+            bytep -= 1
+            acc = (acc << 8) | tail[bytep]
+            nbits += 8
+        if nbits < want:
+            acc <<= want - nbits
+            nbits = want
+        nbits -= want
+        states.append((acc >> nbits) & ((1 << want) - 1))
+        acc &= (1 << nbits) - 1
+    ll_state, of_state, ml_state = states
 
     rep = ctx["rep"]
     lit_pos = 0
+    ml_tbl, ll_tbl = _ML_TABLE, _LL_TABLE
     for i in range(n_seq):
-        of_code = of_st.symbol()
-        ml_code = ml_st.symbol()
-        ll_code = ll_st.symbol()
+        of_code = of_tab[of_state][0]
+        ml_code = ml_tab[ml_state][0]
+        ll_code = ll_tab[ll_state][0]
         if of_code > 31:
             raise ZstdError("offset code too large")
-        offset_value = (1 << of_code) + bb.read(of_code) \
-            if of_code else 1
-        ml_base, ml_bits = _ML_TABLE[ml_code]
-        match_len = ml_base + (bb.read(ml_bits) if ml_bits else 0)
-        ll_base, ll_bits = _LL_TABLE[ll_code]
-        lit_len = ll_base + (bb.read(ll_bits) if ll_bits else 0)
+        # extra bits, read in order OF, ML, LL
+        need = of_code
+        if nbits < need:
+            while nbits < need and bytep > 0:
+                bytep -= 1
+                acc = (acc << 8) | tail[bytep]
+                nbits += 8
+            if nbits < need:
+                acc <<= need - nbits
+                nbits = need
+        nbits -= need
+        offset_value = ((1 << of_code) + ((acc >> nbits)
+                        & ((1 << need) - 1))) if of_code else 1
+        acc &= (1 << nbits) - 1
+
+        ml_base, need = ml_tbl[ml_code]
+        if nbits < need:
+            while nbits < need and bytep > 0:
+                bytep -= 1
+                acc = (acc << 8) | tail[bytep]
+                nbits += 8
+            if nbits < need:
+                acc <<= need - nbits
+                nbits = need
+        nbits -= need
+        match_len = ml_base + ((acc >> nbits) & ((1 << need) - 1))
+        acc &= (1 << nbits) - 1
+
+        ll_base, need = ll_tbl[ll_code]
+        if nbits < need:
+            while nbits < need and bytep > 0:
+                bytep -= 1
+                acc = (acc << 8) | tail[bytep]
+                nbits += 8
+            if nbits < need:
+                acc <<= need - nbits
+                nbits = need
+        nbits -= need
+        lit_len = ll_base + ((acc >> nbits) & ((1 << need) - 1))
+        acc &= (1 << nbits) - 1
 
         # repeat-offset resolution (RFC 8878 §3.1.1.5)
         if offset_value > 3:
@@ -504,9 +602,43 @@ def _decode_block(src: bytes, out: bytearray, ctx: dict) -> None:
             for j in range(match_len):  # overlapping copy
                 out.append(out[start + j])
         if i < n_seq - 1:
-            ll_st.update(bb)
-            ml_st.update(bb)
-            of_st.update(bb)
+            # state updates in order LL, ML, OF
+            _s, need, base = ll_tab[ll_state]
+            if nbits < need:
+                while nbits < need and bytep > 0:
+                    bytep -= 1
+                    acc = (acc << 8) | tail[bytep]
+                    nbits += 8
+                if nbits < need:
+                    acc <<= need - nbits
+                    nbits = need
+            nbits -= need
+            ll_state = base + ((acc >> nbits) & ((1 << need) - 1))
+            acc &= (1 << nbits) - 1
+            _s, need, base = ml_tab[ml_state]
+            if nbits < need:
+                while nbits < need and bytep > 0:
+                    bytep -= 1
+                    acc = (acc << 8) | tail[bytep]
+                    nbits += 8
+                if nbits < need:
+                    acc <<= need - nbits
+                    nbits = need
+            nbits -= need
+            ml_state = base + ((acc >> nbits) & ((1 << need) - 1))
+            acc &= (1 << nbits) - 1
+            _s, need, base = of_tab[of_state]
+            if nbits < need:
+                while nbits < need and bytep > 0:
+                    bytep -= 1
+                    acc = (acc << 8) | tail[bytep]
+                    nbits += 8
+                if nbits < need:
+                    acc <<= need - nbits
+                    nbits = need
+            nbits -= need
+            of_state = base + ((acc >> nbits) & ((1 << need) - 1))
+            acc &= (1 << nbits) - 1
     out += literals[lit_pos:]
 
 
