@@ -342,7 +342,7 @@ def read_las(
     )
     n_chunks = len(chunks)
     sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    chunk_df = chunk_df.repartition(min(n_chunks, max(sp, 1)))
+    chunk_df = chunk_df.repartition(max(1, min(n_chunks, max(sp, 1))))
 
     def _decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

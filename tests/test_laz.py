@@ -373,3 +373,19 @@ def test_write_las_parts_compressed(spark, tmp_path):
              .reset_index(drop=True))
         assert len(a) == m["count"]
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_empty_dataset_roundtrips(spark):
+    """Zero-row write -> read for both .las and .laz (the empty chunk
+    list must not produce a zero-partition repartition)."""
+    import tempfile
+
+    from pdal_spark.formats.las import read_las, write_las
+
+    src = read_las(spark, TWIN).limit(0)
+    p1 = tempfile.mktemp(suffix=".las")
+    p2 = tempfile.mktemp(suffix=".laz")
+    assert write_las(src, p1, fmt=3)["count"] == 0
+    assert write_las(src, p2, fmt=3, compression=True)["count"] == 0
+    assert read_las(spark, p1).count() == 0
+    assert read_las(spark, p2).count() == 0
