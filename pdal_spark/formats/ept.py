@@ -443,10 +443,10 @@ def write_ept(
     a deterministic xxhash64 order — the subsample every EPT level
     carries) and spills the remainder to the children. One node file
     per node, written by its owning applyInPandas task; metadata
-    committed last. ``data_type="zstandard"`` wraps each node in a
-    valid zstd frame of stored blocks (zstdcodec.compress_raw —
-    readable by this repo's decoder and any conformant zstd; honest
-    about doing no entropy coding).
+    committed last. ``data_type="zstandard"`` compresses each node with
+    the from-scratch zstd ENCODER (zstdcodec.compress — LZ matches +
+    Huffman literals + predefined-FSE sequences; frames verified
+    decodable by real libzstd in tests).
     """
     if data_type not in ("binary", "zstandard"):
         raise ValueError(f"data_type {data_type!r}")
@@ -544,7 +544,7 @@ def write_ept(
         if data_type == "zstandard":
             from pdal_spark.formats import zstdcodec
 
-            payload = zstdcodec.compress_raw(payload)
+            payload = zstdcodec.compress(payload)
             ext = "zst"
         with open(tmp, "wb") as f:
             f.write(payload)
