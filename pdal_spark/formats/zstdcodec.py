@@ -11,7 +11,14 @@ sequence FSE tables in every mode (predefined distributions from the
 RFC, RLE, FSE-described, repeat), interleaved backward bitstreams, and
 the repeat-offset history rules.
 
-Both directions: `decompress` is the full RFC 8878 decoder;
+Decode is tiered for the 100 TB read path: `decompress` uses the
+system libzstd through ctypes when present (native speed per EPT task)
+and otherwise runs `decompress_pure`, the from-scratch decoder below —
+which is also the error-reporting path, the always-available fallback,
+and the subject of the differential-parity tests (PDAL_SPARK_ZSTD_PURE=1
+forces it everywhere).
+
+Both directions: `decompress_pure` is the full RFC 8878 decoder;
 `compress` is a REAL compressor — greedy hash-chain LZ matching,
 Huffman-coded literals (canonical weights, 4 backward streams), and
 FSE-coded sequences over the RFC's predefined distributions, with the
@@ -43,7 +50,8 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["decompress", "compress_raw", "ZstdError"]
+__all__ = ["decompress", "decompress_pure", "compress", "compress_raw",
+           "ZstdError"]
 
 MAGIC = 0xFD2FB528
 MAGIC_SKIPPABLE_LO = 0x184D2A50
@@ -272,6 +280,11 @@ def _read_huffman_weights(src: bytes):
         # exactly the last bit continues), the OTHER state flushes its
         # final symbol without an update and decoding stops
         while True:
+            if len(weights) > 255:
+                # spec max is 255 weights; a degenerate FSE table whose
+                # every update reads 0 bits would otherwise never
+                # terminate (bb.pos stops decreasing)
+                raise ZstdError("Huffman weight stream overrun (>255)")
             weights.append(s1.symbol())
             s1.update(bb)
             if bb.pos < 0:
@@ -649,8 +662,111 @@ def _decode_block(src: bytes, out: bytearray, ctx: dict) -> None:
     out += literals[lit_pos:]
 
 
+# ---------------------------------------------------------------------------
+# decode dispatch: ctypes-libzstd fast path + the from-scratch fallback
+# ---------------------------------------------------------------------------
+
+_LIBZSTD = "unset"
+
+#: sentinel return values of ZSTD_getFrameContentSize (RFC/zstd.h)
+_FCS_UNKNOWN = (1 << 64) - 1
+_FCS_ERROR = (1 << 64) - 2
+
+
+def _libzstd():
+    """Best-effort ctypes handle to the system libzstd, cached; None when
+    absent or disabled via PDAL_SPARK_ZSTD_PURE=1. The shared library is
+    PUBLIC system software (same one the reference links); the
+    from-scratch RFC 8878 decoder below remains the always-available
+    fallback and the differential-parity oracle (tests/test_zstd.py)."""
+    global _LIBZSTD
+    if _LIBZSTD != "unset":
+        return _LIBZSTD
+    import os
+
+    _LIBZSTD = None
+    if os.environ.get("PDAL_SPARK_ZSTD_PURE"):
+        return None
+    import ctypes
+    import ctypes.util
+    import glob
+
+    names: list[str] = []
+    found = ctypes.util.find_library("zstd")
+    if found:
+        names.append(found)
+    names += glob.glob("/usr/lib/*/libzstd.so.1")
+    names += glob.glob("/root/miniconda/pkgs/zstd-*/lib/libzstd.so.1")
+    for name in names:
+        try:
+            lib = ctypes.CDLL(name)
+            lib.ZSTD_isError.restype = ctypes.c_uint
+            lib.ZSTD_decompress.restype = ctypes.c_size_t
+            lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+            lib.ZSTD_findFrameCompressedSize.restype = ctypes.c_size_t
+            _LIBZSTD = lib
+            return lib
+        except (OSError, AttributeError):
+            continue
+    return None
+
+
+def _decompress_libzstd(lib, src: bytes, expected_size: int | None):
+    """One-shot ZSTD_decompress over the (possibly concatenated) frame
+    sequence. Returns None when the total content size cannot be
+    determined up front (no FCS header) or libzstd rejects the input —
+    the caller then runs the from-scratch decoder, whose error messages
+    are the module's contract."""
+    import ctypes
+
+    if not src:
+        return b""
+    cap = expected_size
+    if cap is None:
+        # sum per-frame content sizes (skippable frames contribute 0)
+        cap = 0
+        pos = 0
+        n = len(src)
+        while pos < n:
+            view = src[pos:]
+            fcs = lib.ZSTD_getFrameContentSize(view, len(view))
+            if fcs >= _FCS_ERROR:
+                return None
+            csize = lib.ZSTD_findFrameCompressedSize(view, len(view))
+            if lib.ZSTD_isError(ctypes.c_size_t(csize).value):
+                return None
+            cap += fcs
+            pos += csize
+            if csize == 0:
+                return None
+    dst = ctypes.create_string_buffer(max(int(cap), 1))
+    got = lib.ZSTD_decompress(dst, int(cap), src, len(src))
+    if lib.ZSTD_isError(ctypes.c_size_t(got).value):
+        return None
+    return dst.raw[:got]
+
+
 def decompress(src: bytes, expected_size: int | None = None) -> bytes:
-    """Decode a zstd frame sequence -> content bytes."""
+    """Decode a zstd frame sequence -> content bytes.
+
+    Uses the system libzstd via ctypes when present (the 100 TB read
+    path: EPT zstandard nodes decode at native speed per task), falling
+    back to — and error-reporting through — the from-scratch RFC 8878
+    decoder (:func:`decompress_pure`). PDAL_SPARK_ZSTD_PURE=1 forces the
+    pure path; tests pin fast == pure on every fixture."""
+    lib = _libzstd()
+    if lib is not None:
+        out = _decompress_libzstd(lib, src, expected_size)
+        if out is not None:
+            if expected_size is not None and len(out) != expected_size:
+                raise ZstdError(
+                    f"decoded {len(out)} bytes, expected {expected_size}")
+            return out
+    return decompress_pure(src, expected_size)
+
+
+def decompress_pure(src: bytes, expected_size: int | None = None) -> bytes:
+    """Decode a zstd frame sequence -> content bytes (from-scratch)."""
     out = bytearray()
     pos = 0
     while pos < len(src):
@@ -670,7 +786,15 @@ def decompress(src: bytes, expected_size: int | None = None) -> bytes:
         fcs_code = fhd >> 6
         if not single_segment:
             pos += 1  # window descriptor
-        pos += (0, 1, 2, 4)[dict_flag]
+        did_len = (0, 1, 2, 4)[dict_flag]
+        if did_len:
+            did = int.from_bytes(src[pos:pos + did_len], "little")
+            if did:
+                # decoding would silently use default repeat offsets and
+                # no dictionary entropy tables -> wrong bytes; refuse
+                raise ZstdError(
+                    f"dictionary frames unsupported (dictionary id {did})")
+        pos += did_len
         fcs_len = (1 if single_segment else 0, 2, 4, 8)[fcs_code]
         pos += fcs_len
         ctx = {"rep": [1, 4, 8], "huf": None,
@@ -931,8 +1055,12 @@ def _encode_literals(lits: bytes) -> bytes:
         # RLE
         if n < 32:
             return bytes([1 | (0 << 2) | (n << 3), lits[0]])
-        return bytes([1 | (1 << 2) | ((n & 0xF) << 4),
-                      (n >> 4) & 0xFF]) + bytes([lits[0]])
+        if n < 4096:  # size_format 1: 12-bit regenerated size
+            return bytes([1 | (1 << 2) | ((n & 0xF) << 4),
+                          (n >> 4) & 0xFF]) + bytes([lits[0]])
+        # size_format 3: 20-bit regenerated size (guard admits n < 2^20)
+        return bytes([1 | (3 << 2) | ((n & 0xF) << 4),
+                      (n >> 4) & 0xFF, (n >> 12) & 0xFF]) + bytes([lits[0]])
 
     def raw() -> bytes:
         if n < 32:
@@ -1086,13 +1214,16 @@ def _encode_block(data: bytes, start: int, end: int) -> bytes:
     return body + bw.finish()
 
 
-def compress(content: bytes, block_size: int = 1 << 17) -> bytes:
+def compress(content: bytes, block_size: int = 1 << 17,
+             verify: bool = True) -> bytes:
     """REAL zstd compression: LZ matches + Huffman literals + FSE
-    sequences over the RFC's predefined distributions. Every frame is
-    verified decodable by this module's own decoder at write time (a
-    cheap self-check against encoder drift) and the test suite holds
-    it to real libzstd. Falls back to raw blocks when a block does
-    not shrink."""
+    sequences over the RFC's predefined distributions. With
+    verify=True (default) every frame is decoded back and compared to
+    `content` before it leaves this function — through libzstd when
+    present (conformance judged by the canonical decoder at write
+    time) or the from-scratch decoder otherwise. The test suite
+    additionally holds the encoder to real libzstd on adversarial
+    inputs. Falls back to raw blocks when a block does not shrink."""
     out = bytearray()
     out += struct.pack("<I", MAGIC)
     out += bytes([0xC0 | 0x20])  # single segment + 8-byte FCS
@@ -1114,4 +1245,8 @@ def compress(content: bytes, block_size: int = 1 << 17) -> bytes:
             chunk = content[start:end]
             out += int.to_bytes((len(chunk) << 3) | last, 3, "little")
             out += chunk
-    return bytes(out)
+    frame = bytes(out)
+    if verify and decompress(frame, expected_size=len(content)) != content:
+        raise ZstdError("encoder self-check failed (frame does not "
+                        "round-trip)")
+    return frame

@@ -157,18 +157,28 @@ def knn_join(
         .withColumn("_by", F.explode(bys))
     )
 
-    if salt_threshold == "auto":
-        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        n_src = src.count()
-        salt_threshold = max(AUTO_SALT_FLOOR, (8 * n_src) // max(parts, 1))
-
     if salt_threshold is not None:
-        hot = (
-            s.groupBy("_bx", "_by")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") > salt_threshold)
-            .select("_bx", "_by", F.lit(n_salts).alias("_nsalt"))
-        )
+        bc = s.groupBy("_bx", "_by").agg(F.count("*").alias("_n"))
+        if salt_threshold == "auto":
+            # same heuristic as before (a block is hot when its src
+            # population exceeds max(floor, 8*|src|/partitions)) but
+            # derived INSIDE the plan from the block-count aggregate the
+            # hot table needs anyway — no eager src.count() driver
+            # action per call (looped callers: ICP, features family).
+            # |src| = sum of block counts; the 1-row total broadcasts.
+            parts = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            tot = bc.agg(F.sum("_n").alias("_tot"))
+            hot = (
+                bc.crossJoin(F.broadcast(tot))
+                .filter(F.col("_n") > F.greatest(
+                    F.lit(AUTO_SALT_FLOOR).cast("double"),
+                    (8.0 * F.col("_tot")) / F.lit(float(max(parts, 1)))))
+                .select("_bx", "_by", F.lit(n_salts).alias("_nsalt"))
+            )
+        else:
+            hot = bc.filter(F.col("_n") > salt_threshold).select(
+                "_bx", "_by", F.lit(n_salts).alias("_nsalt"))
         s = s.join(F.broadcast(hot), ["_bx", "_by"], "left").withColumn(
             "_salt",
             F.when(
@@ -313,19 +323,26 @@ def knn_join_pairwise(
         "_cyv",
     )
 
-    if salt_threshold == "auto":
-        spark = src.sparkSession
-        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        n_cand = cand.count()
-        salt_threshold = max(AUTO_SALT_FLOOR, (8 * n_cand) // max(parts, 1))
-
     if salt_threshold is not None:
-        hot = (
-            c.groupBy("_cx", "_cy")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") > salt_threshold)
-            .select("_cx", "_cy", F.lit(n_salts).alias("_nsalt"))
-        )
+        cc = c.groupBy("_cx", "_cy").agg(F.count("*").alias("_n"))
+        if salt_threshold == "auto":
+            # lazy auto threshold (see knn_join): hot iff cell count >
+            # max(floor, 8*|cand|/partitions), with |cand| computed from
+            # the same aggregate — no eager cand.count() action
+            spark = src.sparkSession
+            parts = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            tot = cc.agg(F.sum("_n").alias("_tot"))
+            hot = (
+                cc.crossJoin(F.broadcast(tot))
+                .filter(F.col("_n") > F.greatest(
+                    F.lit(AUTO_SALT_FLOOR).cast("double"),
+                    (8.0 * F.col("_tot")) / F.lit(float(max(parts, 1)))))
+                .select("_cx", "_cy", F.lit(n_salts).alias("_nsalt"))
+            )
+        else:
+            hot = cc.filter(F.col("_n") > salt_threshold).select(
+                "_cx", "_cy", F.lit(n_salts).alias("_nsalt"))
         c = c.join(F.broadcast(hot), ["_cx", "_cy"], "left").withColumn(
             "_salt",
             F.when(

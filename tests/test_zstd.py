@@ -31,7 +31,9 @@ def test_real_frame_full_decode():
     recsize = sum(int(s["size"]) for s in meta["schema"])
     assert recsize == 44
     src = open(f"{FIX}/ept-data/0-0-0-0.zst", "rb").read()
-    out = Z.decompress(src, expected_size=100000 * recsize)
+    out = Z.decompress_pure(src, expected_size=100000 * recsize)
+    # the libzstd fast path (when present) must agree byte for byte
+    assert Z.decompress(src, expected_size=100000 * recsize) == out
     assert len(out) == 4400000
     # spot-parse: X/Y/Z int32 of the first record de-quantize into the
     # dataset bounds cube
@@ -71,6 +73,45 @@ def test_rle_and_raw_blocks_and_skippable_frames():
 def test_bad_magic_rejected():
     with pytest.raises(Z.ZstdError):
         Z.decompress(b"\x00\x01\x02\x03\x04\x05\x06\x07\x08")
+
+
+def test_dictionary_frame_rejected():
+    import struct
+
+    # single-segment frame with dict_flag=1 and a nonzero dictionary id:
+    # decoding without the dictionary would silently yield wrong bytes
+    f = struct.pack("<I", Z.MAGIC)
+    f += bytes([0x20 | 0x01])  # single_segment, 1-byte FCS, dict_flag=1
+    f += bytes([5])            # dictionary id 5
+    f += bytes([0])            # frame content size 0
+    f += int.to_bytes((0 << 3) | 1, 3, "little")  # empty raw last block
+    with pytest.raises(Z.ZstdError, match="dictionary"):
+        Z.decompress_pure(bytes(f))
+    with pytest.raises(Z.ZstdError):
+        Z.decompress(bytes(f))
+
+
+def test_degenerate_fse_weights_bounded():
+    """A crafted Huffman-weights FSE table where one symbol owns the
+    whole state space makes every update read 0 bits — the weights loop
+    must raise instead of spinning forever (ADVICE r4)."""
+    # accuracy_log=5 (4 bits 0), then a 6-bit all-ones field decodes to
+    # probability 32 == table size for symbol 0; enough tail bytes that
+    # the two state-init reads leave bb.pos >= 0 (the would-be spin)
+    payload = bytes([0xF0, 0x03, 0x00, 0x00, 0x01])
+    with pytest.raises(Z.ZstdError, match="overrun"):
+        Z._read_huffman_weights(bytes([len(payload)]) + payload)
+
+
+def test_rle_literals_large_run_header():
+    """>=4096-byte all-same literal runs must use the 20-bit RLE size
+    header (the 12-bit header would silently truncate)."""
+    run = b"Q" * 5000
+    enc = Z._encode_literals(run)
+    assert enc[0] & 3 == 1          # literals type RLE
+    assert (enc[0] >> 2) & 3 == 3   # size_format 3 (20-bit)
+    n = (enc[0] >> 4) | (enc[1] << 4) | (enc[2] << 12)
+    assert n == 5000 and enc[3] == ord("Q")
 
 
 def test_independent_producer_tar_zst():
@@ -144,7 +185,11 @@ def test_differential_fuzz_vs_libzstd():
         else:
             data = b""
         for level in (1, 3, 9, 19):
-            assert Z.decompress(zc(data, level)) == data, (trial, level)
+            frame = zc(data, level)
+            # the PURE decoder is the differential subject; the fast
+            # dispatch must agree with it
+            assert Z.decompress_pure(frame) == data, (trial, level)
+            assert Z.decompress(frame) == data, (trial, level)
 
 
 def test_encoder_roundtrip_and_ratio():
