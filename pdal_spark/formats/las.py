@@ -638,10 +638,9 @@ def _write_laz(
     from pdal_spark.formats import laz as lazmod
     from pdal_spark.operators.ordered import global_rank
 
-    lazmod.laz_items_for_format(fmt)  # raise early for fmt > 3
-    version_minor = 2
-    slots = LEGACY_RETURN_COUNT
-    items = lazmod.laz_items_for_format(fmt)
+    items = lazmod.laz_items_for_format(fmt)  # raises for 4/5/9/10
+    version_minor = 4 if _has14(fmt) else 2
+    slots = RETURN_COUNT if version_minor >= 4 else LEGACY_RETURN_COUNT
 
     blk_schema = T.StructType([
         T.StructField("chunk", T.LongType()),
@@ -791,8 +790,9 @@ def write_las_parts(
     if compression:
         from pdal_spark.formats import laz as lazmod
 
-        laz_items = lazmod.laz_items_for_format(fmt)  # raises for 6-8
-        version_minor = 2
+        laz_items = lazmod.laz_items_for_format(fmt)  # raises for 4/5/9/10
+        if not _has14(fmt):
+            version_minor = 2
     slots = RETURN_COUNT if version_minor >= 4 else LEGACY_RETURN_COUNT
     os.makedirs(out_dir, exist_ok=True)
 

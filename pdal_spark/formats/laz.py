@@ -12,7 +12,12 @@ records must equal the twin's bit for bit.
 Supported: compressor 2 (pointwise-chunked) with v2 items AND
 compressor 1 (pointwise, pre-2011 single-stream files) with v1 items —
 POINT10, GPSTIME11, RGB12 in both generations, i.e. point formats 0-3
-as produced by laszip/LAStools and PDAL's writers.las(compression).
+as produced by laszip/LAStools and PDAL's writers.las(compression) —
+plus compressor 3 (layered chunked, v3 items POINT14/RGB14/RGBNIR14/
+BYTE14 for LAS 1.4 formats 6-8) via formats/laz14.py, which reuses
+this module's byte-verified coder machinery (see laz14's docstring
+for its oracle-honesty statement: no v3 fixture ships, so conformance
+is round-trip + uncompressed-twin, not byte-twin).
 
 STATUS — VERIFIED and wired into the public reader (formats/las.py
 decodes .laz transparently). tests/test_laz.py pins:
@@ -791,10 +796,10 @@ def laz_chunk_extents(
             import os as _os
             end = _os.path.getsize(path)
             return info, [(offset, end - offset, n_points)]
-        if info["compressor"] != 2:
+        if info["compressor"] not in (2, 3):
             raise LazUnsupported(
-                f"laszip compressor {info['compressor']} — pointwise (1) "
-                "and chunked (2) are implemented"
+                f"laszip compressor {info['compressor']} — pointwise (1), "
+                "chunked (2) and layered chunked (3) are implemented"
             )
         if info["chunk_size"] == 0:
             raise LazUnsupported("chunk_size 0")
@@ -830,11 +835,16 @@ _ITEM_RGB12 = 8
 def decode_chunk(buf: bytes, start: int, n_points: int,
                  items: list[dict]) -> np.ndarray:
     """Decode one chunk -> structured array of raw (unscaled) fields."""
+    if any(it["version"] == 3 for it in items):
+        # LAS 1.4 layered chunk (compressor 3) — formats/laz14.py
+        from pdal_spark.formats import laz14
+
+        return laz14.decode_chunk_v3(buf, start, n_points, items)
     for it in items:
         if it["version"] not in (1, 2):
             raise LazUnsupported(
                 f"laszip item type {it['type']} version {it['version']} — "
-                "only the v1/v2 codecs are implemented"
+                "only the v1/v2/v3 codecs are implemented"
             )
         if it["type"] not in (_ITEM_POINT10, _ITEM_GPSTIME11, _ITEM_RGB12,
                               _ITEM_BYTE):
@@ -918,13 +928,17 @@ def read_laz_points(path: str) -> np.ndarray:
     info = laz_vlr_info(buf)
     offset = struct.unpack("<I", buf[96:100])[0]
     n_points = struct.unpack("<I", buf[107:111])[0]
+    if n_points == 0 and buf[25] >= 4:
+        # LAS 1.4: the legacy u32 count is zeroed for formats 6+ — the
+        # real count is the u64 extended field
+        n_points = struct.unpack("<Q", buf[247:255])[0]
     if info["compressor"] == 1:
         # pointwise (pre-2011): ONE arithmetic stream, no chunk table
         return decode_chunk(buf, offset, n_points, info["items"])
-    if info["compressor"] != 2:
+    if info["compressor"] not in (2, 3):
         raise LazUnsupported(
-            f"laszip compressor {info['compressor']} — pointwise (1) and "
-            "chunked (2) are implemented"
+            f"laszip compressor {info['compressor']} — pointwise (1), "
+            "chunked (2) and layered chunked (3) are implemented"
         )
     table_offset = struct.unpack("<q", buf[offset:offset + 8])[0]
     if info["chunk_size"] == U32:  # variable chunking: counts in table
@@ -1359,6 +1373,10 @@ def encode_chunk(rec: np.ndarray, items: list[dict]) -> bytes:
     """Encode one chunk (mirror of decode_chunk): first record raw, the
     rest entropy-coded. Verified byte-identical to real laszip output
     on the reference fixture's chunks (tests/test_laz.py)."""
+    if any(it["version"] == 3 for it in items):
+        from pdal_spark.formats import laz14
+
+        return laz14.encode_chunk_v3(rec, items)
     has_gps = any(it["type"] == _ITEM_GPSTIME11 for it in items)
     has_rgb = any(it["type"] == _ITEM_RGB12 for it in items)
     n = len(rec)
@@ -1396,10 +1414,16 @@ def encode_chunk(rec: np.ndarray, items: list[dict]) -> bytes:
 
 
 def laz_items_for_format(fmt: int) -> list[dict]:
-    """v2 item list for LAS point formats 0-3."""
+    """Item list for a LAS point format: v2 items for 0-3, v3 layered
+    items (compressor 3, formats/laz14.py) for 6-8."""
+    if fmt in (6, 7, 8):
+        from pdal_spark.formats import laz14
+
+        return laz14.laz_items_for_format14(fmt)
     if fmt not in (0, 1, 2, 3):
         raise LazUnsupported(
-            f"LAZ writing for point format {fmt} (v2 items cover 0-3)"
+            f"LAZ writing for point format {fmt} (v2 items cover 0-3, "
+            "v3 items cover 6-8)"
         )
     items = [{"type": _ITEM_POINT10, "size": 20, "version": 2}]
     if fmt in (1, 3):
@@ -1410,12 +1434,18 @@ def laz_items_for_format(fmt: int) -> list[dict]:
 
 
 def make_laz_vlr(fmt: int, chunk_size: int = 50000) -> bytes:
-    """Serialize the 'laszip encoded' VLR (header + payload) for the
-    chunked pointwise compressor."""
+    """Serialize the 'laszip encoded' VLR (header + payload):
+    compressor 2 (chunked, v2 items) for formats 0-3, compressor 3
+    (layered chunked, v3 items) for formats 6-8."""
     items = laz_items_for_format(fmt)
-    payload = struct.pack(
-        "<HHBBHIIqqH", 2, 0, 2, 2, 0, 0, chunk_size, -1, -1, len(items)
-    )
+    if fmt > 5:
+        payload = struct.pack(
+            "<HHBBHIIqqH", 3, 0, 3, 4, 3, 0, chunk_size, -1, -1,
+            len(items))
+    else:
+        payload = struct.pack(
+            "<HHBBHIIqqH", 2, 0, 2, 2, 0, 0, chunk_size, -1, -1,
+            len(items))
     for it in items:
         payload += struct.pack("<HHH", it["type"], it["size"], it["version"])
     hdr = struct.pack("<H", 0) + b"laszip encoded".ljust(16, b"\x00") + \
