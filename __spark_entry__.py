@@ -1003,6 +1003,51 @@ def q_las_laz_roundtrip_var(spark, sf_dir):
     )
 
 
+def q_las_laz14_roundtrip(spark, sf_dir):
+    """LAS 1.4 / LAZ v3 layered round trip (compressor 3,
+    formats/laz14.py): geocoded pages as point format 7 — 16-slot
+    returns, scanner channels 0-3 (exercising the per-channel context
+    machinery), classification bytes, RGB — chunk-parallel laszip v3
+    ENCODE then chunk-parallel layered DECODE. Same quantization
+    oracle family as las_laz_roundtrip; the 1.4-only columns
+    (scan_channel, classification, red) are exact integers."""
+    import tempfile
+
+    from pdal_spark.formats import las as las_fmt
+
+    df = _docs_geo(spark, sf_dir).select(
+        "x",
+        "y",
+        ((F.col("doc_id") * 7919) % 1000 * 0.05).alias("z"),
+        (F.col("doc_id") % 65536).cast("int").alias("intensity"),
+        ((F.col("doc_id") % 9) + 1).cast("int").alias("return_number"),
+        F.lit(9).cast("int").alias("number_of_returns"),
+        (F.col("doc_id") % 4).cast("int").alias("scan_channel"),
+        (F.col("doc_id") % 256).cast("int").alias("classification"),
+        ((F.col("doc_id") * 31) % 65536).cast("int").alias("red"),
+        ((F.col("doc_id") * 37) % 65536).cast("int").alias("green"),
+        ((F.col("doc_id") * 41) % 65536).cast("int").alias("blue"),
+        F.col("doc_id").cast("double").alias("gps_time"),
+    )
+    path = tempfile.mktemp(prefix="las_laz14_rt_", suffix=".laz")
+    las_fmt.write_las(
+        df, path, fmt=7, scales=(1e-6, 1e-6, 1e-6),
+        compression=True, chunk_size=128, order_by=["gps_time"],
+    )
+    out = las_fmt.read_las(spark, path)
+    return out.select(
+        F.col("gps_time").cast("long").alias("doc_id"),
+        "x",
+        "y",
+        "z",
+        "intensity",
+        "return_number",
+        "scan_channel",
+        "classification",
+        "red",
+    )
+
+
 def q_ept_query(spark, sf_dir):
     """readers.ept + Entwine-style build (io/EptReader.cpp): build a
     binary-dataType EPT octree from the geocoded pages (distributed
@@ -3455,6 +3500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "las_roundtrip": q_las_roundtrip,
         "las_laz_roundtrip": q_las_laz_roundtrip,
         "las_laz_roundtrip_var": q_las_laz_roundtrip_var,
+        "las_laz14_roundtrip": q_las_laz14_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
         "ept_query": q_ept_query,
         "ept_zstd_query": q_ept_zstd_query,
@@ -3851,6 +3897,23 @@ def _misc_oracles() -> dict[str, str]:
         "las_roundtrip": las_rt,
         "las_laz_roundtrip": las_rt,
         "las_laz_roundtrip_var": las_rt,
+        "las_laz14_roundtrip": f"""
+      WITH g AS (
+        SELECT doc_id, ({_X_SQL}) AS x, ({_Y_SQL}) AS y,
+               ((doc_id * 7919) % 1000) * 0.05 AS z
+        FROM documents
+      )
+      SELECT doc_id,
+             {_squant('x')} AS x,
+             {_squant('y')} AS y,
+             {_squant('z')} AS z,
+             CAST(doc_id % 65536 AS INTEGER) AS intensity,
+             CAST(doc_id % 9 + 1 AS INTEGER) AS return_number,
+             CAST(doc_id % 4 AS INTEGER) AS scan_channel,
+             CAST(doc_id % 256 AS INTEGER) AS classification,
+             CAST((doc_id * 31) % 65536 AS INTEGER) AS red
+      FROM g
+    """,
         "warc_roundtrip": warc_rt,
         "ept_query": ept_q,
         "ept_zstd_query": ept_q,
