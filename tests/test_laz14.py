@@ -118,6 +118,52 @@ def test_gps_time_stream_alternation():
     _roundtrip(rec, items)
 
 
+def test_zero_byte_layers_copy_last():
+    """Real laszip drops layers whose field never changed (num_bytes
+    0); our writer always emits, but the READER must handle the
+    dropped form — absent layer => every point repeats the context's
+    last value.  Built by re-assembling an encoded chunk with all
+    constant layers zeroed out."""
+    items = laz14.laz_items_for_format14(6)
+    fields, _, _, _ = laz14._record_fields(items)
+    n = 500
+    rec = np.zeros(n, dtype=fields)
+    rng = random.Random(2)
+    x = y = 0
+    for i in range(n):
+        x += rng.randint(-300, 300)
+        y += rng.randint(-300, 300)
+        rec["x"][i], rec["y"][i] = x, y
+    rec["z"] = 777
+    rec["intensity"] = 123
+    rec["return_info"] = 1 | (1 << 4)
+    rec["flags"] = 3
+    rec["classification"] = 7
+    rec["user_data"] = 9
+    rec["scan_angle"] = -42
+    rec["point_source_id"] = 555
+    rec["gps_time"] = 99.5
+    buf = laz14.encode_chunk_v3(rec, items)
+    p = 30
+    (count,) = struct.unpack_from("<I", buf, p)
+    p += 4
+    k = len(laz14.POINT14_LAYERS)
+    sizes = list(struct.unpack_from(f"<{k}I", buf, p))
+    p += 4 * k
+    layers = []
+    for s in sizes:
+        layers.append(buf[p:p + s])
+        p += s
+    keep = {0}  # only the mandatory channel/returns/XY layer
+    new = buf[:30] + struct.pack("<I", count) + struct.pack(
+        f"<{k}I", *[sizes[i] if i in keep else 0 for i in range(k)])
+    for i in sorted(keep):
+        new += layers[i]
+    got = laz14.decode_chunk_v3(new, 0, n, items)
+    for name in rec.dtype.names:
+        np.testing.assert_array_equal(got[name], rec[name], err_msg=name)
+
+
 def test_guard_narrowed_wavepackets_still_raise():
     with pytest.raises(laz.LazUnsupported):
         laz14.laz_items_for_format14(9)
