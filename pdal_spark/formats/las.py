@@ -290,10 +290,24 @@ def decode_records(raw: bytes, header: LasHeader) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: output column -> packed-record field (fmt 6-8); columns not listed
+#: decode from the mandatory channel/returns/XY layer
+_COL_FIELD_14 = {
+    "z": "z", "intensity": "intensity",
+    "scan_direction_flag": "flags", "edge_of_flight_line": "flags",
+    "class_flags": "flags", "classification": "classification",
+    "scan_angle_rank": "scan_angle", "user_data": "user_data",
+    "point_source_id": "point_source_id", "gps_time": "gps_time",
+    "red": "red", "green": "green", "blue": "blue",
+    "infrared": "infrared",
+}
+
+
 def read_las(
     spark: SparkSession,
     paths: Sequence[str] | str,
     chunk_points: int = 1_000_000,
+    columns: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Distributed LAS reader: header-only driver pass, chunk-parallel decode.
 
@@ -302,6 +316,14 @@ def read_las(
     one contiguous [start, start+count) record slice: a 100 GB file
     becomes ~100k independent chunks, so parallelism comes from chunk
     count, not file count.
+
+    columns: optional projection.  For LAZ v3 layered files (LAS 1.4,
+    compressor 3) this is TRUE pushdown — selective decompression:
+    each unwanted field's entropy layer is skipped entirely, not
+    decoded-then-dropped (the layered format's reason to exist;
+    `ReadSchema`-style pruning reaching a custom format).  For
+    uncompressed/v2 files the projection prunes the Arrow batches
+    (decode is one vectorized frombuffer either way).
     """
     from pdal_spark.formats import laz as lazmod
 
@@ -336,6 +358,20 @@ def read_las(
     if fmt is None:
         raise ValueError("no input files")
     schema = spark_schema(fmt)
+    want_fields = None
+    if columns is not None:
+        names = [f.name for f in schema.fields]
+        missing = [c for c in columns if c not in names]
+        if missing:
+            raise ValueError(
+                f"columns {missing} not in point format {fmt} "
+                f"schema {names}")
+        keep = set(columns)
+        schema = T.StructType([f for f in schema.fields
+                               if f.name in keep])
+        if fmt > 5:
+            want_fields = {_COL_FIELD_14[c] for c in keep
+                           if c in _COL_FIELD_14}
 
     chunk_df = spark.createDataFrame(
         chunks, "path string, start long, count long, laz_bytes long"
@@ -358,16 +394,20 @@ def read_las(
                         # +8 slack: the arithmetic decoder reads up to
                         # 4 bytes past the last coded symbol
                         buf = f.read(int(laz_bytes) + 8)
-                    rec = lazmod.decode_chunk(buf, 0, int(cnt), info["items"])
-                    # the v2 item layout IS the packed uncompressed
-                    # record layout for fmt 0-3 -> reuse decode_records
+                    rec = lazmod.decode_chunk(buf, 0, int(cnt),
+                                              info["items"],
+                                              want=want_fields)
+                    # the item layout IS the packed uncompressed
+                    # record layout -> reuse decode_records
                     raw = rec.tobytes()
                 else:
                     with open(path, "rb") as f:
                         f.seek(h.point_offset + int(start) * h.point_len)
                         raw = f.read(int(cnt) * h.point_len)
-                yield decode_records(raw, h)
+                out = decode_records(raw, h)
+                yield out[cols] if cols is not None else out
 
+    cols = [f.name for f in schema.fields] if columns is not None else None
     return chunk_df.mapInPandas(_decode, schema=schema)
 
 

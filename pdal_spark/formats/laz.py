@@ -833,13 +833,19 @@ _ITEM_RGB12 = 8
 
 
 def decode_chunk(buf: bytes, start: int, n_points: int,
-                 items: list[dict]) -> np.ndarray:
-    """Decode one chunk -> structured array of raw (unscaled) fields."""
+                 items: list[dict], want=None) -> np.ndarray:
+    """Decode one chunk -> structured array of raw (unscaled) fields.
+
+    want: optional field-name set for SELECTIVE DECOMPRESSION —
+    honored by the v3 layered codec (independent per-field layers);
+    ignored for v1/v2 whose single interleaved stream must decode
+    fully either way."""
     if any(it["version"] == 3 for it in items):
         # LAS 1.4 layered chunk (compressor 3) — formats/laz14.py
         from pdal_spark.formats import laz14
 
-        return laz14.decode_chunk_v3(buf, start, n_points, items)
+        return laz14.decode_chunk_v3(buf, start, n_points, items,
+                                     want=want)
     for it in items:
         if it["version"] not in (1, 2):
             raise LazUnsupported(

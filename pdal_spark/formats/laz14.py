@@ -906,10 +906,40 @@ def _record_fields(items: list[dict]):
     return fields, has_rgb, has_nir, n_extra
 
 
+#: record field -> the POINT14 layer that carries it (fields absent
+#: here ride the mandatory channel/returns/XY layer)
+_FIELD_LAYER = {
+    "z": "z", "classification": "cls", "flags": "flg",
+    "intensity": "int", "scan_angle": "sca", "user_data": "usr",
+    "point_source_id": "psd", "gps_time": "gps",
+}
+
+
+def layers_for_fields(want) -> set:
+    """POINT14 layer names needed to decode `want` record fields.
+    The xy layer is always required (it carries the changed-values
+    machinery every other layer's per-point gating depends on)."""
+    need = {"xy"}
+    for f in want:
+        lyr = _FIELD_LAYER.get(f)
+        if lyr:
+            need.add(lyr)
+    return need
+
+
 def decode_chunk_v3(buf: bytes, start: int, n_points: int,
-                    items: list[dict]) -> np.ndarray:
+                    items: list[dict], want=None) -> np.ndarray:
     """Decode one layered chunk -> structured array of raw fields (same
-    packed layout as the uncompressed LAS 1.4 record)."""
+    packed layout as the uncompressed LAS 1.4 record).
+
+    want: optional set of record field names to decode — SELECTIVE
+    DECOMPRESSION, the point of the layered format: layers are
+    independent entropy streams, so skipping one costs nothing and
+    desyncs nothing (the per-point gating bits all live in the
+    mandatory xy layer).  Skipped fields repeat the first point's
+    per-context values in the output (callers prune those columns);
+    x/y/return info/scanner channel always decode.
+    """
     for it in items:
         if it["version"] != 3:
             raise LazUnsupported(
@@ -947,10 +977,17 @@ def decode_chunk_v3(buf: bytes, start: int, n_points: int,
         o = offs[item_i][layer_i]
         return Decoder(buf, o) if o >= 0 else None
 
+    want_layers = layers_for_fields(want) if want is not None else None
+    want_rgb = want is None or bool({"red", "green", "blue"} & set(want))
+    want_nir = want is None or "infrared" in want
+    want_extra = want is None or "extra" in want
+
     p14 = rgb = nir = xb = None
     for i, it in enumerate(items):
         if it["type"] == ITEM_POINT14:
-            decs = {name: _dec(i, j)
+            decs = {name: (_dec(i, j)
+                           if want_layers is None or name in want_layers
+                           else None)
                     for j, name in enumerate(POINT14_LAYERS)}
             p14 = Point14v3(decs, firsts[i])
     if p14 is None:
@@ -960,14 +997,17 @@ def decode_chunk_v3(buf: bytes, start: int, n_points: int,
     first_ctx = p14.cur
     for i, it in enumerate(items):
         if it["type"] == ITEM_RGB14:
-            rgb = Rgb14v3(_dec(i, 0), firsts[i], first_ctx)
+            rgb = Rgb14v3(_dec(i, 0) if want_rgb else None,
+                          firsts[i], first_ctx)
         elif it["type"] == ITEM_RGBNIR14:
-            rgb = Rgb14v3(_dec(i, 0), firsts[i][:6], first_ctx)
-            nir = Nir14v3(_dec(i, 1),
+            rgb = Rgb14v3(_dec(i, 0) if want_rgb else None,
+                          firsts[i][:6], first_ctx)
+            nir = Nir14v3(_dec(i, 1) if want_nir else None,
                           struct.unpack("<H", firsts[i][6:8])[0],
                           first_ctx)
         elif it["type"] == ITEM_BYTE14:
-            xb = Byte14v3([_dec(i, j) for j in range(it["size"])],
+            xb = Byte14v3([_dec(i, j) if want_extra else None
+                           for j in range(it["size"])],
                           firsts[i], first_ctx)
 
     def _store(row, lv: _Last, i_rgb, i_nir, i_extra):

@@ -164,6 +164,71 @@ def test_zero_byte_layers_copy_last():
         np.testing.assert_array_equal(got[name], rec[name], err_msg=name)
 
 
+def test_selective_decompression_matches_full():
+    """The layered format's reason to exist: decoding a field subset
+    skips the other layers entirely, and the decoded fields must equal
+    the full decode bit for bit (layer independence — all per-point
+    gating lives in the mandatory xy layer)."""
+    for fmt, want in [
+        (6, {"x", "y"}),
+        (6, {"x", "y", "z", "gps_time"}),
+        (7, {"x", "y", "intensity"}),          # skips RGB layer
+        (8, {"x", "y", "red", "green", "blue"}),  # skips NIR + rest
+    ]:
+        rec, items = _mkrec(900, fmt, seed=13, channels=(0, 2))
+        buf = laz14.encode_chunk_v3(rec, items)
+        full = laz14.decode_chunk_v3(buf, 0, len(rec), items)
+        part = laz14.decode_chunk_v3(buf, 0, len(rec), items, want=want)
+        for f in want:
+            np.testing.assert_array_equal(part[f], full[f], err_msg=f)
+        # return info / channel always decode (they ride the xy layer)
+        np.testing.assert_array_equal(part["return_info"],
+                                      full["return_info"])
+
+
+def test_read_las_columns_pushdown(spark, tmp_path):
+    """read_las(columns=...): pruned schema, values equal to the full
+    read, against a v3 .laz (true layer skip) AND the uncompressed
+    twin write (Arrow-batch pruning)."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pdal_spark.formats.las import read_las, write_las
+
+    n = 2000
+    df = spark.range(n).select(
+        (F.col("id") * 0.5).alias("x"),
+        (F.col("id") % 50 * 1.0).alias("y"),
+        (F.col("id") % 17 * 0.25).alias("z"),
+        (F.col("id") % 65536).cast("int").alias("intensity"),
+        ((F.col("id") % 9) + 1).cast("int").alias("return_number"),
+        F.lit(9).cast("int").alias("number_of_returns"),
+        (F.col("id") % 4).cast("int").alias("scan_channel"),
+        (F.col("id") % 256).cast("int").alias("classification"),
+        (F.col("id") * 1e-3 + 1e5).alias("gps_time"),
+        (F.col("id") % 65536).cast("int").alias("red"),
+        ((F.col("id") * 7) % 65536).cast("int").alias("green"),
+        ((F.col("id") * 13) % 65536).cast("int").alias("blue"),
+    )
+    key = ["gps_time"]
+    for compress in (True, False):
+        p = tempfile.mktemp(suffix=".laz" if compress else ".las",
+                            dir=str(tmp_path))
+        write_las(df, p, fmt=7, compression=compress,
+                  order_by=key, chunk_size=500)
+        full = (read_las(spark, p).toPandas()
+                .sort_values(key, kind="stable").reset_index(drop=True))
+        sub = read_las(spark, p, columns=["x", "y", "gps_time"])
+        assert [f.name for f in sub.schema.fields] == \
+            ["x", "y", "gps_time"]
+        got = (sub.toPandas().sort_values(key, kind="stable")
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, full[["x", "y", "gps_time"]])
+    with pytest.raises(ValueError, match="not in point format"):
+        read_las(spark, p, columns=["nope"])
+
+
 def test_guard_narrowed_wavepackets_still_raise():
     with pytest.raises(laz.LazUnsupported):
         laz14.laz_items_for_format14(9)
