@@ -209,6 +209,9 @@ def decode_laz_node(buf: bytes, info: EptInfo) -> pd.DataFrame:
     vlr = lazmod.laz_vlr_info(buf)
     offset = _struct.unpack("<I", buf[96:100])[0]
     n = _struct.unpack("<I", buf[107:111])[0]
+    if n == 0 and buf[25] >= 4:
+        # LAS 1.4 node: legacy u32 count zeroed, u64 extended count
+        n = _struct.unpack("<Q", buf[247:255])[0]
     sx, sy, sz = _struct.unpack("<3d", buf[131:155])
     ox, oy, oz = _struct.unpack("<3d", buf[155:179])
     if vlr["compressor"] == 1:
@@ -222,6 +225,7 @@ def decode_laz_node(buf: bytes, info: EptInfo) -> pd.DataFrame:
         rec = np.concatenate(parts)
     out = {}
     extra_pos = 0
+    is14 = "return_info" in rec.dtype.names
     for s in info.schema:
         name = s["name"]
         if name in _LAS_BACKED:
@@ -232,15 +236,23 @@ def decode_laz_node(buf: bytes, info: EptInfo) -> pd.DataFrame:
             elif name == "Z":
                 out["z"] = rec["z"].astype(np.float64) * sz + oz
             elif name == "ReturnNumber":
-                out[name] = (rec["flags"] & 7).astype(np.int32)
+                # v14 records (layered nodes) split returns 4/4 in
+                # return_info; v10 packs 3/3 in flags
+                out[name] = ((rec["return_info"] & 0xF)
+                             if is14 else (rec["flags"] & 7)
+                             ).astype(np.int32)
             elif name == "NumberOfReturns":
-                out[name] = ((rec["flags"] >> 3) & 7).astype(np.int32)
+                out[name] = (((rec["return_info"] >> 4) & 0xF)
+                             if is14 else ((rec["flags"] >> 3) & 7)
+                             ).astype(np.int32)
             elif name == "ScanDirectionFlag":
                 out[name] = ((rec["flags"] >> 6) & 1).astype(np.int32)
             elif name == "EdgeOfFlightLine":
                 out[name] = ((rec["flags"] >> 7) & 1).astype(np.int32)
             elif name == "ScanAngleRank":
-                out[name] = rec["scan_angle_rank"].astype(np.float64)
+                out[name] = (rec["scan_angle"] * 0.006 if is14
+                             else rec["scan_angle_rank"].astype(
+                                 np.float64))
             elif name == "GpsTime":
                 out[name] = rec["gps_time"].astype(np.float64)
             else:

@@ -229,6 +229,65 @@ def test_read_las_columns_pushdown(spark, tmp_path):
         read_las(spark, p, columns=["nope"])
 
 
+def test_ept_laszip_node_v3(spark, tmp_path):
+    """An EPT laszip node written as LAS 1.4 / compressor 3 decodes
+    through decode_laz_node: the v14 record shape (4/4 return split,
+    i16 scan angle * .006, u64 extended count) maps onto the EPT
+    schema columns."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pdal_spark.formats import ept
+    from pdal_spark.formats.las import write_las
+
+    n = 800
+    df = spark.range(n).select(
+        (F.col("id") * 0.5).alias("x"),
+        (F.col("id") % 50 * 1.0).alias("y"),
+        (F.col("id") % 17 * 0.25).alias("z"),
+        ((F.col("id") % 9) + 1).cast("int").alias("return_number"),
+        F.lit(9).cast("int").alias("number_of_returns"),
+        (F.col("id") % 256).cast("int").alias("classification"),
+        (F.col("id") * 1e-3).alias("gps_time"),
+    )
+    p = str(tmp_path / "node.laz")
+    write_las(df, p, fmt=6, scales=(0.01, 0.01, 0.01),
+              compression=True, order_by=["gps_time"], chunk_size=300)
+    buf = open(p, "rb").read()
+    info = ept.EptInfo(
+        bounds=(0, 0, 0, 1000, 1000, 1000),
+        bounds_conforming=(0, 0, 0, 1000, 1000, 1000),
+        points=n, span=256, data_type="laszip", hierarchy_type="json",
+        schema=(
+            {"name": "X", "type": "signed", "size": 4,
+             "scale": 0.01, "offset": 0.0},
+            {"name": "Y", "type": "signed", "size": 4,
+             "scale": 0.01, "offset": 0.0},
+            {"name": "Z", "type": "signed", "size": 4,
+             "scale": 0.01, "offset": 0.0},
+            {"name": "ReturnNumber", "type": "unsigned", "size": 1},
+            {"name": "NumberOfReturns", "type": "unsigned", "size": 1},
+            {"name": "Classification", "type": "unsigned", "size": 1},
+            {"name": "GpsTime", "type": "float", "size": 8},
+        ),
+        srs={},
+    )
+    got = ept.decode_laz_node(buf, info).sort_values(
+        "GpsTime", kind="stable").reset_index(drop=True)
+    assert len(got) == n
+    exp = df.toPandas().sort_values("gps_time", kind="stable") \
+        .reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["ReturnNumber"].astype("int64"),
+        exp["return_number"].astype("int64"),
+        check_names=False)
+    assert (got["NumberOfReturns"] == 9).all()
+    pd.testing.assert_series_equal(
+        got["Classification"].astype("int64"),
+        exp["classification"].astype("int64"), check_names=False)
+    np.testing.assert_allclose(got["x"], exp["x"], atol=0.005)
+    np.testing.assert_allclose(got["GpsTime"], exp["gps_time"])
+
+
 def test_guard_narrowed_wavepackets_still_raise():
     with pytest.raises(laz.LazUnsupported):
         laz14.laz_items_for_format14(9)
