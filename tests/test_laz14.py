@@ -100,6 +100,34 @@ def test_degenerate_all_ties():
         _roundtrip(rec, items)
 
 
+def test_boundary_patterns():
+    """v3 analogs of the v2 adversarial fuzz (test_laz_fuzz): 16-bit
+    intensity saturation alternation, i32 coordinate jumps at the
+    k-corridor tops, i16 scan-angle extremes interleaved with
+    gps-time changes."""
+    items = laz14.laz_items_for_format14(6)
+    fields, _, _, _ = laz14._record_fields(items)
+    n = 600
+    rec = np.zeros(n, dtype=fields)
+    x = [0]
+    for i in range(1, n):
+        x.append(x[-1] + ((1 << 30) if i % 2 else -(1 << 30)))
+    rec["x"] = np.array(x, dtype=np.int64).astype(np.int32)
+    rec["y"] = np.where(np.arange(n) % 2 == 0, 2**31 - 1, -(2**31))
+    rec["z"] = np.where(np.arange(n) % 3 == 0, 2**31 - 1, 0)
+    rec["intensity"] = np.where(np.arange(n) % 2 == 0, 0, 65535)
+    rec["return_info"] = np.where(np.arange(n) % 2 == 0,
+                                  1 | (15 << 4), 15 | (15 << 4)
+                                  ).astype("u1")
+    rec["flags"] = 0
+    rec["scan_angle"] = np.where(np.arange(n) % 2 == 0, -32768, 32767)
+    rec["point_source_id"] = np.where(np.arange(n) % 2 == 0, 0, 65535)
+    # gps changes every other point -> the gi context flips constantly
+    rec["gps_time"] = np.where(np.arange(n) % 2 == 0, 5.0,
+                               np.arange(n) * 1.5)
+    _roundtrip(rec, items)
+
+
 def test_gps_time_stream_alternation():
     """Two interleaved gps sequences exercise the per-context
     multi-sequence machine (switch codes in both the 0diff and multi
