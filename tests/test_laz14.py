@@ -373,6 +373,41 @@ def test_spark_laz14_writer_reader_roundtrip(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_spark_laz14_variable_chunking(spark, tmp_path):
+    """v3 with VARIABLE chunking (order_by=None: one layered chunk per
+    Arrow batch, counts in the chunk table, no shuffle in the encode
+    plan) -> chunk-parallel read reproduces the frame."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pdal_spark.formats.las import read_las, write_las
+
+    n = 4000
+    df = spark.range(n).select(
+        (F.col("id") * 0.5).alias("x"),
+        (F.col("id") % 50 * 1.0).alias("y"),
+        (F.col("id") % 17 * 0.25).alias("z"),
+        ((F.col("id") % 9) + 1).cast("int").alias("return_number"),
+        F.lit(9).cast("int").alias("number_of_returns"),
+        (F.col("id") % 4).cast("int").alias("scan_channel"),
+        (F.col("id") * 1e-3 + 1e5).alias("gps_time"),
+        (F.col("id") % 65536).cast("int").alias("red"),
+        ((F.col("id") * 7) % 65536).cast("int").alias("green"),
+        ((F.col("id") * 13) % 65536).cast("int").alias("blue"),
+    ).repartition(5)
+    p = str(tmp_path / "var.laz")
+    info = write_las(df, p, fmt=7, compression=True)
+    assert info["count"] == n and info["chunks"] >= 5
+    key = ["gps_time"]
+    a = df.toPandas().sort_values(key).reset_index(drop=True)
+    b = read_las(spark, p).toPandas().sort_values(key) \
+        .reset_index(drop=True)
+    assert len(b) == n
+    np.testing.assert_allclose(b["x"], a["x"], atol=0.006)
+    for c in ("return_number", "scan_channel", "red", "green", "blue"):
+        np.testing.assert_array_equal(b[c].to_numpy(), a[c].to_numpy(),
+                                      err_msg=c)
+
+
 def test_spark_laz14_all_formats_parts(spark, tmp_path):
     """write_las_parts with compression over formats 6/7/8 (synthetic
     multi-channel points): every tile's .laz reads back equal to its
