@@ -747,6 +747,15 @@ def _decode_chunk_sizes(buf: bytes, pos: int,
     version, n_chunks = struct.unpack("<II", buf[pos:pos + 8])
     if version != 0:
         raise LazUnsupported(f"chunk table version {version}")
+    # corrupt-input bound: each table entry costs the arithmetic coder
+    # at least a fraction of a bit, so n_chunks can never exceed ~64x
+    # the table's remaining byte length.  Without this a flipped u32
+    # (up to 4B) spins the decoder for minutes on a corrupt file
+    # instead of raising.
+    if n_chunks > 64 * max(len(buf) - pos, 1):
+        raise LazUnsupported(
+            f"implausible chunk count {n_chunks} for a {len(buf)}-byte "
+            "buffer (corrupt chunk table)")
     dec = Decoder(buf, pos + 8)
     ic = IntDecomp(dec, 32, 2)
     out = []
@@ -759,9 +768,29 @@ def _decode_chunk_sizes(buf: bytes, pos: int,
     return out
 
 
+def recover_table_offset(tail8: bytes, offset: int, end: int) -> int:
+    """Streaming-laz recovery.  A LASzip writer that cannot seek back
+    (or was interrupted before the seek-back) leaves -1 in the 8-byte
+    chunk-table pointer at the start of the point data and instead
+    appends the table's real position as the FILE'S LAST 8 BYTES —
+    public LASzip reader behavior (LASzip src/lasreadpoint.cpp
+    read_chunk_table(): seekEnd(8) when chunk_table_start_position is
+    -1; the reference delegates to lazperf/laszip for this,
+    io/LasReader.cpp).  tail8 = those last 8 bytes; offset = point-data
+    start; end = file size.  -> recovered absolute table offset."""
+    real = struct.unpack("<q", tail8)[0]
+    if not (offset + 8 <= real <= end - 8):
+        raise LazUnsupported(
+            f"streaming laz: trailing chunk-table pointer {real} out of "
+            f"range [{offset + 8}, {end - 8}]")
+    return real
+
+
 def read_chunk_table(buf: bytes, offset: int, table_offset: int,
                      n_points: int, chunk_size: int) -> list[tuple[int, int]]:
     """-> [(file_offset, n_points_in_chunk)] per chunk."""
+    if table_offset < 0:
+        table_offset = recover_table_offset(buf[-8:], offset, len(buf))
     sizes = _decode_chunk_sizes(buf, table_offset)
     out = []
     start = offset + 8  # first 8 bytes are the chunk-table offset
@@ -806,7 +835,11 @@ def laz_chunk_extents(
         f.seek(offset)
         table_offset = struct.unpack("<q", f.read(8))[0]
         if table_offset < 0:
-            raise LazUnsupported("streaming laz (chunk table offset -1)")
+            # streaming writer: real table position in the last 8 bytes
+            f.seek(0, 2)
+            end = f.tell()
+            f.seek(end - 8)
+            table_offset = recover_table_offset(f.read(8), offset, end)
         f.seek(table_offset)
         tail = f.read()
     variable = info["chunk_size"] == U32
@@ -947,6 +980,8 @@ def read_laz_points(path: str) -> np.ndarray:
             "chunked (2) and layered chunked (3) are implemented"
         )
     table_offset = struct.unpack("<q", buf[offset:offset + 8])[0]
+    if table_offset < 0:
+        table_offset = recover_table_offset(buf[-8:], offset, len(buf))
     if info["chunk_size"] == U32:  # variable chunking: counts in table
         entries = _decode_chunk_sizes(buf, table_offset, variable=True)
         chunks = []
