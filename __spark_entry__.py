@@ -625,6 +625,53 @@ def q_reprojection_lcc(spark, sf_dir):
     )
 
 
+#: the reference's own projpipeline test operation
+#: (test/unit/filters/ProjPipelineFilterTest.cpp:62), zone re-aimed at
+#: the UTM 31N coords our forward query produces.
+PIPE_UTM_INV = ("+proj=pipeline +step +inv +proj=utm +zone=31 "
+                "+ellps=WGS84 +step +proj=unitconvert +xy_in=rad "
+                "+xy_out=deg")
+
+#: WGS84 -> ED50-style geocentric 3-parameter datum shift — the PROJ
+#: cookbook's canonical helmert example — via cart/helmert/cart-inv.
+PIPE_DATUM = ("+proj=pipeline "
+              "+step +proj=unitconvert +xy_in=deg +xy_out=rad "
+              "+step +proj=cart +ellps=WGS84 "
+              "+step +proj=helmert +x=-87.0 +y=-96.0 +z=-120.0 "
+              "+step +inv +proj=cart +ellps=intl "
+              "+step +proj=unitconvert +xy_in=rad +xy_out=deg")
+
+
+def q_projpipeline_utm_inv(spark, sf_dir):
+    """filters.projpipeline parsing a REAL PROJ pipeline string — the
+    reference's own test coord_op (ProjPipelineFilterTest.cpp:62:
+    inverse UTM, then rad->deg), applied to forward-projected UTM 31N
+    coordinates.  The string is parsed into closed-form steps executed
+    as pure Column math (operators/projpipeline.py) — no PROJ, no UDF,
+    plan stays in whole-stage codegen."""
+    from pdal_spark.operators import projpipeline as pp_op
+    from pdal_spark.operators import reprojection as reproj_op
+
+    fwd = reproj_op.reproject(
+        _docs_geo(spark, sf_dir), "EPSG:4326", "EPSG:32631")
+    out = pp_op.projpipeline(fwd, PIPE_UTM_INV)
+    return out.select(
+        "doc_id", F.round("x", 6).alias("lon"), F.round("y", 6).alias("lat")
+    )
+
+
+def q_projpipeline_datum_shift(spark, sf_dir):
+    """filters.projpipeline chaining cart -> helmert -> inverse cart
+    (geocentric 3-parameter datum shift between two real ellipsoids,
+    EPSG Guidance Note 7-2 formulas; Bowring closed-form inverse)."""
+    from pdal_spark.operators import projpipeline as pp_op
+
+    out = pp_op.projpipeline(_docs_geo(spark, sf_dir), PIPE_DATUM)
+    return out.select(
+        "doc_id", F.round("x", 6).alias("lon"), F.round("y", 6).alias("lat")
+    )
+
+
 def q_transformation(spark, sf_dir):
     """filters.transformation: 4x4 affine on (x, y)."""
     out = rel_op.transformation(_docs_geo(spark, sf_dir), AFFINE)
@@ -3490,6 +3537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reprojection": q_reprojection,
         "reprojection_utm": q_reprojection_utm,
         "reprojection_lcc": q_reprojection_lcc,
+        "projpipeline_utm_inv": q_projpipeline_utm_inv,
+        "projpipeline_datum_shift": q_projpipeline_datum_shift,
         "transformation": q_transformation,
         "info_bounds": q_info_bounds,
         "doclen_quantiles": q_doclen_quantiles,
@@ -3602,6 +3651,22 @@ def _misc_oracles() -> dict[str, str]:
     reproj_utm = f"""
       SELECT doc_id, round({uxs}, 4) AS ue, round({uys}, 4) AS un
       FROM ({_DOCS_GEO_SQL}) WHERE {uw}
+    """
+    from pdal_spark.operators import projpipeline as pp_op
+
+    pxs, pys, _, pw = pp_op.pipeline_sql(PIPE_UTM_INV)
+    pipe_utm_inv = f"""
+      WITH fwd AS (
+        SELECT doc_id, {uxs} AS x, {uys} AS y
+        FROM ({_DOCS_GEO_SQL}) WHERE {uw}
+      )
+      SELECT doc_id, round({pxs}, 6) AS lon, round({pys}, 6) AS lat
+      FROM fwd WHERE {pw}
+    """
+    dxs, dys, _, dw = pp_op.pipeline_sql(PIPE_DATUM)
+    pipe_datum = f"""
+      SELECT doc_id, round({dxs}, 6) AS lon, round({dys}, 6) AS lat
+      FROM ({_DOCS_GEO_SQL}) WHERE {dw}
     """
     lxs, lys, lw = reproj_op.reproject_sql("EPSG:4326", "EPSG:2154")
     reproj_lcc = f"""
@@ -3894,6 +3959,8 @@ def _misc_oracles() -> dict[str, str]:
         "reprojection": reproj,
         "reprojection_utm": reproj_utm,
         "reprojection_lcc": reproj_lcc,
+        "projpipeline_utm_inv": pipe_utm_inv,
+        "projpipeline_datum_shift": pipe_datum,
         "las_roundtrip": las_rt,
         "las_laz_roundtrip": las_rt,
         "las_laz_roundtrip_var": las_rt,

@@ -207,6 +207,24 @@ _TRANSFORMS = {
 }
 
 
+def _from_utm_factory(zone: int, north: bool):
+    """UTM -> WGS84 lon/lat (degrees): the inverse transverse-Mercator
+    series (Snyder 8-18..8-25) shared with the projpipeline step
+    vocabulary — written once in operators/projpipeline.py and
+    instantiated here on the Column backend."""
+    from pdal_spark.operators import projpipeline as _pp
+
+    p = {"zone": zone, "south": not north, "ellps": "WGS84"}
+
+    def _from_utm(x: Column, y: Column) -> tuple[Column, Column, Column]:
+        lam, phi, _, ok = _pp._utm(
+            _pp._ColB, p, x, y, F.lit(0.0), inverse=True)
+        d = 180.0 / math.pi
+        return lam * F.lit(d), phi * F.lit(d), ok
+
+    return _from_utm
+
+
 def reproject(
     df: DataFrame,
     in_srs: str,
@@ -224,6 +242,10 @@ def reproject(
             fn = _to_utm_factory(*utm)
         elif out_srs in _LCC:
             fn = _to_lcc_factory(_LCC[out_srs])
+    if fn is None and out_srs == "EPSG:4326":
+        utm = _utm_zone(in_srs)
+        if utm is not None:
+            fn = _from_utm_factory(*utm)
     if fn is None:
         raise ValueError(
             f"no built-in transform {in_srs} -> {out_srs}; register a "
@@ -303,6 +325,18 @@ def reproject_sql(in_srs: str, out_srs: str, x: str = "x", y: str = "y"):
                 f" AND abs({y}) < {LCC_MAX_LAT_DEG!r})"
             )
             return xs_, ys_, w
+    if out_srs == "EPSG:4326":
+        utm = _utm_zone(in_srs)
+        if utm is not None:
+            from pdal_spark.operators import projpipeline as _pp
+
+            zone, north = utm
+            p = {"zone": zone, "south": not north, "ellps": "WGS84"}
+            lam, phi, _, ok = _pp._utm(
+                _pp._SqlB, p, _pp._Sx(x), _pp._Sx(y), _pp._Sx("0.0"),
+                inverse=True)
+            d = repr(180.0 / math.pi)
+            return f"({lam.s} * {d})", f"({phi.s} * {d})", ok.s
     raise ValueError((in_srs, out_srs))
 
 

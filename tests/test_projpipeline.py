@@ -1,0 +1,313 @@
+"""filters.projpipeline — PROJ pipeline strings over the closed-form
+step vocabulary (operators/projpipeline.py).  Reference semantics:
+ProjPipelineFilter.cpp:47-121 (coord_op string, reverse_transfo flag,
+drop-on-failure); the canonical coord_op is the reference's own test
+string (test/unit/filters/ProjPipelineFilterTest.cpp:62).
+
+The three backends (Column / SQL / numpy) are instantiated from the
+same step implementations, so the tests pin (a) the math against
+independent identities and (b) the backends against each other —
+including DuckDB executing the generated SQL.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdal_spark.operators import projpipeline as pp
+
+REF_PIPE = ("+proj=pipeline +step +inv +proj=utm +zone=15 +ellps=WGS84 "
+            "+step +proj=unitconvert +xy_in=rad +xy_out=deg")
+FWD_PIPE = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+            "+xy_out=rad +step +proj=utm +zone=15 +ellps=WGS84")
+
+
+def _pts(n=2000, lon=(-96.0, -90.0), lat=(25.0, 50.0), seed=11):
+    rng = np.random.default_rng(seed)
+    return (rng.uniform(*lon, n), rng.uniform(*lat, n),
+            rng.uniform(-100.0, 4000.0, n))
+
+
+# --------------------------------------------------------------------------
+# parsing
+# --------------------------------------------------------------------------
+
+def test_parse_reference_string():
+    steps = pp.parse_pipeline(REF_PIPE)
+    assert [s.op for s in steps] == ["utm", "unitconvert"]
+    assert steps[0].inv and not steps[1].inv
+    assert steps[0].params["zone"] == "15"
+
+
+def test_parse_bare_operation():
+    steps = pp.parse_pipeline("+proj=utm +zone=15 +south +ellps=WGS84")
+    assert len(steps) == 1 and steps[0].params["south"] is True
+
+
+def test_parse_rejects_unknown_step():
+    with pytest.raises(ValueError, match="unsupported pipeline step"):
+        pp.parse_pipeline("+proj=pipeline +step +proj=tmerc +lon_0=9")
+
+
+def test_parse_rejects_global_params():
+    with pytest.raises(ValueError, match="global pipeline"):
+        pp.parse_pipeline("+proj=pipeline +ellps=WGS84 +step +proj=noop")
+
+
+def test_parse_rejects_missing_proj():
+    with pytest.raises(ValueError, match="without"):
+        pp.parse_pipeline("+proj=pipeline +step +zone=15")
+
+
+# --------------------------------------------------------------------------
+# numpy math identities
+# --------------------------------------------------------------------------
+
+def test_utm_roundtrip_np():
+    lon, lat, _ = _pts()
+    e, n, _, ok = pp.pipeline_np(FWD_PIPE, lon, lat)
+    assert ok.all()
+    lo, la, _, ok2 = pp.pipeline_np(REF_PIPE, e, n)
+    assert ok2.all()
+    # Snyder series closes to ~1e-8 deg (~1 mm)
+    np.testing.assert_allclose(lo, lon, atol=2e-8)
+    np.testing.assert_allclose(la, lat, atol=2e-8)
+
+
+def test_reverse_transfo_is_exact_mirror():
+    """reverse_transfo=True over FWD == REF applied forward (same step
+    math, directions flipped) — bit-identical."""
+    lon, lat, _ = _pts(500)
+    e, n, _, _ = pp.pipeline_np(FWD_PIPE, lon, lat)
+    a = pp.pipeline_np(REF_PIPE, e, n)
+    b = pp.pipeline_np(FWD_PIPE, e, n, reverse_transfo=True)
+    for u, v in zip(a[:2], b[:2]):
+        np.testing.assert_array_equal(u, v)
+
+
+def test_utm_matches_reprojection_family():
+    """The radian-native utm step == the registered degree-native
+    EPSG:326xx forward transform, bit-for-bit."""
+    from pdal_spark.operators.reprojection import reproject_np
+
+    lon, lat, _ = _pts(800, lon=(6.0, 12.0))
+    pipe = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+            "+xy_out=rad +step +proj=utm +zone=32 +ellps=WGS84")
+    e, n, _, _ = pp.pipeline_np(pipe, lon, lat)
+    e0, n0, _ = reproject_np(lon, lat, "EPSG:4326", "EPSG:32632")
+    np.testing.assert_array_equal(e, e0)
+    np.testing.assert_array_equal(n, n0)
+
+
+def test_cart_known_answers():
+    g = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+         "+xy_out=rad +step +proj=cart +ellps=WGS84")
+    a = 6378137.0
+    e2 = (1.0 / 298.257223563) * (2.0 - 1.0 / 298.257223563)
+    b = a * math.sqrt(1.0 - e2)
+    X, Y, Z, _ = pp.pipeline_np(g, [0.0, 90.0, 0.0], [0.0, 0.0, 90.0])
+    np.testing.assert_allclose([X[0], Y[0], Z[0]], [a, 0, 0], atol=1e-9)
+    np.testing.assert_allclose([X[1], Y[1], Z[1]], [0, a, 0], atol=1e-8)
+    np.testing.assert_allclose(Z[2], b, atol=1e-8)
+
+
+def test_cart_bowring_roundtrip():
+    lon, lat, h = _pts(3000, lon=(-179.0, 179.0), lat=(-89.0, 89.0))
+    g = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+         "+xy_out=rad +step +proj=cart +ellps=GRS80")
+    X, Y, Z, _ = pp.pipeline_np(g, lon, lat, h)
+    lo, la, hh, _ = pp.pipeline_np(g, X, Y, Z, reverse_transfo=True)
+    np.testing.assert_allclose(lo, lon, atol=1e-12)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+    np.testing.assert_allclose(hh, h, atol=1e-5)
+
+
+def test_helmert_identity_and_translation():
+    X = np.array([4e6, -3e6]); Y = np.array([1e6, 2e6]); Z = np.array([4e6, -4e6])
+    x1, y1, z1, _ = pp.pipeline_np("+proj=helmert", X, Y, Z)
+    np.testing.assert_array_equal(x1, X)
+    x2, y2, z2, _ = pp.pipeline_np(
+        "+proj=helmert +x=10 +y=-20 +z=30", X, Y, Z)
+    np.testing.assert_array_equal(x2, X + 10)
+    np.testing.assert_array_equal(y2, Y - 20)
+    np.testing.assert_array_equal(z2, Z + 30)
+
+
+def test_helmert_conventions_are_sign_flips():
+    """position_vector with +rx == coordinate_frame with -rx (EPSG
+    Guidance Note 7-2 §4.3.3)."""
+    X = np.array([4e6]); Y = np.array([1e6]); Z = np.array([4.5e6])
+    pv = pp.pipeline_np(
+        "+proj=helmert +rx=1.5 +ry=-0.7 +rz=0.3 +convention=position_vector",
+        X, Y, Z)
+    cf = pp.pipeline_np(
+        "+proj=helmert +rx=-1.5 +ry=0.7 +rz=-0.3 +convention=coordinate_frame",
+        X, Y, Z)
+    for a, b in zip(pv[:3], cf[:3]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_helmert_inverse_small_residual():
+    """Negated-parameter inverse: second-order residual only (mm-scale
+    for arcsec rotations at Earth radius)."""
+    X = np.array([4e6]); Y = np.array([1e6]); Z = np.array([4.5e6])
+    op = "+proj=helmert +x=100 +y=-50 +z=30 +rx=1 +ry=-2 +rz=0.5 +s=2.5"
+    x1, y1, z1, _ = pp.pipeline_np(op, X, Y, Z)
+    x2, y2, z2, _ = pp.pipeline_np(op, x1, y1, z1, reverse_transfo=True)
+    assert abs(x2[0] - X[0]) < 0.01 and abs(z2[0] - Z[0]) < 0.01
+
+
+def test_axisswap_signed_and_inverse():
+    x, y, z, _ = pp.pipeline_np("+proj=axisswap +order=2,-1", [3.0], [7.0])
+    assert (x[0], y[0]) == (7.0, -3.0)
+    # inverse permutation undoes it exactly
+    x2, y2, _, _ = pp.pipeline_np(
+        "+proj=axisswap +order=2,-1", x, y, reverse_transfo=True)
+    assert (x2[0], y2[0]) == (3.0, 7.0)
+    with pytest.raises(ValueError, match="axisswap"):
+        pp.pipeline_np("+proj=axisswap +order=1,1", [0.0], [0.0])
+
+
+def test_unitconvert_z_and_linear():
+    op = "+proj=unitconvert +z_in=us-ft +z_out=m"
+    _, _, z, _ = pp.pipeline_np(op, [0.0], [0.0], [3937.0])
+    np.testing.assert_allclose(z[0], 1200.0)
+    op2 = "+proj=unitconvert +xy_in=grad +xy_out=deg"
+    x, _, _, _ = pp.pipeline_np(op2, [100.0], [0.0])
+    np.testing.assert_allclose(x[0], 90.0)
+
+
+def test_webmerc_matches_3857_family():
+    from pdal_spark.operators.reprojection import reproject_np
+
+    lon, lat, _ = _pts(500, lon=(-179.0, 179.0), lat=(-80.0, 80.0))
+    pipe = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+            "+xy_out=rad +step +proj=webmerc +ellps=WGS84")
+    mx, my, _, ok = pp.pipeline_np(pipe, lon, lat)
+    mx0, my0, _ = reproject_np(lon, lat, "EPSG:4326", "EPSG:3857")
+    assert ok.all()
+    np.testing.assert_array_equal(mx, mx0)
+    np.testing.assert_array_equal(my, my0)
+
+
+def test_merc_requires_sphere():
+    with pytest.raises(ValueError, match="sphere"):
+        pp.pipeline_np("+proj=merc +ellps=WGS84", [0.0], [0.0])
+    x, _, _, _ = pp.pipeline_np("+proj=merc +R=6378137", [0.5], [0.0])
+    np.testing.assert_allclose(x[0], 0.5 * 6378137.0)
+
+
+def test_helmert_rejects_bad_convention():
+    with pytest.raises(ValueError, match="convention"):
+        pp.pipeline_np("+proj=helmert +rx=1 +convention=bogus",
+                       [0.0], [0.0])
+
+
+# --------------------------------------------------------------------------
+# cross-backend parity
+# --------------------------------------------------------------------------
+
+DATUM_PIPE = ("+proj=pipeline "
+              "+step +proj=unitconvert +xy_in=deg +xy_out=rad "
+              "+step +proj=cart +ellps=WGS84 "
+              "+step +proj=helmert +x=-87.0 +y=-96.0 +z=-120.0 "
+              "+step +inv +proj=cart +ellps=intl "
+              "+step +proj=unitconvert +xy_in=rad +xy_out=deg")
+
+
+def test_sql_backend_matches_np_in_duckdb():
+    import duckdb
+
+    lon, lat, h = _pts(1000)
+    gx, gy, gz, _ = pp.pipeline_np(DATUM_PIPE, lon, lat, h)
+    xs, ys, zs, w = pp.pipeline_sql(DATUM_PIPE, x="lon", y="lat", z="h")
+    con = duckdb.connect()
+    con.register("g", pd.DataFrame({"lon": lon, "lat": lat, "h": h}))
+    r = con.sql(f"SELECT {xs} AS x, {ys} AS y, {zs} AS z FROM g "
+                f"WHERE {w}").df()
+    assert len(r) == 1000
+    np.testing.assert_allclose(r.x.values, gx, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(r.y.values, gy, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(r.z.values, gz, rtol=0, atol=1e-6)
+
+
+def test_sql_backend_inverse_utm_in_duckdb():
+    import duckdb
+
+    lon, lat, _ = _pts(1000)
+    e, n, _, _ = pp.pipeline_np(FWD_PIPE, lon, lat)
+    glo, gla, _, gok = pp.pipeline_np(REF_PIPE, e, n)
+    xs, ys, _, w = pp.pipeline_sql(REF_PIPE, x="e", y="n")
+    con = duckdb.connect()
+    con.register("g", pd.DataFrame({"e": e, "n": n}))
+    r = con.sql(f"SELECT {xs} AS lo, {ys} AS la FROM g WHERE {w}").df()
+    assert len(r) == int(gok.sum())
+    np.testing.assert_allclose(r.lo.values, glo[gok], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(r.la.values, gla[gok], rtol=0, atol=1e-12)
+
+
+def test_column_backend_matches_np(spark):
+    lon, lat, h = _pts(3000)
+    pdf = pd.DataFrame({"id": np.arange(3000), "x": lon, "y": lat, "z": h})
+    out = (pp.projpipeline(spark.createDataFrame(pdf), DATUM_PIPE,
+                           x="x", y="y", z="z")
+           .orderBy("id").toPandas())
+    gx, gy, gz, _ = pp.pipeline_np(DATUM_PIPE, lon, lat, h)
+    np.testing.assert_allclose(out.x.values, gx, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(out.y.values, gy, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(out.z.values, gz, rtol=0, atol=1e-6)
+
+
+def test_column_backend_drop_semantics(spark):
+    """Rows outside the utm ok-domain DROP, like the reference's
+    transform-failure drop (ProjPipelineFilter.cpp:105-119)."""
+    lon = np.array([-93.0, 100.0])  # zone 15 center / far outside
+    lat = np.array([40.0, 40.0])
+    pdf = pd.DataFrame({"id": [0, 1], "x": lon, "y": lat})
+    out = pp.projpipeline(spark.createDataFrame(pdf), FWD_PIPE)
+    ids = [r.id for r in out.select("id").collect()]
+    assert ids == [0]
+
+
+def test_projpipeline_z_none_leaves_no_z(spark):
+    pdf = pd.DataFrame({"id": [0], "x": [-93.0], "y": [40.0]})
+    out = pp.projpipeline(spark.createDataFrame(pdf), FWD_PIPE)
+    assert set(out.columns) == {"id", "x", "y"}
+
+
+# --------------------------------------------------------------------------
+# the reprojection-family integration (UTM -> 4326 inverse)
+# --------------------------------------------------------------------------
+
+def test_reproject_utm_inverse_roundtrip(spark):
+    from pdal_spark.operators.reprojection import reproject
+
+    lon, lat, _ = _pts(2000, lon=(0.5, 5.5), lat=(-75.0, 75.0))
+    pdf = pd.DataFrame({"id": np.arange(2000), "x": lon, "y": lat})
+    fwd = reproject(spark.createDataFrame(pdf), "EPSG:4326", "EPSG:32631")
+    back = (reproject(fwd, "EPSG:32631", "EPSG:4326")
+            .orderBy("id").toPandas())
+    assert len(back) == 2000
+    np.testing.assert_allclose(back.x.values, lon, atol=2e-8)
+    np.testing.assert_allclose(back.y.values, lat, atol=2e-8)
+
+
+def test_reproject_sql_utm_inverse_twin():
+    import duckdb
+
+    from pdal_spark.operators.reprojection import (reproject_np,
+                                                   reproject_sql)
+
+    lon, lat, _ = _pts(500, lon=(0.5, 5.5))
+    e, n, _ = reproject_np(lon, lat, "EPSG:4326", "EPSG:32631")
+    xs, ys, w = reproject_sql("EPSG:32631", "EPSG:4326")
+    con = duckdb.connect()
+    con.register("g", pd.DataFrame({"x": e, "y": n}))
+    r = con.sql(f"SELECT {xs} AS lo, {ys} AS la FROM g WHERE {w}").df()
+    assert len(r) == 500
+    np.testing.assert_allclose(r.lo.values, lon, atol=2e-8)
+    np.testing.assert_allclose(r.la.values, lat, atol=2e-8)
