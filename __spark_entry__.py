@@ -1124,22 +1124,17 @@ def q_ept_query(spark, sf_dir):
     )
 
 
-def q_ept_zstd_query(spark, sf_dir):
-    """readers.ept over a ZSTANDARD dataset: the same build + pruned
-    bounds query as ept_query, but every node payload passes through
-    the from-scratch RFC 8878 zstd codec (formats/zstdcodec.py —
-    write_ept emits stored-block frames, read_ept decodes them). Same
-    oracle: the node compression is transparent to the row set."""
+def _ept_datatype_query(spark, sf_dir, data_type):
+    pts = _docs_z(spark, sf_dir).withColumn(
+        "did", F.col("doc_id").cast("double")
+    ).select("x", "y", "z", "did")
     import tempfile
 
     from pdal_spark.formats import ept as ept_fmt
 
-    pts = _docs_z(spark, sf_dir).withColumn(
-        "did", F.col("doc_id").cast("double")
-    ).select("x", "y", "z", "did")
-    root = tempfile.mkdtemp(prefix="ept_z_") + "/ds"
+    root = tempfile.mkdtemp(prefix=f"ept_{data_type[:3]}_") + "/ds"
     ept_fmt.write_ept(pts, root, node_capacity=512, max_depth=6,
-                      data_type="zstandard")
+                      data_type=data_type)
     qb = (-120.0, -60.0, 0.0, 120.0, 60.0, 400.0)
     out = ept_fmt.read_ept(spark, root, bounds=qb)
     return (
@@ -1150,6 +1145,24 @@ def q_ept_zstd_query(spark, sf_dir):
         )
         .select(F.col("did").cast("long").alias("doc_id"), "x", "y")
     )
+
+
+def q_ept_zstd_query(spark, sf_dir):
+    """readers.ept over a ZSTANDARD dataset: the same build + pruned
+    bounds query as ept_query, but every node payload passes through
+    the from-scratch RFC 8878 zstd codec (formats/zstdcodec.py — real
+    LZ + Huffman + FSE compression on write, tiered decode on read).
+    Same oracle: node compression is transparent to the row set."""
+    return _ept_datatype_query(spark, sf_dir, "zstandard")
+
+
+def q_ept_laszip_query(spark, sf_dir):
+    """readers.ept over a LASZIP dataset — Entwine's default dataType:
+    every node is a standalone .laz (fmt 0 + BYTE-v2 extras for the
+    non-LAS dimension) written and read by the from-scratch laszip
+    codec (formats/laz.py). Same oracle as ept_query: the node codec
+    is transparent to the row set."""
+    return _ept_datatype_query(spark, sf_dir, "laszip")
 
 
 def q_ept_addon(spark, sf_dir):
@@ -3553,6 +3566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "ept_query": q_ept_query,
         "ept_zstd_query": q_ept_zstd_query,
+        "ept_laszip_query": q_ept_laszip_query,
         "ept_addon": q_ept_addon,
         "tindex_read": q_tindex_read,
         "las_tiles": q_las_tiles,
@@ -3984,6 +3998,7 @@ def _misc_oracles() -> dict[str, str]:
         "warc_roundtrip": warc_rt,
         "ept_query": ept_q,
         "ept_zstd_query": ept_q,
+        "ept_laszip_query": ept_q,
         "ept_addon": ept_addon_q,
         "tindex_read": tindex_read_q,
         "las_tiles": las_tiles,

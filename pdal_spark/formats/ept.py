@@ -458,9 +458,14 @@ def write_ept(
     committed last. ``data_type="zstandard"`` compresses each node with
     the from-scratch zstd ENCODER (zstdcodec.compress — LZ matches +
     Huffman literals + predefined-FSE sequences; frames verified
-    decodable by real libzstd in tests).
+    decodable by real libzstd in tests). ``data_type="laszip"`` writes
+    each node as a standalone ``.laz`` — Entwine's DEFAULT dataType —
+    point format 0 carrying X/Y/Z with the non-LAS dimensions as
+    float64 extra bytes (BYTE v2 items), encoded by the from-scratch
+    laszip codec (formats/laz.py); every node is also a valid LAS file
+    readable by read_las/read_laz_points.
     """
-    if data_type not in ("binary", "zstandard"):
+    if data_type not in ("binary", "zstandard", "laszip"):
         raise ValueError(f"data_type {data_type!r}")
     for c in ("x", "y", "z"):
         if c not in df.columns:
@@ -558,6 +563,60 @@ def write_ept(
 
             payload = zstdcodec.compress(payload)
             ext = "zst"
+        elif data_type == "laszip":
+            import struct as _s
+
+            from pdal_spark.formats import laz as lazmod
+            from pdal_spark.formats.las import make_header
+
+            n = len(pdf)
+            extras = [s for s in schema_meta
+                      if s["name"] not in ("X", "Y", "Z")]
+            nx = 8 * len(extras)
+            pf = [("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
+                  ("intensity", "<u2"), ("flags", "u1"),
+                  ("classification", "u1"), ("scan_angle_rank", "i1"),
+                  ("user_data", "u1"), ("point_source_id", "<u2")]
+            if nx:
+                pf.append(("extra", "u1", (nx,)))
+            prec = np.zeros(n, dtype=np.dtype(pf))
+            prec["x"], prec["y"], prec["z"] = rec["X"], rec["Y"], rec["Z"]
+            prec["flags"] = 0x09  # return 1 of 1
+            if nx:
+                xb = np.empty((n, nx), dtype=np.uint8)
+                for j, s in enumerate(extras):
+                    col = np.ascontiguousarray(
+                        np.asarray(rec[s["name"]], dtype="<f8"))
+                    xb[:, 8 * j:8 * j + 8] = col.view(
+                        np.uint8).reshape(n, 8)
+                prec["extra"] = xb
+            items = lazmod.laz_items_for_format(0, n_extra=nx)
+            csz = 50000  # the VLR default; nodes may exceed capacity
+            chunks = [lazmod.encode_chunk(prec[i:i + csz], items)
+                      for i in range(0, n, csz)]
+            vlr = lazmod.make_laz_vlr(0, chunk_size=csz, n_extra=nx)
+            by_ret = np.zeros(15, dtype=np.uint64)
+            by_ret[0] = n
+            xs = np.asarray(pdf["x"], dtype=np.float64)
+            ys = np.asarray(pdf["y"], dtype=np.float64)
+            zs = np.asarray(pdf["z"], dtype=np.float64)
+            header = bytearray(make_header(
+                0, 2, n, by_ret, (scale, scale, scale),
+                (cube[0], cube[1], cube[2]),
+                [xs.min(), ys.min(), zs.min()],
+                [xs.max(), ys.max(), zs.max()],
+            ))
+            data_offset = len(header) + len(vlr)
+            _s.pack_into("<I", header, 96, data_offset)
+            _s.pack_into("<I", header, 100, 1)  # the laszip VLR
+            header[104] |= 0x80                 # compressed flag
+            _s.pack_into("<H", header, 105, 20 + nx)
+            table_offset = data_offset + 8 + sum(len(c) for c in chunks)
+            payload = (bytes(header) + vlr
+                       + _s.pack("<q", table_offset) + b"".join(chunks)
+                       + lazmod.encode_chunk_sizes(
+                           [len(c) for c in chunks]))
+            ext = "laz"
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, os.path.join(data_dir, f"{node}.{ext}"))

@@ -704,6 +704,23 @@ class Bytev2:
         return bytes(out)
 
 
+class Bytev2W:
+    """Writer mirror of Bytev2: per-byte diff against the previous
+    point under its own 256-symbol model."""
+
+    def __init__(self, enc, first: bytes):
+        self.enc = enc
+        self.last = list(first)
+        self.models = [SymModel(256) for _ in range(len(first))]
+
+    def write(self, cur: bytes):
+        enc = self.enc
+        last = self.last
+        for i, m in enumerate(self.models):
+            enc.encode_symbol(m, (cur[i] - last[i]) & 0xFF)
+        self.last = list(cur)
+
+
 # ---------------------------------------------------------------------------
 # container plumbing
 # ---------------------------------------------------------------------------
@@ -1420,9 +1437,13 @@ def encode_chunk(rec: np.ndarray, items: list[dict]) -> bytes:
         return laz14.encode_chunk_v3(rec, items)
     has_gps = any(it["type"] == _ITEM_GPSTIME11 for it in items)
     has_rgb = any(it["type"] == _ITEM_RGB12 for it in items)
+    n_extra = sum(it["size"] for it in items if it["type"] == _ITEM_BYTE)
     n = len(rec)
     if n == 0:
         return b""
+
+    def _extra(i: int) -> bytes:
+        return bytes(np.asarray(rec["extra"][i], dtype=np.uint8))
 
     def _pt(i: int) -> tuple:
         r = rec[i]
@@ -1443,6 +1464,10 @@ def encode_chunk(rec: np.ndarray, items: list[dict]) -> bytes:
         c0 = (int(rec["red"][0]), int(rec["green"][0]), int(rec["blue"][0]))
         raw += struct.pack("<HHH", *c0)
         rgbw = Rgb12v2W(enc, c0)
+    if n_extra:
+        x0 = _extra(0)
+        raw += x0
+        bw = Bytev2W(enc, x0)
     for i in range(1, n):
         ptw.write(_pt(i))
         if has_gps:
@@ -1451,15 +1476,21 @@ def encode_chunk(rec: np.ndarray, items: list[dict]) -> bytes:
         if has_rgb:
             rgbw.write((int(rec["red"][i]), int(rec["green"][i]),
                         int(rec["blue"][i])))
+        if n_extra:
+            bw.write(_extra(i))
     return raw + enc.done()
 
 
-def laz_items_for_format(fmt: int) -> list[dict]:
+def laz_items_for_format(fmt: int, n_extra: int = 0) -> list[dict]:
     """Item list for a LAS point format: v2 items for 0-3, v3 layered
-    items (compressor 3, formats/laz14.py) for 6-8."""
+    items (compressor 3, formats/laz14.py) for 6-8.  ``n_extra`` adds
+    a BYTE v2 extra-bytes item (formats 0-3 only — the shape Entwine
+    uses for non-LAS EPT dimensions)."""
     if fmt in (6, 7, 8):
         from pdal_spark.formats import laz14
 
+        if n_extra:
+            raise LazUnsupported("extra bytes with v3 items")
         return laz14.laz_items_for_format14(fmt)
     if fmt not in (0, 1, 2, 3):
         raise LazUnsupported(
@@ -1471,14 +1502,17 @@ def laz_items_for_format(fmt: int) -> list[dict]:
         items.append({"type": _ITEM_GPSTIME11, "size": 8, "version": 2})
     if fmt in (2, 3):
         items.append({"type": _ITEM_RGB12, "size": 6, "version": 2})
+    if n_extra:
+        items.append({"type": _ITEM_BYTE, "size": n_extra, "version": 2})
     return items
 
 
-def make_laz_vlr(fmt: int, chunk_size: int = 50000) -> bytes:
+def make_laz_vlr(fmt: int, chunk_size: int = 50000,
+                 n_extra: int = 0) -> bytes:
     """Serialize the 'laszip encoded' VLR (header + payload):
     compressor 2 (chunked, v2 items) for formats 0-3, compressor 3
     (layered chunked, v3 items) for formats 6-8."""
-    items = laz_items_for_format(fmt)
+    items = laz_items_for_format(fmt, n_extra)
     if fmt > 5:
         payload = struct.pack(
             "<HHBBHIIqqH", 3, 0, 3, 4, 3, 0, chunk_size, -1, -1,

@@ -262,3 +262,73 @@ def test_write_ept_zstandard_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, ept.read_ept(spark, rb).collect()))
     b = sorted(map(tuple, ept.read_ept(spark, rz).collect()))
     assert a == b and len(a) == 2000
+
+
+def test_write_ept_laszip_roundtrip(spark, tmp_path):
+    """write_ept(data_type='laszip') — Entwine's default dataType —
+    writes each node as a standalone .laz (fmt 0 + BYTE-v2 extras for
+    non-LAS dims); read back equals the binary build exactly, and every
+    node file is independently a valid LAZ for read_laz_points."""
+    import glob
+    import struct as _s
+
+    import numpy as np
+
+    from pdal_spark.formats import laz as lazmod
+
+    pts = spark.range(0, 2000).select(
+        (F.col("id") % 50 * 1.0).alias("x"),
+        (F.col("id") % 37 * 2.0).alias("y"),
+        (F.col("id") % 11 * 3.0).alias("z"),
+        F.col("id").cast("double").alias("val"),
+        (F.col("id") % 7).cast("double").alias("grp"),
+    )
+    rb = str(tmp_path / "bin")
+    rl = str(tmp_path / "laz")
+    ept.write_ept(pts, rb, node_capacity=256, max_depth=5)
+    meta = ept.write_ept(pts, rl, node_capacity=256, max_depth=5,
+                         data_type="laszip")
+    assert meta["points"] == 2000
+    a = sorted(map(tuple, ept.read_ept(spark, rb).collect()))
+    b = sorted(map(tuple, ept.read_ept(spark, rl).collect()))
+    assert a == b and len(a) == 2000
+
+    # every node is a self-contained .laz: header + VLR + one chunk
+    nodes = sorted(glob.glob(os.path.join(rl, "ept-data", "*.laz")))
+    assert nodes
+    total = 0
+    for p in nodes:
+        buf = open(p, "rb").read()
+        assert buf[:4] == b"LASF" and buf[104] & 0x80
+        info = lazmod.laz_vlr_info(buf)
+        assert [it["type"] for it in info["items"]] == [6, 0]
+        assert info["items"][1]["size"] == 16  # val + grp extras
+        rec = lazmod.read_laz_points(p)
+        total += len(rec)
+        # extras decode as the two float64 columns
+        xtr = rec["extra"].reshape(len(rec), 16)
+        val = np.ascontiguousarray(xtr[:, :8]).view("<f8").ravel()
+        assert set(np.unique(val)) <= set(float(v) for v in range(2000))
+    assert total == 2000
+
+
+def test_write_ept_laszip_bbox_pushdown(spark, tmp_path):
+    """Bounds pruning returns the same rows over laszip nodes as over
+    the binary build of the same data (node-granular pruning — parity
+    is the contract, the exact row set is the binary path's)."""
+    pts = spark.range(0, 4000).select(
+        (F.col("id") % 80 * 1.0).alias("x"),
+        (F.col("id") % 41 * 2.0).alias("y"),
+        (F.col("id") % 13 * 3.0).alias("z"),
+    )
+    rb = str(tmp_path / "bin2")
+    rl = str(tmp_path / "laz2")
+    ept.write_ept(pts, rb, node_capacity=512, max_depth=5)
+    ept.write_ept(pts, rl, node_capacity=512, max_depth=5,
+                  data_type="laszip")
+    bounds = (10.0, 10.0, 0.0, 40.0, 50.0, 36.0)
+    a = sorted(map(tuple,
+                   ept.read_ept(spark, rb, bounds=bounds).collect()))
+    b = sorted(map(tuple,
+                   ept.read_ept(spark, rl, bounds=bounds).collect()))
+    assert a == b and len(a) > 0
