@@ -1165,6 +1165,28 @@ def q_ept_laszip_query(spark, sf_dir):
     return _ept_datatype_query(spark, sf_dir, "laszip")
 
 
+def q_ept_polygon_query(spark, sf_dir):
+    """readers.ept polygon pushdown (io/EptReader.cpp:164 option;
+    :664-668 node pruning; :856-867 per-point filter): nodes disjoint
+    from the polygon are pruned at the metadata level, then the exact
+    2-D even-odd PnP runs as a relational crop in codegen. Oracle: the
+    EPT quantization law + the same PnP in SQL. Golden parity with the
+    reference's own boundedCrop test (47 pts) is pinned in
+    tests/test_ept.py."""
+    import tempfile
+
+    from pdal_spark.formats import ept as ept_fmt
+
+    pts = _docs_z(spark, sf_dir).withColumn(
+        "did", F.col("doc_id").cast("double")
+    ).select("x", "y", "z", "did")
+    root = tempfile.mkdtemp(prefix="ept_pg_") + "/ds"
+    ept_fmt.write_ept(pts, root, node_capacity=512, max_depth=6)
+    out = ept_fmt.read_ept(spark, root, polygon=[POLY])
+    return out.select(
+        F.col("did").cast("long").alias("doc_id"), "x", "y")
+
+
 def q_ept_addon(spark, sf_dir):
     """writers.ept_addon (io/EptAddonWriter.cpp): build an EPT octree,
     read it back with the EptNodeId/EptPointId pair, write a sidecar
@@ -3567,6 +3589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ept_query": q_ept_query,
         "ept_zstd_query": q_ept_zstd_query,
         "ept_laszip_query": q_ept_laszip_query,
+        "ept_polygon_query": q_ept_polygon_query,
         "ept_addon": q_ept_addon,
         "tindex_read": q_tindex_read,
         "las_tiles": q_las_tiles,
@@ -3906,6 +3929,20 @@ def _misc_oracles() -> dict[str, str]:
         AND qy >= -60.0 AND qy <= 60.0
         AND qz >= 0.0 AND qz <= 400.0
     """
+    ept_poly_q = f"""
+      WITH g AS (
+        SELECT doc_id, ({_X_SQL}) AS x, ({_Y_SQL}) AS y,
+               CAST(n_chars AS DOUBLE) AS z
+        FROM documents
+      ),
+      b AS (SELECT min(x) AS ox, min(y) AS oy, min(z) AS oz FROM g),
+      q AS (
+        SELECT doc_id, {_eq('x', 'ox')} AS qx, {_eq('y', 'oy')} AS qy
+        FROM g, b
+      )
+      SELECT doc_id, qx AS x, qy AS y FROM q
+      WHERE {crop_op.polygon_pnp_sql(POLY, 'qx', 'qy')}
+    """
     ept_addon_q = f"""
       WITH g AS (
         SELECT doc_id, ({_X_SQL}) AS x, ({_Y_SQL}) AS y,
@@ -3999,6 +4036,7 @@ def _misc_oracles() -> dict[str, str]:
         "ept_query": ept_q,
         "ept_zstd_query": ept_q,
         "ept_laszip_query": ept_q,
+        "ept_polygon_query": ept_poly_q,
         "ept_addon": ept_addon_q,
         "tindex_read": tindex_read_q,
         "las_tiles": las_tiles,

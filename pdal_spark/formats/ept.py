@@ -111,14 +111,78 @@ def _depth_limit(info: EptInfo, resolution: Optional[float]) -> Optional[int]:
     return d
 
 
+def _segments_cross(ax, ay, bx, by, cx, cy, dx, dy) -> bool:
+    """Proper/improper 2-D segment intersection via orientation signs."""
+    def orient(px, py, qx, qy, rx, ry):
+        v = (qx - px) * (ry - py) - (qy - py) * (rx - px)
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    o1 = orient(ax, ay, bx, by, cx, cy)
+    o2 = orient(ax, ay, bx, by, dx, dy)
+    o3 = orient(cx, cy, dx, dy, ax, ay)
+    o4 = orient(cx, cy, dx, dy, bx, by)
+    if o1 != o2 and o3 != o4:
+        return True
+
+    def on_seg(px, py, qx, qy, rx, ry):
+        return (min(px, qx) <= rx <= max(px, qx)
+                and min(py, qy) <= ry <= max(py, qy))
+
+    return ((o1 == 0 and on_seg(ax, ay, bx, by, cx, cy))
+            or (o2 == 0 and on_seg(ax, ay, bx, by, dx, dy))
+            or (o3 == 0 and on_seg(cx, cy, dx, dy, ax, ay))
+            or (o4 == 0 and on_seg(cx, cy, dx, dy, bx, by)))
+
+
+def _poly_node_intersects(poly, nb: tuple) -> bool:
+    """Does a crop.Polygon intersect a node's 2-D box?  The reference
+    prunes nodes with GEOS ``Polygon::disjoint(key.b)``
+    (io/EptReader.cpp:664-668); this is the same predicate from the
+    three standard cases: a polygon vertex inside the box, a box corner
+    inside the polygon (even-odd, holes respected), or any edge pair
+    crossing."""
+    from pdal_spark.operators.crop import pnp_even_odd_np
+
+    x0, y0, x1, y1 = nb[0], nb[1], nb[3], nb[4]
+    bb = poly.bbox()
+    if bb.maxx < x0 or bb.minx > x1 or bb.maxy < y0 or bb.miny > y1:
+        return False
+    for ring in poly.rings():
+        for vx, vy in ring:
+            if x0 <= vx <= x1 and y0 <= vy <= y1:
+                return True
+    corners = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+    if pnp_even_odd_np(corners[:, 0], corners[:, 1], poly).any():
+        return True
+    box_edges = [((x0, y0), (x1, y0)), ((x1, y0), (x1, y1)),
+                 ((x1, y1), (x0, y1)), ((x0, y1), (x0, y0))]
+    for ring in poly.rings():
+        pts = list(ring)
+        if pts[0] != pts[-1]:
+            pts = pts + [pts[0]]
+        for (a, b) in zip(pts, pts[1:]):
+            for (c, d) in box_edges:
+                if _segments_cross(a[0], a[1], b[0], b[1],
+                                   c[0], c[1], d[0], d[1]):
+                    return True
+    return False
+
+
 def select_nodes(
     root: str,
     bounds: Optional[tuple] = None,
     resolution: Optional[float] = None,
+    polygons: Optional[list] = None,
 ) -> dict:
     """Walk the hierarchy pages; return {key: count} for every node
-    surviving the bbox/depth pruning. Subtrees outside the query bounds
-    are never even opened (pushdown at the metadata level)."""
+    surviving the bbox/depth/polygon pruning. Subtrees outside the
+    query bounds are never even opened (pushdown at the metadata
+    level).  ``polygons``: keep a node iff it intersects AT LEAST ONE
+    polygon (note: the reference's loop, io/EptReader.cpp:664-668,
+    skips a node as soon as ANY polygon is disjoint from it, which
+    over-prunes for multiple disjoint polygons; with a single polygon
+    — the only shape its tests exercise — the two rules coincide, and
+    any-intersects is what its own per-point filter implies)."""
     info = quick_info(root)
     dmax = _depth_limit(info, resolution)
     out: dict = {}
@@ -131,8 +195,11 @@ def select_nodes(
             depth = int(key.split("-")[0])
             if dmax is not None and depth > dmax:
                 continue
-            if bounds is not None and not _intersects(
-                    _node_bounds(info.bounds, key), bounds):
+            nb = _node_bounds(info.bounds, key)
+            if bounds is not None and not _intersects(nb, bounds):
+                continue
+            if polygons is not None and not any(
+                    _poly_node_intersects(p, nb) for p in polygons):
                 continue
             if count == -1:
                 if key != page_key:
@@ -142,6 +209,38 @@ def select_nodes(
 
     walk("0-0-0-0")
     return out
+
+
+def _resolve_origin(root: str, origin) -> tuple[int, tuple]:
+    """EptReader::handleOriginQuery (io/EptReader.cpp:351-420): an
+    integral ``origin`` is the OriginId directly; a string matches
+    uniquely against the source ids in ept-sources/list.json.
+    -> (origin_id, source_bounds)."""
+    with open(os.path.join(root, "ept-sources", "list.json")) as f:
+        sources = json.load(f)
+    if isinstance(origin, int) or (
+            isinstance(origin, str) and origin.isdigit()):
+        oid = int(origin)
+    else:
+        oid = -1
+        for i, el in enumerate(sources):
+            if origin in el["id"]:
+                if oid != -1:
+                    raise ValueError("Origin search ID is not unique.")
+                oid = i
+        if oid == -1:
+            raise ValueError(f"Failed lookup of origin: {origin}")
+    if not 0 <= oid < len(sources):
+        raise ValueError("Invalid origin ID")
+    return oid, tuple(sources[oid]["bounds"])
+
+
+def _clip_bounds(a: Optional[tuple], b: tuple) -> tuple:
+    """BOX3D::clip — intersection (io/EptReader.cpp:412-414)."""
+    if a is None:
+        return b
+    return (max(a[0], b[0]), max(a[1], b[1]), max(a[2], b[2]),
+            min(a[3], b[3]), min(a[4], b[4]), min(a[5], b[5]))
 
 
 def _schema_dtype(info: EptInfo) -> np.dtype:
@@ -286,6 +385,8 @@ def read_ept(
     resolution: Optional[float] = None,
     with_node_ids: bool = False,
     addons: Optional[dict] = None,
+    polygon=None,
+    origin=None,
 ) -> DataFrame:
     """readers.ept. `with_node_ids=True` appends the EptNodeId /
     EptPointId pair the reference reader registers
@@ -294,13 +395,50 @@ def read_ept(
     `write_ept_addon` needs. `addons={column: addon_root}` merges addon
     dimensions back NODE-LOCALLY inside the same decode task (the addon
     file layout mirrors ept-data, so the merge is a positional
-    column-concat — zero shuffles, zero joins)."""
+    column-concat — zero shuffles, zero joins).
+
+    ``polygon`` (the reference's option, io/EptReader.cpp:164): WKT
+    string(s) or crop.Polygon(s).  Nodes disjoint from the polygons
+    are pruned at the metadata level, then the exact 2-D
+    point-in-polygon filter (EptReader.cpp:856-867 passesPolyFilter)
+    is applied as a relational crop — it stays in codegen and Catalyst
+    can push it.  The reference's ``WKT/ SRS`` suffix is accepted and
+    stripped; it must name the dataset's own SRS (reprojecting the
+    polygon needs PROJ, which is env-blocked).
+
+    ``origin`` (EptReader.cpp:159): an OriginId integer, or a
+    substring matched uniquely against the source ids in
+    ept-sources/list.json; the query bounds are clipped to the
+    source's bounds for pruning (EptReader.cpp:412-414) and the rows
+    are filtered to OriginId == id (EptReader.cpp:853-854)."""
     info = quick_info(root)
     if info.data_type not in ("binary", "laszip", "zstandard"):
         raise NotImplementedError(f"EPT dataType {info.data_type!r}")
     node_ext = {"laszip": "laz", "zstandard": "zst",
                 "binary": "bin"}[info.data_type]
-    nodes = select_nodes(root, bounds=bounds, resolution=resolution)
+    polys = None
+    if polygon is not None:
+        from pdal_spark.operators import crop as crop_op
+
+        polys = []
+        for p in (polygon if isinstance(polygon, (list, tuple))
+                  else [polygon]):
+            if isinstance(p, str):
+                body = p
+                tail = body.rfind("/")
+                if tail > body.rfind(")"):
+                    body = body[:tail]  # "WKT/ SRS" override form
+                polys.extend(crop_op.parse_wkt_polygons(body))
+            else:
+                polys.append(p)
+    origin_id = None
+    if origin is not None:
+        origin_id, src_bounds = _resolve_origin(root, origin)
+        if not any(s["name"] == "OriginId" for s in info.schema):
+            raise ValueError("origin query needs an OriginId dimension")
+        bounds = _clip_bounds(bounds, src_bounds)
+    nodes = select_nodes(root, bounds=bounds, resolution=resolution,
+                         polygons=polys)
     schema = spark_schema(info)
     addon_meta = {}
     for col, aroot in (addons or {}).items():
@@ -348,7 +486,16 @@ def read_ept(
                     out["ept_point_id"] = np.arange(len(out), dtype=np.int64)
                 yield out
 
-    return node_df.mapInPandas(_decode, schema=schema)
+    out = node_df.mapInPandas(_decode, schema=schema)
+    if polys:
+        from pdal_spark.operators import crop as crop_op
+
+        out = crop_op.crop(out, list(polys), mode="stream")
+    if origin_id is not None:
+        from pyspark.sql import functions as _F
+
+        out = out.filter(_F.col("OriginId") == origin_id)
+    return out
 
 
 def write_ept_addon(

@@ -99,6 +99,63 @@ def circle_contains_sql(c: Circle, x: str = "x", y: str = "y") -> str:
 
 
 # ---------------------------------------------------------------------------
+# WKT parsing (POLYGON / MULTIPOLYGON)
+# ---------------------------------------------------------------------------
+
+
+def _split_depth0(s: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts]
+
+
+def _wkt_ring(s: str) -> tuple:
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        raise ValueError(f"bad WKT ring: {s[:40]!r}")
+    pts = []
+    for tok in s[1:-1].split(","):
+        c = tok.split()
+        pts.append((float(c[0]), float(c[1])))  # Z (if any) ignored — 2-D crop
+    return tuple(pts)
+
+
+def _wkt_poly(body: str) -> Polygon:
+    rings = [_wkt_ring(r) for r in _split_depth0(body)]
+    return Polygon(exterior=rings[0], holes=tuple(rings[1:]))
+
+
+def parse_wkt_polygons(wkt: str) -> list[Polygon]:
+    """Minimal WKT parser: POLYGON / MULTIPOLYGON, 2-D or 3-D
+    coordinates (Z dropped — the reference's polygon crop is 2-D:
+    CropFilter / EptReader passesPolyFilter both test (x, y) only)."""
+    s = wkt.strip()
+    u = s.upper()
+    if "(" not in s or not s.endswith(")"):
+        raise ValueError(f"bad WKT: {s[:60]!r}")
+    body = s[s.index("(") + 1:len(s) - 1]
+    if u.startswith("MULTIPOLYGON"):
+        out = []
+        for g in _split_depth0(body):
+            g = g.strip()
+            if not (g.startswith("(") and g.endswith(")")):
+                raise ValueError(f"bad WKT polygon group: {g[:40]!r}")
+            out.append(_wkt_poly(g[1:-1]))
+        return out
+    if u.startswith("POLYGON"):
+        return [_wkt_poly(body)]
+    raise ValueError(f"unsupported WKT geometry: {s[:30]!r}")
+
+
+# ---------------------------------------------------------------------------
 # Exact point-in-polygon: vectorized even-odd ray cast (numpy).
 # ---------------------------------------------------------------------------
 

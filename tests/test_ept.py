@@ -332,3 +332,88 @@ def test_write_ept_laszip_bbox_pushdown(spark, tmp_path):
     b = sorted(map(tuple,
                    ept.read_ept(spark, rl, bounds=bounds).collect()))
     assert a == b and len(a) > 0
+
+
+def test_wkt_polygon_parser():
+    from pdal_spark.operators.crop import Polygon, parse_wkt_polygons
+
+    p = parse_wkt_polygons(
+        "POLYGON ((0 0 5, 4 0 5, 4 4 5, 0 4 5, 0 0 5),"
+        " (1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert len(p) == 1 and isinstance(p[0], Polygon)
+    assert p[0].exterior[1] == (4.0, 0.0) and len(p[0].holes) == 1
+    m = parse_wkt_polygons(
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
+    assert len(m) == 2 and m[1].exterior[0] == (5.0, 5.0)
+    with pytest.raises(ValueError):
+        parse_wkt_polygons("LINESTRING (0 0, 1 1)")
+
+
+def test_poly_node_intersects_cases():
+    from pdal_spark.operators.crop import Polygon
+
+    tri = Polygon(exterior=((0.0, 0.0), (10.0, 0.0), (5.0, 10.0)))
+    box = lambda x0, y0, x1, y1: (x0, y0, 0.0, x1, y1, 1.0)
+    assert ept._poly_node_intersects(tri, box(4, 1, 6, 3))     # box in poly
+    assert ept._poly_node_intersects(tri, box(-5, -5, 15, 15))  # poly in box
+    assert ept._poly_node_intersects(tri, box(-1, -1, 1, 1))   # corner cross
+    assert not ept._poly_node_intersects(tri, box(11, 11, 12, 12))
+    assert not ept._poly_node_intersects(tri, box(-2, 5, -0.5, 6))
+    donut = Polygon(exterior=((0.0, 0.0), (10.0, 0.0), (10.0, 10.0),
+                              (0.0, 10.0)),
+                    holes=(((2.0, 2.0), (8.0, 2.0), (8.0, 8.0),
+                            (2.0, 8.0)),))
+    assert not ept._poly_node_intersects(donut, box(4, 4, 6, 6))  # in hole
+    assert ept._poly_node_intersects(donut, box(1, 4, 3, 6))      # rim
+
+
+REF_EPT_COLOR = "/root/reference/test/data/ept/1.2-with-color"
+REF_EPT_LONESTAR = "/root/reference/test/data/ept/lone-star-laszip"
+REF_SELECTION_WKT = "/root/reference/test/data/autzen/autzen-selection.wkt"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_EPT_COLOR),
+                    reason="reference fixture unavailable")
+def test_polygon_query_bounded_crop_golden(spark):
+    """EptReaderTest boundedCrop (EptReaderTest.cpp:631-691): the
+    autzen selection polygon over the 1.2-with-color EPT returns
+    exactly 47 points; node pruning must not change the row set."""
+    wkt = open(REF_SELECTION_WKT).read()
+    got = ept.read_ept(spark, REF_EPT_COLOR, polygon=wkt + "/ EPSG:3644")
+    assert got.count() == 47
+    # pruning-off parity: the crop filter alone gives the same rows
+    from pdal_spark.operators import crop as crop_op
+
+    polys = crop_op.parse_wkt_polygons(wkt)
+    base = ept.read_ept(spark, REF_EPT_COLOR)
+    want = crop_op.crop(base, polys, mode="stream")
+    a = sorted(map(tuple, got.select("x", "y", "z").collect()))
+    b = sorted(map(tuple, want.select("x", "y", "z").collect()))
+    assert a == b
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_EPT_LONESTAR),
+                    reason="reference fixture unavailable")
+def test_origin_query_golden(spark):
+    """EptReaderTest originRead (EptReaderTest.cpp:431-458): reading
+    each origin yields only that OriginId and the per-origin counts sum
+    to the full dataset; bad origins raise like the reference
+    (EptReaderTest.cpp:460-469)."""
+    total = 0
+    for o in range(4):
+        df = ept.read_ept(spark, REF_EPT_LONESTAR, origin=o)
+        r = df.agg(F.count("*").alias("n"),
+                   F.count_distinct("OriginId").alias("d"),
+                   F.min("OriginId").alias("m")).collect()[0]
+        assert (r.d, r.m) == (1, o)
+        total += r.n
+    assert total == 518862
+    # substring resolution (unique basename fragment -> OriginId 1)
+    n2 = ept.read_ept(spark, REF_EPT_LONESTAR, origin="split-2").count()
+    assert n2 == 154561
+    with pytest.raises(ValueError, match="Invalid origin ID"):
+        ept.read_ept(spark, REF_EPT_LONESTAR, origin=4)
+    with pytest.raises(ValueError, match="not unique"):
+        ept.read_ept(spark, REF_EPT_LONESTAR, origin="split")
+    with pytest.raises(ValueError, match="Failed lookup"):
+        ept.read_ept(spark, REF_EPT_LONESTAR, origin="nope")
