@@ -299,7 +299,22 @@ def _geom_from_options(o) -> list:
         px, py = o["point"]
         geoms.append(crop_op.Circle(px, py, float(o.get("distance", 1.0))))
     if "polygon" in o:
-        geoms.append(crop_op.Polygon(exterior=tuple(map(tuple, o["polygon"]))))
+        p = o["polygon"]
+        # the reference's option is WKT (one string or a list of them,
+        # FilterCrop.cpp / Polygon.cpp); a raw [[x, y], ...] ring is
+        # kept as a convenience form
+        if isinstance(p, str):
+            p = [p]
+        if p and isinstance(p[0], str):
+            for wkt in p:
+                body = wkt
+                tail = body.rfind("/")
+                if tail > body.rfind(")"):
+                    body = body[:tail]  # "WKT/ SRS" override form
+                geoms.extend(crop_op.parse_wkt_polygons(body))
+        else:
+            geoms.append(
+                crop_op.Polygon(exterior=tuple(map(tuple, p))))
     if not geoms:
         raise PipelineError("filters.crop: needs bounds/point/polygon")
     return geoms

@@ -182,3 +182,40 @@ def test_translate_kernel_analog(spark, tmp_path):
     out2 = str(tmp_path / "out2.pcd")
     pl.run(spark, [src, out2])
     assert pl.run(spark, [out2]).count() == 200
+
+
+def test_crop_stage_accepts_wkt_polygon(spark):
+    """The reference's filters.crop polygon option is WKT (one string
+    or a list); pipeline JSON now parses it — same rows as the direct
+    Polygon-object crop."""
+    import pdal_spark.synth as synth
+    from pdal_spark.operators import crop as crop_op
+
+    wkt = ("POLYGON ((-90 -45 3, 90 -45 3, 90 45 3, -90 45 3, "
+           "-90 -45 3))")
+    doc = [
+        {"type": "readers.faux", "count": 500, "mode": "points"},
+        {"type": "filters.crop", "polygon": wkt + "/ EPSG:4326"},
+    ]
+    out = pl.run(spark, doc).toPandas()
+    direct = crop_op.crop(
+        synth.synth_points(spark, 500),
+        crop_op.parse_wkt_polygons(wkt), mode="stream",
+    ).toPandas()
+    key = list(out.columns)
+    assert (out.sort_values(key).reset_index(drop=True)
+            .equals(direct.sort_values(key).reset_index(drop=True)))
+    assert 0 < len(out) < 500
+
+    multi = ("MULTIPOLYGON (((-90 -45, 0 -45, 0 45, -90 45, -90 -45)),"
+             " ((10 -45, 90 -45, 90 45, 10 45, 10 -45)))")
+    doc2 = [
+        {"type": "readers.faux", "count": 500, "mode": "points"},
+        {"type": "filters.crop", "polygon": multi},
+    ]
+    out2 = pl.run(spark, doc2).toPandas()
+    direct2 = crop_op.crop(
+        synth.synth_points(spark, 500),
+        crop_op.parse_wkt_polygons(multi), mode="stream",
+    ).toPandas()
+    assert len(out2) == len(direct2) > 0
