@@ -250,8 +250,9 @@ def _r_optech(spark, inputs, o, filename):
 
 
 def _r_ept(spark, inputs, o, filename):
-    """readers.ept (io/EptReader.cpp): octree query pushdown; binary
-    dataType decode."""
+    """readers.ept (io/EptReader.cpp): octree query pushdown — bounds,
+    resolution, polygon (WKT, node-pruned + exact PnP crop) and origin
+    (source selection) options, all three dataTypes."""
     from pdal_spark.formats import ept as ept_fmt
 
     fn = filename or o["filename"]
@@ -264,6 +265,8 @@ def _r_ept(spark, inputs, o, filename):
         spark, fn,
         bounds=tuple(bounds) if bounds else None,
         resolution=(float(o["resolution"]) if "resolution" in o else None),
+        polygon=o.get("polygon"),
+        origin=o.get("origin"),
     )
 
 

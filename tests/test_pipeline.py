@@ -219,3 +219,25 @@ def test_crop_stage_accepts_wkt_polygon(spark):
         crop_op.parse_wkt_polygons(multi), mode="stream",
     ).toPandas()
     assert len(out2) == len(direct2) > 0
+
+
+def test_ept_reader_stage_polygon_origin(spark):
+    """readers.ept pipeline options polygon + origin flow through to
+    the reader (reference goldens pinned in test_ept.py)."""
+    import os
+
+    ref = "/root/reference/test/data/ept/1.2-with-color"
+    lone = "/root/reference/test/data/ept/lone-star-laszip"
+    if not os.path.isdir(ref):
+        pytest.skip("reference fixture unavailable")
+    wkt = open(
+        "/root/reference/test/data/autzen/autzen-selection.wkt").read()
+    out = pl.run(spark, [
+        {"type": "readers.ept", "filename": ref,
+         "polygon": wkt + "/ EPSG:3644"},
+    ])
+    assert out.count() == 47  # EptReaderTest boundedCrop
+    o1 = pl.run(spark, [
+        {"type": "readers.ept", "filename": lone, "origin": "split-3"},
+    ])
+    assert o1.count() == 132693  # sources list golden
