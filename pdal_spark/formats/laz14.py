@@ -965,6 +965,14 @@ def decode_chunk_v3(buf: bytes, start: int, n_points: int,
         k = n_layers(it)
         sizes.append(list(struct.unpack_from(f"<{k}I", buf, p)))
         p += 4 * k
+    # corrupt-input bound: the layer byte lengths must fit inside the
+    # buffer — a flipped u32 here would otherwise hand the entropy
+    # decoders out-of-range offsets (silent garbage or giant scans)
+    if p + sum(s for sz in sizes for s in sz) > len(buf):
+        raise LazUnsupported(
+            f"layered chunk layer sizes overrun the buffer "
+            f"({sum(s for sz in sizes for s in sz)} bytes from {p} in a "
+            f"{len(buf)}-byte buffer)")
     offs: list[list[int]] = []
     for sz in sizes:
         row = []

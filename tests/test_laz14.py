@@ -454,3 +454,15 @@ def test_spark_laz14_all_formats_parts(spark, tmp_path):
                  .toPandas().sort_values(key, kind="stable")
                  .reset_index(drop=True))
             pd.testing.assert_frame_equal(a, b)
+
+
+def test_corrupt_layer_sizes_raise_fast():
+    """A flipped u32 in the layer-size table must raise LazUnsupported
+    (buffer-overrun bound), not hand the entropy decoders out-of-range
+    offsets — same corrupt-input class as the v2 chunk-count guard."""
+    rec, items = _mkrec(400, 6, seed=9)
+    buf = bytearray(laz14.encode_chunk_v3(rec, items))
+    p = 30 + 4  # first raw POINT14 + u32 count -> first layer size
+    struct.pack_into("<I", buf, p, 0xFFFFFF00)
+    with pytest.raises(laz.LazUnsupported, match="overrun"):
+        laz14.decode_chunk_v3(bytes(buf), 0, 400, items)
