@@ -331,11 +331,39 @@ def _f_crop(spark, inputs, o, filename):
     )
 
 
+def _dim_col(df: DataFrame, name: str) -> str:
+    """Map a PDAL-canonical dimension name (Classification,
+    ReturnNumber, GpsTime, X, ...) to this DataFrame's column — the
+    reference's pipeline options speak canonical names while our
+    readers emit snake_case."""
+    if name in df.columns:
+        return name
+    import re as _re
+
+    snake = _re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
+    if snake in df.columns:
+        return snake
+    if name.lower() in df.columns:
+        return name.lower()
+    raise PipelineError(f"unknown dimension {name!r} "
+                        f"(columns: {df.columns})")
+
+
+def _rewrite_dim(df: DataFrame, spec: str) -> str:
+    """Rewrite the leading dimension name of a 'Dim[lo:hi]...' spec."""
+    import re as _re
+
+    return _re.sub(
+        r"^(\s*!?\s*)([A-Za-z_][A-Za-z0-9_]*)",
+        lambda m: m.group(1) + _dim_col(df, m.group(2)), spec)
+
+
 def _f_range(spark, inputs, o, filename):
     limits = o["limits"]
     if isinstance(limits, str):
         limits = [s.strip() for s in limits.split(",")]
-    return rel_op.range_filter(_one(inputs, "range"), limits)
+    df = _one(inputs, "range")
+    return rel_op.range_filter(df, [_rewrite_dim(df, s) for s in limits])
 
 
 def _f_mongo(spark, inputs, o, filename):
@@ -346,7 +374,11 @@ def _f_assign(spark, inputs, o, filename):
     a = o["assignment"]
     if isinstance(a, str):
         a = [a]
-    return rel_op.assign(_one(inputs, "assign"), a, condition=o.get("condition"))
+    df = _one(inputs, "assign")
+    a = [_rewrite_dim(df, s) for s in a]
+    cond = o.get("condition")
+    return rel_op.assign(
+        df, a, condition=_rewrite_dim(df, cond) if cond else None)
 
 
 def _f_ferry(spark, inputs, o, filename):
@@ -411,6 +443,51 @@ def _f_merge(spark, inputs, o, filename):
     return _one(inputs, "merge")
 
 
+def _f_smrf(spark, inputs, o, filename):
+    """filters.smrf (SMRFilter.cpp addArgs): window/slope/threshold/
+    cell/scalar/cut -> Classification 2 (ground) / 1."""
+    from pdal_spark.operators import ground as ground_op
+
+    return ground_op.smrf(
+        _one(inputs, "smrf"),
+        cell=float(o.get("cell", 1.0)),
+        slope=float(o.get("slope", 0.15)),
+        threshold=float(o.get("threshold", 0.5)),
+        window=float(o.get("window", 18.0)),
+        scalar=float(o.get("scalar", 1.25)),
+        cut=float(o.get("cut", 0.0)),
+    )
+
+
+def _f_outlier(spark, inputs, o, filename):
+    """filters.outlier (OutlierFilter.cpp): method=statistical
+    (mean_k/multiplier) or radius (radius/min_k); noise rows get
+    Classification 7.  Needs a unique id column for the kNN
+    self-exclusion — page_id/doc_id when present, else a synthetic
+    per-execution id."""
+    from pdal_spark.operators import knn as knn_op
+
+    df = _one(inputs, "outlier")
+    idc = next((c for c in ("page_id", "doc_id", "id")
+                if c in df.columns), None)
+    tmp = idc is None
+    if tmp:
+        idc = "_oid"
+        df = df.withColumn(idc, F.monotonically_increasing_id())
+    method = o.get("method", "statistical")
+    if method == "statistical":
+        out = knn_op.outlier_statistical(
+            df, mean_k=int(o.get("mean_k", 8)),
+            multiplier=float(o.get("multiplier", 2.0)), id_col=idc)
+    elif method == "radius":
+        out = knn_op.outlier_radius(
+            df, radius=float(o.get("radius", 1.0)),
+            min_k=int(o.get("min_k", 2)), id_col=idc)
+    else:
+        raise PipelineError(f"filters.outlier method {method!r}")
+    return out.drop(idc) if tmp else out
+
+
 def _f_sort(spark, inputs, o, filename):
     return rel_op.sort_stable(
         _one(inputs, "sort"), o["dimension"],
@@ -469,9 +546,15 @@ def _f_sample(spark, inputs, o, filename):
 
 
 def _f_mortonorder(spark, inputs, o, filename):
-    return pc_op.morton_order(_one(inputs, "mortonorder"),
+    df = _one(inputs, "mortonorder")
+    oc = o.get("order_col")
+    if oc is None:
+        # tiebreak column: a row id when present, else (x, y)
+        oc = next((c for c in ("page_id", "doc_id", "id")
+                   if c in df.columns), "x")
+    return pc_op.morton_order(df,
                               reverse=bool(o.get("reverse", False)),
-                              order_col=o.get("order_col", "page_id"))
+                              order_col=oc)
 
 
 def _f_delaunay(spark, inputs, o, filename):
@@ -524,8 +607,8 @@ def _infer_writer(spark, inputs, o, filename):
     parquet is the engine-native default."""
     fn = filename or o.get("filename", "")
     ext_map = {
-        ".las": _w_las, ".ply": _w_ply, ".pcd": _w_pcd, ".bpf": _w_bpf,
-        ".sbet": _w_sbet, ".csv": _w_csv, ".txt": _w_csv,
+        ".las": _w_las, ".laz": _w_las, ".ply": _w_ply, ".pcd": _w_pcd,
+        ".bpf": _w_bpf, ".sbet": _w_sbet, ".csv": _w_csv, ".txt": _w_csv,
         ".geojson": _w_ogr, ".json": _w_ogr,
     }
     for ext, fn_w in ext_map.items():
@@ -559,6 +642,96 @@ def translate(
          **(writer_options or {})}
     )
     return run(spark, doc)
+
+
+def merge(
+    spark: SparkSession,
+    input_paths: Sequence[str],
+    output_path: str,
+    writer_options: dict | None = None,
+) -> DataFrame:
+    """``pdal merge in1 in2 ... out`` (kernels/MergeKernel.cpp:73-90):
+    N inferred readers -> merge -> inferred writer."""
+    if len(input_paths) < 2:
+        raise PipelineError("Must specify an input and output file.")
+    doc: list = [
+        {"type": "readers.infer", "filename": p} for p in input_paths
+    ]
+    doc.append({"type": "filters.merge"})
+    doc.append({"type": "writers.infer", "filename": output_path,
+                **(writer_options or {})})
+    return run(spark, doc)
+
+
+def sort(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    compress: bool = False,
+) -> DataFrame:
+    """``pdal sort in out`` (kernels/SortKernel.cpp:73-90): reader ->
+    filters.mortonorder -> writer; -z forwards the compression flag."""
+    return translate(
+        spark, input_path, output_path,
+        filters=[{"type": "filters.mortonorder"}],
+        writer_options={"compression": True} if compress else {},
+    )
+
+
+def random(
+    spark: SparkSession,
+    output_path: str,
+    count: int = 1000,
+    distribution: str = "uniform",
+    compress: bool = False,
+) -> DataFrame:
+    """``pdal random -o out`` (kernels/RandomKernel.cpp:77-105):
+    readers.faux -> writer.  Our faux reader is a deterministic
+    uniform LCG; the reference's normal mode needs a gaussian faux
+    mode and raises honestly."""
+    if distribution != "uniform":
+        raise PipelineError(
+            f"random: distribution {distribution!r} unsupported "
+            "(deterministic uniform faux only)")
+    # faux points + a deterministic z ramp (the reference's faux
+    # reader always emits X/Y/Z; LAS-family writers need z)
+    df = synth.synth_points(spark, int(count)).withColumn(
+        "z", (F.col("page_id") % 1000).cast("double") * 0.05)
+    opts = {"compression": True} if compress else {}
+    return _infer_writer(spark, [df], opts, output_path)
+
+
+def ground(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    max_window_size: float = 18.0,
+    slope: float = 0.15,
+    cell_size: float = 1.0,
+    scalar: float = 1.25,
+    threshold: float = 0.5,
+    cut: float = 0.0,
+    extract: bool = False,
+    reset: bool = False,
+    denoise: bool = False,
+) -> DataFrame:
+    """``pdal ground in out`` (kernels/GroundKernel.cpp:92-148): the
+    canned chain [assign Classification:=0 if reset] -> [outlier if
+    denoise] -> filters.smrf -> [range Classification[2:2] if
+    extract] -> writer."""
+    filters: list = []
+    if reset:
+        filters.append({"type": "filters.assign",
+                        "assignment": "Classification[:]=0"})
+    if denoise:
+        filters.append({"type": "filters.outlier"})
+    filters.append({"type": "filters.smrf", "window": max_window_size,
+                    "slope": slope, "threshold": threshold,
+                    "cell": cell_size, "cut": cut, "scalar": scalar})
+    if extract:
+        filters.append({"type": "filters.range",
+                        "limits": "Classification[2:2]"})
+    return translate(spark, input_path, output_path, filters=filters)
 
 
 def _w_parquet(spark, inputs, o, filename):
@@ -609,6 +782,10 @@ def _w_las(spark, inputs, o, filename):
         version_minor=(
             int(o["minor_version"]) if "minor_version" in o else None
         ),
+        # a .laz filename implies compression, like the reference
+        # (LasWriter infers laszip output from the extension)
+        compression=bool(o.get("compression", False))
+        or (filename or o["filename"]).endswith(".laz"),
     )
     return df
 
@@ -721,6 +898,8 @@ REGISTRY: dict[str, StageFn] = {
     "filters.cluster": _f_cluster,
     "filters.sample": _f_sample,
     "filters.mortonorder": _f_mortonorder,
+    "filters.smrf": _f_smrf,
+    "filters.outlier": _f_outlier,
     "filters.shell": _f_shell,
     "filters.delaunay": _f_delaunay,
     "writers.infer": _infer_writer,

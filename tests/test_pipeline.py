@@ -241,3 +241,84 @@ def test_ept_reader_stage_polygon_origin(spark):
         {"type": "readers.ept", "filename": lone, "origin": "split-3"},
     ])
     assert o1.count() == 132693  # sources list golden
+
+
+SIMPLE_LAS = "/root/reference/test/data/las/simple.las"
+needs_simple = pytest.mark.skipif(
+    not __import__("os").path.exists(SIMPLE_LAS),
+    reason="reference fixture unavailable")
+
+
+@needs_simple
+def test_kernel_merge(spark, tmp_path):
+    """pdal merge (kernels/MergeKernel.cpp): N readers -> merge ->
+    writer; double-merge of the same file doubles the rows."""
+    from pdal_spark.formats.las import read_las
+
+    out = str(tmp_path / "merged.las")
+    pl.merge(spark, [SIMPLE_LAS, SIMPLE_LAS], out)
+    assert read_las(spark, out).count() == 2130
+    with pytest.raises(pl.PipelineError):
+        pl.merge(spark, [SIMPLE_LAS], str(tmp_path / "x.las"))
+
+
+@needs_simple
+def test_kernel_sort_morton_laz(spark, tmp_path):
+    """pdal sort (kernels/SortKernel.cpp): mortonorder between reader
+    and writer; -z compresses (the .laz extension alone implies it
+    too, like the reference's LasWriter)."""
+    from pdal_spark.formats import laz as lazmod
+    from pdal_spark.formats.las import read_las
+
+    out = str(tmp_path / "sorted.laz")
+    pl.sort(spark, SIMPLE_LAS, out, compress=True)
+    buf = open(out, "rb").read()
+    assert buf[104] & 0x80  # really compressed
+    lazmod.laz_vlr_info(buf)
+    back = read_las(spark, out)
+    assert back.count() == 1065
+    a = sorted(map(tuple, back.select("x", "y", "z").collect()))
+    b = sorted(map(tuple, read_las(spark, SIMPLE_LAS)
+                   .select("x", "y", "z").collect()))
+    assert a == b  # same point set, reordered
+
+
+def test_kernel_random(spark, tmp_path):
+    """pdal random (kernels/RandomKernel.cpp): faux -> writer."""
+    from pdal_spark.formats.las import read_las
+
+    out = str(tmp_path / "rand.las")
+    pl.random(spark, out, count=400)
+    assert read_las(spark, out).count() == 400
+    with pytest.raises(pl.PipelineError, match="distribution"):
+        pl.random(spark, str(tmp_path / "n.las"), distribution="normal")
+
+
+@needs_simple
+def test_kernel_ground(spark, tmp_path):
+    """pdal ground (kernels/GroundKernel.cpp:92-148): reset-assign ->
+    smrf -> Classification[2:2] extract; output is ground-only."""
+    from pdal_spark.formats.las import read_las
+
+    out = str(tmp_path / "ground.las")
+    pl.ground(spark, SIMPLE_LAS, out, extract=True, reset=True,
+              cell_size=20.0)
+    g = read_las(spark, out)
+    n = g.count()
+    assert 0 < n < 1065
+    assert [r[0] for r in g.select("classification").distinct()
+            .collect()] == [2]
+
+
+@needs_simple
+def test_outlier_stage_statistical(spark):
+    """filters.outlier as a pipeline stage (statistical method) tags
+    noise with Classification 7 and keeps every row."""
+    doc = [
+        {"type": "readers.infer", "filename": SIMPLE_LAS},
+        {"type": "filters.outlier", "method": "statistical",
+         "mean_k": 8, "multiplier": 2.0},
+    ]
+    out = pl.run(spark, doc)
+    assert out.count() == 1065
+    assert out.filter("classification = 7").count() > 0
