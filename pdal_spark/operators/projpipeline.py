@@ -342,7 +342,13 @@ def _axisswap(B, p, x, y, z, inverse):
 
 def _unitconvert(B, p, x, y, z, inverse):
     def factor(kin, kout):
-        fin, fout = _UNITS[p[kin]], _UNITS[p[kout]]
+        if kin not in p or kout not in p:
+            raise ValueError(
+                f"unitconvert needs both +{kin} and +{kout}")
+        try:
+            fin, fout = _UNITS[p[kin]], _UNITS[p[kout]]
+        except KeyError as e:
+            raise ValueError(f"unitconvert: unknown unit {e}") from None
         f = fin / fout
         return 1.0 / f if inverse else f
 

@@ -311,3 +311,11 @@ def test_reproject_sql_utm_inverse_twin():
     assert len(r) == 500
     np.testing.assert_allclose(r.lo.values, lon, atol=2e-8)
     np.testing.assert_allclose(r.la.values, lat, atol=2e-8)
+
+
+def test_unitconvert_rejects_partial_and_unknown():
+    with pytest.raises(ValueError, match="both"):
+        pp.pipeline_np("+proj=unitconvert +xy_in=deg", [0.0], [0.0])
+    with pytest.raises(ValueError, match="unknown unit"):
+        pp.pipeline_np("+proj=unitconvert +xy_in=deg +xy_out=cubits",
+                       [0.0], [0.0])
