@@ -459,6 +459,22 @@ def _f_smrf(spark, inputs, o, filename):
     )
 
 
+def _f_pmf(spark, inputs, o, filename):
+    """filters.pmf (PMFFilter.cpp addArgs): cell_size/max_window_size/
+    slope/initial_distance/max_distance/exponential."""
+    from pdal_spark.operators import ground as ground_op
+
+    return ground_op.pmf(
+        _one(inputs, "pmf"),
+        cell=float(o.get("cell_size", 1.0)),
+        max_window=float(o.get("max_window_size", 33.0)),
+        slope=float(o.get("slope", 1.0)),
+        initial_distance=float(o.get("initial_distance", 0.15)),
+        max_distance=float(o.get("max_distance", 2.5)),
+        exponential=bool(o.get("exponential", True)),
+    )
+
+
 def _f_outlier(spark, inputs, o, filename):
     """filters.outlier (OutlierFilter.cpp): method=statistical
     (mean_k/multiplier) or radius (radius/min_k); noise rows get
@@ -899,6 +915,7 @@ REGISTRY: dict[str, StageFn] = {
     "filters.sample": _f_sample,
     "filters.mortonorder": _f_mortonorder,
     "filters.smrf": _f_smrf,
+    "filters.pmf": _f_pmf,
     "filters.outlier": _f_outlier,
     "filters.shell": _f_shell,
     "filters.delaunay": _f_delaunay,

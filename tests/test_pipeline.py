@@ -322,3 +322,16 @@ def test_outlier_stage_statistical(spark):
     out = pl.run(spark, doc)
     assert out.count() == 1065
     assert out.filter("classification = 7").count() > 0
+
+
+@needs_simple
+def test_pmf_stage(spark):
+    """filters.pmf as a pipeline stage classifies ground (2) vs not."""
+    doc = [
+        {"type": "readers.infer", "filename": SIMPLE_LAS},
+        {"type": "filters.pmf", "cell_size": 20.0},
+    ]
+    out = pl.run(spark, doc)
+    classes = {r[0] for r in out.select("classification")
+               .distinct().collect()}
+    assert out.count() == 1065 and classes <= {1, 2} and 2 in classes
