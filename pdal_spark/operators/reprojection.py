@@ -396,15 +396,21 @@ def reproject_np(xs, ys, in_srs: str = "EPSG:4326", out_srs: str = "EPSG:3857"):
 
 
 def proj_pipeline(
-    df: DataFrame, steps: list[tuple[str, str]], x: str = "x", y: str = "y"
+    df: DataFrame, steps, x: str = "x", y: str = "y"
 ) -> DataFrame:
     """filters.projpipeline (ProjPipelineFilter.cpp:60-121): apply a
-    CHAIN of coordinate operations in order (the reference hands a
-    pipeline string to PROJ; here each step is a registered pair, and
-    the chain composes the same drop-on-failure semantics per stage).
+    CHAIN of coordinate operations in order with per-stage
+    drop-on-failure semantics.
 
-    steps = [(in_srs, out_srs), ...] — e.g. 3857 -> 4326 -> UTM 31N.
+    steps = a real PROJ pipeline STRING ("+proj=pipeline +step ..."),
+    handled by operators/projpipeline.py's closed-form step
+    vocabulary, or the legacy registered-pair form
+    [(in_srs, out_srs), ...] — e.g. 3857 -> 4326 -> UTM 31N.
     """
+    if isinstance(steps, str):
+        from pdal_spark.operators.projpipeline import projpipeline
+
+        return projpipeline(df, steps, x=x, y=y)
     out = df
     for in_srs, out_srs in steps:
         out = reproject(out, in_srs, out_srs, x=x, y=y)

@@ -443,6 +443,27 @@ def _f_merge(spark, inputs, o, filename):
     return _one(inputs, "merge")
 
 
+def _f_reprojection(spark, inputs, o, filename):
+    """filters.reprojection (ReprojectionFilter.cpp addArgs): in_srs /
+    out_srs; our tables carry no SRS metadata, so in_srs defaults to
+    EPSG:4326 (the geocoded-page coordinate system)."""
+    from pdal_spark.operators import reprojection as reproj_op
+
+    return reproj_op.reproject(
+        _one(inputs, "reprojection"),
+        o.get("in_srs", "EPSG:4326"), o["out_srs"])
+
+
+def _f_projpipeline(spark, inputs, o, filename):
+    """filters.projpipeline (ProjPipelineFilter.cpp:66-76): coord_op
+    pipeline string + reverse_transfo flag."""
+    from pdal_spark.operators.projpipeline import projpipeline
+
+    return projpipeline(
+        _one(inputs, "projpipeline"), o["coord_op"],
+        reverse_transfo=bool(o.get("reverse_transfo", False)))
+
+
 def _f_smrf(spark, inputs, o, filename):
     """filters.smrf (SMRFilter.cpp addArgs): window/slope/threshold/
     cell/scalar/cut -> Classification 2 (ground) / 1."""
@@ -914,6 +935,8 @@ REGISTRY: dict[str, StageFn] = {
     "filters.cluster": _f_cluster,
     "filters.sample": _f_sample,
     "filters.mortonorder": _f_mortonorder,
+    "filters.reprojection": _f_reprojection,
+    "filters.projpipeline": _f_projpipeline,
     "filters.smrf": _f_smrf,
     "filters.pmf": _f_pmf,
     "filters.outlier": _f_outlier,
@@ -932,6 +955,8 @@ REGISTRY: dict[str, StageFn] = {
 }
 
 _REQUIRED_OPTS = {
+    "filters.reprojection": ["out_srs"],
+    "filters.projpipeline": ["coord_op"],
     "filters.range": ["limits"],
     "filters.mongo": ["expression"],
     "filters.assign": ["assignment"],

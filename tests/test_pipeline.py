@@ -335,3 +335,34 @@ def test_pmf_stage(spark):
     classes = {r[0] for r in out.select("classification")
                .distinct().collect()}
     assert out.count() == 1065 and classes <= {1, 2} and 2 in classes
+
+
+def test_reprojection_and_projpipeline_stages(spark):
+    """filters.reprojection + filters.projpipeline as pipeline stages:
+    forward to UTM 31N, then the reference's coord_op shape (inverse
+    utm + rad->deg) recovers the lon/lat of the faux points."""
+    import numpy as np
+
+    import pdal_spark.synth as synth
+
+    base = synth.synth_points(spark, 300).toPandas()
+    doc = [
+        {"type": "readers.faux", "count": 300, "mode": "points"},
+        # keep points near zone 31 (lon0 = 3): the TM series is a
+        # zone-local expansion, so the mm-level roundtrip claim only
+        # holds in-zone
+        {"type": "filters.crop", "bounds": [-3.0, -80.0, 9.0, 80.0]},
+        {"type": "filters.reprojection", "out_srs": "EPSG:32631"},
+        {"type": "filters.projpipeline",
+         "coord_op": "+proj=pipeline +step +inv +proj=utm +zone=31 "
+                     "+ellps=WGS84 +step +proj=unitconvert +xy_in=rad "
+                     "+xy_out=deg"},
+    ]
+    out = pl.run(spark, doc).toPandas().sort_values("page_id")
+    keep = base[base.page_id.isin(out.page_id)].sort_values("page_id")
+    assert 0 < len(out) <= 300 and len(out) == len(keep)
+    np.testing.assert_allclose(out.x.values, keep.x.values, atol=2e-8)
+    np.testing.assert_allclose(out.y.values, keep.y.values, atol=2e-8)
+    with pytest.raises(pl.PipelineError):
+        pl.validate([{"type": "readers.faux"},
+                     {"type": "filters.projpipeline"}])
