@@ -182,3 +182,32 @@ def test_payload_bytes_identical_through_catalog_merge(spark, pages, tmp_path):
     # compaction rewrites every small file; bytes must still be exact
     t.compact(small_threshold_rows=1000)
     check(t.read(), exp3)
+
+
+def test_text_bytes_identical_through_projpipeline(spark, pages):
+    """The round-5 coordinate chain: geocode -> cart/helmert datum
+    shift (filters.projpipeline) -> its exact reverse — payload
+    columns must ride through both Column-math stages byte-identical
+    (the chain has NO drop conditions, so every adversarial row
+    survives), and the recovered lon/lat must match the geocode."""
+    import numpy as np
+
+    from pdal_spark import synth
+    from pdal_spark.operators import projpipeline as pp_op
+
+    op = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+          "+xy_out=rad +step +proj=cart +ellps=WGS84 "
+          "+step +proj=helmert +x=-87.0 +y=-96.0 +z=-120.0 "
+          "+step +inv +proj=cart +ellps=intl "
+          "+step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    geo = synth.with_coords(pages)
+    base = {r["url"]: (r["x"], r["y"]) for r in
+            geo.select("url", "x", "y").collect()}
+    shifted = pp_op.projpipeline(geo, op)
+    _assert_invariant(shifted)
+    back = pp_op.projpipeline(shifted, op, reverse_transfo=True)
+    _assert_invariant(back)
+    for r in back.select("url", "x", "y").collect():
+        x0, y0 = base[r["url"]]
+        np.testing.assert_allclose((r["x"], r["y"]), (x0, y0),
+                                   atol=1e-9)
