@@ -417,3 +417,30 @@ def test_origin_query_golden(spark):
         ept.read_ept(spark, REF_EPT_LONESTAR, origin="split")
     with pytest.raises(ValueError, match="Failed lookup"):
         ept.read_ept(spark, REF_EPT_LONESTAR, origin="nope")
+
+
+def test_write_ept_laszip_multichunk_node(spark, tmp_path):
+    """A node above the VLR's 50000-point chunk size splits into
+    multiple laszip chunks; the chunk table and decode stay exact."""
+    import glob
+
+    from pdal_spark.formats import laz as lazmod
+
+    pts = spark.range(0, 60000).select(
+        (F.col("id") % 317 * 1.0).alias("x"),
+        (F.col("id") % 211 * 1.0).alias("y"),
+        (F.col("id") % 97 * 1.0).alias("z"),
+        F.col("id").cast("double").alias("val"),
+    )
+    root = str(tmp_path / "big")
+    ept.write_ept(pts, root, node_capacity=60000, max_depth=3,
+                  data_type="laszip")
+    node = max(glob.glob(root + "/ept-data/*.laz"),
+               key=lambda p: os.path.getsize(p))
+    _, extents = lazmod.laz_chunk_extents(node)
+    assert len(extents) == 2 and sum(n for _, _, n in extents) == 60000
+    a = sorted(map(tuple, pts.collect()))
+    b = sorted(map(tuple,
+                   ept.read_ept(spark, root)
+                   .select("x", "y", "z", "val").collect()))
+    assert a == b
