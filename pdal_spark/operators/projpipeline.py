@@ -374,6 +374,30 @@ def _tm_consts(a: float, e2: float) -> dict:
     return dict(a=a, e2=e2, ep2=ep2, m0=m0, m2=m2, m4=m4, m6=m6, e1=e1)
 
 
+def _meridian_arc(c: dict, phi0: float) -> float:
+    """M(phi0)·a — the meridian arc constant for a nonzero lat_0."""
+    return c["a"] * (
+        c["m0"] * phi0 - c["m2"] * math.sin(2.0 * phi0)
+        + c["m4"] * math.sin(4.0 * phi0) - c["m6"] * math.sin(6.0 * phi0))
+
+
+def _tmerc(B, p, x, y, z, inverse):
+    """General transverse Mercator (+proj=tmerc: lon_0/lat_0/k/x_0/y_0)
+    — the same Snyder series as utm with free parameters; a nonzero
+    lat_0 shifts the meridian-arc origin (northing measured from
+    M(lat_0), Snyder 8-9..8-25)."""
+    a, e2 = _ellps(p)
+    c = _tm_consts(a, e2)
+    return _tmerc_core(
+        B, x, y, z, inverse, c,
+        lon0=math.radians(float(p.get("lon_0", 0.0))),
+        m_at_lat0=_meridian_arc(
+            c, math.radians(float(p.get("lat_0", 0.0)))),
+        k0=float(p.get("k", p.get("k_0", 1.0))),
+        fe=float(p.get("x_0", 0.0)),
+        fn=float(p.get("y_0", 0.0)))
+
+
 def _utm(B, p, x, y, z, inverse):
     """Snyder 8-9..8-15 (forward), 8-18..8-25 (inverse).  Radian-native
     lon/lat like PROJ pipeline steps; easting/northing in meters."""
@@ -383,10 +407,14 @@ def _utm(B, p, x, y, z, inverse):
     south = bool(p.get("south", False))
     a, e2 = _ellps(p)
     c = _tm_consts(a, e2)
-    k0, fe = 0.9996, 500000.0
-    fn = 10000000.0 if south else 0.0
-    lon0 = math.radians(-183.0 + 6.0 * zone)
+    return _tmerc_core(
+        B, x, y, z, inverse, c,
+        lon0=math.radians(-183.0 + 6.0 * zone), m_at_lat0=0.0,
+        k0=0.9996, fe=500000.0, fn=10000000.0 if south else 0.0)
 
+
+def _tmerc_core(B, x, y, z, inverse, c, lon0, m_at_lat0, k0, fe, fn):
+    a, e2 = c["a"], c["e2"]
     if not inverse:
         lam, phi = x, y
         sin_p, cos_p, tan_p = B.sin(phi), B.cos(phi), B.tan(phi)
@@ -405,7 +433,7 @@ def _utm(B, p, x, y, z, inverse):
             + (B.lit(5.0) - t * B.lit(18.0) + t * t + cc * B.lit(72.0)
                - B.lit(58.0 * c["ep2"])) * a_**5 / B.lit(120.0))
         n = B.lit(fn) + B.lit(k0) * (
-            m + nr * tan_p * (
+            m - B.lit(m_at_lat0) + nr * tan_p * (
                 a_**2 / B.lit(2.0)
                 + (B.lit(5.0) - t + cc * B.lit(9.0)
                    + cc * cc * B.lit(4.0)) * a_**4 / B.lit(24.0)
@@ -418,7 +446,7 @@ def _utm(B, p, x, y, z, inverse):
         return e, n, z, ok
 
     e1 = c["e1"]
-    m = (y - B.lit(fn)) / B.lit(k0)
+    m = (y - B.lit(fn)) / B.lit(k0) + B.lit(m_at_lat0)
     mu = m / B.lit(a * c["m0"])
     phi1 = (mu
             + B.lit(3.0 * e1 / 2.0 - 27.0 * e1**3 / 32.0)
@@ -480,6 +508,60 @@ def _merc(B, p, x, y, z, inverse):
             "+proj=merc is supported on a sphere only (+R=… or "
             "+ellps=sphere); use +proj=webmerc for EPSG:3857 semantics")
     return _webmerc(B, {"a": a}, x, y, z, inverse)
+
+
+def _lcc(B, p, x, y, z, inverse):
+    """Lambert conformal conic 2SP (+proj=lcc: lat_1/lat_2/lat_0/
+    lon_0/x_0/y_0).  Forward: Snyder 15-1..15-10 via the shared
+    LccParams constants (operators/reprojection.py).  Inverse: Snyder
+    15-9..15-11 + the closed-form conformal-latitude series (Snyder
+    3-5).  Radian-native."""
+    from pdal_spark.operators.reprojection import LccParams
+
+    a, e2 = _ellps(p)
+    lat1 = float(p.get("lat_1", 0.0))
+    lat2 = float(p.get("lat_2", lat1))
+    lp = LccParams(lat1, lat2, float(p.get("lat_0", 0.0)),
+                   float(p.get("lon_0", 0.0)),
+                   float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0)),
+                   a=a, e2=e2)
+    n, e, lon0 = lp.n, lp.e, math.radians(lp.lon0)
+    af = a * lp.big_f
+    sgn = 1.0 if n >= 0 else -1.0
+
+    if not inverse:
+        lam, phi = x, y
+        sin_p = B.sin(phi)
+        t = B.tan(B.lit(math.pi / 4.0) - phi * B.lit(0.5)) / (
+            (B.lit(1.0) - B.lit(e) * sin_p)
+            / (B.lit(1.0) + B.lit(e) * sin_p)) ** B.lit(e / 2.0)
+        rho = B.lit(af) * t ** B.lit(n)
+        theta = B.lit(n) * (lam - B.lit(lon0))
+        xe = B.lit(lp.fe) + rho * B.sin(theta)
+        yn = B.lit(lp.fn) + B.lit(lp.rho0) - rho * B.cos(theta)
+        ok = B.both(
+            B.abs(lam - B.lit(lon0)) < B.lit(math.radians(60.0)),
+            B.abs(phi) < B.lit(math.radians(89.0)))
+        return xe, yn, z, ok
+
+    dx = (x - B.lit(lp.fe)) * B.lit(sgn)
+    dy = (B.lit(lp.rho0) - (y - B.lit(lp.fn))) * B.lit(sgn)
+    rho = B.sqrt(dx * dx + dy * dy) * B.lit(sgn)
+    theta = B.atan2(dx, dy)
+    lam = theta / B.lit(n) + B.lit(lon0)
+    t = (rho / B.lit(af)) ** B.lit(1.0 / n)
+    chi = B.lit(math.pi / 2.0) - B.atan(t) * B.lit(2.0)
+    # conformal -> geodetic latitude, Snyder 3-5 series in e^2
+    s2 = (e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0
+          + 13.0 * e2**4 / 360.0)
+    s4 = 7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0
+    s6 = 7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0
+    s8 = 4279.0 * e2**4 / 161280.0
+    phi = (chi + B.lit(s2) * B.sin(chi * B.lit(2.0))
+           + B.lit(s4) * B.sin(chi * B.lit(4.0))
+           + B.lit(s6) * B.sin(chi * B.lit(6.0))
+           + B.lit(s8) * B.sin(chi * B.lit(8.0)))
+    return lam, phi, z, None
 
 
 def _cart(B, p, x, y, z, inverse):
@@ -545,6 +627,8 @@ _STEP_FNS = {
     "axisswap": _axisswap,
     "unitconvert": _unitconvert,
     "utm": _utm,
+    "tmerc": _tmerc,
+    "lcc": _lcc,
     "webmerc": _webmerc,
     "merc": _merc,
     "cart": _cart,

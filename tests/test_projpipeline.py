@@ -50,7 +50,7 @@ def test_parse_bare_operation():
 
 def test_parse_rejects_unknown_step():
     with pytest.raises(ValueError, match="unsupported pipeline step"):
-        pp.parse_pipeline("+proj=pipeline +step +proj=tmerc +lon_0=9")
+        pp.parse_pipeline("+proj=pipeline +step +proj=aea +lat_1=29.5")
 
 
 def test_parse_rejects_global_params():
@@ -319,3 +319,104 @@ def test_unitconvert_rejects_partial_and_unknown():
     with pytest.raises(ValueError, match="unknown unit"):
         pp.pipeline_np("+proj=unitconvert +xy_in=deg +xy_out=cubits",
                        [0.0], [0.0])
+
+
+# --------------------------------------------------------------------------
+# tmerc + lcc steps (round-5 second batch)
+# --------------------------------------------------------------------------
+
+def test_tmerc_equals_utm_when_parameterized():
+    """utm IS tmerc(lon_0=zone center, k=0.9996, x_0=500000) — the
+    shared core must make them bit-identical."""
+    lon, lat, _ = _pts(800, lon=(6.0, 12.0))
+    utm = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+           "+xy_out=rad +step +proj=utm +zone=32 +ellps=WGS84")
+    tm = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+          "+xy_out=rad +step +proj=tmerc +lon_0=9 +k=0.9996 "
+          "+x_0=500000 +ellps=WGS84")
+    a = pp.pipeline_np(utm, lon, lat)
+    b = pp.pipeline_np(tm, lon, lat)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_tmerc_lat0_roundtrip():
+    """A nonzero lat_0 (Gauss-Krüger-style northing origin) shifts the
+    meridian arc; forward+reverse closes to series accuracy."""
+    lon, lat, _ = _pts(800, lon=(6.0, 12.0), lat=(-80.0, 80.0))
+    tm = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+          "+xy_out=rad +step +proj=tmerc +lon_0=9 +lat_0=45 +k=1 "
+          "+x_0=3500000 +y_0=100 +ellps=bessel")
+    e, n, _, ok = pp.pipeline_np(tm, lon, lat)
+    assert ok.all()
+    lo, la, _, _ = pp.pipeline_np(tm, e, n, reverse_transfo=True)
+    np.testing.assert_allclose(lo, lon, atol=2e-8)
+    np.testing.assert_allclose(la, lat, atol=2e-8)
+
+
+LCC93 = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+         "+xy_out=rad +step +proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 "
+         "+lon_0=3 +x_0=700000 +y_0=6600000 +ellps=GRS80")
+
+
+def test_lcc_forward_matches_registered_family():
+    """The radian-native lcc step with Lambert-93 parameters ==
+    the registered EPSG:2154 transform."""
+    from pdal_spark.operators.reprojection import reproject_np
+
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-2, 8, 800)
+    lat = rng.uniform(42, 51, 800)
+    xe, yn, _, _ = pp.pipeline_np(LCC93, lon, lat)
+    xe0, yn0, _ = reproject_np(lon, lat, "EPSG:4326", "EPSG:2154")
+    np.testing.assert_allclose(xe, xe0, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(yn, yn0, rtol=0, atol=1e-9)
+
+
+def test_lcc_inverse_roundtrip_both_hemispheres():
+    """Inverse lcc (Snyder 15-9..15-11 + the conformal-latitude
+    series) closes to ~1e-10 deg, northern AND southern (n < 0)
+    parallels."""
+    rng = np.random.default_rng(6)
+    lon = rng.uniform(-2, 8, 800)
+    lat = rng.uniform(42, 51, 800)
+    xe, yn, _, _ = pp.pipeline_np(LCC93, lon, lat)
+    lo, la, _, _ = pp.pipeline_np(LCC93, xe, yn, reverse_transfo=True)
+    np.testing.assert_allclose(lo, lon, atol=1e-10)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+    south = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+             "+xy_out=rad +step +proj=lcc +lat_1=-35 +lat_2=-45 "
+             "+lat_0=-40 +lon_0=140 +x_0=1000000 +y_0=2000000 "
+             "+ellps=GRS80")
+    lon3 = rng.uniform(130, 150, 800)
+    lat3 = rng.uniform(-55, -25, 800)
+    xs, ys, _, _ = pp.pipeline_np(south, lon3, lat3)
+    lo3, la3, _, _ = pp.pipeline_np(south, xs, ys, reverse_transfo=True)
+    np.testing.assert_allclose(lo3, lon3, atol=1e-10)
+    np.testing.assert_allclose(la3, lat3, atol=1e-9)
+
+
+def test_lcc_sql_backend_in_duckdb():
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-2, 8, 500)
+    lat = rng.uniform(42, 51, 500)
+    gx, gy, _, gok = pp.pipeline_np(LCC93, lon, lat)
+    xs, ys, _, w = pp.pipeline_sql(LCC93, x="lon", y="lat")
+    con = duckdb.connect()
+    con.register("g", pd.DataFrame({"lon": lon, "lat": lat}))
+    r = con.sql(f"SELECT {xs} AS x, {ys} AS y FROM g WHERE {w}").df()
+    assert len(r) == int(gok.sum()) == 500
+    np.testing.assert_allclose(r.x.values, gx, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(r.y.values, gy, rtol=0, atol=1e-8)
+
+
+def test_lcc_tmerc_column_backend(spark):
+    lon, lat, _ = _pts(1000, lon=(-2.0, 8.0), lat=(42.0, 51.0))
+    pdf = pd.DataFrame({"id": np.arange(1000), "x": lon, "y": lat})
+    out = (pp.projpipeline(spark.createDataFrame(pdf), LCC93)
+           .orderBy("id").toPandas())
+    gx, gy, _, _ = pp.pipeline_np(LCC93, lon, lat)
+    np.testing.assert_allclose(out.x.values, gx, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(out.y.values, gy, rtol=0, atol=1e-8)
