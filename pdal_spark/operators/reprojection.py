@@ -225,6 +225,25 @@ def _from_utm_factory(zone: int, north: bool):
     return _from_utm
 
 
+def _from_lcc_factory(p: LccParams):
+    """LCC -> WGS84/GRS80 lon/lat (degrees): the closed-form inverse
+    (Snyder 15-9..15-11 + conformal-latitude series) shared with the
+    projpipeline lcc step, instantiated on the Column backend."""
+    from pdal_spark.operators import projpipeline as _pp
+
+    prm = {"lat_1": p.lat1, "lat_2": p.lat2, "lat_0": p.lat0,
+           "lon_0": p.lon0, "x_0": p.fe, "y_0": p.fn,
+           "a": p.a, "es": p.e2}
+
+    def _from_lcc(x: Column, y: Column) -> tuple[Column, Column, Column]:
+        lam, phi, _, _ = _pp._lcc(
+            _pp._ColB, prm, x, y, F.lit(0.0), inverse=True)
+        d = 180.0 / math.pi
+        return lam * F.lit(d), phi * F.lit(d), F.lit(True)
+
+    return _from_lcc
+
+
 def reproject(
     df: DataFrame,
     in_srs: str,
@@ -246,6 +265,8 @@ def reproject(
         utm = _utm_zone(in_srs)
         if utm is not None:
             fn = _from_utm_factory(*utm)
+        elif in_srs in _LCC:
+            fn = _from_lcc_factory(_LCC[in_srs])
     if fn is None:
         raise ValueError(
             f"no built-in transform {in_srs} -> {out_srs}; register a "
@@ -327,6 +348,7 @@ def reproject_sql(in_srs: str, out_srs: str, x: str = "x", y: str = "y"):
             return xs_, ys_, w
     if out_srs == "EPSG:4326":
         utm = _utm_zone(in_srs)
+        d = repr(180.0 / math.pi)
         if utm is not None:
             from pdal_spark.operators import projpipeline as _pp
 
@@ -335,8 +357,18 @@ def reproject_sql(in_srs: str, out_srs: str, x: str = "x", y: str = "y"):
             lam, phi, _, ok = _pp._utm(
                 _pp._SqlB, p, _pp._Sx(x), _pp._Sx(y), _pp._Sx("0.0"),
                 inverse=True)
-            d = repr(180.0 / math.pi)
             return f"({lam.s} * {d})", f"({phi.s} * {d})", ok.s
+        if in_srs in _LCC:
+            from pdal_spark.operators import projpipeline as _pp
+
+            lp = _LCC[in_srs]
+            prm = {"lat_1": lp.lat1, "lat_2": lp.lat2, "lat_0": lp.lat0,
+                   "lon_0": lp.lon0, "x_0": lp.fe, "y_0": lp.fn,
+                   "a": lp.a, "es": lp.e2}
+            lam, phi, _, _ = _pp._lcc(
+                _pp._SqlB, prm, _pp._Sx(x), _pp._Sx(y), _pp._Sx("0.0"),
+                inverse=True)
+            return f"({lam.s} * {d})", f"({phi.s} * {d})", "TRUE"
     raise ValueError((in_srs, out_srs))
 
 

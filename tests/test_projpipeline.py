@@ -420,3 +420,39 @@ def test_lcc_tmerc_column_backend(spark):
     gx, gy, _, _ = pp.pipeline_np(LCC93, lon, lat)
     np.testing.assert_allclose(out.x.values, gx, rtol=0, atol=1e-8)
     np.testing.assert_allclose(out.y.values, gy, rtol=0, atol=1e-8)
+
+
+def test_reproject_lcc_inverse_roundtrip(spark):
+    """reproject() now dispatches EPSG:2154 -> 4326 through the shared
+    lcc inverse; forward+back closes at ~1e-9 deg."""
+    from pdal_spark.operators.reprojection import reproject
+
+    rng = np.random.default_rng(8)
+    lon = rng.uniform(-2, 8, 1500)
+    lat = rng.uniform(42, 51, 1500)
+    pdf = pd.DataFrame({"id": np.arange(1500), "x": lon, "y": lat})
+    fwd = reproject(spark.createDataFrame(pdf), "EPSG:4326", "EPSG:2154")
+    back = (reproject(fwd, "EPSG:2154", "EPSG:4326")
+            .orderBy("id").toPandas())
+    assert len(back) == 1500
+    np.testing.assert_allclose(back.x.values, lon, atol=1e-9)
+    np.testing.assert_allclose(back.y.values, lat, atol=1e-9)
+
+
+def test_reproject_sql_lcc_inverse_twin():
+    import duckdb
+
+    from pdal_spark.operators.reprojection import (reproject_np,
+                                                   reproject_sql)
+
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-2, 8, 500)
+    lat = rng.uniform(42, 51, 500)
+    e, n, _ = reproject_np(lon, lat, "EPSG:4326", "EPSG:2154")
+    xs, ys, w = reproject_sql("EPSG:2154", "EPSG:4326")
+    con = duckdb.connect()
+    con.register("g", pd.DataFrame({"x": e, "y": n}))
+    r = con.sql(f"SELECT {xs} AS lo, {ys} AS la FROM g WHERE {w}").df()
+    assert len(r) == 500
+    np.testing.assert_allclose(r.lo.values, lon, atol=1e-9)
+    np.testing.assert_allclose(r.la.values, lat, atol=1e-9)
