@@ -498,16 +498,56 @@ def _webmerc(B, p, x, y, z, inverse):
 
 
 def _merc(B, p, x, y, z, inverse):
-    """Spherical Mercator (+proj=merc with es=0 / +R).  The ellipsoidal
-    form is intentionally not offered — use webmerc or utm."""
+    """Ellipsoidal Mercator (+proj=merc: k_0 or lat_ts, x_0/y_0) —
+    PROJ's default form.  Forward: y = -a k0 ln t(phi) with the same
+    isometric t as LCC (Snyder 7-7); inverse via the closed-form
+    conformal-latitude series (Snyder 7-13 + 3-5).  Degenerates to the
+    spherical formula bit-for-bit when es = 0."""
     a, e2 = _ellps(p)
-    if e2 != 0.0 and "R" not in p:
-        # PROJ's merc defaults to the ellipsoidal form; we only carry
-        # the spherical closed form, so demand an explicit sphere.
-        raise ValueError(
-            "+proj=merc is supported on a sphere only (+R=… or "
-            "+ellps=sphere); use +proj=webmerc for EPSG:3857 semantics")
-    return _webmerc(B, {"a": a}, x, y, z, inverse)
+    e = math.sqrt(e2)
+    if "lat_ts" in p:
+        # scale from the standard parallel: k0 = m(lat_ts)
+        pts = math.radians(float(p["lat_ts"]))
+        s = math.sin(pts)
+        k0 = math.cos(pts) / math.sqrt(1.0 - e2 * s * s)
+    else:
+        k0 = float(p.get("k", p.get("k_0", 1.0)))
+    fe, fn = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    ak = a * k0
+
+    if not inverse:
+        lam, phi = x, y
+        if e2 == 0.0:
+            ln_t = -B.log(B.tan(B.lit(math.pi / 4.0) + phi * B.lit(0.5)))
+        else:
+            sin_p = B.sin(phi)
+            ln_t = B.log(
+                B.tan(B.lit(math.pi / 4.0) - phi * B.lit(0.5))
+                / ((B.lit(1.0) - B.lit(e) * sin_p)
+                   / (B.lit(1.0) + B.lit(e) * sin_p)) ** B.lit(e / 2.0))
+        mx = B.lit(fe) + lam * B.lit(ak)
+        my = B.lit(fn) - B.lit(ak) * ln_t
+        ok = B.both(phi > B.lit(-_WEBMERC_MAX_LAT),
+                    phi < B.lit(_WEBMERC_MAX_LAT))
+        return mx, my, z, ok
+
+    lam = (x - B.lit(fe)) / B.lit(ak)
+    if e2 == 0.0:
+        phi = (B.atan(B.exp((y - B.lit(fn)) / B.lit(ak))) * B.lit(2.0)
+               - B.lit(math.pi / 2.0))
+        return lam, phi, z, None
+    t = B.exp((B.lit(fn) - y) / B.lit(ak))
+    chi = B.lit(math.pi / 2.0) - B.atan(t) * B.lit(2.0)
+    s2 = (e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0
+          + 13.0 * e2**4 / 360.0)
+    s4 = 7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0
+    s6 = 7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0
+    s8 = 4279.0 * e2**4 / 161280.0
+    phi = (chi + B.lit(s2) * B.sin(chi * B.lit(2.0))
+           + B.lit(s4) * B.sin(chi * B.lit(4.0))
+           + B.lit(s6) * B.sin(chi * B.lit(6.0))
+           + B.lit(s8) * B.sin(chi * B.lit(8.0)))
+    return lam, phi, z, None
 
 
 def _lcc(B, p, x, y, z, inverse):

@@ -194,11 +194,48 @@ def test_webmerc_matches_3857_family():
     np.testing.assert_array_equal(my, my0)
 
 
-def test_merc_requires_sphere():
-    with pytest.raises(ValueError, match="sphere"):
-        pp.pipeline_np("+proj=merc +ellps=WGS84", [0.0], [0.0])
+def test_merc_spherical_degenerate_and_scale():
+    """merc on a sphere == webmerc bit-for-bit; +k_0 scales linearly."""
+    rng = np.random.default_rng(2)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-80, 80, 500)
+    a = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+         "+xy_out=rad +step +proj=merc +R=6378137")
+    b = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+         "+xy_out=rad +step +proj=webmerc +ellps=WGS84")
+    xa, ya, _, _ = pp.pipeline_np(a, lon, lat)
+    xb, yb, _, _ = pp.pipeline_np(b, lon, lat)
+    np.testing.assert_array_equal(xa, xb)
+    np.testing.assert_array_equal(ya, yb)
     x, _, _, _ = pp.pipeline_np("+proj=merc +R=6378137", [0.5], [0.0])
     np.testing.assert_allclose(x[0], 0.5 * 6378137.0)
+
+
+def test_merc_epsg_guidance_worked_example():
+    """EPSG Guidance Note 7-2 §3.3.1, Mercator variant A worked
+    example (Makassar / NEIEZ, Bessel 1841, k0=0.997, FE=3900000,
+    FN=900000, lon_0=110E): phi=3S, lam=120E -> E=5009726.58,
+    N=569150.82 — an INDEPENDENT published golden for the ellipsoidal
+    form."""
+    op = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+          "+xy_out=rad +step +proj=merc +k_0=0.997 +x_0=3900000 "
+          "+y_0=900000 +ellps=bessel")
+    E, N, _, _ = pp.pipeline_np(op, [120.0 - 110.0], [-3.0])
+    np.testing.assert_allclose(E[0], 5009726.58, atol=0.01)
+    np.testing.assert_allclose(N[0], 569150.82, atol=0.01)
+
+
+def test_merc_ellipsoidal_roundtrip_lat_ts():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-179, 179, 800)
+    lat = rng.uniform(-80, 80, 800)
+    op = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+          "+xy_out=rad +step +proj=merc +lat_ts=30 +ellps=WGS84")
+    x1, y1, _, ok = pp.pipeline_np(op, lon, lat)
+    assert ok.all()
+    lo, la, _, _ = pp.pipeline_np(op, x1, y1, reverse_transfo=True)
+    np.testing.assert_allclose(lo, lon, atol=1e-12)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
 
 
 def test_helmert_rejects_bad_convention():
