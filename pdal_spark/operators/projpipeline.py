@@ -29,7 +29,15 @@ for the projection series; EPSG Guidance Note 7-2 for Helmert/cart):
 * ``utm +zone= [+south]`` — transverse-Mercator series, forward
   (Snyder 8-9..8-15) AND inverse (Snyder 8-18..8-25, footpoint
   latitude); radian-native like real PROJ steps.
-* ``webmerc`` / ``merc`` (spherical) — forward/inverse.
+* ``tmerc`` — general transverse Mercator (free lon_0/lat_0/k/x_0/
+  y_0) on the same shared core as utm.
+* ``lcc`` — Lambert conformal conic 2SP, forward (Snyder 15-1..15-10)
+  and inverse (15-9..15-11 + the conformal-latitude series 3-5).
+* ``webmerc`` / ``merc`` — Web and full ellipsoidal Mercator
+  (k_0/lat_ts), forward/inverse; EPSG 7-2 worked-example golden.
+* ``stere`` — POLAR stereographic, variants A/B (EPSG 7-2 §3.4, the
+  UPS/NSIDC grids); oblique aspect raises.
+* ``eqc`` — equirectangular/plate carrée (spherical).
 * ``cart`` — geodetic→geocentric (EPSG 7-2 §4.1.1); inverse via
   Bowring's closed-form method (Bowring 1976, public).
 * ``helmert`` — 3/7-parameter datum shift, ``position_vector`` or
@@ -604,6 +612,93 @@ def _lcc(B, p, x, y, z, inverse):
     return lam, phi, z, None
 
 
+def _conformal_series(B, e2: float, chi):
+    """Conformal -> geodetic latitude, Snyder 3-5 (closed form)."""
+    s2 = (e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0
+          + 13.0 * e2**4 / 360.0)
+    s4 = 7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0
+    s6 = 7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0
+    s8 = 4279.0 * e2**4 / 161280.0
+    return (chi + B.lit(s2) * B.sin(chi * B.lit(2.0))
+            + B.lit(s4) * B.sin(chi * B.lit(4.0))
+            + B.lit(s6) * B.sin(chi * B.lit(6.0))
+            + B.lit(s8) * B.sin(chi * B.lit(8.0)))
+
+
+def _eqc(B, p, x, y, z, inverse):
+    """Equirectangular / plate carrée (+proj=eqc: lat_ts, lon_0,
+    x_0/y_0) — spherical closed form on the ellipsoid's a, like PROJ's
+    default eqc sphericalization."""
+    a, _ = _ellps(p)
+    k = a * math.cos(math.radians(float(p.get("lat_ts", 0.0))))
+    lon0 = math.radians(float(p.get("lon_0", 0.0)))
+    fe, fn = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    if not inverse:
+        return (B.lit(fe) + (x - B.lit(lon0)) * B.lit(k),
+                B.lit(fn) + y * B.lit(a), z, None)
+    return ((x - B.lit(fe)) / B.lit(k) + B.lit(lon0),
+            (y - B.lit(fn)) / B.lit(a), z, None)
+
+
+def _stere(B, p, x, y, z, inverse):
+    """POLAR stereographic (+proj=stere with lat_0=±90: k_0 or lat_ts,
+    lon_0, x_0/y_0) — EPSG Guidance Note 7-2 §3.4 variants A/B
+    (Snyder 21-33..21-41); the UPS / NSIDC sea-ice grids.  The oblique
+    aspect needs different math and raises honestly."""
+    a, e2 = _ellps(p)
+    e = math.sqrt(e2)
+    lat0 = float(p.get("lat_0", 90.0))
+    if abs(lat0) != 90.0:
+        raise ValueError(
+            f"+proj=stere is implemented for the POLAR aspect only "
+            f"(lat_0=±90, the UPS/NSIDC shape); got lat_0={lat0}")
+    south = lat0 < 0
+    lon0 = math.radians(float(p.get("lon_0", 0.0)))
+    fe, fn = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    ee = math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+    if "lat_ts" in p:
+        # variant B: scale from the standard parallel
+        pf = math.radians(abs(float(p["lat_ts"])))
+        sf = math.sin(pf)
+        mf = math.cos(pf) / math.sqrt(1.0 - e2 * sf * sf)
+        tf = math.tan(math.pi / 4.0 - pf / 2.0) * (
+            (1.0 + e * sf) / (1.0 - e * sf)) ** (e / 2.0)
+        k0 = mf * ee / (2.0 * tf)
+    else:
+        k0 = float(p.get("k", p.get("k_0", 1.0)))
+    rk = 2.0 * a * k0 / ee
+
+    if not inverse:
+        lam, phi = x, y
+        if south:
+            lam, phi = -lam, -phi  # solve the north aspect, mirror
+        sin_p = B.sin(phi)
+        t = B.tan(B.lit(math.pi / 4.0) - phi * B.lit(0.5)) * (
+            (B.lit(1.0) + B.lit(e) * sin_p)
+            / (B.lit(1.0) - B.lit(e) * sin_p)) ** B.lit(e / 2.0)
+        rho = B.lit(rk) * t
+        dl = lam - B.lit(-lon0 if south else lon0)
+        xe = rho * B.sin(dl)
+        yn = -(rho * B.cos(dl))
+        if south:
+            xe, yn = -xe, -yn
+        # phi is post-mirror, so the north-aspect bound covers both
+        ok = phi > B.lit(math.radians(-45.0))
+        return B.lit(fe) + xe, B.lit(fn) + yn, z, ok
+
+    dx, dy = x - B.lit(fe), y - B.lit(fn)
+    if south:
+        dx, dy = -dx, -dy
+    rho = B.sqrt(dx * dx + dy * dy)
+    t = rho / B.lit(rk)
+    chi = B.lit(math.pi / 2.0) - B.atan(t) * B.lit(2.0)
+    phi = _conformal_series(B, e2, chi)
+    lam = B.lit(-lon0 if south else lon0) + B.atan2(dx, -dy)
+    if south:
+        lam, phi = -lam, -phi
+    return lam, phi, z, None
+
+
 def _cart(B, p, x, y, z, inverse):
     """Geodetic (lon, lat, h) <-> geocentric (X, Y, Z).
     Forward: EPSG Guidance Note 7-2 §4.1.1.  Inverse: Bowring 1976
@@ -671,6 +766,8 @@ _STEP_FNS = {
     "lcc": _lcc,
     "webmerc": _webmerc,
     "merc": _merc,
+    "stere": _stere,
+    "eqc": _eqc,
     "cart": _cart,
     "helmert": _helmert,
 }

@@ -493,3 +493,79 @@ def test_reproject_sql_lcc_inverse_twin():
     assert len(r) == 500
     np.testing.assert_allclose(r.lo.values, lon, atol=1e-9)
     np.testing.assert_allclose(r.la.values, lat, atol=1e-9)
+
+
+def test_stere_epsg_ups_worked_example():
+    """EPSG Guidance Note 7-2 §3.4, Polar Stereographic variant A
+    worked example (WGS 84 / UPS North: k0=0.994, FE=FN=2000000):
+    phi=73N, lam=44E -> E=3320416.75, N=632668.43."""
+    op = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+          "+xy_out=rad +step +proj=stere +lat_0=90 +k_0=0.994 "
+          "+x_0=2000000 +y_0=2000000 +ellps=WGS84")
+    E, N, _, _ = pp.pipeline_np(op, [44.0], [73.0])
+    np.testing.assert_allclose(E[0], 3320416.75, atol=0.01)
+    np.testing.assert_allclose(N[0], 632668.43, atol=0.01)
+
+
+def test_stere_polar_roundtrips_and_oblique_guard():
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-180, 180, 1500)
+    north = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+             "+xy_out=rad +step +proj=stere +lat_0=90 +k_0=0.994 "
+             "+x_0=2000000 +y_0=2000000 +ellps=WGS84")
+    lat = rng.uniform(50, 89.9, 1500)
+    e, n, _, ok = pp.pipeline_np(north, lon, lat)
+    assert ok.all()
+    lo, la, _, _ = pp.pipeline_np(north, e, n, reverse_transfo=True)
+    np.testing.assert_allclose(((lo - lon + 180) % 360) - 180, 0,
+                               atol=1e-12)
+    np.testing.assert_allclose(la, lat, atol=1e-10)
+    # variant B south (lat_ts, the NSIDC/EPSG:3976 shape)
+    south = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+             "+xy_out=rad +step +proj=stere +lat_0=-90 +lat_ts=-71 "
+             "+lon_0=10 +x_0=1000000 +y_0=2000000 +ellps=WGS84")
+    lats = rng.uniform(-89.9, -50, 1500)
+    es, ns, _, oks = pp.pipeline_np(south, lon, lats)
+    assert oks.all()
+    lo2, la2, _, _ = pp.pipeline_np(south, es, ns, reverse_transfo=True)
+    np.testing.assert_allclose(((lo2 - lon + 180) % 360) - 180, 0,
+                               atol=1e-12)
+    np.testing.assert_allclose(la2, lats, atol=1e-10)
+    with pytest.raises(ValueError, match="POLAR"):
+        pp.pipeline_np("+proj=stere +lat_0=52", [0.0], [0.0])
+
+
+def test_eqc_roundtrip_and_sql_twin():
+    import duckdb
+
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-89, 89, 500)
+    op = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+          "+xy_out=rad +step +proj=eqc +lat_ts=30 +lon_0=10 "
+          "+x_0=100 +y_0=-50 +ellps=WGS84")
+    ex, ey, _, _ = pp.pipeline_np(op, lon, lat)
+    lo, la, _, _ = pp.pipeline_np(op, ex, ey, reverse_transfo=True)
+    np.testing.assert_allclose(lo, lon, atol=1e-12)
+    np.testing.assert_allclose(la, lat, atol=1e-12)
+    xs, ys, _, w = pp.pipeline_sql(op, x="lon", y="lat")
+    con = duckdb.connect()
+    con.register("g", pd.DataFrame({"lon": lon, "lat": lat}))
+    r = con.sql(f"SELECT {xs} AS x, {ys} AS y FROM g WHERE {w}").df()
+    np.testing.assert_allclose(r.x.values, ex, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(r.y.values, ey, rtol=0, atol=1e-9)
+
+
+def test_stere_column_backend(spark):
+    rng = np.random.default_rng(6)
+    lon = rng.uniform(-180, 180, 800)
+    lat = rng.uniform(55, 89, 800)
+    op = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+          "+xy_out=rad +step +proj=stere +lat_0=90 +lat_ts=70 "
+          "+lon_0=-45 +ellps=WGS84")
+    pdf = pd.DataFrame({"id": np.arange(800), "x": lon, "y": lat})
+    out = (pp.projpipeline(spark.createDataFrame(pdf), op)
+           .orderBy("id").toPandas())
+    gx, gy, _, _ = pp.pipeline_np(op, lon, lat)
+    np.testing.assert_allclose(out.x.values, gx, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(out.y.values, gy, rtol=0, atol=1e-8)
