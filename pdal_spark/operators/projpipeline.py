@@ -38,6 +38,9 @@ for the projection series; EPSG Guidance Note 7-2 for Helmert/cart):
 * ``stere`` — POLAR stereographic, variants A/B (EPSG 7-2 §3.4, the
   UPS/NSIDC grids); oblique aspect raises.
 * ``eqc`` — equirectangular/plate carrée (spherical).
+* ``aea`` — Albers equal-area conic 2SP (Snyder 14-1..14-11 + the
+  authalic-latitude series 3-18; the CONUS EPSG:5070 shape), with an
+  independent equal-area Jacobian oracle in the tests.
 * ``cart`` — geodetic→geocentric (EPSG 7-2 §4.1.1); inverse via
   Bowring's closed-form method (Bowring 1976, public).
 * ``helmert`` — 3/7-parameter datum shift, ``position_vector`` or
@@ -699,6 +702,80 @@ def _stere(B, p, x, y, z, inverse):
     return lam, phi, z, None
 
 
+def _aea(B, p, x, y, z, inverse):
+    """Albers equal-area conic 2SP (+proj=aea: lat_1/lat_2/lat_0/
+    lon_0/x_0/y_0) — the CONUS EPSG:5070 shape.  Forward: Snyder
+    14-1..14-6; inverse: 14-8..14-11 with the closed-form
+    authalic-latitude series (Snyder 3-18)."""
+    a, e2 = _ellps(p)
+    e = math.sqrt(e2)
+
+    def q_of(phi):
+        s = math.sin(phi)
+        if e == 0.0:
+            return 2.0 * s
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+
+    def m_of(phi):
+        s = math.sin(phi)
+        return math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+
+    lat1 = math.radians(float(p.get("lat_1", 0.0)))
+    lat2 = math.radians(float(p.get("lat_2", math.degrees(lat1))))
+    lat0 = math.radians(float(p.get("lat_0", 0.0)))
+    lon0 = math.radians(float(p.get("lon_0", 0.0)))
+    fe, fn = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+    m1, m2 = m_of(lat1), m_of(lat2)
+    q0, q1, q2 = q_of(lat0), q_of(lat1), q_of(lat2)
+    if abs(lat1 - lat2) > 1e-12:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    else:
+        n = math.sin(lat1)
+    c = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(c - n * q0) / n
+    qp = q_of(math.pi / 2.0)
+    sgn = 1.0 if n >= 0 else -1.0
+
+    if not inverse:
+        lam, phi = x, y
+        sin_p = B.sin(phi)
+        if e == 0.0:
+            q = sin_p * B.lit(2.0)
+        else:
+            q = B.lit(1.0 - e2) * (
+                sin_p / (B.lit(1.0) - B.lit(e2) * sin_p * sin_p)
+                - B.lit(1.0 / (2.0 * e)) * B.log(
+                    (B.lit(1.0) - B.lit(e) * sin_p)
+                    / (B.lit(1.0) + B.lit(e) * sin_p)))
+        rho = B.lit(a) * B.sqrt(B.lit(c) - B.lit(n) * q) / B.lit(n)
+        theta = B.lit(n) * (lam - B.lit(lon0))
+        xe = B.lit(fe) + rho * B.sin(theta)
+        yn = B.lit(fn) + B.lit(rho0) - rho * B.cos(theta)
+        ok = B.both(B.abs(lam - B.lit(lon0)) < B.lit(math.radians(90.0)),
+                    B.abs(phi) < B.lit(math.radians(89.5)))
+        return xe, yn, z, ok
+
+    dx = (x - B.lit(fe)) * B.lit(sgn)
+    dy = (B.lit(rho0) - (y - B.lit(fn))) * B.lit(sgn)
+    rho = B.sqrt(dx * dx + dy * dy)
+    theta = B.atan2(dx, dy)
+    lam = theta / B.lit(n) + B.lit(lon0)
+    q = (B.lit(c) - rho * rho * B.lit(n * n / (a * a))) / B.lit(n)
+    # authalic latitude beta = asin(q/qp); asin(v) = atan2(v, sqrt(1-v^2))
+    v = q / B.lit(qp)
+    beta = B.atan2(v, B.sqrt(B.lit(1.0) - v * v))
+    # authalic -> geodetic, Snyder 3-18 (closed form)
+    a2 = e2 / 3.0 + 31.0 * e2**2 / 180.0 + 517.0 * e2**3 / 5040.0
+    a4 = 23.0 * e2**2 / 360.0 + 251.0 * e2**3 / 3780.0
+    a6 = 761.0 * e2**3 / 45360.0
+    phi = (beta + B.lit(a2) * B.sin(beta * B.lit(2.0))
+           + B.lit(a4) * B.sin(beta * B.lit(4.0))
+           + B.lit(a6) * B.sin(beta * B.lit(6.0)))
+    return lam, phi, z, None
+
+
 def _cart(B, p, x, y, z, inverse):
     """Geodetic (lon, lat, h) <-> geocentric (X, Y, Z).
     Forward: EPSG Guidance Note 7-2 §4.1.1.  Inverse: Bowring 1976
@@ -768,6 +845,7 @@ _STEP_FNS = {
     "merc": _merc,
     "stere": _stere,
     "eqc": _eqc,
+    "aea": _aea,
     "cart": _cart,
     "helmert": _helmert,
 }

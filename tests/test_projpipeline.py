@@ -50,7 +50,7 @@ def test_parse_bare_operation():
 
 def test_parse_rejects_unknown_step():
     with pytest.raises(ValueError, match="unsupported pipeline step"):
-        pp.parse_pipeline("+proj=pipeline +step +proj=aea +lat_1=29.5")
+        pp.parse_pipeline("+proj=pipeline +step +proj=omerc +alpha=30")
 
 
 def test_parse_rejects_global_params():
@@ -569,3 +569,67 @@ def test_stere_column_backend(spark):
     gx, gy, _, _ = pp.pipeline_np(op, lon, lat)
     np.testing.assert_allclose(out.x.values, gx, rtol=0, atol=1e-8)
     np.testing.assert_allclose(out.y.values, gy, rtol=0, atol=1e-8)
+
+
+AEA5070 = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+           "+xy_out=rad +step +proj=aea +lat_1=29.5 +lat_2=45.5 "
+           "+lat_0=23 +lon_0=-96 +x_0=0 +y_0=0 +ellps=GRS80")
+
+
+def test_aea_equal_area_jacobian_oracle():
+    """Albers (the CONUS EPSG:5070 parameters) must be EQUAL-AREA: the
+    numerical Jacobian |dx dy / dlam dphi| equals the ellipsoidal area
+    element a^2 cos(phi) (1-e2)/(1-e2 sin^2 phi)^2 — an independent
+    differential oracle, not a round trip."""
+    rng = np.random.default_rng(10)
+    lon = rng.uniform(-125, -66, 2000)
+    lat = rng.uniform(24, 50, 2000)
+    x, y, _, ok = pp.pipeline_np(AEA5070, lon, lat)
+    assert ok.all()
+    h = 1e-7
+    xdl, ydl, _, _ = pp.pipeline_np(AEA5070, lon + math.degrees(h), lat)
+    xdp, ydp, _, _ = pp.pipeline_np(AEA5070, lon, lat + math.degrees(h))
+    J = np.abs((xdl - x) * (ydp - y) - (xdp - x) * (ydl - y)) / (h * h)
+    a, e2 = 6378137.0, (1 / 298.257222101) * (2 - 1 / 298.257222101)
+    phi = np.radians(lat)
+    A = a * a * np.cos(phi) * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 2
+    np.testing.assert_allclose(J / A, 1.0, atol=1e-6)
+
+
+def test_aea_roundtrip_both_hemispheres():
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-125, -66, 1500)
+    lat = rng.uniform(24, 50, 1500)
+    x, y, _, _ = pp.pipeline_np(AEA5070, lon, lat)
+    lo, la, _, _ = pp.pipeline_np(AEA5070, x, y, reverse_transfo=True)
+    np.testing.assert_allclose(lo, lon, atol=1e-12)
+    np.testing.assert_allclose(la, lat, atol=2e-8)  # authalic series
+    south = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+             "+xy_out=rad +step +proj=aea +lat_1=-18 +lat_2=-36 "
+             "+lat_0=0 +lon_0=134 +ellps=GRS80")
+    lon2 = rng.uniform(110, 155, 1500)
+    lat2 = rng.uniform(-45, -10, 1500)
+    x2, y2, _, _ = pp.pipeline_np(south, lon2, lat2)
+    lo2, la2, _, _ = pp.pipeline_np(south, x2, y2, reverse_transfo=True)
+    np.testing.assert_allclose(lo2, lon2, atol=1e-12)
+    np.testing.assert_allclose(la2, lat2, atol=2e-8)
+
+
+def test_aea_sql_and_column_backends(spark):
+    import duckdb
+
+    rng = np.random.default_rng(12)
+    lon = rng.uniform(-125, -66, 600)
+    lat = rng.uniform(24, 50, 600)
+    gx, gy, _, _ = pp.pipeline_np(AEA5070, lon, lat)
+    xs, ys, _, w = pp.pipeline_sql(AEA5070, x="lon", y="lat")
+    con = duckdb.connect()
+    con.register("g", pd.DataFrame({"lon": lon, "lat": lat}))
+    r = con.sql(f"SELECT {xs} AS x, {ys} AS y FROM g WHERE {w}").df()
+    np.testing.assert_allclose(r.x.values, gx, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(r.y.values, gy, rtol=0, atol=1e-7)
+    pdf = pd.DataFrame({"id": np.arange(600), "x": lon, "y": lat})
+    out = (pp.projpipeline(spark.createDataFrame(pdf), AEA5070)
+           .orderBy("id").toPandas())
+    np.testing.assert_allclose(out.x.values, gx, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(out.y.values, gy, rtol=0, atol=1e-7)
