@@ -660,6 +660,26 @@ def q_projpipeline_utm_inv(spark, sf_dir):
     )
 
 
+#: polar stereographic, EPSG:3413-style (NSIDC north, variant B)
+PIPE_POLAR = ("+proj=pipeline "
+              "+step +proj=unitconvert +xy_in=deg +xy_out=rad "
+              "+step +proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 "
+              "+x_0=0 +y_0=0 +ellps=WGS84")
+
+
+def q_projpipeline_polar(spark, sf_dir):
+    """filters.projpipeline with a polar-stereographic coord_op (EPSG
+    7-2 §3.4 variant B — the NSIDC sea-ice grid shape); rows south of
+    the aspect's domain drop, like the reference's transform-failure
+    drop."""
+    from pdal_spark.operators import projpipeline as pp_op
+
+    out = pp_op.projpipeline(_docs_geo(spark, sf_dir), PIPE_POLAR)
+    return out.select(
+        "doc_id", F.round("x", 3).alias("px"), F.round("y", 3).alias("py")
+    )
+
+
 def q_projpipeline_datum_shift(spark, sf_dir):
     """filters.projpipeline chaining cart -> helmert -> inverse cart
     (geocentric 3-parameter datum shift between two real ellipsoids,
@@ -3574,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reprojection_lcc": q_reprojection_lcc,
         "projpipeline_utm_inv": q_projpipeline_utm_inv,
         "projpipeline_datum_shift": q_projpipeline_datum_shift,
+        "projpipeline_polar": q_projpipeline_polar,
         "transformation": q_transformation,
         "info_bounds": q_info_bounds,
         "doclen_quantiles": q_doclen_quantiles,
@@ -3704,6 +3725,11 @@ def _misc_oracles() -> dict[str, str]:
     pipe_datum = f"""
       SELECT doc_id, round({dxs}, 6) AS lon, round({dys}, 6) AS lat
       FROM ({_DOCS_GEO_SQL}) WHERE {dw}
+    """
+    sxs, sys_, _, sw = pp_op.pipeline_sql(PIPE_POLAR)
+    pipe_polar = f"""
+      SELECT doc_id, round({sxs}, 3) AS px, round({sys_}, 3) AS py
+      FROM ({_DOCS_GEO_SQL}) WHERE {sw}
     """
     lxs, lys, lw = reproj_op.reproject_sql("EPSG:4326", "EPSG:2154")
     reproj_lcc = f"""
@@ -4012,6 +4038,7 @@ def _misc_oracles() -> dict[str, str]:
         "reprojection_lcc": reproj_lcc,
         "projpipeline_utm_inv": pipe_utm_inv,
         "projpipeline_datum_shift": pipe_datum,
+        "projpipeline_polar": pipe_polar,
         "las_roundtrip": las_rt,
         "las_laz_roundtrip": las_rt,
         "las_laz_roundtrip_var": las_rt,
