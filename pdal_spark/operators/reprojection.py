@@ -206,6 +206,51 @@ _TRANSFORMS = {
     ("EPSG:3857", "EPSG:4326"): _to_4326,
 }
 
+#: well-known EPSG codes resolved through the projpipeline step
+#: vocabulary (operators/projpipeline.py) — forward AND inverse come
+#: from the same step implementations via reverse_transfo.
+_EPSG_PIPE = {
+    # WGS 84 / World Mercator
+    "EPSG:3395": "+proj=merc +ellps=WGS84",
+    # NAD83 / Conus Albers (the US national equal-area grid)
+    "EPSG:5070": ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 "
+                  "+lon_0=-96 +ellps=GRS80"),
+    # NSIDC Sea Ice Polar Stereographic North / South
+    "EPSG:3413": "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=WGS84",
+    "EPSG:3976": "+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 +ellps=WGS84",
+    # WGS 84 / UPS North and South (EPSG 7-2 §3.4 variant A)
+    "EPSG:32661": ("+proj=stere +lat_0=90 +k_0=0.994 +x_0=2000000 "
+                   "+y_0=2000000 +ellps=WGS84"),
+    "EPSG:32761": ("+proj=stere +lat_0=-90 +k_0=0.994 +x_0=2000000 "
+                   "+y_0=2000000 +ellps=WGS84"),
+}
+
+
+def _pipe_transform_factory(op: str, reverse: bool):
+    from pdal_spark.operators import projpipeline as _pp
+
+    steps = _pp.parse_pipeline(
+        "+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+        "+xy_out=rad +step " + op)
+
+    def _fn(x: Column, y: Column) -> tuple[Column, Column, Column]:
+        nx, ny, _, ok = _pp._apply(
+            _pp._ColB, steps, x, y, F.lit(0.0), reverse)
+        return nx, ny, ok
+
+    return _fn
+
+
+def _pipe_transform_sql(op: str, reverse: bool, x: str, y: str):
+    from pdal_spark.operators import projpipeline as _pp
+
+    steps = _pp.parse_pipeline(
+        "+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+        "+xy_out=rad +step " + op)
+    nx, ny, _, ok = _pp._apply(
+        _pp._SqlB, steps, _pp._Sx(x), _pp._Sx(y), _pp._Sx("0.0"), reverse)
+    return nx.s, ny.s, _pp._Sx._c(ok)
+
 
 def _from_utm_factory(zone: int, north: bool):
     """UTM -> WGS84 lon/lat (degrees): the inverse transverse-Mercator
@@ -267,6 +312,10 @@ def reproject(
             fn = _from_utm_factory(*utm)
         elif in_srs in _LCC:
             fn = _from_lcc_factory(_LCC[in_srs])
+    if fn is None and in_srs == "EPSG:4326" and out_srs in _EPSG_PIPE:
+        fn = _pipe_transform_factory(_EPSG_PIPE[out_srs], False)
+    if fn is None and out_srs == "EPSG:4326" and in_srs in _EPSG_PIPE:
+        fn = _pipe_transform_factory(_EPSG_PIPE[in_srs], True)
     if fn is None:
         raise ValueError(
             f"no built-in transform {in_srs} -> {out_srs}; register a "
@@ -369,6 +418,10 @@ def reproject_sql(in_srs: str, out_srs: str, x: str = "x", y: str = "y"):
                 _pp._SqlB, prm, _pp._Sx(x), _pp._Sx(y), _pp._Sx("0.0"),
                 inverse=True)
             return f"({lam.s} * {d})", f"({phi.s} * {d})", "TRUE"
+    if in_srs == "EPSG:4326" and out_srs in _EPSG_PIPE:
+        return _pipe_transform_sql(_EPSG_PIPE[out_srs], False, x, y)
+    if out_srs == "EPSG:4326" and in_srs in _EPSG_PIPE:
+        return _pipe_transform_sql(_EPSG_PIPE[in_srs], True, x, y)
     raise ValueError((in_srs, out_srs))
 
 

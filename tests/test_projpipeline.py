@@ -633,3 +633,52 @@ def test_aea_sql_and_column_backends(spark):
            .orderBy("id").toPandas())
     np.testing.assert_allclose(out.x.values, gx, rtol=0, atol=1e-7)
     np.testing.assert_allclose(out.y.values, gy, rtol=0, atol=1e-7)
+
+
+def test_reproject_wellknown_epsg_codes(spark):
+    """reproject() resolves well-known EPSG codes (CONUS Albers 5070,
+    NSIDC 3413, UPS 32661, World Mercator 3395) through the pipeline
+    vocabulary — forward + inverse round trips through the DataFrame
+    API."""
+    rng = np.random.default_rng(13)
+    cases = [
+        ("EPSG:5070", (-120.0, -70.0), (25.0, 48.0), 2e-8),
+        ("EPSG:3413", (-180.0, 180.0), (55.0, 89.0), 1e-9),
+        ("EPSG:32661", (-180.0, 180.0), (55.0, 89.0), 1e-9),
+        ("EPSG:3395", (-179.0, 179.0), (-80.0, 80.0), 1e-9),
+    ]
+    from pdal_spark.operators.reprojection import reproject
+
+    for code, lo_rng, la_rng, tol in cases:
+        lon = rng.uniform(*lo_rng, 400)
+        lat = rng.uniform(*la_rng, 400)
+        pdf = pd.DataFrame({"id": np.arange(400), "x": lon, "y": lat})
+        fwd = reproject(spark.createDataFrame(pdf), "EPSG:4326", code)
+        back = (reproject(fwd, code, "EPSG:4326")
+                .orderBy("id").toPandas())
+        assert len(back) == 400, code
+        # longitudes wrap at the antimeridian for the polar codes
+        dlon = ((back.x.values - lon + 180) % 360) - 180
+        np.testing.assert_allclose(dlon, 0, atol=max(tol, 1e-9),
+                                   err_msg=code)
+        np.testing.assert_allclose(back.y.values, lat, atol=tol,
+                                   err_msg=code)
+
+
+def test_reproject_sql_wellknown_epsg_twin():
+    import duckdb
+
+    from pdal_spark.operators.reprojection import (reproject_np,
+                                                   reproject_sql)
+
+    rng = np.random.default_rng(14)
+    lon = rng.uniform(-120, -70, 400)
+    lat = rng.uniform(25, 48, 400)
+    xs, ys, w = reproject_sql("EPSG:4326", "EPSG:5070")
+    con = duckdb.connect()
+    con.register("g", pd.DataFrame({"x": lon, "y": lat}))
+    r = con.sql(f"SELECT {xs} AS x, {ys} AS y FROM g WHERE {w}").df()
+    assert len(r) == 400
+    gx, gy, _, _ = pp.pipeline_np(AEA5070, lon, lat)
+    np.testing.assert_allclose(r.x.values, gx, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(r.y.values, gy, rtol=0, atol=1e-7)
