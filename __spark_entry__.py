@@ -642,6 +642,19 @@ PIPE_DATUM = ("+proj=pipeline "
               "+step +proj=unitconvert +xy_in=rad +xy_out=deg")
 
 
+def q_reprojection_albers(spark, sf_dir):
+    """filters.reprojection to NAD83 / Conus Albers (EPSG:5070): the
+    equal-area family, resolved through the projpipeline step
+    vocabulary (aea — Snyder 14-1..14-6); out-of-domain rows drop."""
+    from pdal_spark.operators import reprojection as reproj_op
+
+    out = reproj_op.reproject(
+        _docs_geo(spark, sf_dir), "EPSG:4326", "EPSG:5070")
+    return out.select(
+        "doc_id", F.round("x", 3).alias("ae"), F.round("y", 3).alias("an")
+    )
+
+
 def q_projpipeline_utm_inv(spark, sf_dir):
     """filters.projpipeline parsing a REAL PROJ pipeline string — the
     reference's own test coord_op (ProjPipelineFilterTest.cpp:62:
@@ -3592,6 +3605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reprojection": q_reprojection,
         "reprojection_utm": q_reprojection_utm,
         "reprojection_lcc": q_reprojection_lcc,
+        "reprojection_albers": q_reprojection_albers,
         "projpipeline_utm_inv": q_projpipeline_utm_inv,
         "projpipeline_datum_shift": q_projpipeline_datum_shift,
         "projpipeline_polar": q_projpipeline_polar,
@@ -3730,6 +3744,11 @@ def _misc_oracles() -> dict[str, str]:
     pipe_polar = f"""
       SELECT doc_id, round({sxs}, 3) AS px, round({sys_}, 3) AS py
       FROM ({_DOCS_GEO_SQL}) WHERE {sw}
+    """
+    axs, ays, aw = reproj_op.reproject_sql("EPSG:4326", "EPSG:5070")
+    reproj_albers = f"""
+      SELECT doc_id, round({axs}, 3) AS ae, round({ays}, 3) AS an
+      FROM ({_DOCS_GEO_SQL}) WHERE {aw}
     """
     lxs, lys, lw = reproj_op.reproject_sql("EPSG:4326", "EPSG:2154")
     reproj_lcc = f"""
@@ -4036,6 +4055,7 @@ def _misc_oracles() -> dict[str, str]:
         "reprojection": reproj,
         "reprojection_utm": reproj_utm,
         "reprojection_lcc": reproj_lcc,
+        "reprojection_albers": reproj_albers,
         "projpipeline_utm_inv": pipe_utm_inv,
         "projpipeline_datum_shift": pipe_datum,
         "projpipeline_polar": pipe_polar,
