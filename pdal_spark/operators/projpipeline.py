@@ -41,6 +41,9 @@ for the projection series; EPSG Guidance Note 7-2 for Helmert/cart):
 * ``aea`` — Albers equal-area conic 2SP (Snyder 14-1..14-11 + the
   authalic-latitude series 3-18; the CONUS EPSG:5070 shape), with an
   independent equal-area Jacobian oracle in the tests.
+* ``sinu`` — ellipsoidal sinusoidal (Snyder 30-8/30-9; the MODIS
+  land grid), inverse via the shared footpoint-latitude series;
+  equal-area, same Jacobian oracle.
 * ``cart`` — geodetic→geocentric (EPSG 7-2 §4.1.1); inverse via
   Bowring's closed-form method (Bowring 1976, public).
 * ``helmert`` — 3/7-parameter datum shift, ``position_vector`` or
@@ -702,6 +705,47 @@ def _stere(B, p, x, y, z, inverse):
     return lam, phi, z, None
 
 
+def _sinu(B, p, x, y, z, inverse):
+    """Ellipsoidal sinusoidal (+proj=sinu: lon_0/x_0/y_0) — the MODIS
+    land-grid projection.  Forward: Snyder 30-8/30-9 (x scaled by the
+    parallel radius, y = the meridian arc).  Inverse: footpoint
+    latitude via the same rectifying series the tmerc core uses
+    (Snyder 3-26), then x unscaled.  Equal-area — pinned by the same
+    Jacobian oracle as aea."""
+    a, e2 = _ellps(p)
+    c = _tm_consts(a, e2)
+    lon0 = math.radians(float(p.get("lon_0", 0.0)))
+    fe, fn = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+
+    if not inverse:
+        lam, phi = x, y
+        sin_p = B.sin(phi)
+        w = B.sqrt(B.lit(1.0) - B.lit(e2) * sin_p * sin_p)
+        xe = B.lit(fe) + B.lit(a) * (lam - B.lit(lon0)) * B.cos(phi) / w
+        m = B.lit(a) * (
+            B.lit(c["m0"]) * phi
+            - B.lit(c["m2"]) * B.sin(phi * B.lit(2.0))
+            + B.lit(c["m4"]) * B.sin(phi * B.lit(4.0))
+            - B.lit(c["m6"]) * B.sin(phi * B.lit(6.0)))
+        yn = B.lit(fn) + m
+        ok = B.abs(phi) < B.lit(math.radians(89.9))
+        return xe, yn, z, ok
+
+    e1 = c["e1"]
+    mu = (y - B.lit(fn)) / B.lit(a * c["m0"])
+    phi = (mu
+           + B.lit(3.0 * e1 / 2.0 - 27.0 * e1**3 / 32.0)
+           * B.sin(mu * B.lit(2.0))
+           + B.lit(21.0 * e1**2 / 16.0 - 55.0 * e1**4 / 32.0)
+           * B.sin(mu * B.lit(4.0))
+           + B.lit(151.0 * e1**3 / 96.0) * B.sin(mu * B.lit(6.0))
+           + B.lit(1097.0 * e1**4 / 512.0) * B.sin(mu * B.lit(8.0)))
+    sin_p = B.sin(phi)
+    w = B.sqrt(B.lit(1.0) - B.lit(e2) * sin_p * sin_p)
+    lam = B.lit(lon0) + (x - B.lit(fe)) * w / (B.lit(a) * B.cos(phi))
+    return lam, phi, z, None
+
+
 def _aea(B, p, x, y, z, inverse):
     """Albers equal-area conic 2SP (+proj=aea: lat_1/lat_2/lat_0/
     lon_0/x_0/y_0) — the CONUS EPSG:5070 shape.  Forward: Snyder
@@ -846,6 +890,7 @@ _STEP_FNS = {
     "stere": _stere,
     "eqc": _eqc,
     "aea": _aea,
+    "sinu": _sinu,
     "cart": _cart,
     "helmert": _helmert,
 }

@@ -682,3 +682,28 @@ def test_reproject_sql_wellknown_epsg_twin():
     gx, gy, _, _ = pp.pipeline_np(AEA5070, lon, lat)
     np.testing.assert_allclose(r.x.values, gx, rtol=0, atol=1e-7)
     np.testing.assert_allclose(r.y.values, gy, rtol=0, atol=1e-7)
+
+
+def test_sinu_modis_grid():
+    """Ellipsoidal sinusoidal (the MODIS land grid): equal-area
+    Jacobian oracle + roundtrip + the a*pi equator half-width."""
+    OP = ("+proj=pipeline +step +proj=unitconvert +xy_in=deg "
+          "+xy_out=rad +step +proj=sinu +lon_0=0 +ellps=WGS84")
+    rng = np.random.default_rng(15)
+    lon = rng.uniform(-179, 179, 2000)
+    lat = rng.uniform(-85, 85, 2000)
+    x, y, _, ok = pp.pipeline_np(OP, lon, lat)
+    assert ok.all()
+    lo, la, _, _ = pp.pipeline_np(OP, x, y, reverse_transfo=True)
+    np.testing.assert_allclose(lo, lon, atol=2e-7)
+    np.testing.assert_allclose(la, lat, atol=2e-8)
+    h = 1e-7
+    xdl, ydl, _, _ = pp.pipeline_np(OP, lon + math.degrees(h), lat)
+    xdp, ydp, _, _ = pp.pipeline_np(OP, lon, lat + math.degrees(h))
+    J = np.abs((xdl - x) * (ydp - y) - (xdp - x) * (ydl - y)) / (h * h)
+    a, e2 = 6378137.0, (1 / 298.257223563) * (2 - 1 / 298.257223563)
+    phi = np.radians(lat)
+    A = a * a * np.cos(phi) * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 2
+    np.testing.assert_allclose(J / A, 1.0, atol=1e-6)
+    xe, _, _, _ = pp.pipeline_np(OP, [179.9999999], [0.0])
+    np.testing.assert_allclose(xe[0], a * math.pi, atol=0.01)
